@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.catalog.Catalog
+import graft.sources.{ColumnSpec, MappedImport, Tables}
+
+/** The reference's integration workflows (import / update / delete /
+  * metadata / report prep / JSON columns) bound to the test tables.
+  * See MappedImport, Merge, Reports, Catalog for the operator semantics and
+  * reference line citations.
+  */
+object IntegrationQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Excel-import analog: column subset + rename + cast + transform, all
+    // compiled into one scan-time projection (ref 579-671).
+    QueryDef("q17_import_mapped", (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      MappedImport(events, Seq(
+        ColumnSpec("event_id", "id"),
+        ColumnSpec("event_type", "kind", transform = Some(c => upper(c))),
+        ColumnSpec("value", "amount", castTo = Some("double")),
+        ColumnSpec("ts", "event_time",
+          transform = Some(c => date_format(c, "yyyy-MM-dd HH:mm:ss")))
+      )).orderBy("id")
+    }, Some("""
+      SELECT event_id AS id, upper(event_type) AS kind, CAST(value AS DOUBLE) AS amount,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time
+      FROM events ORDER BY id""")),
+
+    // Keyed UPDATE from a mapped delta (ref 282-312), as a broadcast merge.
+    QueryDef("q18_update_merge", (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val updates = orders.filter($"o_orderstatus" === "O")
+        .select($"o_orderkey", ($"o_totalprice" + lit(500.0)).as("o_totalprice"))
+      Merge.updateByKey(orders, updates, "o_orderkey")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 500.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
+    // Merge with insert-if-absent: update matches, append the rest.
+    QueryDef("q19_upsert", (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val target = orders.filter($"o_orderkey" % 3 =!= 0)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      val updates = orders.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", ($"o_totalprice" + lit(1000.0)).as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+      Merge.upsert(target, updates, "o_orderkey").orderBy($"o_orderkey")
+    }, Some("""
+      SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+             COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice,
+             COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus
+      FROM (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0) t
+      FULL OUTER JOIN (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 'U' AS o_orderstatus
+                       FROM orders WHERE o_orderkey % 2 = 0) u
+        ON t.o_orderkey = u.o_orderkey
+      ORDER BY o_orderkey""")),
+
+    // DELETE WHERE as filter-out rewrite.
+    QueryDef("q20_delete_where", (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      Merge.deleteWhere(orders, $"o_orderstatus" === "F" && year($"o_orderdate") < 1998)
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND year(o_orderdate) < 1998)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Schema introspection (ref 183-220). Types are engine-specific → rows-only.
+    QueryDef("q21_table_design", (s, dir) => {
+      Catalog.tableDesign(s, Tables.load(s, dir, "lineitem"))
+    }, None),
+
+    // Dynamic-report prep: bar/pie group-sum (ref 1262).
+    QueryDef("q22_report_groupsum", (s, dir) => {
+      Reports.groupSum(Tables.load(s, dir, "customer"), "c_mktsegment", "c_acctbal")
+    }, Some("""
+      SELECT c_mktsegment, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_c_acctbal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Dynamic-report prep: value_counts (ref 1264).
+    QueryDef("q23_value_counts", (s, dir) => {
+      Reports.valueCounts(Tables.load(s, dir, "orders"), "o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority AS value, COUNT(*) AS n FROM orders
+      GROUP BY o_orderpriority ORDER BY n DESC, value""")),
+
+    // Semi-structured column: JSON extraction + aggregation.
+    QueryDef("q24_json_extract", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select($"event_type", get_json_object($"props", "$.k").cast("int").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k".cast("long")).as("sum_k"))
+        .orderBy($"event_type")
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join-based mutation operators: the reference's Update Data tab
+  * (SQL_DATA_INTEGRATION_TOOL.py:282-312 `update_data` — a per-row
+  * `UPDATE ... WHERE [identifier] = ?` loop) re-expressed as distributed
+  * merges. A 100 TB target is never iterated row-by-row: the delta joins the
+  * target on the key, and when the delta is small it is broadcast so the
+  * target is updated in a single map-side pass with zero shuffle of the
+  * target table.
+  */
+object Merge {
+
+  /** UPDATE target SET c = updates.c ... WHERE target.key = updates.key.
+    * Rows without a matching update pass through unchanged. Only columns
+    * present in `updates` (beyond the key) are overwritten — the analog of
+    * the reference's column mapping. */
+  def updateByKey(
+      target: DataFrame,
+      updates: DataFrame,
+      key: String,
+      broadcastUpdates: Boolean = true): DataFrame = {
+    val setCols = updates.columns.filter(_ != key).toSet
+    val u0 = updates.columns.filter(_ != key)
+      .foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
+    val right = if (broadcastUpdates) broadcast(u0) else u0
+    val joined = target.join(right, Seq(key), "left_outer")
+    val outCols: Seq[Column] = target.columns.toSeq.map { c =>
+      if (setCols.contains(c)) coalesce(col(s"__u_$c"), col(c)).as(c) else col(c)
+    }
+    joined.select(outCols: _*)
+  }
+
+  /** Merge with insert-if-absent: matching keys take the update's values,
+    * unmatched updates are appended, unmatched target rows pass through.
+    * Requires `updates` to share the target's schema (maps absent columns to
+    * null like the reference's unmapped-column handling). */
+  def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val t = target.columns.filter(_ != key)
+      .foldLeft(target)((d, c) => d.withColumnRenamed(c, s"__t_$c"))
+    val u = updates.columns.filter(_ != key)
+      .foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
+    val joined = t.join(u, Seq(key), "full_outer")
+    val outCols: Seq[Column] = col(key) +: target.columns.toSeq.filter(_ != key).map { c =>
+      if (updates.columns.contains(c)) coalesce(col(s"__u_$c"), col(s"__t_$c")).as(c)
+      else col(s"__t_$c").as(c)
+    }
+    joined.select(outCols: _*)
+  }
+
+  /** DELETE WHERE cond, as a filter-out rewrite (immutable-storage delete). */
+  def deleteWhere(df: DataFrame, cond: Column): DataFrame =
+    df.filter(!coalesce(cond, lit(false)))
+}

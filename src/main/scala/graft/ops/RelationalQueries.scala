@@ -1,0 +1,256 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** The reference's SQL execution surface (SQL_DATA_INTEGRATION_TOOL.py
+  * keyword list at 387-393/941-947: SELECT/WHERE/JOINs/GROUP BY/ORDER BY/
+  * HAVING/DISTINCT/LIMIT/OFFSET/COUNT/AVG/YEAR/MONTH/IN/CASE...) expressed
+  * as declarative DataFrame plans. Each query is written so Catalyst gets
+  * the whole plan: filters sit directly over scans (pushdown), projections
+  * are minimal (column pruning), small dimensions are broadcast, and
+  * aggregates are decimal-exact (deterministic + partial-aggregatable).
+  */
+object RelationalQueries {
+
+  /** Exact decimal view of a 2-dp money/quantity column. */
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  private val one = lit(1).cast("decimal(18,4)")
+  /** Exact sum surfaced as double — order-insensitive, engine-portable. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  // Shared oracle fragments
+  private val SUM_DISC = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
+  private def dsql(col: String) = s"CAST(SUM(CAST($col AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q1_agg", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("sum_disc_price"),
+          (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${dsql("l_quantity")} AS sum_qty,
+             ${dsql("l_extendedprice")} AS sum_base_price,
+             $SUM_DISC AS sum_disc_price,
+             ${dsql("l_quantity")} / COUNT(*) AS avg_qty,
+             COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef("q2_filter_project", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount".between(0.03, 0.07) && $"l_quantity" < 25)
+        .select($"l_orderkey", $"l_linenumber",
+          (dec($"l_extendedprice") * dec($"l_discount")).cast("double").as("revenue"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    QueryDef("q3_join", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"c_mktsegment")
+    }, Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n_orders, ${dsql("o_totalprice")} AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    QueryDef("q4_outer_join", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+          coalesce(dsum($"o_totalprice"), lit(0.0)).as("total_spend"))
+        .orderBy($"c_custkey")
+    }, Some(s"""
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+             COALESCE(${dsql("o_totalprice")}, 0.0) AS total_spend
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    QueryDef("q5_semi_join", (s, dir) => {
+      import s.implicits._
+      val f = t(s, dir, "orders").filter($"o_orderstatus" === "F").select($"o_custkey")
+      t(s, dir, "customer")
+        .join(f, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    QueryDef("q6_anti_join", (s, dir) => {
+      import s.implicits._
+      val urgent = t(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      t(s, dir, "customer")
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_nationkey")
+    }, Some("""
+      SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    QueryDef("q7_distinct", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").select($"l_returnflag", $"l_linestatus")
+        .distinct().orderBy($"l_returnflag", $"l_linestatus")
+    }, Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef("q8_topk", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey").offset(10).limit(20)
+    }, Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""")),
+
+    QueryDef("q9_having", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_partkey").agg(dsum($"l_quantity").as("sum_qty"))
+        .filter($"sum_qty" > 770).orderBy($"l_partkey")
+    }, Some(s"""
+      SELECT l_partkey, ${dsql("l_quantity")} AS sum_qty FROM lineitem
+      GROUP BY l_partkey HAVING ${dsql("l_quantity")} > 770 ORDER BY l_partkey""")),
+
+    QueryDef("q10_date_parts", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_year", $"o_month")
+    }, Some(s"""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(month(o_orderdate) AS INTEGER) AS o_month,
+             COUNT(*) AS n_orders, ${dsql("o_totalprice")} AS sum_price
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q11_multi_join", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "region")
+        .join(broadcast(t(s, dir, "nation")), $"r_regionkey" === $"n_regionkey")
+        .join(t(s, dir, "customer"), $"n_nationkey" === $"c_nationkey")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+        .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"n_name")
+    }, Some(s"""
+      SELECT r_name, n_name, $SUM_DISC AS revenue, COUNT(*) AS n_items
+      FROM region
+        JOIN nation ON r_regionkey = n_regionkey
+        JOIN customer ON n_nationkey = c_nationkey
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    QueryDef("q12_window", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", $"rk", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"rk")
+    }, Some("""
+      SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""")),
+
+    QueryDef("q13_pivot", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(when($"o_orderstatus" === "F", 1)).as("n_f"),
+          count(when($"o_orderstatus" === "O", 1)).as("n_o"),
+          count(when($"o_orderstatus" === "P", 1)).as("n_p"))
+        .orderBy($"o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QueryDef("q14_case_expr", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(
+          when($"o_totalprice" > 300000, "big")
+            .when($"o_totalprice" > 100000, "mid")
+            .otherwise("small").as("bucket"),
+          $"o_totalprice")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), (dsum($"o_totalprice") / count(lit(1))).as("avg_price"))
+        .orderBy($"bucket")
+    }, Some(s"""
+      SELECT CASE WHEN o_totalprice > 300000 THEN 'big'
+                  WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+             COUNT(*) AS n, ${dsql("o_totalprice")} / COUNT(*) AS avg_price
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q15_union", (s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".as("key"), lit("bld").as("src"))
+      val b = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+        .select($"o_custkey".as("key"), lit("ord").as("src"))
+      a.unionByName(b).groupBy($"key")
+        .agg(count(lit(1)).as("n"), count_distinct($"src").as("n_src"))
+        .orderBy($"key")
+    }, Some("""
+      SELECT key, COUNT(*) AS n, COUNT(DISTINCT src) AS n_src FROM (
+        SELECT c_custkey AS key, 'bld' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT o_custkey AS key, 'ord' AS src FROM orders WHERE o_orderstatus = 'F')
+      GROUP BY key ORDER BY key""")),
+
+    QueryDef("q16_scalar_subquery", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val avgP = o.agg((dsum($"o_totalprice") / count(lit(1))).as("avg_price"))
+      o.join(broadcast(avgP))
+        .filter($"o_totalprice" > $"avg_price")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n FROM orders
+      WHERE o_totalprice > (SELECT ${dsql("o_totalprice")} / COUNT(*) FROM orders)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+  )
+}

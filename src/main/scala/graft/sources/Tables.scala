@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Table access layer over a directory of parquet files (one per table).
+  *
+  * Plays the role of the reference's database/table selection surface
+  * (SQL_DATA_INTEGRATION_TOOL.py:146-181 — `set_database`/`get_tables`)
+  * re-expressed as a lakehouse-style directory catalog: a "database" is a
+  * directory, a "table" is a parquet dataset inside it. Reads are plain
+  * `spark.read.parquet`, so Catalyst gets full pushdown/pruning and, at
+  * 100 TB, partition pruning on partitioned layouts for free.
+  */
+object Tables {
+  /** Standard test-schema table names (TPC-H-ish + events/documents/embeddings). */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
+    // rejects; read nanos as long and truncate to micros (what DuckDB and
+    // most engines do on read). Integer `div` — doubles can't hold 1e18.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(dir, name))
+    if (name == "events" && df.schema.exists(f => f.name == "ts" && f.dataType.typeName == "long"))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table in `dir` as a temp view so `spark.sql` (the
+    * reference's Execute Query tab) can address them by name. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      try load(spark, dir, n).createOrReplaceTempView(n)
+      catch { case _: Throwable => () } // table absent in this dir — skip
+    }
+}

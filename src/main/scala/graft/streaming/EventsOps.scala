@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the `events` table. Written against the same
+  * declarative surface Structured Streaming consumes: `windowedAgg` uses
+  * `window()` (watermark-compatible — the streaming variant in
+  * EventsStream.scala applies the identical transform to a readStream), and
+  * `sessionize` isolates its single shuffle on user_id.
+  */
+object EventsOps {
+
+  /** Tumbling-window aggregation: events per (window, event_type) with an
+    * exact decimal sum of `value`. One shuffle on (window, event_type). */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapSec`. Single shuffle by
+    * user_id (both window functions share the partitioning); microsecond-
+    * exact integer arithmetic so results are engine-portable. */
+  def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(byUser)
+    val newSession: Column = when(
+      prev.isNull || (unix_micros(col("ts")) - unix_micros(prev)) > gapSec * 1000000L, 1
+    ).otherwise(0)
+    events
+      .withColumn("__new_s", newSession)
+      .withColumn("session_id", sum(col("__new_s")).over(cum))
+      .drop("__new_s")
+  }
+
+  /** Per-user session stats on top of [[sessionize]]. */
+  def sessionStats(events: DataFrame, gapSec: Long = 1800): DataFrame =
+    sessionize(events, gapSec)
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+}
