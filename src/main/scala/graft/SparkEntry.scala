@@ -10,7 +10,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     ops.RelationalQueries.defs ++
       ops.IntegrationQueries.defs ++
-      streaming.EventQueries.defs
+      streaming.EventQueries.defs ++
+      ops.LlmPipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

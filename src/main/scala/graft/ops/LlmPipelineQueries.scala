@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** LLM training-data pipeline operators bound to the documents/embeddings
+  * tables: dedup (exact/MinHash/SimHash/n-gram/embedding), similarity
+  * search, text analysis, multimodal plumbing. See SURVEY.md §2.
+  */
+object LlmPipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup. The corpus has no byte-identical dups, so the query
+    // plants whitespace-variant copies (doc_id%7, +1000000) and the
+    // normalized fingerprint must collapse them; oracle does the same.
+    QueryDef("q27_dedup_exact", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val dups = docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"), concat($"text", lit("  ")).as("text"))
+      Dedup.exact(docs.unionByName(dups), "text", "doc_id").orderBy($"keep_id")
+    }, Some("""
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text || '  ' FROM documents WHERE doc_id % 7 = 0)
+      GROUP BY 1 ORDER BY keep_id""")),
+
+    QueryDef("q28_dedup_minhash", (s, dir) => {
+      import s.implicits._
+      Dedup.minHashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.5).orderBy($"id_a", $"id_b")
+    }, None),
+
+    QueryDef("q29_dedup_simhash", (s, dir) => {
+      import s.implicits._
+      Dedup.simHashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 3).orderBy($"id_a", $"id_b")
+    }, None),
+
+    // n-gram Jaccard as the verify pass over SimHash band candidates.
+    QueryDef("q30_dedup_ngram", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val cands = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 16)
+      val ta = docs.select($"doc_id".as("id_a"), $"text".as("t_a"))
+      val tb = docs.select($"doc_id".as("id_b"), $"text".as("t_b"))
+      cands.join(ta, "id_a").join(tb, "id_b")
+        .select($"id_a", $"id_b", Dedup.ngramJaccard($"t_a", $"t_b").as("jaccard"))
+        .filter($"jaccard" >= 0.3)
+        .orderBy($"id_a", $"id_b")
+    }, None),
+
+    QueryDef("q31_dedup_embed", (s, dir) => {
+      import s.implicits._
+      Dedup.embeddingPairs(Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.4002).orderBy($"id_a", $"id_b")
+    }, Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4002
+      ORDER BY id_a, id_b""")),
+
+    QueryDef("q32_ann_brute", (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Ann.bruteTopK(emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5)
+        .orderBy($"q_id", $"rk")
+    }, Some("""
+      SELECT q_id, rk, n_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id)
+                 AS INTEGER) AS rk
+        FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rk <= 5 ORDER BY q_id, rk""")),
+
+    QueryDef("q33_ann_lsh", (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.filter($"vec_id" < 5), "embedding", "vec_id",
+        k = 5, dim = 64).orderBy($"q_id", $"rk")
+    }, None),
+
+    QueryDef("q34_text_tokens", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextAnalysis.wsTokenCount($"text").as("n_ws"),
+          TextAnalysis.wordTokenCount($"text").as("n_words"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+             CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+                                  x -> len(x) > 0)) AS INTEGER) AS n_words
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("q35_text_quality", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextAnalysis.nChars($"text").as("n_chars"),
+          TextAnalysis.alphaRatio($"text").as("alpha_ratio"),
+          TextAnalysis.avgWordLen($"text").as("avg_word_len"),
+          TextAnalysis.uniqTokenRatio($"text").as("uniq_ratio"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+             CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+               / ((length(text) - length(replace(text, ' ', ''))) + 1) AS avg_word_len,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("q36_text_langid", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.langId($"text").as("lang_pred"))
+        .orderBy($"doc_id")
+    }, None),
+
+    QueryDef("q37_fingerprint", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("q38_multimodal_meta", (s, dir) => {
+      import s.implicits._
+      val assets = Multimodal.synthPayloads(Tables.load(s, dir, "documents"))
+      Multimodal.extractFeatures(s, assets).toDF().orderBy($"doc_id")
+    }, None)
+  )
+}

@@ -1,0 +1,80 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * `bruteTopK` is the exact baseline: queries are broadcast (the query set
+  * is always small relative to the corpus), the corpus streams through one
+  * codegen stage — no corpus shuffle. At 100 TB the scale path is
+  * `lshTopK`: random-hyperplane signatures bucket the corpus so each query
+  * probes only its colliding buckets.
+  */
+object Ann {
+
+  /** Deterministic random hyperplanes (dim × nPlanes), seed-stable. */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Exact top-k neighbors for each query vector by cosine similarity.
+    * Tie-break: higher cosine first, then smaller neighbor id. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.join(q, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Dedup.cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"))
+  }
+
+  /** Random-hyperplane signature (one long; bit i = sign of dot with plane i). */
+  def signature(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(vec, array(p.map(lit): _*), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** (band, chunk) bucket keys from a signature — nPlanes/bandBits buckets
+    * per vector; join corpus to queries on bucket equality for candidates. */
+  def lshBuckets(sig: Column, nPlanes: Int, bandBits: Int): Column = {
+    val bands = nPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * bandBits).bitwiseAND(mask).as("chunk"))): _*)
+  }
+
+  /** Approximate top-k: LSH candidates (multi-band hyperplane buckets) then
+    * exact cosine rerank within candidates. Recall < 1 by design; bump
+    * nPlanes/bands for more probes. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, dim: Int, nPlanes: Int = 16, bandBits: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    def withBuckets(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(lshBuckets(signature(col(vecCol), planes), nPlanes, bandBits)).as("b"))
+        .select(col(id), col(vec), col("b.band").as("band"), col("b.chunk").as("chunk"))
+    val qb = broadcast(withBuckets(queries, "q_id", "q_vec"))
+    val cb = withBuckets(corpus, "n_id", "n_vec")
+    val cands = cb.join(qb, Seq("band", "chunk"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .select(col("q_id"), col("n_id"), Dedup.cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cands.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"))
+  }
+}
