@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// One shared SparkSession across suites.
+Test / parallelExecution := false
+
+// Sandboxed container blocks the JDK-17 posix_spawn helper; fall back to
+// plain fork so Hadoop's shell-outs (chmod on checkpoint dirs) work.
+javaOptions += "-Djdk.lang.Process.launchMechanism=FORK"

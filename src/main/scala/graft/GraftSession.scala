@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory. Local defaults mirror what a cluster deploy
+  * would set: AQE on (runtime re-plan, skew-join splitting, partition
+  * coalescing), shuffle partitions sized to parallelism (not the 200
+  * default), UTC, and a broadcast threshold large enough that every
+  * dimension table in the schema broadcasts.
+  */
+object GraftSession {
+  def apply(master: String = "local[*]", cores: Int =
+      Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

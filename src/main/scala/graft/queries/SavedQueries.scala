@@ -18,9 +18,15 @@ final class SavedQueries(path: String) {
   private def loadFile(): Map[String, String] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) Map.empty
-    else JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)) match {
-      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
-      case _ => Map.empty
+    else try {
+      JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)) match {
+        case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      }
+    } catch {
+      // corrupt/empty registry file → start fresh (matches the reference's
+      // load_queries_from_file error path, ref 1379-1387)
+      case _: Exception => Map.empty
     }
   }
 

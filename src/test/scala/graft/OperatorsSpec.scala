@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Merge, Reports}
+import graft.sources.{ColumnSpec, MappedImport, Tables}
+import graft.catalog.Catalog
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("updateByKey overwrites matched rows, passes through the rest") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val updates = Seq((2L, 99.0)).toDF("k", "v")
+    val out = Merge.updateByKey(target, updates, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "b", 99.0), (3L, "c", 30.0)))
+  }
+
+  test("upsert updates matches and appends new keys") {
+    val target = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val updates = Seq((2L, 99.0), (5L, 50.0)).toDF("k", "v")
+    val out = Merge.upsert(target, updates, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 10.0), (2L, 99.0), (5L, 50.0)))
+  }
+
+  test("deleteWhere treats null predicate as keep") {
+    val df = Seq[(Long, Option[String])]((1L, Some("x")), (2L, None), (3L, Some("y")))
+      .toDF("k", "s")
+    val out = Merge.deleteWhere(df, $"s" === "x").select("k").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 3L))
+  }
+
+  test("MappedImport prunes, renames, casts and nullifies blanks") {
+    val df = Seq(("1", " x ", "7.5", "drop"), ("2", "", "8.5", "drop"))
+      .toDF("id", "name", "amt", "junk")
+    val out = MappedImport(df, Seq(
+      ColumnSpec("id", "id2", castTo = Some("bigint")),
+      ColumnSpec("name", "name"),
+      ColumnSpec("amt", "amount", castTo = Some("double"))))
+    assert(out.columns.toSeq == Seq("id2", "name", "amount"))
+    val rows = out.orderBy("id2").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "x")
+    assert(rows(1).isNullAt(1)) // blank → null
+    assert(rows(0).getDouble(2) == 7.5)
+  }
+
+  test("Catalog lists tables and finds key candidates") {
+    val tables = Catalog.listTables(spark, sfDir)
+    assert(tables.contains("lineitem") && tables.contains("orders"))
+    val design = Catalog.tableDesign(spark, Tables.load(spark, sfDir, "orders"))
+    assert(design.count() == 6)
+    val pks = Catalog.primaryKeyCandidates(Tables.load(spark, sfDir, "orders"))
+    assert(pks.contains("o_orderkey") && !pks.contains("o_orderstatus"))
+  }
+
+  test("Reports groupSum/valueCounts aggregate correctly") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("x", "y")
+    val gs = Reports.groupSum(df, "x", "y").collect()
+    assert(gs.map(r => (r.getString(0), r.getDouble(1))).toSeq == Seq(("a", 3.0), ("b", 5.0)))
+    val vc = Reports.valueCounts(df, "x").collect()
+    assert(vc.head.getString(0) == "a" && vc.head.getLong(1) == 2L)
+  }
+
+  test("SavedQueries persists and runs by name") {
+    val f = java.nio.file.Files.createTempFile("sq", ".json").toString
+    val sq = new graft.queries.SavedQueries(f)
+    Tables.registerAll(spark, sfDir)
+    sq.save("cnt", "SELECT COUNT(*) AS n FROM orders")
+    val reloaded = new graft.queries.SavedQueries(f)
+    assert(reloaded.list == Seq("cnt"))
+    assert(reloaded.run(spark, "cnt").head().getLong(0) == 1500L)
+  }
+}

