@@ -35,16 +35,20 @@ object Dedup {
     Seq.fill(n)(((r.nextInt(Int.MaxValue - 1) + 1).toLong, r.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature (array<bigint>, length numPerm) over word k-shingles.
-    * Pure expression tree — codegen'd, no UDF. */
+  /** Shingle hashes (array<bigint>): one interpreted HOF pass; everything
+    * downstream runs on native kernels. */
+  def shingleHashes(textCol: Column, k: Int = 3): Column =
+    transform(Shingling.wordShingles(textCol, k), s => pmod(xxhash64(s), lit(HashPrime)))
+
+  /** MinHash signature (array<bigint>, length numPerm) over word k-shingles,
+    * computed by the native codegen kernel (one tight loop; the naive
+    * `transform`/`array_min` composition re-evaluates the shingling per
+    * permutation on Catalyst's interpreted HOF path — 100×+ slower). */
   def minHashSignature(textCol: Column, numPerm: Int = 64, k: Int = 3,
       seed: Long = 42L): Column = {
-    val hashes = transform(Shingling.wordShingles(textCol, k),
-      s => pmod(xxhash64(s), lit(HashPrime)))
     val ps = perms(numPerm, seed)
-    array(ps.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(HashPrime))))
-    }: _*)
+    graft.functions.HashFunctions.minHashSig(
+      shingleHashes(textCol, k), ps.map(_._1).toArray, ps.map(_._2).toArray, HashPrime)
   }
 
   /** Explode a signature into (band, bandKey) LSH bucket keys. */
@@ -61,20 +65,31 @@ object Dedup {
       threshold: Double = 0.5, numPerm: Int = 64, bands: Int = 16,
       k: Int = 3): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val withSig = df.select(
-      col(idCol).as("id"),
-      Shingling.wordShingles(col(textCol), k).as("sh"),
-      minHashSignature(col(textCol), numPerm, k).as("sig"))
-    val buckets = withSig
-      .select(col("id"), col("sh"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("sh"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-    val a = buckets.select(col("band"), col("bkey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = buckets.select(col("band"), col("bkey"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bkey"))
+    // Shingle once per doc; band rows stay slim (id, band, bkey) so the
+    // banding shuffle moves |docs|×bands small rows, never the shingle
+    // arrays. Shingles rejoin only for surviving candidate pairs.
+    val sh = df.select(col(idCol).as("id"),
+      Shingling.wordShingles(col(textCol), k).as("sh"))
+    val buckets = df
+      .select(col(idCol).as("id"), minHashSignature(col(textCol), numPerm, k).as("sig"))
+      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val candidates = buckets.alias("x")
+      .join(buckets.alias("y"), Seq("band", "bkey"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("id_a", "id_b")
-    candidates
+    verifyPairsJaccard(candidates, sh, threshold)
+  }
+
+  /** Exact-Jaccard verify pass over candidate pairs: shingle sets join in
+    * from a once-per-doc projection; per-pair work is one codegen'd
+    * intersect/union. */
+  def verifyPairsJaccard(pairs: DataFrame, docShingles: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = docShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = docShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -83,19 +98,11 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
-  /** 64-bit SimHash over word tokens: per-bit vote of token hashes.
-    * Bit indices are compile-time constants, so shifts stay codegen-able. */
-  def simHash64(textCol: Column): Column = {
-    val hashes = transform(split(TextAnalysis.normalize(textCol), " ", -1), t => xxhash64(t))
-    def bitsOf(h: Column): Column =
-      array((0 until 64).map(i =>
-        shiftright(h, i).bitwiseAND(1).cast("int") * 2 - 1): _*)
-    val votes = aggregate(hashes, array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b))
-    val pow2 = array((0 until 64).map(i => lit(1L << i)): _*)
-    aggregate(zip_with(votes, pow2, (v, p) => when(v > 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  /** 64-bit SimHash over word tokens: per-bit majority vote of token
+    * hashes, computed by the native codegen kernel. */
+  def simHash64(textCol: Column): Column =
+    graft.functions.HashFunctions.simHash64(
+      transform(split(TextAnalysis.normalize(textCol), " ", -1), t => xxhash64(t)))
 
   /** Near-duplicate pairs by SimHash: band the 64-bit hash into four 16-bit
     * chunks (guarantees recall for hamming ≤ 3), candidate on chunk
@@ -130,24 +137,24 @@ object Dedup {
 
   // ---------------- embedding cosine ----------------
 
-  /** Cosine similarity between two float-array columns, computed in double
-    * with a deterministic left-to-right fold. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  /** Cosine similarity between two float-array columns: codegen dot-product
+    * kernel, double accumulation, deterministic left-to-right order. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineF(a, b)
 
   /** Embedding near-duplicate pairs above a cosine threshold. Exact
     * all-pairs — the *verify* path; at scale generate candidates with
-    * [[graft.similarity.Ann.lshBuckets]] first. */
+    * [[graft.similarity.Ann.lshBuckets]] first. Norms are computed once per
+    * row (not per pair) and the pair loop is a single codegen dot product. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    import graft.functions.VectorFunctions.dotF
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("nrm"))
+    val a = withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .filter(cosine(col("v_a"), col("v_b")) > threshold)
+      .filter(dotF(col("v_a"), col("v_b")) / col("n_a") / col("n_b") > threshold)
       .select(col("id_a"), col("id_b"))
   }
 }

@@ -1,0 +1,12 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** Public wrappers for the native codegen vector kernels (implementation in
+  * org.apache.spark.sql.graft — they need private[sql] Catalyst types). */
+object VectorFunctions {
+  def dotF(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.dotF(a, b)
+  def cosineF(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.cosineF(a, b)
+}

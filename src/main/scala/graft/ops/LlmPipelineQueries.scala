@@ -45,16 +45,16 @@ object LlmPipelineQueries {
         maxHamming = 3).orderBy($"id_a", $"id_b")
     }, None),
 
-    // n-gram Jaccard as the verify pass over SimHash band candidates.
+    // n-gram Jaccard as the verify pass over SimHash band candidates:
+    // shingles computed once per doc, joined to candidate pairs.
     QueryDef("q30_dedup_ngram", (s, dir) => {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      val cands = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 16)
-      val ta = docs.select($"doc_id".as("id_a"), $"text".as("t_a"))
-      val tb = docs.select($"doc_id".as("id_b"), $"text".as("t_b"))
-      cands.join(ta, "id_a").join(tb, "id_b")
-        .select($"id_a", $"id_b", Dedup.ngramJaccard($"t_a", $"t_b").as("jaccard"))
-        .filter($"jaccard" >= 0.3)
+      val cands = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 12)
+        .select($"id_a", $"id_b")
+      val sh = docs.select($"doc_id".as("id"),
+        graft.text.Shingling.wordShingles($"text").as("sh"))
+      Dedup.verifyPairsJaccard(cands, sh, threshold = 0.3)
         .orderBy($"id_a", $"id_b")
     }, None),
 

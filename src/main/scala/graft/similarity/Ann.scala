@@ -25,11 +25,14 @@ object Ann {
     * Tie-break: higher cosine first, then smaller neighbor id. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    import graft.functions.VectorFunctions.dotF
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("q_nrm")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("n_nrm"))
     val scored = c.join(q, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        Dedup.cosine(col("q_vec"), col("n_vec")).as("cos"))
+        (dotF(col("q_vec"), col("n_vec")) / col("q_nrm") / col("n_nrm")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("n_id"))
