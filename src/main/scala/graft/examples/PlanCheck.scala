@@ -1,0 +1,52 @@
+package graft.examples
+
+import graft.{GraftSession, SparkEntry}
+
+/** Plan audit: prints the formatted physical plan of selected queries and
+  * asserts the plan properties that matter at 100 TB — filters pushed to
+  * the parquet scan, pruned read schemas, broadcast joins where a side is
+  * small, whole-stage codegen coverage.
+  *
+  * Run: sbt "runMain graft.examples.PlanCheck [queryName ...]"
+  */
+object PlanCheck {
+  private case class Want(query: String, mustContain: Seq[(String, String)])
+
+  private val audits = Seq(
+    Want("q2_filter_project", Seq(
+      "filter pushed to scan" -> "PushedFilters: [IsNotNull(l_shipdate)",
+      "column-pruned read" -> "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>")),
+    Want("q3_join", Seq(
+      "dimension broadcast" -> "BroadcastHashJoin")),
+    Want("q11_multi_join", Seq(
+      "star dims broadcast" -> "BroadcastHashJoin")),
+    Want("q1_agg", Seq(
+      "partial aggregation" -> "HashAggregate",
+      "map-side combine" -> "partial_sum")),
+    Want("q31_dedup_embed", Seq(
+      "codegen dot kernel in join condition" -> "float_vec_dot")),
+    Want("q32_ann_brute", Seq(
+      "query side broadcast" -> "BroadcastNestedLoopJoin")))
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val wanted = if (args.nonEmpty) audits.filter(a => args.contains(a.query)) else audits
+    var failed = 0
+    wanted.foreach { a =>
+      val df = SparkEntry.queries(a.query)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== ${a.query} ==========")
+      println(plan.linesIterator.take(40).mkString("\n"))
+      a.mustContain.foreach { case (label, needle) =>
+        val ok = plan.contains(needle)
+        if (!ok) failed += 1
+        println(s"[plancheck] ${a.query} :: $label -> ${if (ok) "OK" else s"MISSING ($needle)"}")
+      }
+    }
+    println(s"\n[plancheck] ${if (failed == 0) "ALL OK" else s"$failed FAILED"}")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}
