@@ -65,13 +65,15 @@ object Dedup {
       threshold: Double = 0.5, numPerm: Int = 64, bands: Int = 16,
       k: Int = 3): DataFrame = {
     val rowsPerBand = numPerm / bands
-    // Shingle once per doc; band rows stay slim (id, band, bkey) so the
-    // banding shuffle moves |docs|×bands small rows, never the shingle
-    // arrays. Shingles rejoin only for surviving candidate pairs.
-    val sh = df.select(col(idCol).as("id"),
-      Shingling.wordShingles(col(textCol), k).as("sh"))
-    val buckets = df
-      .select(col(idCol).as("id"), minHashSignature(col(textCol), numPerm, k).as("sig"))
+    val ps = perms(numPerm, 42L)
+    // Fully native pipeline: hashed shingle sets in one codegen pass (no
+    // string shingles materialized), native signature kernel, slim
+    // (id, band, bkey) band rows so the shuffle never moves arrays.
+    // Hashed sets rejoin only for surviving candidate pairs.
+    val sh = hashedShingleSets(df, textCol, idCol, k)
+    val buckets = sh
+      .select(col("id"), graft.functions.HashFunctions.minHashSig(
+        col("sh"), ps.map(_._1).toArray, ps.map(_._2).toArray, HashPrime).as("sig"))
       .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
     val candidates = buckets.alias("x")
@@ -81,6 +83,14 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     verifyPairsJaccard(candidates, sh, threshold)
   }
+
+  /** Distinct hashed word k-shingle sets, (id, sh) — one native pass per
+    * doc; the set representation every verify/banding stage shares. */
+  def hashedShingleSets(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.HashFunctions.wordShingleHash(
+        TextAnalysis.normalize(col(textCol)), k, HashPrime).as("sh"))
 
   /** Exact-Jaccard verify pass over candidate pairs: shingle sets join in
     * from a once-per-doc projection; per-pair work is one codegen'd

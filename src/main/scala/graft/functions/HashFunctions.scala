@@ -9,4 +9,6 @@ object HashFunctions {
     org.apache.spark.sql.graft.HashFunctions.minHashSig(hashes, as, bs, prime)
   def simHash64(hashes: Column): Column =
     org.apache.spark.sql.graft.HashFunctions.simHash64(hashes)
+  def wordShingleHash(text: Column, k: Int, prime: Long): Column =
+    org.apache.spark.sql.graft.HashFunctions.wordShingleHash(text, k, prime)
 }

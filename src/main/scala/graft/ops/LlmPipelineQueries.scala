@@ -52,9 +52,8 @@ object LlmPipelineQueries {
       val docs = Tables.load(s, dir, "documents")
       val cands = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 12)
         .select($"id_a", $"id_b")
-      val sh = docs.select($"doc_id".as("id"),
-        graft.text.Shingling.wordShingles($"text").as("sh"))
-      Dedup.verifyPairsJaccard(cands, sh, threshold = 0.3)
+      Dedup.verifyPairsJaccard(cands, Dedup.hashedShingleSets(docs, "text", "doc_id"),
+        threshold = 0.3)
         .orderBy($"id_a", $"id_b")
     }, None),
 

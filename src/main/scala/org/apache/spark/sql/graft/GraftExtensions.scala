@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the graft native
+  * expressions as SQL functions, so `spark.sql("SELECT float_vec_dot(a,b)")`
+  * works next to the Column API. Activate with
+  * `.config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_vec_dot"),
+      info("float_vec_dot", "float_vec_dot(a, b) - dot product of two float arrays (double accumulation)"),
+      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(hashes) - 64-bit SimHash of an array of token hashes"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+  }
+}

@@ -42,19 +42,21 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], prime
     val asRef = ctx.addReferenceObj("as", as, "long[]")
     val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
     nullSafeCodeGen(ctx, ev, c => {
+      val (n, sig, p, best, i, v) = (ctx.freshName("n"), ctx.freshName("sig"),
+        ctx.freshName("p"), ctx.freshName("best"), ctx.freshName("i"), ctx.freshName("v"))
       s"""
-         |int n = $c.numElements();
-         |long[] sig = new long[$asRef.length];
-         |for (int p = 0; p < $asRef.length; p++) {
-         |  long best = Long.MAX_VALUE;
-         |  for (int i = 0; i < n; i++) {
-         |    long v = ($asRef[p] * $c.getLong(i) + $bsRef[p]) % ${prime}L;
-         |    if (v < 0) v += ${prime}L;
-         |    if (v < best) best = v;
+         |int $n = $c.numElements();
+         |long[] $sig = new long[$asRef.length];
+         |for (int $p = 0; $p < $asRef.length; $p++) {
+         |  long $best = Long.MAX_VALUE;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $v = ($asRef[$p] * $c.getLong($i) + $bsRef[$p]) % ${prime}L;
+         |    if ($v < 0) $v += ${prime}L;
+         |    if ($v < $best) $best = $v;
          |  }
-         |  sig[p] = (n == 0) ? 0L : best;
+         |  $sig[$p] = ($n == 0) ? 0L : $best;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(sig);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
        """.stripMargin
     })
   }
@@ -95,18 +97,20 @@ case class SimHash64(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val (n, votes, i, h, j, out) = (ctx.freshName("n"), ctx.freshName("votes"),
+        ctx.freshName("i"), ctx.freshName("h"), ctx.freshName("j"), ctx.freshName("out"))
       s"""
-         |int n = $c.numElements();
-         |int[] votes = new int[64];
-         |for (int i = 0; i < n; i++) {
-         |  long h = $c.getLong(i);
-         |  for (int j = 0; j < 64; j++) {
-         |    if (((h >>> j) & 1L) == 1L) votes[j]++; else votes[j]--;
+         |int $n = $c.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
          |  }
          |}
-         |long out = 0L;
-         |for (int j = 0; j < 64; j++) { if (votes[j] > 0) out |= (1L << j); }
-         |${ev.value} = out;
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) { if ($votes[$j] > 0) $out |= (1L << $j); }
+         |${ev.value} = $out;
        """.stripMargin
     })
 
@@ -121,4 +125,6 @@ object HashFunctions {
     bridge.column(MinHashSig(bridge.expression(hashes), as, bs, prime))
   def simHash64(hashes: Column): Column =
     bridge.column(SimHash64(bridge.expression(hashes)))
+  def wordShingleHash(text: Column, k: Int, prime: Long): Column =
+    bridge.column(WordShingleHash(bridge.expression(text), k, prime))
 }
