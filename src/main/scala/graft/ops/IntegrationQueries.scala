@@ -95,6 +95,20 @@ object IntegrationQueries {
       SELECT o_orderpriority AS value, COUNT(*) AS n FROM orders
       GROUP BY o_orderpriority ORDER BY n DESC, value""")),
 
+    // Salted two-stage aggregation (hot-key mitigation) — must equal the
+    // plain GROUP BY; decimal-exact partials keep it bit-stable under any
+    // salt split.
+    QueryDef("q39_skew_agg", (s, dir) => {
+      import s.implicits._
+      Skew.saltedSumCount(Tables.load(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_quantity", saltBuckets = 16)
+        .withColumnRenamed("sum_l_quantity", "sum_qty")
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Semi-structured column: JSON extraction + aggregation.
     QueryDef("q24_json_extract", (s, dir) => {
       import s.implicits._
