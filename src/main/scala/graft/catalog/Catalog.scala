@@ -15,6 +15,20 @@ import org.apache.spark.sql.types.{StructType, StructField, StringType, BooleanT
   */
 object Catalog {
 
+  /** "Databases on the server" (ref 155-170) = child directories that
+    * contain at least one parquet dataset. */
+  def listDatabases(spark: SparkSession, rootDir: String): Seq[String] = {
+    val p = new Path(rootDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(d => fs.listStatus(d).exists(_.getPath.getName.endsWith(".parquet")))
+      .map(_.getName)
+      .sorted
+  }
+
   /** "Tables in the selected database" = parquet datasets in the directory. */
   def listTables(spark: SparkSession, dir: String): Seq[String] = {
     val p = new Path(dir)

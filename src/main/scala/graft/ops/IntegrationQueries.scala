@@ -76,10 +76,19 @@ object IntegrationQueries {
       WHERE NOT (o_orderstatus = 'F' AND year(o_orderdate) < 1998)
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
-    // Schema introspection (ref 183-220). Types are engine-specific → rows-only.
+    // Schema introspection (ref 183-220); oracle maps DuckDB's DESCRIBE
+    // type names onto Spark simpleStrings.
     QueryDef("q21_table_design", (s, dir) => {
       Catalog.tableDesign(s, Tables.load(s, dir, "lineitem"))
-    }, None),
+    }, Some("""
+      SELECT column_name,
+             CASE column_type WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+                  WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+                  WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+                  ELSE lower(column_type) END AS data_type,
+             ("null" = 'YES') AS is_nullable
+      FROM (DESCRIBE SELECT * FROM lineitem)
+      ORDER BY column_name""")),
 
     // Dynamic-report prep: bar/pie group-sum (ref 1262).
     QueryDef("q22_report_groupsum", (s, dir) => {

@@ -128,7 +128,17 @@ object LlmPipelineQueries {
       Tables.load(s, dir, "documents")
         .select($"doc_id", TextAnalysis.langId($"text").as("lang_pred"))
         .orderBy($"doc_id")
-    }, None),
+    }, Some {
+      // oracle generated from the same profiles, so the heuristic and its
+      // tie-break (earliest profile wins) can't drift apart
+      val toks = "list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))"
+      val scores = TextAnalysis.langProfiles.map { case (lang, ws) =>
+        lang -> s"len(list_intersect($toks, [${ws.map(w => s"'$w'").mkString(", ")}]))"
+      }
+      val smax = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (l, sc) => s"WHEN $sc = $smax THEN '$l'" }.mkString(" ")
+      s"SELECT doc_id, CASE $cases END AS lang_pred FROM documents ORDER BY doc_id"
+    }),
 
     QueryDef("q37_fingerprint", (s, dir) => {
       import s.implicits._
@@ -139,10 +149,19 @@ object LlmPipelineQueries {
       SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       FROM documents ORDER BY doc_id""")),
 
+    // Metadata columns are oracle-checkable (payload = 4 magic bytes +
+    // UTF-8 text; format from the synthesis rule); the pseudo-features
+    // stay covered by PipelineSpec.
     QueryDef("q38_multimodal_meta", (s, dir) => {
       import s.implicits._
       val assets = Multimodal.synthPayloads(Tables.load(s, dir, "documents"))
-      Multimodal.extractFeatures(s, assets).toDF().orderBy($"doc_id")
-    }, None)
+      Multimodal.extractFeatures(s, assets).toDF()
+        .select($"doc_id", $"n_bytes", $"format")
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, CAST(4 + strlen(text) AS INTEGER) AS n_bytes,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  ELSE 'mp3' END AS format
+      FROM documents ORDER BY doc_id"""))
   )
 }

@@ -46,7 +46,8 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(0).getDouble(2) == 7.5)
   }
 
-  test("Catalog lists tables and finds key candidates") {
+  test("Catalog lists databases, tables and finds key candidates") {
+    assert(Catalog.listDatabases(spark, "/root/testdata").contains("sf0.001"))
     val tables = Catalog.listTables(spark, sfDir)
     assert(tables.contains("lineitem") && tables.contains("orders"))
     val design = Catalog.tableDesign(spark, Tables.load(spark, sfDir, "orders"))
