@@ -38,6 +38,23 @@ object Ann {
       .select(col("q_id"), col("rk"), col("n_id"))
   }
 
+  /** Exact top-k via the custom physical operator (CosineTopKExec): bounded
+    * per-partition heaps, no shuffle/sort of scored rows — the whole-operator
+    * form of [[bruteTopK]] for corpora where the scored-row shuffle is the
+    * bottleneck. Queries are a driver-side array (always the small side). */
+  def cosineTopKExec(corpus: DataFrame, queries: Array[(Long, Array[Float])],
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{bridge, CosineTopKPlan, CosineTopKStrategy}
+    val spark = corpus.sparkSession
+    if (!spark.experimental.extraStrategies.contains(CosineTopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ CosineTopKStrategy
+    }
+    bridge.ofRows(spark,
+      CosineTopKPlan(queries, k, idCol, vecCol,
+        bridge.logicalPlan(corpus.select(col(idCol), col(vecCol)))))
+  }
+
   /** Random-hyperplane signature (one long; bit i = sign of dot with plane i). */
   def signature(vec: Column, planes: Seq[Seq[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>

@@ -25,5 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 64-bit SimHash of an array of token hashes"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+
+    // whole-operator path: plans CosineTopKPlan nodes
+    ext.injectPlannerStrategy(_ => CosineTopKStrategy)
+
+    // conf-gated rewrite: COUNT(DISTINCT x) -> HLL++ sketch
+    ext.injectOptimizerRule(session => ApproxDistinctRule(session))
   }
 }

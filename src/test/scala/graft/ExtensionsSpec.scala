@@ -20,6 +20,17 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r == 11.0)
       val sh = spark.sql("SELECT simhash64(array(1L, 3L, 3L)) AS s").head().getLong(0)
       assert(sh == 3L) // bits 0 and 1 win the vote (two 3s beat one 1 on bit 1)
+
+      // ApproxDistinctRule: off by default (exact), HLL++ when enabled
+      spark.range(1000).createOrReplaceTempView("r1k")
+      val exact = spark.sql("SELECT COUNT(DISTINCT id) AS n FROM r1k").head().getLong(0)
+      assert(exact == 1000L)
+      spark.conf.set("spark.graft.approxDistinct.enabled", "true")
+      val df = spark.sql("SELECT COUNT(DISTINCT id) AS n FROM r1k")
+      assert(df.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+      val approx = df.head().getLong(0)
+      assert(math.abs(approx - 1000L) < 150, s"approx=$approx")
+      spark.conf.set("spark.graft.approxDistinct.enabled", "false")
     } finally {
       // don't leak this untuned session (200 shuffle partitions) into the
       // suites that follow — TestSession rebuilds the tuned one on demand
