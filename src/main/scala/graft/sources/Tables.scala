@@ -31,6 +31,19 @@ object Tables {
     else df
   }
 
+  /** Load a table in any supported format (parquet/csv/json/orc). CSV gets
+    * header+inferSchema to mirror a spreadsheet-style source; pass an
+    * explicit schema at scale (inference scans the data twice). */
+  def loadFormat(spark: SparkSession, path: String, format: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    var r = spark.read.format(format)
+    schema.foreach(s => r = r.schema(s))
+    if (format == "csv" && schema.isEmpty)
+      r = r.option("header", "true").option("inferSchema", "true")
+    else if (format == "csv") r = r.option("header", "true")
+    r.load(path)
+  }
+
   /** Register every table in `dir` as a temp view so `spark.sql` (the
     * reference's Execute Query tab) can address them by name. */
   def registerAll(spark: SparkSession, dir: String): Unit =
