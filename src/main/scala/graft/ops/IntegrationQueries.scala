@@ -118,6 +118,38 @@ object IntegrationQueries {
              COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Exact DISTINCT aggregation per window (the expensive shape
+    // ApproxDistinctRule can rewrite to HLL++ when opted in).
+    QueryDef("q40_distinct_users", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+        .agg(count_distinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy($"day")
+    }, Some("""
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // GROUPING SETS via ROLLUP (subtotal rows labeled 'ALL').
+    QueryDef("q41_rollup", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,4)")).cast("double").as("sum_price"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n", $"sum_price")
+        .orderBy($"status", $"priority")
+    }, Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""")),
+
     // Semi-structured column: JSON extraction + aggregation.
     QueryDef("q24_json_extract", (s, dir) => {
       import s.implicits._

@@ -73,6 +73,19 @@ class PipelineSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getInt(1) <= 5))
   }
 
+  test("rollingHashMin is shift-invariant on shared shingles") {
+    // same k-shingles (plus extras) → the min rolling hash can only decrease
+    val df = Seq(("a b c d e", "x y a b c d e")).toDF("t1", "t2")
+    val r = df.select(
+      TextAnalysis.rollingHashMin($"t1").as("h1"),
+      TextAnalysis.rollingHashMin($"t2").as("h2")).head()
+    assert(r.getLong(1) <= r.getLong(0))
+    val same = Seq(("a b c d e", "a b c d e")).toDF("t1", "t2")
+      .select(TextAnalysis.rollingHashMin($"t1") === TextAnalysis.rollingHashMin($"t2"))
+      .head().getBoolean(0)
+    assert(same)
+  }
+
   test("langId picks the profile with most stopword hits") {
     val df = Seq("the cat and the dog of the house", "le chat et la maison des amis")
       .toDF("t").select(TextAnalysis.langId($"t").as("l"))
