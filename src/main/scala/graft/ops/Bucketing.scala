@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed co-located joins: write both sides bucketed+sorted on the join
+  * key, and every subsequent equi-join on that key runs as a sort-merge
+  * join with NO Exchange on either side — at 100 TB this is the difference
+  * between re-shuffling the fact table on every join and shuffling it once
+  * at write time. (Hive-format bucketed tables in the session catalog;
+  * on a cluster this is the same API against the shared metastore.)
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed, in-bucket-sorted table on `key`. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table) // managed, in spark.sql.warehouse.dir
+
+  /** Join two bucketed tables on their bucket key (exchange-free when both
+    * were written with the same bucket count). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String, joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+
+  /** True when the executed plan of `df` contains no shuffle Exchange —
+    * the property bucketing buys. */
+  def isExchangeFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}
