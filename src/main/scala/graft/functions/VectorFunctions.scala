@@ -9,4 +9,6 @@ object VectorFunctions {
     org.apache.spark.sql.graft.VectorFunctions.dotF(a, b)
   def cosineF(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorFunctions.cosineF(a, b)
+  def hyperplaneSig(vec: Column, planes: Array[Double], dim: Int): Column =
+    org.apache.spark.sql.graft.VectorFunctions.hyperplaneSig(vec, planes, dim)
 }

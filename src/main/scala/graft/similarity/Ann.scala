@@ -55,16 +55,11 @@ object Ann {
         bridge.logicalPlan(corpus.select(col(idCol), col(vecCol)))))
   }
 
-  /** Random-hyperplane signature (one long; bit i = sign of dot with plane i). */
-  def signature(vec: Column, planes: Seq[Seq[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(vec, array(p.map(lit): _*), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Random-hyperplane signature (one long; bit i = sign of dot with plane
+    * i), computed by the native codegen kernel in one pass per row. */
+  def signature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    graft.functions.VectorFunctions.hyperplaneSig(
+      vec, planes.flatten.toArray, planes.head.length)
 
   /** (band, chunk) bucket keys from a signature — nPlanes/bandBits buckets
     * per vector; join corpus to queries on bucket equality for candidates. */

@@ -55,6 +55,62 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH signature: bit i of the result = sign of the dot
+  * product with plane i. One native pass over the vector per row (the
+  * composable `aggregate(zip_with(...))` per plane runs nPlanes interpreted
+  * folds with per-row array allocations). `planes` is row-major
+  * (nPlanes × dim), attached to the codegen class as a reference object.
+  */
+case class HyperplaneSig(child: Expression, planes: Array[Double], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val nPlanes = planes.length / dim
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var d = 0.0
+      var i = 0
+      val off = p * dim
+      while (i < n) { d += v.getFloat(i).toDouble * planes(off + i); i += 1 }
+      if (d > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val (n, sig, p, d, i, off) = (ctx.freshName("n"), ctx.freshName("sig"),
+        ctx.freshName("p"), ctx.freshName("d"), ctx.freshName("i"), ctx.freshName("off"))
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), $dim);
+         |int nPlanes_$sig = $pRef.length / $dim;
+         |long $sig = 0L;
+         |for (int $p = 0; $p < nPlanes_$sig; $p++) {
+         |  double $d = 0.0;
+         |  int $off = $p * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $d += (double) $c.getFloat($i) * $pRef[$off + $i];
+         |  }
+         |  if ($d > 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Dot product of two array<float> columns (codegen). */
   def dotF(a: Column, b: Column): Column =
@@ -65,4 +121,8 @@ object VectorFunctions {
     import org.apache.spark.sql.functions.sqrt
     dotF(a, b) / sqrt(dotF(a, a)) / sqrt(dotF(b, b))
   }
+
+  /** Hyperplane LSH signature (codegen); planes row-major nPlanes×dim. */
+  def hyperplaneSig(vec: Column, planes: Array[Double], dim: Int): Column =
+    bridge.column(HyperplaneSig(bridge.expression(vec), planes, dim))
 }

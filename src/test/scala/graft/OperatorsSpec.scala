@@ -64,6 +64,15 @@ class OperatorsSpec extends SparkSpec {
     assert(vc.head.getString(0) == "a" && vc.head.getLong(1) == 2L)
   }
 
+  test("exportReport writes chart data CSV and full result JSON") {
+    val out = java.nio.file.Files.createTempDirectory("report").toString
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("x", "y")
+    Reports.exportReport(Reports.groupSum(df, "x", "y"), df, out)
+    val chart = spark.read.option("header", "true").csv(s"$out/chart_data")
+    assert(chart.columns.toSeq == Seq("x", "sum_y") && chart.count() == 2)
+    assert(spark.read.json(s"$out/result").count() == 3)
+  }
+
   test("SavedQueries persists and runs by name") {
     val f = java.nio.file.Files.createTempFile("sq", ".json").toString
     val sq = new graft.queries.SavedQueries(f)
