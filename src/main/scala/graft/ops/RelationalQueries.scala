@@ -240,6 +240,39 @@ object RelationalQueries {
         SELECT o_custkey AS key, 'ord' AS src FROM orders WHERE o_orderstatus = 'F')
       GROUP BY key ORDER BY key""")),
 
+    QueryDef("q42_set_ops", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      val open = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+      val both = urgent.intersect(open).select($"o_custkey".as("key"), lit("both").as("tag"))
+      val urgentOnly = urgent.except(open).select($"o_custkey".as("key"), lit("urgent_only").as("tag"))
+      both.unionByName(urgentOnly).orderBy($"key", $"tag")
+    }, Some("""
+      SELECT key, tag FROM (
+        SELECT o_custkey AS key, 'both' AS tag FROM (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        UNION ALL
+        SELECT o_custkey AS key, 'urgent_only' AS tag FROM (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+      ORDER BY key, tag""")),
+
+    QueryDef("q43_like", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .filter($"p_name".like("%a%") && !$"p_type".like("STANDARD%"))
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"), dsum($"p_retailprice").as("sum_price"))
+        .orderBy($"p_brand")
+    }, Some(s"""
+      SELECT p_brand, COUNT(*) AS n, ${dsql("p_retailprice")} AS sum_price
+      FROM part WHERE p_name LIKE '%a%' AND p_type NOT LIKE 'STANDARD%'
+      GROUP BY p_brand ORDER BY p_brand""")),
+
     QueryDef("q16_scalar_subquery", (s, dir) => {
       import s.implicits._
       val o = t(s, dir, "orders")
