@@ -21,8 +21,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one warm-up action so JVM/codegen startup isn't billed to the first query
+    // warm-up actions so JVM/codegen/parquet-reader startup isn't billed to
+    // the first query measured
     spark.range(1000).count()
+    try {
+      import org.apache.spark.sql.functions._
+      graft.sources.Tables.load(spark, sfDir, "region")
+        .groupBy(col("r_name")).agg(count(lit(1))).collect()
+    } catch { case _: Throwable => () }
 
     val results = SparkEntry.allDefs.map { d =>
       val t0 = System.nanoTime()
