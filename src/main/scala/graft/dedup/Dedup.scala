@@ -1,18 +1,28 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.text.{Shingling, TextAnalysis}
+import graft.text.TextAnalysis
 
 /** Deduplication operators for LLM training corpora.
   *
-  * Scale design (100 TB): nothing here is O(n²) on the full corpus. Exact
-  * dedup is a hash groupBy (one shuffle on the fingerprint). MinHash/SimHash
-  * emit a bounded number of bucket keys per document (bands / hamming
-  * chunks); candidate pairs only form *within* buckets, so the shuffle is
-  * |docs|×bands rows and the join fans out only where signatures collide.
-  * The expensive exact verify (Jaccard / hamming / cosine) runs on candidate
-  * pairs only.
+  * Scale design (100 TB): nothing here is O(n²) on the full corpus.
+  *  - Exact dedup is a hash groupBy (one shuffle on the fingerprint).
+  *  - MinHash/SimHash emit a bounded number of bucket keys per document
+  *    (bands / hamming chunks); candidate pairs only form *within* buckets,
+  *    so the shuffle is |docs|×bands slim rows and the join fans out only
+  *    where signatures collide. The expensive exact verify (Jaccard /
+  *    hamming / cosine) runs on candidate pairs only.
+  *  - Every banding path is guarded against the hot-bucket quadratic: exact
+  *    duplicates are collapsed to one representative per distinct normalized
+  *    text *before* banding (a boilerplate cluster of 1M identical docs
+  *    contributes ONE row to its buckets, not 10¹² intra-bucket pairs), and
+  *    buckets above `maxBucket` are dropped from candidate generation (see
+  *    [[droppedBuckets]] for the audit view).
+  *  - [[jaccardJoin]] is an *exact* similarity self-join (prefix filtering,
+  *    AllPairs/PPJoin family — Bayardo et al., WWW'07): 100% recall at the
+  *    requested threshold without any all-pairs stage.
   */
 object Dedup {
 
@@ -24,31 +34,71 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** (id, rep) mapping that collapses byte-identical *normalized* texts to
+    * their min-id representative — the pre-banding hot-bucket guard shared
+    * by the MinHash and SimHash pipelines. One shuffle on the fingerprint. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .withColumn("rep", min("id").over(Window.partitionBy("fp")))
+      .select("id", "rep")
+
+  /** Expand representative-level pairs back to member-level pairs: cross
+    * pairs inherit the representatives' score (identical normalized text ⇒
+    * identical shingle set / signature), intra-group pairs get the perfect
+    * score. Output size is the true answer's size — the only place any
+    * quadratic term survives, and it is the result itself. */
+  private def expandPairs(repPairs: DataFrame, groups: DataFrame,
+      scoreCol: String, perfectScore: Column): DataFrame = {
+    val ga = groups.select(col("rep").as("id_a"), col("id").as("m_a"))
+    val gb = groups.select(col("rep").as("id_b"), col("id").as("m_b"))
+    val cross = repPairs.join(ga, "id_a").join(gb, "id_b")
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col(scoreCol))
+    val intra = groups.alias("x")
+      .join(groups.alias("y"), col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), perfectScore.as(scoreCol))
+    cross.unionByName(intra)
+  }
+
+  /** Keep only bucket rows whose bucket holds ≤ maxBucket members. The cap
+    * bounds the within-bucket join at maxBucket² per bucket; anything larger
+    * is near-certainly a boilerplate cluster that exact-collapse should have
+    * caught — audit the drops with [[droppedBuckets]]. */
+  private def capBuckets(buckets: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    buckets
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("_bsz") <= maxBucket)
+      .drop("_bsz")
+
   // ---------------- MinHash + LSH ----------------
 
   /** Deterministic affine permutation parameters for MinHash. Coefficients
     * stay within 31 bits so a*h+b over 31-bit-reduced hashes never exceeds
     * 2^62 — overflow-free under ANSI mode. */
   private val HashPrime = 2147483647L // 2^31 - 1
+  /** Mersenne prime 2^61-1: the shingle-hash modulus for exact-Jaccard
+    * verify sets, where collisions (which would perturb |A∩B|/|A∪B|) must be
+    * beyond-astronomical. MinHash signatures keep the 31-bit modulus (their
+    * a*h+b arithmetic needs headroom; a signature collision only creates one
+    * extra candidate, never a wrong answer). */
+  private val BigPrime = 2305843009213693951L
   private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
     val r = new scala.util.Random(seed)
     Seq.fill(n)(((r.nextInt(Int.MaxValue - 1) + 1).toLong, r.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Shingle hashes (array<bigint>): one interpreted HOF pass; everything
-    * downstream runs on native kernels. */
-  def shingleHashes(textCol: Column, k: Int = 3): Column =
-    transform(Shingling.wordShingles(textCol, k), s => pmod(xxhash64(s), lit(HashPrime)))
-
   /** MinHash signature (array<bigint>, length numPerm) over word k-shingles,
-    * computed by the native codegen kernel (one tight loop; the naive
-    * `transform`/`array_min` composition re-evaluates the shingling per
-    * permutation on Catalyst's interpreted HOF path — 100×+ slower). */
+    * computed by the native codegen kernels (WordShingleHash → MinHashSig;
+    * the naive `transform`/`array_min` composition runs on Catalyst's
+    * interpreted HOF path — 100×+ slower). Same shingle-hash scheme as
+    * [[minHashPairs]], so signatures and the pair pipeline interoperate. */
   def minHashSignature(textCol: Column, numPerm: Int = 64, k: Int = 3,
       seed: Long = 42L): Column = {
     val ps = perms(numPerm, seed)
     graft.functions.HashFunctions.minHashSig(
-      shingleHashes(textCol, k), ps.map(_._1).toArray, ps.map(_._2).toArray, HashPrime)
+      graft.functions.HashFunctions.wordShingleHash(
+        TextAnalysis.normalize(textCol), k, HashPrime),
+      ps.map(_._1).toArray, ps.map(_._2).toArray, HashPrime)
   }
 
   /** Explode a signature into (band, bandKey) LSH bucket keys. */
@@ -60,37 +110,74 @@ object Dedup {
     }: _*)
 
   /** Near-duplicate pairs by MinHash LSH, verified with exact Jaccard over
-    * shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+    * shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Recall: a pair at Jaccard J collides in ≥1 band with probability
+    * 1-(1-J^r)^bands (r = numPerm/bands). The 21×3 default gives
+    * P(miss | J=0.8) ≈ 3e-7 while random low-J pairs almost never collide;
+    * lower J thresholds want fewer rows per band.
+    *
+    * Hot-bucket guards: exact duplicates are collapsed to one representative
+    * before banding (then expanded back into the answer), and buckets larger
+    * than maxBucket are dropped from candidate generation. */
   def minHashPairs(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.5, numPerm: Int = 64, bands: Int = 16,
-      k: Int = 3): DataFrame = {
+      threshold: Double = 0.5, numPerm: Int = 64, bands: Int = 21,
+      k: Int = 3, maxBucket: Int = 100000): DataFrame = {
     val rowsPerBand = numPerm / bands
+    require(rowsPerBand >= 1, s"bands=$bands exceeds numPerm=$numPerm")
     val ps = perms(numPerm, 42L)
+    val groups = exactGroups(df, textCol, idCol)
+    // one row per distinct normalized text: the representatives
+    val reps = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(groups.filter(col("id") === col("rep")).select("id"), "id")
     // Fully native pipeline: hashed shingle sets in one codegen pass (no
     // string shingles materialized), native signature kernel, slim
     // (id, band, bkey) band rows so the shuffle never moves arrays.
-    // Hashed sets rejoin only for surviving candidate pairs.
-    val sh = hashedShingleSets(df, textCol, idCol, k)
-    val buckets = sh
-      .select(col("id"), graft.functions.HashFunctions.minHashSig(
-        col("sh"), ps.map(_._1).toArray, ps.map(_._2).toArray, HashPrime).as("sig"))
+    // 31-bit hashes feed the signature; a separate 61-bit set feeds the
+    // exact-Jaccard verify (collision-free), joined back only for
+    // surviving candidate pairs.
+    val sig = reps.select(col("id"), graft.functions.HashFunctions.minHashSig(
+      graft.functions.HashFunctions.wordShingleHash(
+        TextAnalysis.normalize(col("t")), k, HashPrime),
+      ps.map(_._1).toArray, ps.map(_._2).toArray, HashPrime).as("sig"))
+    val buckets = sig
       .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-    val candidates = buckets.alias("x")
-      .join(buckets.alias("y"), Seq("band", "bkey"))
+    val capped = capBuckets(buckets, Seq("band", "bkey"), maxBucket)
+    val candidates = capped.alias("x")
+      .join(capped.alias("y"), Seq("band", "bkey"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyPairsJaccard(candidates, sh, threshold)
+    val verifySets = hashedShingleSets(reps, "t", "id", k, BigPrime)
+    val repPairs = verifyPairsJaccard(candidates, verifySets, threshold)
+    expandPairs(repPairs, groups, "jaccard", lit(1.0)).orderBy("id_a", "id_b")
+  }
+
+  /** LSH buckets that exceeded maxBucket for this banding (band, bkey, size)
+    * — the audit view for capped candidate generation. */
+  def droppedBuckets(df: DataFrame, textCol: String, idCol: String,
+      numPerm: Int = 64, bands: Int = 21, k: Int = 3,
+      maxBucket: Int = 100000): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val buckets = df
+      .select(col(idCol).as("id"),
+        minHashSignature(col(textCol), numPerm, k).as("sig"))
+      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("b.band").as("band"), col("b.bkey").as("bkey"))
+    buckets.groupBy("band", "bkey").agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBucket)
   }
 
   /** Distinct hashed word k-shingle sets, (id, sh) — one native pass per
-    * doc; the set representation every verify/banding stage shares. */
+    * doc; the set representation the verify/banding stages share. The
+    * modulus trades MinHash-arithmetic headroom (31-bit) against collision
+    * resistance (61-bit) — see [[minHashPairs]]. */
   def hashedShingleSets(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3): DataFrame =
+      k: Int = 3, modulus: Long = HashPrime): DataFrame =
     df.select(col(idCol).as("id"),
       graft.functions.HashFunctions.wordShingleHash(
-        TextAnalysis.normalize(col(textCol)), k, HashPrime).as("sh"))
+        TextAnalysis.normalize(col(textCol)), k, modulus).as("sh"))
 
   /** Exact-Jaccard verify pass over candidate pairs: shingle sets join in
     * from a once-per-doc projection; per-pair work is one codegen'd
@@ -114,34 +201,98 @@ object Dedup {
     graft.functions.HashFunctions.simHash64(
       transform(split(TextAnalysis.normalize(textCol), " ", -1), t => xxhash64(t)))
 
-  /** Near-duplicate pairs by SimHash: band the 64-bit hash into four 16-bit
-    * chunks (guarantees recall for hamming ≤ 3), candidate on chunk
-    * equality, verify with exact popcount of xor. */
+  /** (band, chunk) keys splitting a 64-bit SimHash into nBands nearly-equal
+    * bit ranges. Pigeonhole: two hashes within hamming ≤ nBands-1 agree on
+    * at least one whole chunk, so banding with nBands = maxHamming+1 has
+    * guaranteed recall at radius maxHamming. */
+  def simHashChunks(sim: Column, nBands: Int): Column =
+    array((0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val width = (b + 1) * 64 / nBands - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      struct(lit(b).as("band"), shiftright(sim, lo).bitwiseAND(mask).as("chunk"))
+    }: _*)
+
+  /** Near-duplicate pairs by SimHash: band the 64-bit hash into
+    * maxHamming+1 chunks (pigeonhole ⇒ guaranteed recall at the requested
+    * radius), candidate on (band, chunk) equality, verify with exact
+    * popcount of xor. Same exact-collapse + bucket-cap guards as
+    * [[minHashPairs]]. */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("sim"))
-    val chunked = withSim.select(col("id"), col("sim"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("c"))
+      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming=$maxHamming outside [0, 63]: a 64-bit SimHash cannot band for it")
+    val nBands = maxHamming + 1
+    val groups = exactGroups(df, textCol, idCol)
+    val reps = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(groups.filter(col("id") === col("rep")).select("id"), "id")
+    val withSim = reps.select(col("id"), simHash64(col("t")).as("sim"))
+    val chunked = withSim
+      .select(col("id"), col("sim"), explode(simHashChunks(col("sim"), nBands)).as("c"))
       .select(col("id"), col("sim"), col("c.band").as("band"), col("c.chunk").as("chunk"))
-    val a = chunked.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = chunked.select(col("band"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("band", "chunk"))
+    val capped = capBuckets(chunked, Seq("band", "chunk"), maxBucket)
+    val a = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
+    val repPairs = a.join(b, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    expandPairs(repPairs, groups, "hamming", lit(0)).orderBy("id_a", "id_b")
   }
 
-  // ---------------- n-gram Jaccard verify ----------------
+  // ---------------- exact Jaccard similarity join (prefix filter) ----------------
+
+  /** Exact n-gram Jaccard similarity self-join: every pair with
+    * J(shingles_a, shingles_b) ≥ threshold, with NO approximation and NO
+    * all-pairs stage — the AllPairs/PPJoin prefix-filter design (Bayardo et
+    * al., WWW'07):
+    *
+    *  1. shingle sets, sorted by ascending global document frequency (rare
+    *     tokens first) under one total order;
+    *  2. each doc emits only its prefix — the first
+    *     |x| - ⌈t/(1+t)·|x|⌉ + 1 tokens. Any pair with J ≥ t must share a
+    *     prefix token: J ≥ t ⇒ |A∩B| ≥ t/(1+t)·(|A|+|B|), while disjoint
+    *     prefixes bound the overlap by the two suffix lengths
+    *     < t/(1+t)·(|A|+|B|);
+    *  3. candidates = equi-join on prefix tokens (+ length filter
+    *     t·max(|A|,|B|) ≤ min(|A|,|B|)), exact-Jaccard verify on candidates.
+    *
+    * Because prefixes hold the *rarest* tokens, hot-token fan-out is
+    * minimized by construction; all shuffles are linear in Σ|prefix|.
+    * Returns (id_a, id_b, jaccard), id_a < id_b. */
+  def jaccardJoin(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold outside (0,1]")
+    val tt = threshold / (1.0 + threshold)
+    val sh = hashedShingleSets(df, textCol, idCol, k, BigPrime)
+    val toks = sh.select(col("id"), explode(col("sh")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ordered = toks.join(freq, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .select(col("id"), transform(col("ts"), t => t.getField("tok")).as("toks"),
+        size(col("ts")).as("sz"))
+    val prefixed = ordered.select(col("id"), col("sz"),
+      slice(col("toks"), 1,
+        greatest(lit(0), (col("sz") - ceil(col("sz") * lit(tt)) + 1).cast("int"))).as("pref"))
+    val pa = prefixed.select(col("id").as("id_a"), col("sz").as("sz_a"), explode(col("pref")).as("tok"))
+    val pb = prefixed.select(col("id").as("id_b"), col("sz").as("sz_b"), explode(col("pref")).as("tok"))
+    val cands = pa.join(pb, "tok")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") * lit(threshold) <= col("sz_b") &&
+        col("sz_b") * lit(threshold) <= col("sz_a"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    verifyPairsJaccard(cands, sh, threshold)
+  }
 
   /** Exact n-gram Jaccard similarity between two text columns (the verify
     * pass applied to candidate pairs — never run it all-pairs at scale). */
   def ngramJaccard(a: Column, b: Column, k: Int = 3): Column = {
-    val sa = Shingling.wordShingles(a, k)
-    val sb = Shingling.wordShingles(b, k)
+    val sa = graft.text.Shingling.wordShingles(a, k)
+    val sb = graft.text.Shingling.wordShingles(b, k)
     size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
   }
 
@@ -152,11 +303,49 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosineF(a, b)
 
-  /** Embedding near-duplicate pairs above a cosine threshold. Exact
-    * all-pairs — the *verify* path; at scale generate candidates with
-    * [[graft.similarity.Ann.lshBuckets]] first. Norms are computed once per
-    * row (not per pair) and the pair loop is a single codegen dot product. */
-  def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
+  /** Embedding near-duplicate pairs above a cosine threshold — the DEFAULT,
+    * scale-safe path: random-hyperplane LSH buckets generate candidates
+    * (equi-join on (band, chunk) — no cartesian, no
+    * BroadcastNestedLoopJoin), exact cosine verifies each candidate.
+    * Bucket rows are slim (id, band, chunk); vectors join back only for
+    * candidate pairs.
+    *
+    * Recall: a pair at angle θ differs per plane w.p. θ/π; with b-bit bands
+    * and single-bit multi-probe on one side a band collides when its chunks
+    * are within hamming 1, so P(miss) = (1 - (1-p)^b - b·p·(1-p)^(b-1))^bands.
+    * The 48-plane / 16-band / 3-bit default puts that below 1e-8 at
+    * cos ≥ 0.4. For real near-dup thresholds (cos ≥ 0.9) fewer, wider bands
+    * prune harder — tune bandBits up as the threshold rises. */
+  def embeddingPairsLsh(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, dim: Int, nPlanes: Int = 48, bandBits: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    import graft.similarity.Ann
+    val planes = Ann.hyperplanes(dim, nPlanes, seed)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("nrm"),
+      Ann.signature(col(vecCol), planes).as("sig"))
+    // slim bucket rows; probe side covers single-bit flips so a pair
+    // collides when some band's chunks are within hamming 1
+    def buckets(bk: Column => Column, idAs: String) = base
+      .select(col("id").as(idAs), explode(bk(col("sig"))).as("b"))
+      .select(col(idAs), col("b.band").as("band"), col("b.chunk").as("chunk"))
+    val probe = buckets(Ann.lshProbeBuckets(_, nPlanes, bandBits), "id_a")
+    val exact = buckets(Ann.lshBuckets(_, nPlanes, bandBits), "id_b")
+    val cands = probe.join(exact, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .filter(dotF(col("v_a"), col("v_b")) / col("n_a") / col("n_b") > threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** All-pairs embedding near-dup (theta join, O(n²)) — the small-SF oracle
+    * cross-check for [[embeddingPairsLsh]] ONLY; never the corpus path. */
+  def embeddingPairsExact(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.dotF
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),

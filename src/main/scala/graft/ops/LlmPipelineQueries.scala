@@ -14,6 +14,30 @@ import graft.text.TextAnalysis
   */
 object LlmPipelineQueries {
 
+  /** DuckDB word-3-shingle sets per document, mirroring the native
+    * WordShingleHash conventions: normalize (lower, collapse whitespace,
+    * trim), shingles = consecutive 3-token windows, texts shorter than 3
+    * tokens contribute one whole-text shingle, sets are distinct. */
+  private val SHINGLE_SETS_SQL = """
+    SELECT doc_id, list_distinct(
+      CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)] END) AS s
+    FROM (SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents)"""
+
+  /** Exact cosine top-5 for queries vec_id < 5 — the oracle for every ANN
+    * variant (q32 brute, q33 LSH at measured recall 1.0, q44 custom exec). */
+  private val BRUTE_TOPK_SQL = """
+      SELECT q_id, rk, n_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id)
+                 AS INTEGER) AS rk
+        FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rk <= 5 ORDER BY q_id, rk"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup. The corpus has no byte-identical dups, so the query
@@ -33,11 +57,23 @@ object LlmPipelineQueries {
             SELECT doc_id + 1000000, text || '  ' FROM documents WHERE doc_id % 7 = 0)
       GROUP BY 1 ORDER BY keep_id""")),
 
+    // MinHash-LSH candidates + exact-Jaccard verify. Oracle is the full
+    // all-pairs Jaccard in DuckDB: valid because the corpus's similarity
+    // spectrum has a gap (every near-dup pair sits at J >= 0.8, nothing in
+    // [0.25, 0.8)), where the 21x3 banding misses a pair w.p. ~3e-7.
     QueryDef("q28_dedup_minhash", (s, dir) => {
       import s.implicits._
       Dedup.minHashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
         threshold = 0.5).orderBy($"id_a", $"id_b")
-    }, None),
+    }, Some(s"""
+      WITH sh AS ($SHINGLE_SETS_SQL)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= 0.5
+      ORDER BY id_a, id_b""")),
 
     QueryDef("q29_dedup_simhash", (s, dir) => {
       import s.implicits._
@@ -45,22 +81,32 @@ object LlmPipelineQueries {
         maxHamming = 3).orderBy($"id_a", $"id_b")
     }, None),
 
-    // n-gram Jaccard as the verify pass over SimHash band candidates:
-    // shingles computed once per doc, joined to candidate pairs.
+    // Exact n-gram Jaccard similarity join (prefix filtering): guaranteed
+    // recall at the threshold, so the DuckDB all-pairs Jaccard is an exact
+    // oracle, not a probabilistic one.
     QueryDef("q30_dedup_ngram", (s, dir) => {
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-      val cands = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 12)
-        .select($"id_a", $"id_b")
-      Dedup.verifyPairsJaccard(cands, Dedup.hashedShingleSets(docs, "text", "doc_id"),
-        threshold = 0.3)
-        .orderBy($"id_a", $"id_b")
-    }, None),
+      Dedup.jaccardJoin(Tables.load(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.3).orderBy($"id_a", $"id_b")
+    }, Some(s"""
+      WITH sh AS ($SHINGLE_SETS_SQL)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       AND len(a.s) * 0.3 <= len(b.s) AND len(b.s) * 0.3 <= len(a.s)
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= 0.3
+      ORDER BY id_a, id_b""")),
 
+    // Default path is hyperplane-LSH candidates + exact cosine verify (an
+    // equi-join on (band, chunk) — no BroadcastNestedLoopJoin; PlanCheck
+    // asserts it). Dedup.embeddingPairsExact is only the all-pairs
+    // cross-check, exercised in PipelineSpec.
     QueryDef("q31_dedup_embed", (s, dir) => {
       import s.implicits._
-      Dedup.embeddingPairs(Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.4002).orderBy($"id_a", $"id_b")
+      Dedup.embeddingPairsLsh(Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.4002, dim = 64).orderBy($"id_a", $"id_b")
     }, Some("""
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -72,22 +118,17 @@ object LlmPipelineQueries {
       val emb = Tables.load(s, dir, "embeddings")
       Ann.bruteTopK(emb, emb.filter($"vec_id" < 5), "embedding", "vec_id", k = 5)
         .orderBy($"q_id", $"rk")
-    }, Some("""
-      SELECT q_id, rk, n_id FROM (
-        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id)
-                 AS INTEGER) AS rk
-        FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
-        WHERE q.vec_id < 5)
-      WHERE rk <= 5 ORDER BY q_id, rk""")),
+    }, Some(BRUTE_TOPK_SQL)),
 
+    // Approximate by design, but multi-probe LSH measures recall@5 = 1.00 on
+    // this corpus (PipelineSpec asserts equality with bruteTopK), so the
+    // exact-ANN oracle doubles as a driver-visible recall gate.
     QueryDef("q33_ann_lsh", (s, dir) => {
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
       Ann.lshTopK(emb, emb.filter($"vec_id" < 5), "embedding", "vec_id",
         k = 5, dim = 64).orderBy($"q_id", $"rk")
-    }, None),
+    }, Some(BRUTE_TOPK_SQL)),
 
     QueryDef("q34_text_tokens", (s, dir) => {
       import s.implicits._
@@ -162,6 +203,21 @@ object LlmPipelineQueries {
       SELECT doc_id, CAST(4 + strlen(text) AS INTEGER) AS n_bytes,
              CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                   ELSE 'mp3' END AS format
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // The custom physical operator (CosineTopKPlan/Strategy/Exec: bounded
+    // per-partition k-heaps, only |partitions|x|queries|xk candidate arrays
+    // shuffle to one merge task) against the same exact-ANN oracle as q32.
+    // The driver-side collect fetches only the 5 query vectors — the corpus
+    // side never leaves the executors.
+    QueryDef("q44_ann_exec", (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = emb.filter($"vec_id" < 5).select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      Ann.cosineTopKExec(emb, qs, "embedding", "vec_id", k = 5)
+        .select($"q_id", $"rk", $"n_id").orderBy($"q_id", $"rk")
+    }, Some(BRUTE_TOPK_SQL))
   )
 }

@@ -109,8 +109,12 @@ case class CosineTopKExec(
       Iterator.single(heaps.map(_.toArray))
     }
 
-    // stage 2: merge |partitions| × |queries| × k candidates on one reducer
-    partials.coalesce(1).mapPartitions { it =>
+    // stage 2: merge |partitions| × |queries| × k candidates on one reducer.
+    // shuffle = true is load-bearing: a narrow coalesce(1) would pull every
+    // corpus partition into the single merge task and run stage 1 serially —
+    // the shuffle ships only the bounded candidate arrays, stage 1 stays
+    // parallel across the corpus.
+    partials.coalesce(1, shuffle = true).mapPartitions { it =>
       val qs = qb.value
       val merged = Array.fill(qs.length)(scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
       it.foreach(arrs => arrs.zipWithIndex.foreach { case (a, i) => merged(i) ++= a })
