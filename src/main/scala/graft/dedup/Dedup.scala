@@ -275,7 +275,7 @@ object Dedup {
       .select(col("id"), transform(col("ts"), t => t.getField("tok")).as("toks"),
         size(col("ts")).as("sz"))
     val prefixed = ordered.select(col("id"), col("sz"),
-      slice(col("toks"), 1,
+      slice(col("toks"), lit(1),
         greatest(lit(0), (col("sz") - ceil(col("sz") * lit(tt)) + 1).cast("int"))).as("pref"))
     val pa = prefixed.select(col("id").as("id_a"), col("sz").as("sz_a"), explode(col("pref")).as("tok"))
     val pb = prefixed.select(col("id").as("id_b"), col("sz").as("sz_b"), explode(col("pref")).as("tok"))
