@@ -30,7 +30,10 @@ object Bench {
         .groupBy(col("r_name")).agg(count(lit(1))).collect()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.allDefs.map { d =>
+    // optional name-prefix filter arg for dev loops; the driver passes none
+    val defs = if (args.isEmpty) SparkEntry.allDefs
+      else SparkEntry.allDefs.filter(d => args.exists(d.name.startsWith))
+    val results = defs.map { d =>
       val t0 = System.nanoTime()
       val n = try d.run(spark, sfDir).count() catch {
         case e: Throwable =>

@@ -155,14 +155,19 @@ object Dedup {
   }
 
   /** LSH buckets that exceeded maxBucket for this banding (band, bkey, size)
-    * — the audit view for capped candidate generation. */
+    * — the audit view for capped candidate generation. Computed over the
+    * same exact-collapsed representatives [[minHashPairs]] actually bands,
+    * so sizes match what capBuckets saw (banding the raw df would report
+    * exact-duplicate-inflated buckets the pipeline never formed). */
   def droppedBuckets(df: DataFrame, textCol: String, idCol: String,
       numPerm: Int = 64, bands: Int = 21, k: Int = 3,
       maxBucket: Int = 100000): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val buckets = df
-      .select(col(idCol).as("id"),
-        minHashSignature(col(textCol), numPerm, k).as("sig"))
+    val groups = exactGroups(df, textCol, idCol)
+    val reps = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(groups.filter(col("id") === col("rep")).select("id"), "id")
+    val buckets = reps
+      .select(col("id"), minHashSignature(col("t"), numPerm, k).as("sig"))
       .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("b.band").as("band"), col("b.bkey").as("bkey"))
     buckets.groupBy("band", "bkey").agg(count(lit(1)).as("size"))
@@ -303,44 +308,105 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosineF(a, b)
 
+  /** (id, rep) mapping collapsing byte-identical vectors to their min-id
+    * representative — the embedding-side analog of [[exactGroups]] (arrays
+    * are first-class grouping keys in Spark; one shuffle on the vector). */
+  def exactVectorGroups(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("rep", min("id").over(Window.partitionBy("v")))
+      .select("id", "rep")
+
   /** Embedding near-duplicate pairs above a cosine threshold — the DEFAULT,
     * scale-safe path: random-hyperplane LSH buckets generate candidates
     * (equi-join on (band, chunk) — no cartesian, no
     * BroadcastNestedLoopJoin), exact cosine verifies each candidate.
     * Bucket rows are slim (id, band, chunk); vectors join back only for
-    * candidate pairs.
+    * candidate pairs. Hot-bucket guards match [[minHashPairs]]: byte-identical
+    * vectors collapse to one representative before bucketing (expanded back
+    * into the answer), and buckets above `maxBucket` are dropped
+    * ([[droppedBucketsEmbedding]] is the audit view).
     *
-    * Recall: a pair at angle θ differs per plane w.p. θ/π; with b-bit bands
-    * and single-bit multi-probe on one side a band collides when its chunks
-    * are within hamming 1, so P(miss) = (1 - (1-p)^b - b·p·(1-p)^(b-1))^bands.
-    * The 48-plane / 16-band / 3-bit default puts that below 1e-8 at
-    * cos ≥ 0.4. For real near-dup thresholds (cos ≥ 0.9) fewer, wider bands
-    * prune harder — tune bandBits up as the threshold rises. */
+    * Recall: a pair at angle θ differs per plane w.p. p = θ/π; with b-bit
+    * bands and single-bit multi-probe on one side a band collides when its
+    * chunks are within hamming 1, so
+    * P(miss) = (1 - (1-p)^b - b·p·(1-p)^(b-1))^bands.
+    * The 96-plane / 6-band / 16-bit default gives P(miss) ≈ 1.4e-2 at
+    * cos = 0.95, ≈ 2e-5 at cos = 0.99, and exactly 0 at cos = 1 (identical
+    * signatures), while a random pair (cos ≈ 0) collides anywhere with
+    * P ≈ 17·2⁻¹⁶·6 ≈ 1.6e-3 uniform (a clustered corpus skews this up —
+    * 16-bit chunks keep the 65536-way band partition selective even then).
+    * Recall at the low end of the near-dup range matters → raise bands
+    * (e.g. 144 planes / 9 bands: miss ≈ 1.6e-3 at cos 0.95) rather than
+    * shrinking bandBits, which costs candidate selectivity.
+    *
+    * THRESHOLD HONESTY — this is a NEAR-DUP operator, not a dense
+    * similarity join. Measured on the test corpus (DuckDB all-pairs), the
+    * natural pair-cosine distribution is continuous through [0.3, 0.6] with
+    * no gap; at a threshold inside that bulk (e.g. the 0.4 this operator
+    * once defaulted to) per-plane agreement for a matching pair is 0.63 vs
+    * 0.50 for a random one, and NO banding is simultaneously selective and
+    * complete — any sublinear candidate scheme loses recall, and a config
+    * that keeps recall 1.0 degenerates to all-pairs (LSH's documented
+    * low-similarity failure mode). Use thresholds ≥ ~0.9, where real
+    * near-dups live and the formula above has teeth; for exhaustive joins
+    * at bulk thresholds use [[embeddingPairsExact]] knowing it is O(n²). */
   def embeddingPairsLsh(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, dim: Int, nPlanes: Int = 48, bandBits: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      threshold: Double, dim: Int, nPlanes: Int = 96, bandBits: Int = 16,
+      seed: Long = 42L, maxBucket: Int = 100000,
+      multiProbe: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.dotF
     import graft.similarity.Ann
     val planes = Ann.hyperplanes(dim, nPlanes, seed)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sqrt(dotF(col(vecCol), col(vecCol))).as("nrm"),
-      Ann.signature(col(vecCol), planes).as("sig"))
+    // collapse byte-identical vectors in ONE aggregation (arrays are
+    // first-class grouping keys) — reps carry the vector, so the heavy
+    // branches below need no window or self-join to reach them
+    val reps = df.groupBy(col(vecCol).as("v")).agg(min(col(idCol)).as("id"))
+    val base = reps.select(col("id"), col("v"),
+      sqrt(dotF(col("v"), col("v"))).as("nrm"),
+      Ann.signature(col("v"), planes).as("sig"))
     // slim bucket rows; probe side covers single-bit flips so a pair
-    // collides when some band's chunks are within hamming 1
+    // collides when some band's chunks are within hamming 1. Capping the
+    // exact side alone bounds every in-bucket product at
+    // |probe bucket| × maxBucket — no quadratic bucket survives.
     def buckets(bk: Column => Column, idAs: String) = base
       .select(col("id").as(idAs), explode(bk(col("sig"))).as("b"))
       .select(col(idAs), col("b.band").as("band"), col("b.chunk").as("chunk"))
-    val probe = buckets(Ann.lshProbeBuckets(_, nPlanes, bandBits), "id_a")
-    val exact = buckets(Ann.lshBuckets(_, nPlanes, bandBits), "id_b")
+    val probe = buckets(if (multiProbe) Ann.lshProbeBuckets(_, nPlanes, bandBits)
+                        else Ann.lshBuckets(_, nPlanes, bandBits), "id_a")
+    val exact = capBuckets(buckets(Ann.lshBuckets(_, nPlanes, bandBits), "id_b"),
+      Seq("band", "chunk"), maxBucket)
     val cands = probe.join(exact, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
     val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    cands.join(a, "id_a").join(b, "id_b")
+    // verify first, dedup after: band-duplicate candidates cost one extra
+    // dot product each, while the dedup shuffle shrinks to the answer size
+    val repPairs = cands.join(a, "id_a").join(b, "id_b")
       .filter(dotF(col("v_a"), col("v_b")) / col("n_a") / col("n_b") > threshold)
       .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("s", lit(1.0))
+    expandPairs(repPairs, exactVectorGroups(df, vecCol, idCol), "s", lit(1.0))
+      .select("id_a", "id_b")
+  }
+
+  /** Hyperplane-LSH buckets that exceeded maxBucket (band, chunk, size),
+    * computed over the same exact-collapsed representatives
+    * [[embeddingPairsLsh]] actually bands — the audit view for its cap. */
+  def droppedBucketsEmbedding(df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, nPlanes: Int = 96, bandBits: Int = 12, seed: Long = 42L,
+      maxBucket: Int = 100000): DataFrame = {
+    import graft.similarity.Ann
+    val planes = Ann.hyperplanes(dim, nPlanes, seed)
+    val groups = exactVectorGroups(df, vecCol, idCol)
+    val reps = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(groups.filter(col("id") === col("rep")).select("id"), "id")
+    reps.select(col("id"),
+        explode(Ann.lshBuckets(Ann.signature(col("v"), planes), nPlanes, bandBits)).as("b"))
+      .groupBy(col("b.band").as("band"), col("b.chunk").as("chunk"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBucket)
   }
 
   /** All-pairs embedding near-dup (theta join, O(n²)) — the small-SF oracle

@@ -10,7 +10,8 @@ import graft.{GraftSession, SparkEntry}
   * Run: sbt "runMain graft.examples.PlanCheck [queryName ...]"
   */
 object PlanCheck {
-  private case class Want(query: String, mustContain: Seq[(String, String)])
+  private case class Want(query: String, mustContain: Seq[(String, String)],
+      mustNotContain: Seq[(String, String)] = Seq.empty)
 
   private val audits = Seq(
     Want("q2_filter_project", Seq(
@@ -24,7 +25,15 @@ object PlanCheck {
       "partial aggregation" -> "HashAggregate",
       "map-side combine" -> "partial_sum")),
     Want("q31_dedup_embed", Seq(
-      "codegen dot kernel in join condition" -> "float_vec_dot")),
+      "codegen dot kernel in verify filter" -> "float_vec_dot"),
+      mustNotContain = Seq(
+        "no cartesian candidate generation" -> "CartesianProduct",
+        "no all-pairs nested-loop join" -> "BroadcastNestedLoopJoin")),
+    Want("q33_ann_lsh", Seq(
+      "bucket equi-join candidates" -> "hyperplane_sig"),
+      mustNotContain = Seq(
+        "no cartesian candidate generation" -> "CartesianProduct",
+        "no all-pairs nested-loop join" -> "BroadcastNestedLoopJoin")),
     Want("q32_ann_brute", Seq(
       "query side broadcast" -> "BroadcastNestedLoopJoin")))
 
@@ -43,6 +52,11 @@ object PlanCheck {
         val ok = plan.contains(needle)
         if (!ok) failed += 1
         println(s"[plancheck] ${a.query} :: $label -> ${if (ok) "OK" else s"MISSING ($needle)"}")
+      }
+      a.mustNotContain.foreach { case (label, needle) =>
+        val ok = !plan.contains(needle)
+        if (!ok) failed += 1
+        println(s"[plancheck] ${a.query} :: $label -> ${if (ok) "OK" else s"PRESENT ($needle)"}")
       }
     }
     println(s"\n[plancheck] ${if (failed == 0) "ALL OK" else s"$failed FAILED"}")

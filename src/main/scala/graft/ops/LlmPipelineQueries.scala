@@ -99,18 +99,46 @@ object LlmPipelineQueries {
               / len(list_distinct(a.s || b.s)) >= 0.3
       ORDER BY id_a, id_b""")),
 
-    // Default path is hyperplane-LSH candidates + exact cosine verify (an
-    // equi-join on (band, chunk) — no BroadcastNestedLoopJoin; PlanCheck
-    // asserts it). Dedup.embeddingPairsExact is only the all-pairs
-    // cross-check, exercised in PipelineSpec.
+    // Embedding NEAR-DUP detection: the corpus's natural pair-cosine
+    // distribution is continuous through [0.3, 0.6] (measured all-pairs in
+    // DuckDB) with nothing above it, so the query plants near-duplicates the
+    // way q27 plants whitespace dups — ×2-scaled copies (vec_id%7, +1000000:
+    // byte-different vectors with identical hyperplane signature, cosine
+    // exactly 1 — exercises the LSH bucket join) and byte-identical copies
+    // (vec_id%11, +2000000 — exercises the exact-vector collapse guard).
+    // Threshold 0.95 sits in the [0.6, 1.0] gap: the oracle is the exact
+    // all-pairs join, valid because P(miss) there is 0 for the planted
+    // pairs and no natural pair reaches the threshold (see the
+    // threshold-honesty note on Dedup.embeddingPairsLsh — at a bulk
+    // threshold like 0.4 NO sublinear candidate scheme is complete, and
+    // that use case belongs to embeddingPairsExact).
+    // The default path is hyperplane-LSH candidates + exact cosine verify
+    // (an equi-join on (band, chunk) — no BroadcastNestedLoopJoin;
+    // PlanCheck asserts it). Dedup.embeddingPairsExact is only the
+    // all-pairs cross-check, exercised in PipelineSpec.
     QueryDef("q31_dedup_embed", (s, dir) => {
       import s.implicits._
-      Dedup.embeddingPairsLsh(Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.4002, dim = 64).orderBy($"id_a", $"id_b")
+      val emb = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val scaled = emb.filter($"vec_id" % 7 === 0)
+        .select(($"vec_id" + 1000000).as("vec_id"),
+          transform($"embedding", x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      val copies = emb.filter($"vec_id" % 11 === 0)
+        .select(($"vec_id" + 2000000).as("vec_id"), $"embedding")
+      Dedup.embeddingPairsLsh(emb.unionByName(scaled).unionByName(copies),
+        "embedding", "vec_id", threshold = 0.95, dim = 64)
+        .orderBy($"id_a", $"id_b")
     }, Some("""
+      WITH e AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+        FROM embeddings WHERE vec_id % 7 = 0
+        UNION ALL
+        SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id % 11 = 0)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4002
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.95
       ORDER BY id_a, id_b""")),
 
     QueryDef("q32_ann_brute", (s, dir) => {
