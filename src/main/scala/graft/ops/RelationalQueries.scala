@@ -284,6 +284,47 @@ object RelationalQueries {
     }, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n FROM orders
       WHERE o_totalprice > (SELECT ${dsql("o_totalprice")} / COUNT(*) FROM orders)
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // RIGHT OUTER + FULL OUTER (reference keyword list
+    // SQL_DATA_INTEGRATION_TOOL.py:388 "RIGHT"/"FULL"/"OUTER"): open orders
+    // right-joined to overdrawn customers (c_acctbal < -500) (null order rows preserved),
+    // reconciled FULL OUTER against low-balance suppliers (s_acctbal < 2000) per nation.
+    // Both sides are deliberately sparse (~1% of customers, ~9% of
+    // suppliers) so the full-outer emits null rows in BOTH directions; the
+    // USING-style join key coalesces identically in Spark and DuckDB.
+    QueryDef("q45_right_full_outer", (s, dir) => {
+      import s.implicits._
+      val open = t(s, dir, "orders").filter($"o_orderstatus" === "O")
+        .select($"o_custkey", $"o_orderkey")
+      val overdrawn = t(s, dir, "customer").filter($"c_acctbal" < -500)
+        .select($"c_custkey", $"c_nationkey")
+      val custSide = open
+        .join(overdrawn, $"o_custkey" === $"c_custkey", "right_outer")
+        .groupBy($"c_nationkey".as("nationkey"))
+        .agg(countDistinct($"c_custkey").as("n_customers"),
+          count($"o_orderkey").as("n_open_orders"))
+      val suppSide = t(s, dir, "supplier").filter($"s_acctbal" < 2000)
+        .groupBy($"s_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_debt_suppliers"))
+      custSide.join(suppSide, Seq("nationkey"), "full_outer")
+        .orderBy($"nationkey")
+    }, Some("""
+      WITH cust AS (
+        SELECT c_nationkey AS nationkey,
+               COUNT(DISTINCT c_custkey) AS n_customers,
+               COUNT(o_orderkey) AS n_open_orders
+        FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderstatus = 'O') o
+        RIGHT OUTER JOIN (SELECT c_custkey, c_nationkey FROM customer
+                          WHERE c_acctbal < -500) c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1),
+      supp AS (
+        SELECT s_nationkey AS nationkey, COUNT(*) AS n_debt_suppliers
+        FROM supplier WHERE s_acctbal < 2000 GROUP BY 1)
+      SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+             n_customers, n_open_orders, n_debt_suppliers
+      FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+      ORDER BY nationkey"""))
   )
 }
