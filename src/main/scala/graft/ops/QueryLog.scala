@@ -1,0 +1,82 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** One structured record per executed query action. */
+case class QueryLogEvent(ts_ms: Long, op: String, status: String,
+    rows: Long, wall_ms: Long, error: String)
+
+/** Structured query-execution log — the native analog of the reference's
+  * per-operation logging (SQL_DATA_INTEGRATION_TOOL.py:21-27 configures
+  * `logging` and every tab records info/error lines per operation). On
+  * Spark the equivalent observation point is a [[QueryExecutionListener]]:
+  * one (ts, op, status, rows, wall_ms, error) row per DataFrame action,
+  * success or failure.
+  *
+  * Events buffer in a lock-free queue (listener callbacks run on the
+  * listener bus thread — they must never block on a Spark job) and land in
+  * parquet only on [[flush]], whose own write is excluded by a re-entrancy
+  * guard so the log never logs itself. At cluster scale the flush is one
+  * executor-side append of a session's worth of slim rows — negligible next
+  * to any query it describes.
+  */
+class QueryLogListener extends QueryExecutionListener {
+  private val buf = new ConcurrentLinkedQueue[QueryLogEvent]()
+  private val flushing = new AtomicBoolean(false)
+
+  /** Output rows of the action's final plan, -1 when the root exposes no
+    * metric (e.g. commands). Reads through AQE to the runtime-final plan. */
+  private def outputRows(qe: QueryExecution): Long =
+    try {
+      org.apache.spark.sql.graft.bridge.finalPlan(qe)
+        .collectFirst { case p if p.metrics.contains("numOutputRows") =>
+          p.metrics("numOutputRows").value }
+        .getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    if (!flushing.get)
+      buf.add(QueryLogEvent(System.currentTimeMillis(), funcName, "success",
+        outputRows(qe), durationNs / 1000000L, null))
+
+  override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
+    if (!flushing.get)
+      buf.add(QueryLogEvent(System.currentTimeMillis(), funcName, "error",
+        -1L, -1L, String.valueOf(error.getMessage)))
+
+  /** Number of buffered, unflushed events. */
+  def pending: Int = buf.size()
+
+  /** Drain the buffer and append it to the parquet log at `dir`. Returns
+    * the number of events written. Safe to call repeatedly; concurrent
+    * events arriving mid-flush stay buffered for the next one. */
+  def flush(spark: SparkSession, dir: String): Long = {
+    val drained = Iterator.continually(buf.poll()).takeWhile(_ != null).toSeq
+    if (drained.nonEmpty) {
+      flushing.set(true)
+      try {
+        import spark.implicits._
+        drained.toDF().coalesce(1).write.mode("append").parquet(dir)
+      } finally flushing.set(false)
+    }
+    drained.size.toLong
+  }
+}
+
+object QueryLog {
+  /** Register a fresh listener on the session and return it (the handle is
+    * needed for [[QueryLogListener.flush]] and for deregistration). */
+  def install(spark: SparkSession): QueryLogListener = {
+    val l = new QueryLogListener
+    spark.listenerManager.register(l)
+    l
+  }
+
+  def uninstall(spark: SparkSession, l: QueryLogListener): Unit =
+    spark.listenerManager.unregister(l)
+}

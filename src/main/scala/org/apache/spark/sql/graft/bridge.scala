@@ -23,4 +23,13 @@ object bridge {
   /** Analyzed-logical-plan accessor for plugging a DataFrame under a custom node. */
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.logical
+
+  /** The truly-executed physical plan: unwraps AdaptiveSparkPlanExec (whose
+    * runtime-final plan is private[sql]) so post-execution metrics like
+    * numOutputRows are reachable — used by the query-execution log. */
+  def finalPlan(qe: org.apache.spark.sql.execution.QueryExecution): org.apache.spark.sql.execution.SparkPlan =
+    qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ops.{QueryLog, QueryLogListener}
+
+class QueryLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Listener-bus delivery is asynchronous — poll until the expected number
+    * of events lands (or time out and let the assertion fail loudly). */
+  private def awaitPending(l: QueryLogListener, n: Int, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (l.pending < n && System.currentTimeMillis() < deadline) Thread.sleep(50)
+  }
+
+  test("listener records success and failure rows, flush writes parquet once") {
+    val dir = Files.createTempDirectory("qlog").toString + "/log"
+    val l = QueryLog.install(spark)
+    try {
+      Seq(1, 2, 3).toDF("x").filter($"x" > 1).collect()
+      // ANSI mode: long overflow in an action throws → onFailure fires
+      intercept[Exception] {
+        spark.sql("SELECT 9223372036854775807 + CAST(id AS BIGINT) FROM range(2, 3)").collect()
+      }
+      awaitPending(l, 2)
+      assert(l.pending >= 2)
+      assert(l.flush(spark, dir) >= 2)
+      // the flush's own write must not have logged itself into the buffer
+      awaitPending(l, 1, timeoutMs = 1500)
+      assert(l.pending == 0)
+
+      val log = spark.read.parquet(dir)
+      assert(log.columns.toSet ==
+        Set("ts_ms", "op", "status", "rows", "wall_ms", "error"))
+      val byStatus = log.groupBy("status").count().as[(String, Long)].collect().toMap
+      assert(byStatus.getOrElse("success", 0L) >= 1, s"got $byStatus")
+      assert(byStatus.getOrElse("error", 0L) >= 1, s"got $byStatus")
+      val ok = log.filter($"status" === "success" && $"op" === "collect").head()
+      assert(ok.getAs[Long]("rows") == 2L)   // filter x>1 keeps 2 of 3 rows
+      assert(ok.getAs[Long]("wall_ms") >= 0L)
+      val err = log.filter($"status" === "error").head()
+      assert(err.getAs[String]("error") != null)
+    } finally QueryLog.uninstall(spark, l)
+  }
+
+  test("flush is append-safe across batches") {
+    val dir = Files.createTempDirectory("qlog2").toString + "/log"
+    val l = QueryLog.install(spark)
+    try {
+      spark.range(10).count()
+      awaitPending(l, 1)
+      val first = l.flush(spark, dir)
+      assert(first >= 1)
+      spark.range(5).count()
+      awaitPending(l, 1)
+      assert(l.flush(spark, dir) >= 1)
+      assert(spark.read.parquet(dir).count() >= first + 1)
+    } finally QueryLog.uninstall(spark, l)
+  }
+}
