@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // TIMESTAMP(NANOS) parquet (the events table) reads as long;
+      // Tables.load truncates to micros. Session-construction-time setting
+      // — there is no per-read option for it, and mutating a shared session
+      // per call is not acceptable (see Tables.load).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

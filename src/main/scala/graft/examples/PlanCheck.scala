@@ -59,6 +59,35 @@ object PlanCheck {
         println(s"[plancheck] ${a.query} :: $label -> ${if (ok) "OK" else s"PRESENT ($needle)"}")
       }
     }
+    // Partition-pruning audit: day-partitioned events + a day predicate
+    // must prune at planning time (PartitionFilters) AND at the file level
+    // (inputFiles strictly smaller than the full layout).
+    if (args.isEmpty) {
+      val pdir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events_by_day"
+      graft.sources.Partitioned.writeEventsByDay(spark, dir, pdir)
+      val all = spark.read.parquet(pdir)
+      // partition-column type inference reads day=YYYY-MM-DD back as DATE
+      val day = all.select("day").agg(org.apache.spark.sql.functions.min("day"))
+        .head().get(0).toString
+      val pruned = graft.sources.Partitioned.readDay(spark, pdir, day)
+      val plan = pruned.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== partition_pruning (day=$day) ==========")
+      println(plan.linesIterator.take(25).mkString("\n"))
+      val checks = Seq(
+        "day predicate is a PartitionFilter" ->
+          (plan.contains("PartitionFilters: [isnotnull(day") && plan.contains("(day")),
+        "scan reads a strict file subset" -> {
+          import org.apache.spark.sql.graft.bridge.scannedFileCount
+          scannedFileCount(pruned) > 0 && scannedFileCount(pruned) < scannedFileCount(all)
+        },
+        "no post-scan day filter needed" -> !plan.contains("PushedFilters: [*day"))
+      checks.foreach { case (label, ok) =>
+        if (!ok) failed += 1
+        println(s"[plancheck] partition_pruning :: $label -> ${if (ok) "OK" else "FAILED"}")
+      }
+    }
+
     println(s"\n[plancheck] ${if (failed == 0) "ALL OK" else s"$failed FAILED"}")
     spark.stop()
     if (failed > 0) sys.exit(1)

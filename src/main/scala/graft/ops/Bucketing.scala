@@ -25,7 +25,18 @@ object Bucketing {
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
 
   /** True when the executed plan of `df` contains no shuffle Exchange —
-    * the property bucketing buys. */
-  def isExchangeFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    * the property bucketing buys. Walks the plan tree (through AQE's
+    * runtime-final plan) for ShuffleExchangeLike nodes rather than
+    * string-matching the rendered plan. */
+  def isExchangeFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // post-execution AQE plans hide materialized shuffles inside leaf
+    // ShuffleQueryStageExec nodes — match both forms
+    org.apache.spark.sql.graft.bridge.finalPlan(df.queryExecution)
+      .collectWithSubqueries {
+        case e: ShuffleExchangeLike => e
+        case s: ShuffleQueryStageExec => s
+      }.isEmpty
+  }
 }

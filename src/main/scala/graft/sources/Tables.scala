@@ -22,9 +22,13 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    // rejects; read nanos as long and truncate to micros (what DuckDB and
-    // most engines do on read). Integer `div` — doubles can't hold 1e18.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // rejects; with spark.sql.legacy.parquet.nanosAsLong=true it reads as
+    // long and is truncated to micros here (what DuckDB and most engines do
+    // on read). Integer `div` — doubles can't hold 1e18. The conf is
+    // session-construction-time (GraftSession sets it; there is no per-read
+    // option) — this method deliberately does NOT mutate a session it does
+    // not own. A foreign session without it fails the events read with
+    // Spark's PARQUET_TYPE_ILLEGAL, naming the fix.
     val df = spark.read.parquet(path(dir, name))
     if (name == "events" && df.schema.exists(f => f.name == "ts" && f.dataType.typeName == "long"))
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -41,7 +41,21 @@ object EventsStream {
     * GroupStateTimeout.ProcessingTimeTimeout + setTimeoutDuration to evict
     * idle users; NoTimeout here keeps micro-batches data-driven (a timeout
     * makes the engine fire continuous empty batches, which is checkpoint
-    * churn in a test/demo context). */
+    * churn in a test/demo context).
+    *
+    * LATE-DATA SEMANTICS (explicit, because state keeps only max event
+    * time): intra-batch disorder is handled (each micro-batch sorts by
+    * event time); the result equals batch `EventsOps.sessionize` whenever
+    * each user's events arrive across micro-batches in non-decreasing
+    * event-time order. A cross-batch late event (ts < state.lastTs) is
+    * absorbed into the user's current session: `n_events` still always
+    * matches batch; `n_sessions` can only OVERCOUNT, and only when the late
+    * event would have bridged two gap-separated sessions that streaming
+    * already split. For exact results under bounded lateness L, buffer each
+    * user's events in state and fold them only once the event-time
+    * watermark passes their ts + L (flatMapGroupsWithState +
+    * EventTimeTimeout) — that buys exactness at O(events within L) state;
+    * this implementation deliberately keeps O(1) state per user. */
   def sessionizeStream(spark: SparkSession, events: Dataset[Event],
       gapSec: Long = 1800): Dataset[SessionAgg] = {
     import spark.implicits._

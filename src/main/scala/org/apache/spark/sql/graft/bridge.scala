@@ -32,4 +32,14 @@ object bridge {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
+
+  /** Number of files the plan's file scans will actually open, AFTER
+    * planning-time partition pruning (selectedPartitions is the
+    * partition-filtered listing; `DataFrame.inputFiles` ignores filters and
+    * lists the whole relation — useless for auditing pruning). */
+  def scannedFileCount(df: org.apache.spark.sql.DataFrame): Long =
+    finalPlan(df.queryExecution).collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
 }

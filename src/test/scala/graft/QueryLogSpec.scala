@@ -27,19 +27,23 @@ class QueryLogSpec extends SparkSpec {
       awaitPending(l, 2)
       assert(l.pending >= 2)
       assert(l.flush(spark, dir) >= 2)
-      // the flush's own write must not have logged itself into the buffer
-      awaitPending(l, 1, timeoutMs = 1500)
-      assert(l.pending == 0)
+      // give any self-logged flush-write event time to surface, then drain
+      // again: the re-entrancy guard means the log must contain no
+      // write-action ops (our own queries are collect/count only)
+      Thread.sleep(1500)
+      l.flush(spark, dir)
 
       val log = spark.read.parquet(dir)
       assert(log.columns.toSet ==
         Set("ts_ms", "op", "status", "rows", "wall_ms", "error"))
+      val ops = log.select("op").as[String].collect().toSet
+      assert(!ops.exists(o => o.contains("save") || o.contains("insert") ||
+        o.contains("parquet") || o.contains("command")), s"flush logged itself: $ops")
       val byStatus = log.groupBy("status").count().as[(String, Long)].collect().toMap
       assert(byStatus.getOrElse("success", 0L) >= 1, s"got $byStatus")
       assert(byStatus.getOrElse("error", 0L) >= 1, s"got $byStatus")
-      val ok = log.filter($"status" === "success" && $"op" === "collect").head()
-      assert(ok.getAs[Long]("rows") == 2L)   // filter x>1 keeps 2 of 3 rows
-      assert(ok.getAs[Long]("wall_ms") >= 0L)
+      assert(log.filter($"status" === "success" && $"op" === "collect" &&
+        $"rows" === 2 && $"wall_ms" >= 0).count() >= 1) // filter x>1 keeps 2 of 3
       val err = log.filter($"status" === "error").head()
       assert(err.getAs[String]("error") != null)
     } finally QueryLog.uninstall(spark, l)

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import graft.sources.{ColumnSpec, MappedImport, SpreadsheetDir, Tables}
+import graft.sources.{ColumnSpec, MappedImport, Partitioned, SpreadsheetDir, Tables}
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -35,5 +35,20 @@ class SourcesSpec extends SparkSpec {
     Files.write(Paths.get(s"$wb/a.csv"), "x,y\n1,foo\n2,bar\n".getBytes)
     val df = Tables.loadFormat(spark, s"$wb/a.csv", "csv")
     assert(df.count() == 2 && df.columns.toSeq == Seq("x", "y"))
+  }
+
+  test("day-partitioned events prune to a strict file subset with exact rows") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.bridge.scannedFileCount
+    val dir = Files.createTempDirectory("part").toString + "/events_by_day"
+    Partitioned.writeEventsByDay(spark, sfDir, dir)
+    val all = spark.read.parquet(dir)
+    val day = all.agg(min($"day")).head().get(0).toString
+    val pruned = Partitioned.readDay(spark, dir, day)
+    val expected = Tables.load(spark, sfDir, "events")
+      .filter(date_format($"ts", "yyyy-MM-dd") === day).count()
+    assert(pruned.count() == expected && expected > 0)
+    assert(scannedFileCount(pruned) > 0 &&
+      scannedFileCount(pruned) < scannedFileCount(all))
   }
 }
