@@ -102,4 +102,68 @@ class PipelineSpec extends SparkSpec {
     assert(joined.filter($"f_expr" =!= $"f_part").count() == 0)
     assert(meta.filter(_.format == "unknown").count() == 0)
   }
+
+  test("jaccardJoin equals the all-pairs oracle, incl. a moderate-J/high-hamming pair") {
+    // d1↔d2 share half their vocabulary → J(shingles) ≈ 0.2-0.4 with a
+    // LARGE simhash hamming distance — exactly the pair class the old
+    // simhash-candidate path missed; prefix filtering must keep it.
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d2 = "alpha beta gamma delta epsilon zeta nu xi omicron pi rho sigma"
+    val d3 = d1.replace("mu", "omega") // near-dup of d1, high J
+    val d4 = "totally different words about completely unrelated subject matter here"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("id", "t")
+    val thr = 0.2
+    val got = Dedup.jaccardJoin(df, "t", "id", threshold = thr)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // oracle: brute-force exact Jaccard over all pairs
+    val a = df.select($"id".as("id_a"), $"t".as("t_a"))
+    val b = df.select($"id".as("id_b"), $"t".as("t_b"))
+    val expected = a.join(b, $"id_a" < $"id_b")
+      .filter(Dedup.ngramJaccard($"t_a", $"t_b") >= thr)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(expected.contains((1L, 2L)), "planted moderate pair missing from oracle")
+    assert(got == expected)
+    // and every reported jaccard meets the threshold
+    assert(Dedup.jaccardJoin(df, "t", "id", thr).filter($"jaccard" < thr).count() == 0)
+  }
+
+  test("embeddingPairsLsh equals embeddingPairsExact on planted near-dups") {
+    import org.apache.spark.sql.functions._
+    val emb = sources.Tables.load(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
+    val scaled = emb.filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + 1000000).as("vec_id"),
+        transform($"embedding", x => (x * lit(2.0f)).cast("float")).as("embedding"))
+    val copies = emb.filter($"vec_id" % 11 === 0)
+      .select(($"vec_id" + 2000000).as("vec_id"), $"embedding")
+    val df = emb.unionByName(scaled).unionByName(copies)
+    val lsh = Dedup.embeddingPairsLsh(df, "embedding", "vec_id", 0.95, dim = 64)
+      .as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingPairsExact(df, "embedding", "vec_id", 0.95)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("capBuckets drops hot buckets; droppedBuckets audits collapsed reps") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again until done"
+    val near2 = near1.replace("done", "finished")
+    val cluster = (1L to 5L).map(i => (i, "identical boilerplate text repeated verbatim for every row"))
+    val df = (cluster ++ Seq((10L, near1), (11L, near2))).toDF("id", "t")
+    // default cap: near pair found, cluster pairs come from exact-collapse
+    val full = Dedup.minHashPairs(df, "t", "id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full.contains((10L, 11L)))
+    assert((1L to 5L).combinations(2).forall(p => full.contains((p(0), p(1)))))
+    // cap 1: every multi-rep bucket drops → only exact-dup pairs survive
+    val capped = Dedup.minHashPairs(df, "t", "id", threshold = 0.5, maxBucket = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.contains((10L, 11L)))
+    assert(capped == full - ((10L, 11L)))
+    // audit matches what capBuckets saw: buckets of the two near-dup REPS
+    // (size 2). The 5-doc exact cluster collapses to ONE rep, so no bucket
+    // reaches size 5 — banding the raw df would report exactly that.
+    val dropped = Dedup.droppedBuckets(df, "t", "id", maxBucket = 1)
+    assert(dropped.count() > 0)
+    assert(dropped.agg(org.apache.spark.sql.functions.max($"size")).head().getLong(0) == 2L)
+  }
 }
