@@ -200,11 +200,22 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
-  /** 64-bit SimHash over word tokens: per-bit majority vote of token
-    * hashes, computed by the native codegen kernel. */
-  def simHash64(textCol: Column): Column =
+  /** 60-bit md5-prefix token hash — engine-portable: any engine with md5
+    * (DuckDB, Trino, ...) reproduces it bit-for-bit in SQL, which makes a
+    * SimHash built on it oracle-checkable across engines. 15 hex chars
+    * keep conv()'s output within a signed long. xxhash64 stays the default
+    * SimHash token hash (faster, but Spark-specific). */
+  def portableTokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** 64-bit SimHash over word tokens: per-bit majority vote (ties clear
+    * the bit) of token-multiset hashes, computed by the native codegen
+    * kernel. `tokenHash` swaps the per-token hash — see
+    * [[portableTokenHash]] for the cross-engine-verifiable variant. */
+  def simHash64(textCol: Column,
+      tokenHash: Column => Column = xxhash64(_)): Column =
     graft.functions.HashFunctions.simHash64(
-      transform(split(TextAnalysis.normalize(textCol), " ", -1), t => xxhash64(t)))
+      transform(split(TextAnalysis.normalize(textCol), " ", -1), t => tokenHash(t)))
 
   /** (band, chunk) keys splitting a 64-bit SimHash into nBands nearly-equal
     * bit ranges. Pigeonhole: two hashes within hamming ≤ nBands-1 agree on
@@ -224,14 +235,15 @@ object Dedup {
     * popcount of xor. Same exact-collapse + bucket-cap guards as
     * [[minHashPairs]]. */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 100000,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming=$maxHamming outside [0, 63]: a 64-bit SimHash cannot band for it")
     val nBands = maxHamming + 1
     val groups = exactGroups(df, textCol, idCol)
     val reps = df.select(col(idCol).as("id"), col(textCol).as("t"))
       .join(groups.filter(col("id") === col("rep")).select("id"), "id")
-    val withSim = reps.select(col("id"), simHash64(col("t")).as("sim"))
+    val withSim = reps.select(col("id"), simHash64(col("t"), tokenHash).as("sim"))
     val chunked = withSim
       .select(col("id"), col("sim"), explode(simHashChunks(col("sim"), nBands)).as("c"))
       .select(col("id"), col("sim"), col("c.band").as("band"), col("c.chunk").as("chunk"))

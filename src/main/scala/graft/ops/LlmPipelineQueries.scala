@@ -75,11 +75,39 @@ object LlmPipelineQueries {
               / len(list_distinct(a.s || b.s)) >= 0.5
       ORDER BY id_a, id_b""")),
 
+    // SimHash with the engine-portable md5-prefix token hash, so DuckDB can
+    // rebuild the 64-bit SimHash bit-for-bit in SQL (per-bit majority vote,
+    // ties clear — bits 60..63 are structurally 0 for a 60-bit hash, hence
+    // range(60) below). Pigeonhole banding GUARANTEES recall at
+    // hamming <= 3, so the all-pairs hamming join is an exact oracle, not a
+    // probabilistic one — this closes the last rows-only entry.
     QueryDef("q29_dedup_simhash", (s, dir) => {
       import s.implicits._
       Dedup.simHashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
-        maxHamming = 3).orderBy($"id_a", $"id_b")
-    }, None),
+        maxHamming = 3, tokenHash = Dedup.portableTokenHash)
+        .orderBy($"id_a", $"id_b")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents),
+      th AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks),
+      bits AS (
+        SELECT doc_id, b.bit,
+               SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM th, (SELECT unnest(range(60)) AS bit) b
+        GROUP BY 1, 2),
+      sh AS (
+        SELECT doc_id,
+               SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sim
+        FROM bits GROUP BY 1)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      ORDER BY id_a, id_b""")),
 
     // Exact n-gram Jaccard similarity join (prefix filtering): guaranteed
     // recall at the threshold, so the DuckDB all-pairs Jaccard is an exact
