@@ -274,7 +274,11 @@ object Dedup {
     *     prefixes bound the overlap by the two suffix lengths
     *     < t/(1+t)·(|A|+|B|);
     *  3. candidates = equi-join on prefix tokens (+ length filter
-    *     t·max(|A|,|B|) ≤ min(|A|,|B|)), exact-Jaccard verify on candidates.
+    *     t·max(|A|,|B|) ≤ min(|A|,|B|) + PPJoin positional filter: a shared
+    *     prefix token at 1-based sorted positions (p_a, p_b) bounds the
+    *     overlap at min(|A|-p_a, |B|-p_b) + 1, which must still reach
+    *     ⌈t/(1+t)·(|A|+|B|)⌉ — pairs sharing only late-prefix tokens die
+    *     here, before any shuffle), exact-Jaccard verify on candidates.
     *
     * Because prefixes hold the *rarest* tokens, hot-token fan-out is
     * minimized by construction; all shuffles are linear in Σ|prefix|.
@@ -294,12 +298,19 @@ object Dedup {
     val prefixed = ordered.select(col("id"), col("sz"),
       slice(col("toks"), lit(1),
         greatest(lit(0), (col("sz") - ceil(col("sz") * lit(tt)) + 1).cast("int"))).as("pref"))
-    val pa = prefixed.select(col("id").as("id_a"), col("sz").as("sz_a"), explode(col("pref")).as("tok"))
-    val pb = prefixed.select(col("id").as("id_b"), col("sz").as("sz_b"), explode(col("pref")).as("tok"))
+    def side(idAs: String, szAs: String, posAs: String) = prefixed
+      .select(col("id").as(idAs), col("sz").as(szAs),
+        posexplode(col("pref")).as(Seq(posAs, "tok")))
+    val pa = side("id_a", "sz_a", "p_a")
+    val pb = side("id_b", "sz_b", "p_b")
     val cands = pa.join(pb, "tok")
       .filter(col("id_a") < col("id_b") &&
         col("sz_a") * lit(threshold) <= col("sz_b") &&
-        col("sz_b") * lit(threshold) <= col("sz_a"))
+        col("sz_b") * lit(threshold) <= col("sz_a") &&
+        // positional: posexplode is 0-based, so remaining-after-token
+        // counts are sz - pos - 1 + the token itself
+        least(col("sz_a") - col("p_a"), col("sz_b") - col("p_b")) >=
+          ceil((col("sz_a") + col("sz_b")) * lit(tt)))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     verifyPairsJaccard(cands, sh, threshold)
