@@ -126,10 +126,13 @@ object Dedup {
     val rowsPerBand = numPerm / bands
     require(rowsPerBand >= 1, s"bands=$bands exceeds numPerm=$numPerm")
     val ps = perms(numPerm, 42L)
-    val groups = exactGroups(df, textCol, idCol)
-    // one row per distinct normalized text: the representatives
-    val reps = df.select(col(idCol).as("id"), col(textCol).as("t"))
-      .join(groups.filter(col("id") === col("rep")).select("id"), "id")
+    // one row per distinct normalized text, in ONE aggregation (no window,
+    // no self-join on the heavy path). first(t) is non-deterministic but
+    // safe: every member of a fingerprint group normalizes identically, so
+    // signature and shingle set are the same whichever raw text wins.
+    val reps = df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("t"))
+      .select("id", "t")
     // Fully native pipeline: hashed shingle sets in one codegen pass (no
     // string shingles materialized), native signature kernel, slim
     // (id, band, bkey) band rows so the shuffle never moves arrays.
@@ -151,7 +154,8 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     val verifySets = hashedShingleSets(reps, "t", "id", k, BigPrime)
     val repPairs = verifyPairsJaccard(candidates, verifySets, threshold)
-    expandPairs(repPairs, groups, "jaccard", lit(1.0)).orderBy("id_a", "id_b")
+    expandPairs(repPairs, exactGroups(df, textCol, idCol), "jaccard", lit(1.0))
+      .orderBy("id_a", "id_b")
   }
 
   /** LSH buckets that exceeded maxBucket for this banding (band, bkey, size)
@@ -240,9 +244,10 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming=$maxHamming outside [0, 63]: a 64-bit SimHash cannot band for it")
     val nBands = maxHamming + 1
-    val groups = exactGroups(df, textCol, idCol)
-    val reps = df.select(col(idCol).as("id"), col(textCol).as("t"))
-      .join(groups.filter(col("id") === col("rep")).select("id"), "id")
+    // collapse via one aggregation — see minHashPairs for why first(t) is safe
+    val reps = df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("t"))
+      .select("id", "t")
     val withSim = reps.select(col("id"), simHash64(col("t"), tokenHash).as("sim"))
     val chunked = withSim
       .select(col("id"), col("sim"), explode(simHashChunks(col("sim"), nBands)).as("c"))
@@ -256,7 +261,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    expandPairs(repPairs, groups, "hamming", lit(0)).orderBy("id_a", "id_b")
+    expandPairs(repPairs, exactGroups(df, textCol, idCol), "hamming", lit(0))
+      .orderBy("id_a", "id_b")
   }
 
   // ---------------- exact Jaccard similarity join (prefix filter) ----------------
