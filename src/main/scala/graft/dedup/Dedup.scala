@@ -147,13 +147,16 @@ object Dedup {
       .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
     val capped = capBuckets(buckets, Seq("band", "bkey"), maxBucket)
+    // verify first, dedup after: a pair colliding in m bands costs m-1
+    // extra codegen'd intersect/unions, while the dedup shuffle shrinks
+    // from candidate-count to answer-size
     val candidates = capped.alias("x")
       .join(capped.alias("y"), Seq("band", "bkey"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
     val verifySets = hashedShingleSets(reps, "t", "id", k, BigPrime)
     val repPairs = verifyPairsJaccard(candidates, verifySets, threshold)
+      .dropDuplicates("id_a", "id_b")
     expandPairs(repPairs, exactGroups(df, textCol, idCol), "jaccard", lit(1.0))
       .orderBy("id_a", "id_b")
   }
