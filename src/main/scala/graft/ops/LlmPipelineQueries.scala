@@ -176,9 +176,12 @@ object LlmPipelineQueries {
         .orderBy($"q_id", $"rk")
     }, Some(BRUTE_TOPK_SQL)),
 
-    // Approximate by design, but multi-probe LSH measures recall@5 = 1.00 on
-    // this corpus (PipelineSpec asserts equality with bruteTopK), so the
-    // exact-ANN oracle doubles as a driver-visible recall gate.
+    // RECALL GATE (intentional): q33 is approximate by design; multi-probe
+    // LSH measures recall@5 = 1.00 on this corpus (PipelineSpec asserts
+    // equality with bruteTopK), so the exact-ANN oracle doubles as a
+    // driver-visible recall gate. A future hash-mismatch here means
+    // "recall regressed below 1.0" (corpus/seed/parameter drift), NOT
+    // "wrong answer" — triage it as a recall regression.
     QueryDef("q33_ann_lsh", (s, dir) => {
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")

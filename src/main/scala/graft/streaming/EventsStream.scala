@@ -9,6 +9,11 @@ final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
 final case class SessionAgg(user_id: Long, n_sessions: Long, n_events: Long)
 final case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
+/** [[EventsStream.sessionizeStreamExact]] state: counters are final for
+  * events at/under `frontierMs` (the watermark when last folded); younger
+  * events wait in `bufferMs` until the watermark passes them. */
+final case class ExactSessionState(frontierMs: Long, lastTs: Long,
+    nSessions: Long, nEvents: Long, bufferMs: Seq[Long])
 
 /** Structured Streaming versions of the events operators. The windowed
   * aggregation is the *same* declarative transform as EventsOps.windowedAgg
@@ -72,6 +77,54 @@ object EventsStream {
           }
           state.update(st)
           SessionAgg(userId, st.nSessions, st.nEvents)
+      }
+  }
+
+  /** Watermark-buffered sessionization, EXACT under bounded lateness —
+    * the upgrade path [[sessionizeStream]]'s doc promises. Per-user state
+    * holds finalized counters for events the watermark has passed plus a
+    * buffer of younger event times; each micro-batch folds newly-ripe
+    * buffered events in event-time order, so cross-batch disorder within
+    * the watermark delay sessionizes exactly like batch
+    * `EventsOps.sessionize`. Emitted aggregates also fold the still-pending
+    * buffer provisionally, so once all data is ingested the output equals
+    * the batch answer even before the watermark catches up. State is
+    * O(events within the lateness horizon) per user — the price of
+    * exactness; events arriving beyond the horizon (ts ≤ frontier) are
+    * absorbed into the counters without re-splitting, matching the O(1)
+    * variant's behavior. NoTimeout for the same churn reason as above (add
+    * EventTimeTimeout + setTimeoutTimestamp in production to evict and
+    * finalize idle users). */
+  def sessionizeStreamExact(spark: SparkSession, events: Dataset[Event],
+      gapSec: Long = 1800, watermarkDelay: String = "1 hour"): Dataset[SessionAgg] = {
+    import spark.implicits._
+    val gapMs = gapSec * 1000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[ExactSessionState, SessionAgg](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[ExactSessionState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(
+            ExactSessionState(Long.MinValue, Long.MinValue, 0L, 0L, Nil))
+          val (tooLate, ok) = batch.map(_.ts.getTime).toSeq
+            .partition(t => st.frontierMs != Long.MinValue && t <= st.frontierMs)
+          val (ripe, pending) = (st.bufferMs ++ ok).sorted.partition(_ <= wm)
+          var (lastTs, nSessions) = (st.lastTs, st.nSessions)
+          var nEvents = st.nEvents + tooLate.size
+          ripe.foreach { t =>
+            if (lastTs == Long.MinValue || t - lastTs > gapMs) nSessions += 1
+            nEvents += 1
+            lastTs = math.max(lastTs, t)
+          }
+          state.update(ExactSessionState(wm, lastTs, nSessions, nEvents, pending))
+          // provisional fold of the pending buffer for the emitted row
+          var (pl, ps, pe) = (lastTs, nSessions, nEvents)
+          pending.foreach { t =>
+            if (pl == Long.MinValue || t - pl > gapMs) ps += 1
+            pe += 1
+            pl = math.max(pl, t)
+          }
+          SessionAgg(userId, ps, pe)
       }
   }
 

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{Event, EventsStream}
+import graft.streaming.{Event, EventsStream, SessionAgg}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -41,6 +41,33 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     q.stop()
     assert(out.contains((2L, 3L))) // latest update row has both sessions
+  }
+
+  test("sessionizeStreamExact heals a cross-batch late event the O(1) variant splits") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 at minutes 0 and 60 (gap 30min ⇒ looks like 2 sessions),
+    // then minute 30 arrives LATE in the next batch and bridges them:
+    // batch semantics = ONE session of 3 events.
+    def run(mk: MemoryStream[Event] => org.apache.spark.sql.Dataset[SessionAgg],
+        name: String): (Long, Long) = {
+      val mem = MemoryStream[Event]
+      val q = EventsStream.toMemorySink(mk(mem).toDF(), name, OutputMode.Update())
+      mem.addData(Event(1, ts(0), 1, "a", 0), Event(2, ts(60), 1, "a", 0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(30), 1, "a", 0))
+      q.processAllAvailable()
+      val r = spark.sql(s"SELECT n_sessions, n_events FROM $name WHERE user_id = 1")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).last
+      q.stop(); r
+    }
+    val exact = run(m => EventsStream.sessionizeStreamExact(spark, m.toDS(), 1800), "sx")
+    val plain = run(m => EventsStream.sessionizeStream(spark, m.toDS(), 1800), "sp")
+    assert(exact == ((1L, 3L)), s"exact variant must match batch, got $exact")
+    assert(plain == ((2L, 3L)), s"O(1) variant documented to overcount, got $plain")
+    // and the batch operator agrees with the exact variant
+    val batch = graft.streaming.EventsOps.sessionize(
+      Seq((1L, ts(0)), (1L, ts(60)), (1L, ts(30))).toDF("user_id", "ts"), 1800)
+    assert(batch.select("session_id").distinct().count() == 1L)
   }
 
   test("streaming windowedCounts matches the batch EventsOps on same data") {
