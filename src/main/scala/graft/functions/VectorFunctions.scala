@@ -11,4 +11,6 @@ object VectorFunctions {
     org.apache.spark.sql.graft.VectorFunctions.cosineF(a, b)
   def hyperplaneSig(vec: Column, planes: Array[Double], dim: Int): Column =
     org.apache.spark.sql.graft.VectorFunctions.hyperplaneSig(vec, planes, dim)
+  def nearestCentroid(vec: Column, centroids: Array[Double], dim: Int): Column =
+    org.apache.spark.sql.graft.VectorFunctions.nearestCentroid(vec, centroids, dim)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.Ann
+import graft.similarity.{Ann, Ivf}
 import graft.sources.Tables
 import graft.text.TextAnalysis
 
@@ -277,6 +277,45 @@ object LlmPipelineQueries {
         .sortBy(_._1)
       Ann.cosineTopKExec(emb, qs, "embedding", "vec_id", k = 5)
         .select($"q_id", $"rk", $"n_id").orderBy($"q_id", $"rk")
-    }, Some(BRUTE_TOPK_SQL))
+    }, Some(BRUTE_TOPK_SQL)),
+
+    // IVF coarse-quantizer ANN (train → assign → probe → rerank). The
+    // correctness gate plants each query's true top-5 as power-of-2-scaled
+    // copies: direction-identical ⇒ cosine exactly 1.0 (2^m scaling is
+    // float-exact and sqrt commutes with power-of-4 scaling) AND the same
+    // nearest centroid as the query, so the probe finds them at ANY
+    // nProbe — the gate pins the train/assign/probe/rerank machinery
+    // deterministically. Natural-data recall is corpus-dependent (see
+    // Ivf scaladoc + examples/IvfProbe for the measured curve).
+    QueryDef("q46_ann_ivf", (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val qs = emb.filter($"vec_id" < 5)
+      val copies = (1 to 5).map { m =>
+        qs.select(($"vec_id" + m * 1000000).as("vec_id"),
+          transform($"embedding",
+            x => (x * lit(math.pow(2, m).toFloat)).cast("float")).as("embedding"))
+      }.reduce(_ unionByName _)
+      // iters=2: the gate's planted neighbors are cell-stable under any
+      // trained quantizer; two Lloyd rounds keep the train→assign→probe
+      // machinery exercised without paying extra sequential driver rounds
+      Ivf.topK(emb.unionByName(copies), qs, "embedding", "vec_id",
+        k = 5, dim = 64, iters = 2).orderBy($"q_id", $"rk")
+    }, Some("""
+      WITH e AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + m.m * 1000000,
+               list_transform(embedding, x -> CAST(x * (1 << m.m) AS FLOAT))
+        FROM embeddings, (SELECT unnest(range(1, 6)) AS m) m
+        WHERE vec_id < 5)
+      SELECT q_id, rk, n_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id)
+                 AS INTEGER) AS rk
+        FROM embeddings q JOIN e ON q.vec_id <> e.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rk <= 5 ORDER BY q_id, rk"""))
   )
 }

@@ -111,6 +111,66 @@ case class HyperplaneSig(child: Expression, planes: Array[Double], dim: Int)
     copy(child = newChild)
 }
 
+/** Index of the centroid with the highest dot product against the input
+  * vector (= nearest by cosine when centroids are pre-normalized, as the
+  * IVF trainer guarantees). One native pass per row over all k centroids;
+  * ties break to the lowest index (strict >), deterministically.
+  * `centroids` is row-major (k × dim), attached as a codegen reference
+  * object like [[HyperplaneSig]]'s planes.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Double], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val k = centroids.length / dim
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var d = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < n) { d += v.getFloat(i).toDouble * centroids(off + i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val (n, k, best, bestDot, c, d, i, off) = (ctx.freshName("n"),
+        ctx.freshName("k"), ctx.freshName("best"), ctx.freshName("bestDot"),
+        ctx.freshName("c"), ctx.freshName("d"), ctx.freshName("i"), ctx.freshName("off"))
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |int $k = $cRef.length / $dim;
+         |int $best = 0;
+         |double $bestDot = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $d = 0.0;
+         |  int $off = $c * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $d += (double) $v.getFloat($i) * $cRef[$off + $i];
+         |  }
+         |  if ($d > $bestDot) { $bestDot = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Dot product of two array<float> columns (codegen). */
   def dotF(a: Column, b: Column): Column =
@@ -125,4 +185,9 @@ object VectorFunctions {
   /** Hyperplane LSH signature (codegen); planes row-major nPlanes×dim. */
   def hyperplaneSig(vec: Column, planes: Array[Double], dim: Int): Column =
     bridge.column(HyperplaneSig(bridge.expression(vec), planes, dim))
+
+  /** Nearest-centroid cell index (codegen); centroids row-major k×dim,
+    * pre-normalized for cosine assignment. */
+  def nearestCentroid(vec: Column, centroids: Array[Double], dim: Int): Column =
+    bridge.column(NearestCentroid(bridge.expression(vec), centroids, dim))
 }

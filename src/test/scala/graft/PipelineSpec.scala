@@ -144,6 +144,27 @@ class PipelineSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("IVF probe finds direction-identical neighbors; natural recall is partial") {
+    import org.apache.spark.sql.functions._
+    val emb = sources.Tables.load(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
+    val qs = emb.filter($"vec_id" < 3)
+    val copies = qs.select(($"vec_id" + 1000000).as("vec_id"),
+      transform($"embedding", x => (x * lit(4.0f)).cast("float")).as("embedding"))
+    val got = graft.similarity.Ivf.topK(emb.unionByName(copies), qs,
+      "embedding", "vec_id", k = 1, dim = 64, nCells = 8, nProbe = 1)
+      .as[(Long, Int, Long)].collect().toSet
+    // even at nProbe=1 the scaled copy (same cell by construction) is rank 1
+    assert(got == Set((0L, 1, 1000000L), (1L, 1, 1000001L), (2L, 1, 1000002L)))
+    // natural-data recall: partial but nonzero at nProbe half of nCells
+    val brute = Ann.bruteTopK(emb, qs, "embedding", "vec_id", 5)
+      .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+    val ivf = graft.similarity.Ivf.topK(emb, qs, "embedding", "vec_id",
+      k = 5, dim = 64, nCells = 16, nProbe = 8)
+      .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall > 0.3 && recall <= 1.0, s"recall=$recall")
+  }
+
   test("capBuckets drops hot buckets; droppedBuckets audits collapsed reps") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again until done"
     val near2 = near1.replace("done", "finished")
