@@ -316,6 +316,74 @@ object LlmPipelineQueries {
                  AS INTEGER) AS rk
         FROM embeddings q JOIN e ON q.vec_id <> e.vec_id
         WHERE q.vec_id < 5)
-      WHERE rk <= 5 ORDER BY q_id, rk"""))
+      WHERE rk <= 5 ORDER BY q_id, rk""")),
+
+    // Deterministic hash sharding: the 10% sample is a pure function of
+    // doc_id (md5-based, engine-portable — see Sampling.shard), so the
+    // SAME rows are selected by Spark, DuckDB, or a Python reader; Spark's
+    // sample() is seed+partitioning dependent and can't promise that.
+    QueryDef("q47_sample_shard", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", Sampling.shard($"doc_id", 100).as("shard"))
+        .filter($"shard" < 10)
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100 AS shard
+      FROM documents
+      WHERE CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100 < 10
+      ORDER BY doc_id""")),
+
+    // C4-style quality filtering: compose the q35 signals into a keep
+    // decision. The signals are integer-ratio doubles computed identically
+    // in both engines (q35's hash equality is the proof), so the threshold
+    // comparisons agree exactly.
+    QueryDef("q48_quality_filter", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextAnalysis.nChars($"text").as("n_chars"),
+          TextAnalysis.alphaRatio($"text").as("alpha_ratio"),
+          TextAnalysis.uniqTokenRatio($"text").as("uniq_ratio"))
+        .filter($"alpha_ratio" > 0.8 && $"n_chars" >= 150 && $"uniq_ratio" > 0.45)
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT * FROM (
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(text) AS alpha_ratio,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS uniq_ratio
+        FROM documents)
+      WHERE alpha_ratio > 0.8 AND n_chars >= 150 AND uniq_ratio > 0.45
+      ORDER BY doc_id""")),
+
+    // Fixed-size token chunking with overlap (50-token windows, stride 40)
+    // — the context-window prep step of a training pipeline. Whitespace
+    // tokens (split on single space) match string_split exactly; both
+    // engines clamp the final partial window.
+    QueryDef("q49_chunk", (s, dir) => {
+      import s.implicits._
+      val (win, stride) = (50, 40)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", split($"text", " ", -1).as("toks"))
+        .select($"doc_id", $"toks",
+          posexplode(sequence(lit(0), size($"toks") - 1, lit(stride)))
+            .as(Seq("chunk_id", "start")))
+        .select($"doc_id", $"chunk_id",
+          array_join(slice($"toks", $"start" + 1, lit(win)), " ").as("chunk"),
+          size(slice($"toks", $"start" + 1, lit(win))).as("n_tok"))
+        .orderBy($"doc_id", $"chunk_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start FROM w)
+      SELECT doc_id, CAST(start // 40 AS INTEGER) AS chunk_id,
+             array_to_string(toks[start+1 : start+50], ' ') AS chunk,
+             CAST(len(toks[start+1 : start+50]) AS INTEGER) AS n_tok
+      FROM s ORDER BY doc_id, chunk_id"""))
   )
 }
