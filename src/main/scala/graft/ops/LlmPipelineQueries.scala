@@ -384,6 +384,31 @@ object LlmPipelineQueries {
       SELECT doc_id, CAST(start // 40 AS INTEGER) AS chunk_id,
              array_to_string(toks[start+1 : start+50], ' ') AS chunk,
              CAST(len(toks[start+1 : start+50]) AS INTEGER) AS n_tok
-      FROM s ORDER BY doc_id, chunk_id"""))
+      FROM s ORDER BY doc_id, chunk_id""")),
+
+    // The reference's PRIMARY interface is a SQL string typed into the
+    // Execute Query tab (ref 922-1142) — every other entry here uses the
+    // DataFrame API, so this one drives the raw-SQL path end-to-end:
+    // registerAll temp views + spark.sql over a CTE + join + window. The
+    // oracle is the same ANSI text modulo the rank cast.
+    QueryDef("q50_sql_exec", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH seg AS (
+          SELECT c_mktsegment AS seg, o_totalprice AS price
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT seg, COUNT(*) AS n,
+               CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+               RANK() OVER (ORDER BY CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) DESC) AS rnk
+        FROM seg GROUP BY seg ORDER BY seg""")
+    }, Some("""
+      WITH seg AS (
+        SELECT c_mktsegment AS seg, o_totalprice AS price
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      SELECT seg, COUNT(*) AS n,
+             CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             CAST(RANK() OVER (ORDER BY CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) DESC)
+               AS INTEGER) AS rnk
+      FROM seg GROUP BY seg ORDER BY seg"""))
   )
 }
