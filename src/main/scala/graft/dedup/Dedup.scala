@@ -299,11 +299,18 @@ object Dedup {
     val sh = hashedShingleSets(df, textCol, idCol, k, BigPrime)
     val toks = sh.select(col("id"), explode(col("sh")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Pack (df, token) into ONE long: df in the high bits keeps the
+    // rarest-first total order; the low 22 bits are a token residue. Two
+    // tokens colliding on a packed key (same df + same residue) only add
+    // false candidates, which the exact verify removes — recall is
+    // untouched, while sort/shuffle/join all move single longs instead of
+    // structs. df needs ≤ 41 bits (2 trillion docs) so the shift is
+    // ANSI-overflow-free.
+    val packed = shiftleft(col("df"), 22).bitwiseOR(col("tok").bitwiseAND(lit((1L << 22) - 1)))
     val ordered = toks.join(freq, "tok")
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
-      .select(col("id"), transform(col("ts"), t => t.getField("tok")).as("toks"),
-        size(col("ts")).as("sz"))
+      .agg(sort_array(collect_list(packed)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("sz"))
     val prefixed = ordered.select(col("id"), col("sz"),
       slice(col("toks"), lit(1),
         greatest(lit(0), (col("sz") - ceil(col("sz") * lit(tt)) + 1).cast("int"))).as("pref"))
