@@ -74,6 +74,38 @@ object EventQueries {
              p.purchase_value AS last_purchase_value
       FROM clicks c ASOF LEFT JOIN purchases p
         ON c.user_id = p.user_id AND p.ts <= c.ts
-      ORDER BY c.event_id"""))
+      ORDER BY c.event_id""")),
+
+    // Range join (graft.ops.IntervalJoin): errors inside each user's daily
+    // opening window [first event, +4h]. Bucketed equi-join on (user,
+    // hour-cell) + residual containment filter — Spark's native plan for
+    // the raw BETWEEN theta join is a BroadcastNestedLoopJoin, which dies
+    // the moment the interval side outgrows a broadcast. The DuckDB oracle
+    // IS that raw BETWEEN join (exactness), graft runs the scalable form.
+    QueryDef("q52_interval_join", (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val win = ev.groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(min($"ts").as("w_start"))
+        .withColumn("w_end", expr("w_start + INTERVAL 4 HOURS"))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id", $"ts", $"event_id")
+      graft.ops.IntervalJoin.pointInInterval(errors, win,
+          "user_id", "ts", "w_start", "w_end")
+        .groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n_err"))
+        .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"), $"n_err")
+        .orderBy($"user_id", $"day")
+    }, Some("""
+      WITH win AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS w_start,
+               MIN(ts) + INTERVAL 4 HOUR AS w_end
+        FROM events GROUP BY 1, 2),
+      err AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+      SELECT w.user_id, strftime(w.day, '%Y-%m-%d') AS day,
+             COUNT(*) AS n_err
+      FROM err e JOIN win w
+        ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts <= w.w_end
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
