@@ -35,7 +35,16 @@ object PlanCheck {
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested-loop join" -> "BroadcastNestedLoopJoin")),
     Want("q32_ann_brute", Seq(
-      "query side broadcast" -> "BroadcastNestedLoopJoin")))
+      "query side broadcast" -> "BroadcastNestedLoopJoin")),
+    Want("q51_asof_join", Seq(
+      "single-shuffle window formulation" -> "Window"),
+      mustNotContain = Seq(
+        "no nested-loop range join" -> "BroadcastNestedLoopJoin",
+        "no cartesian" -> "CartesianProduct")),
+    Want("q52_interval_join", Seq.empty,
+      mustNotContain = Seq(
+        "no nested-loop range join" -> "BroadcastNestedLoopJoin",
+        "no cartesian" -> "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()
