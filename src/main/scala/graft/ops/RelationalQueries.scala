@@ -325,6 +325,30 @@ object RelationalQueries {
       SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
              n_customers, n_open_orders, n_debt_suppliers
       FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
-      ORDER BY nationkey"""))
+      ORDER BY nationkey""")),
+
+    // Exact discrete percentiles (percentile_disc picks an ACTUAL data
+    // value — engine-portable, unlike interpolated quantiles whose float
+    // arithmetic can differ in the last ulp). Distribution stats are the
+    // reporting surface one step past the reference's COUNT/AVG.
+    QueryDef("q53_percentiles", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("p75"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority,
+             quantile_disc(o_totalprice, 0.25) AS p25,
+             quantile_disc(o_totalprice, 0.5) AS p50,
+             quantile_disc(o_totalprice, 0.75) AS p75,
+             quantile_disc(o_totalprice, 0.95) AS p95,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
