@@ -26,6 +26,34 @@ object LlmPipelineQueries {
             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
           FROM documents)"""
 
+  /** DuckDB language-ID expression generated from TextAnalysis.langProfiles
+    * — the heuristic and its tie-break (earliest profile wins) can't drift
+    * from the Spark implementation. Used by q36 and q54. */
+  private val LANG_ID_SQL: String = {
+    val toks = "list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))"
+    val scores = TextAnalysis.langProfiles.map { case (lang, ws) =>
+      lang -> s"len(list_intersect($toks, [${ws.map(w => s"'$w'").mkString(", ")}]))"
+    }
+    val smax = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (l, sc) => s"WHEN $sc = $smax THEN '$l'" }.mkString(" ")
+    s"CASE $cases END"
+  }
+
+  /** Non-English documents planted for q54, generated from the language
+    * profiles themselves: per non-en profile, three docs repeating the
+    * stopword list with i distinct filler tokens — distinct uniqueness
+    * ratios within each language so the per-language ranking is
+    * non-trivial. Plain lowercase words ⇒ safe as SQL string literals. */
+  private val PLANTED_LANG_DOCS: Seq[(Long, String)] =
+    TextAnalysis.langProfiles.filterNot(_._1 == "en").zipWithIndex.flatMap {
+      case ((_, ws), li) =>
+        (0 until 3).map { i =>
+          val filler = (0 until i * 3).map(j => s"w${li}x$j").mkString(" ")
+          (2000000L + li * 10 + i,
+            (ws.mkString(" ") + " " + ws.take(4).mkString(" ") + " " + filler).trim)
+        }
+    }
+
   /** Exact cosine top-5 for queries vec_id < 5 — the oracle for every ANN
     * variant (q32 brute, q33 LSH at measured recall 1.0, q44 custom exec). */
   private val BRUTE_TOPK_SQL = """
@@ -228,17 +256,8 @@ object LlmPipelineQueries {
       Tables.load(s, dir, "documents")
         .select($"doc_id", TextAnalysis.langId($"text").as("lang_pred"))
         .orderBy($"doc_id")
-    }, Some {
-      // oracle generated from the same profiles, so the heuristic and its
-      // tie-break (earliest profile wins) can't drift apart
-      val toks = "list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))"
-      val scores = TextAnalysis.langProfiles.map { case (lang, ws) =>
-        lang -> s"len(list_intersect($toks, [${ws.map(w => s"'$w'").mkString(", ")}]))"
-      }
-      val smax = s"greatest(${scores.map(_._2).mkString(", ")})"
-      val cases = scores.map { case (l, sc) => s"WHEN $sc = $smax THEN '$l'" }.mkString(" ")
-      s"SELECT doc_id, CASE $cases END AS lang_pred FROM documents ORDER BY doc_id"
-    }),
+    }, Some(
+      s"SELECT doc_id, $LANG_ID_SQL AS lang_pred FROM documents ORDER BY doc_id")),
 
     QueryDef("q37_fingerprint", (s, dir) => {
       import s.implicits._
@@ -385,6 +404,42 @@ object LlmPipelineQueries {
              array_to_string(toks[start+1 : start+50], ' ') AS chunk,
              CAST(len(toks[start+1 : start+50]) AS INTEGER) AS n_tok
       FROM s ORDER BY doc_id, chunk_id""")),
+
+    // Corpus curation: per-language top-10 documents by uniqueness ratio —
+    // the langid + quality + window composition a real curation pass runs.
+    // The synthetic corpus is all-English, so non-English docs are planted
+    // from the SAME language profiles the classifier uses (both engines
+    // get the identical strings — the texts are generated into the oracle
+    // SQL at build time, no drift possible). Deterministic: the ratio is
+    // an exact integer-ratio double, ties break on doc_id.
+    QueryDef("q54_curate_topk", (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"uniq_ratio".desc, $"doc_id")
+      val planted = PLANTED_LANG_DOCS.toDF("doc_id", "text")
+      Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        .unionByName(planted)
+        .select($"doc_id", TextAnalysis.langId($"text").as("lang"),
+          TextAnalysis.uniqTokenRatio($"text").as("uniq_ratio"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 10)
+        .orderBy($"lang", $"rk")
+    }, Some {
+      val values = PLANTED_LANG_DOCS
+        .map { case (id, text) => s"($id, '$text')" }.mkString(", ")
+      s"""
+      SELECT doc_id, lang, uniq_ratio, rk FROM (
+        SELECT doc_id, lang, uniq_ratio,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY uniq_ratio DESC, doc_id) AS INTEGER) AS rk
+        FROM (SELECT doc_id, $LANG_ID_SQL AS lang,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS uniq_ratio
+              FROM (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT * FROM (VALUES $values) AS planted(doc_id, text))))
+      WHERE rk <= 10 ORDER BY lang, rk"""
+    }),
 
     // The reference's PRIMARY interface is a SQL string typed into the
     // Execute Query tab (ref 922-1142) — every other entry here uses the
