@@ -441,6 +441,28 @@ object LlmPipelineQueries {
       WHERE rk <= 10 ORDER BY lang, rk"""
     }),
 
+    // Vocabulary building (tokenizer prep): corpus-wide token frequencies,
+    // top-500 by (count desc, token) with dense integer ranks. One
+    // explode + one partial-aggregated groupBy; the top-k is a single
+    // ordered limit, not a global sort of the full vocabulary.
+    QueryDef("q55_vocab", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(explode(split(TextAnalysis.normalize($"text"), " ", -1)).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"tok").limit(500)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"tok")))
+        .select($"rank", $"tok", $"n")
+    }, Some("""
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS INTEGER) AS rank, tok, n
+      FROM (
+        SELECT tok, COUNT(*) AS n FROM (
+          SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents)
+        GROUP BY tok ORDER BY n DESC, tok LIMIT 500)
+      ORDER BY rank""")),
+
     // The reference's PRIMARY interface is a SQL string typed into the
     // Execute Query tab (ref 922-1142) — every other entry here uses the
     // DataFrame API, so this one drives the raw-SQL path end-to-end:
