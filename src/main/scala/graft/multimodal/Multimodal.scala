@@ -7,6 +7,11 @@ import org.apache.spark.sql.functions._
 final case class Asset(doc_id: Long, payload: Array[Byte])
 final case class AssetMeta(
     doc_id: Long, n_bytes: Int, format: String, feat0: Long, feat1: Long)
+/** A resized image payload (dimensions are the REQUESTED geometry; the
+  * stub cannot know real pixels). */
+final case class ResizedAsset(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+/** One sampled frame of a video payload. */
+final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
 /** Multimodal (image/audio/video) column plumbing: payloads are opaque
   * `binary` columns with typed metadata; heavy decode runs per-partition in
@@ -59,6 +64,47 @@ object Multimodal {
           val f0 = a.payload.foldLeft(1125899906842597L)((h, b) => 31 * h + (b & 0xFF))
           val f1 = a.payload.length.toLong * 2654435761L
           AssetMeta(a.doc_id, a.payload.length, fmt, f0, f1)
+        }
+      }
+  }
+
+  /** Resize stage: one-to-one partition-batched transform producing a new
+    * binary column plus the output geometry — the stage shape a real
+    * image codec (decode → scale → re-encode) drops into. The stub
+    * deterministically subsamples the payload bytes past the magic prefix
+    * to the byte budget w*h/64, preserving the magic so the result still
+    * format-sniffs correctly. */
+  def resizeImages(spark: SparkSession, assets: DataFrame,
+      w: Int, h: Int): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    val budget = math.max(1, w * h / 64)
+    assets.select(col("doc_id"), col("payload")).as[Asset]
+      .mapPartitions { batch =>
+        batch.map { a =>
+          val (magic, body) = a.payload.splitAt(math.min(4, a.payload.length))
+          val out =
+            if (body.length <= budget) body
+            else Array.tabulate(budget)(i => body(i * body.length / budget))
+          ResizedAsset(a.doc_id, w, h, magic ++ out)
+        }
+      }
+  }
+
+  /** Frame-sampling stage: the one-to-MANY batched transform (the
+    * flatMap-shaped plumbing a real video demuxer needs — each input row
+    * fans out to a bounded row set). The stub treats the payload past the
+    * magic as fixed-size pseudo-frames and emits every `everyN`-th. */
+  def sampleFrames(spark: SparkSession, assets: DataFrame,
+      frameBytes: Int = 64, everyN: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    require(frameBytes > 0 && everyN > 0)
+    assets.select(col("doc_id"), col("payload")).as[Asset]
+      .mapPartitions { batch =>
+        batch.flatMap { a =>
+          val body = a.payload.drop(math.min(4, a.payload.length))
+          body.grouped(frameBytes).zipWithIndex
+            .filter(_._2 % everyN == 0)
+            .map { case (bytes, idx) => Frame(a.doc_id, idx, bytes) }
         }
       }
   }

@@ -103,6 +103,29 @@ class PipelineSpec extends SparkSpec {
     assert(meta.filter(_.format == "unknown").count() == 0)
   }
 
+  test("multimodal resize and frame-sample stages: shape, determinism, sniffability") {
+    val docs = sources.Tables.load(spark, sfDir, "documents").limit(20)
+    val assets = Multimodal.synthPayloads(docs)
+    val resized = Multimodal.resizeImages(spark, assets, 32, 32)
+    assert(resized.count() == 20)
+    val r = resized.filter(_.doc_id == 0).head()
+    assert(r.width == 32 && r.height == 32 && r.payload.length <= 4 + 32 * 32 / 64)
+    // magic preserved → still sniffable after resize
+    val sniffed = Multimodal.sniffFormat(resized.toDF())
+    assert(sniffed.filter($"format" === "unknown").count() == 0)
+    // deterministic: same input, same bytes
+    val again = Multimodal.resizeImages(spark, assets, 32, 32).filter(_.doc_id == 0).head()
+    assert(java.util.Arrays.equals(r.payload, again.payload))
+
+    val frames = Multimodal.sampleFrames(spark, assets, frameBytes = 16, everyN = 3)
+    val f0 = frames.filter(_.doc_id == 0).collect().sortBy(_.frame_idx)
+    assert(f0.nonEmpty && f0.forall(_.frame_idx % 3 == 0))
+    assert(f0.init.forall(_.frame.length == 16)) // only the tail frame may be short
+    // fan-out matches the pseudo-frame count of the payload
+    val bodyLen = assets.filter($"doc_id" === 0).head().getAs[Array[Byte]]("payload").length - 4
+    assert(f0.length == (0 until (bodyLen + 15) / 16).count(_ % 3 == 0))
+  }
+
   test("jaccardJoin equals the all-pairs oracle, incl. a moderate-J/high-hamming pair") {
     // d1↔d2 share half their vocabulary → J(shingles) ≈ 0.2-0.4 with a
     // LARGE simhash hamming distance — exactly the pair class the old
