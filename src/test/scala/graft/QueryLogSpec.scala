@@ -9,8 +9,10 @@ class QueryLogSpec extends SparkSpec {
   import spark.implicits._
 
   /** Listener-bus delivery is asynchronous — poll until the expected number
-    * of events lands (or time out and let the assertion fail loudly). */
-  private def awaitPending(l: QueryLogListener, n: Int, timeoutMs: Long = 10000): Unit = {
+    * of events lands (or time out and let the assertion fail loudly). The
+    * generous timeout absorbs cold-JVM codegen + a loaded listener bus,
+    * which produced sub-1% flakes at 10s. */
+  private def awaitPending(l: QueryLogListener, n: Int, timeoutMs: Long = 45000): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (l.pending < n && System.currentTimeMillis() < deadline) Thread.sleep(50)
   }
