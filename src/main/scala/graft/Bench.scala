@@ -12,13 +12,26 @@ object Bench {
     val spark = graft.GraftSession(s"local[$cpus]", cpus)
 
     // warm-up actions so JVM/codegen/parquet-reader startup isn't billed to
-    // the first query measured
+    // the first query measured. The second block exercises the custom
+    // codegen kernels (shingle/minhash/simhash/vector dot) on a tiny row
+    // limit: their generated-class compilation is cached per kernel, and
+    // without this the first dedup/ANN query pays ~1-2 s of janino time
+    // that is compiler startup, not query cost.
     spark.range(1000).count()
     try {
       import org.apache.spark.sql.functions._
       graft.sources.Tables.load(spark, sfDir, "region")
         .groupBy(col("r_name")).agg(count(lit(1))).collect()
-    } catch { case _: Throwable => () }
+      graft.sources.Tables.load(spark, sfDir, "documents").limit(64)
+        .select(graft.dedup.Dedup.minHashSignature(col("text")).as("m"),
+          graft.dedup.Dedup.simHash64(col("text")).as("s"),
+          graft.text.TextAnalysis.fingerprint(col("text")).as("f"))
+        .collect()
+      graft.sources.Tables.load(spark, sfDir, "embeddings").limit(64)
+        .select(graft.functions.VectorFunctions
+          .dotF(col("embedding"), col("embedding")).as("d"))
+        .collect()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
     // optional name-prefix filter arg for dev loops; the driver passes none
     val defs = if (args.isEmpty) SparkEntry.allDefs

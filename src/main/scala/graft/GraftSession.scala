@@ -26,7 +26,16 @@ object GraftSession {
       // — there is no per-read option for it, and mutating a shared session
       // per call is not acceptable (see Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Output-commit cost dominates small/partitioned writes on this
+      // filesystem (each create/rename is expensive): v2 commits task
+      // output straight to the destination (one rename per file instead
+      // of two; the rename-safety v1 buys matters on object stores, not
+      // here), and local .crc shadow files double the file ops for data
+      // parquet already checksums per-page.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
+    org.apache.hadoop.fs.FileSystem
+      .getLocal(spark.sparkContext.hadoopConfiguration).setWriteChecksum(false)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -41,14 +41,22 @@ object Catalog {
       .sorted
   }
 
-  /** Table design (ref 183-196): one row per column — name, type, nullable. */
+  /** Table design (ref 183-196): one row per column — name, type, nullable,
+    * default. The reference's `get_table_columns` (ref 198-220) also returns
+    * COLUMN_DEFAULT from INFORMATION_SCHEMA; parquet stores no column
+    * defaults (a missing value is simply null), so the column is surfaced —
+    * keeping the reference's row shape — and is always null for parquet
+    * datasets. Sources with real defaults (a future JDBC catalog) populate
+    * it. */
   def tableDesign(spark: SparkSession, df: DataFrame): DataFrame = {
     val rows = df.schema.fields.toSeq.map(f =>
-      Row(f.name, f.dataType.simpleString, f.nullable))
+      Row(f.name, f.dataType.simpleString, f.nullable,
+        null.asInstanceOf[String]))
     val schema = StructType(Seq(
       StructField("column_name", StringType, nullable = false),
       StructField("data_type", StringType, nullable = false),
-      StructField("is_nullable", BooleanType, nullable = false)))
+      StructField("is_nullable", BooleanType, nullable = false),
+      StructField("column_default", StringType, nullable = true)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .orderBy("column_name")
   }

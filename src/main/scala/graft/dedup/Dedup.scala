@@ -299,18 +299,22 @@ object Dedup {
     val sh = hashedShingleSets(df, textCol, idCol, k, BigPrime)
     val toks = sh.select(col("id"), explode(col("sh")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // Pack (df, token) into ONE long: df in the high bits keeps the
-    // rarest-first total order; the low 22 bits are a token residue. Two
-    // tokens colliding on a packed key (same df + same residue) only add
-    // false candidates, which the exact verify removes — recall is
-    // untouched, while sort/shuffle/join all move single longs instead of
-    // structs. df needs ≤ 41 bits (2 trillion docs) so the shift is
-    // ANSI-overflow-free.
-    val packed = shiftleft(col("df"), 22).bitwiseOR(col("tok").bitwiseAND(lit((1L << 22) - 1)))
+    // ONE df-ordered projection feeds everything downstream: the prefix
+    // arrays (both join sides) AND the verify sets — sorted by (df, tok)
+    // so the rarest-first total order holds, carrying the full 61-bit
+    // token (array_intersect/union are order-insensitive, so the same
+    // array IS the exact verify set; no second shingle scan, no packed-key
+    // collisions to reason about). persist() because four branches read
+    // it — recomputing the freq join + collect_list per branch is the
+    // single biggest cost in this join; at corpus scale this is the
+    // AllPairs "inverted index" materialization (use MEMORY_AND_DISK —
+    // the default — so it spills rather than OOMs).
     val ordered = toks.join(freq, "tok")
       .groupBy("id")
-      .agg(sort_array(collect_list(packed)).as("toks"))
-      .select(col("id"), col("toks"), size(col("toks")).as("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("dtoks"))
+      .select(col("id"), transform(col("dtoks"), s => s.getField("tok")).as("toks"),
+        size(col("dtoks")).as("sz"))
+      .persist()
     val prefixed = ordered.select(col("id"), col("sz"),
       slice(col("toks"), lit(1),
         greatest(lit(0), (col("sz") - ceil(col("sz") * lit(tt)) + 1).cast("int"))).as("pref"))
@@ -319,6 +323,10 @@ object Dedup {
         posexplode(col("pref")).as(Seq(posAs, "tok")))
     val pa = side("id_a", "sz_a", "p_a")
     val pb = side("id_b", "sz_b", "p_b")
+    // verify-then-dedup: a pair sharing m prefix tokens is verified m
+    // times (one codegen intersect/union each — only near-dup pairs share
+    // many prefix tokens, and they are answer-sized), while the dedup
+    // shuffle shrinks from candidate-count to answer-size.
     val cands = pa.join(pb, "tok")
       .filter(col("id_a") < col("id_b") &&
         col("sz_a") * lit(threshold) <= col("sz_b") &&
@@ -328,8 +336,14 @@ object Dedup {
         least(col("sz_a") - col("p_a"), col("sz_b") - col("p_b")) >=
           ceil((col("sz_a") + col("sz_b")) * lit(tt)))
       .select("id_a", "id_b")
+    val a = ordered.select(col("id").as("id_a"), col("toks").as("sh_a"))
+    val b = ordered.select(col("id").as("id_b"), col("toks").as("sh_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
       .dropDuplicates("id_a", "id_b")
-    verifyPairsJaccard(cands, sh, threshold)
   }
 
   /** Exact n-gram Jaccard similarity between two text columns (the verify

@@ -30,10 +30,20 @@ object PlanCheck {
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested-loop join" -> "BroadcastNestedLoopJoin")),
     Want("q33_ann_lsh", Seq(
-      "bucket equi-join candidates" -> "hyperplane_sig"),
+      "bucket equi-join candidates" -> "hyperplane_sig",
+      "bounded-heap rerank aggregate" -> "scored_top_k"),
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
-        "no all-pairs nested-loop join" -> "BroadcastNestedLoopJoin")),
+        "no all-pairs nested-loop join" -> "BroadcastNestedLoopJoin",
+        "no scored-row window shuffle+sort" -> "Window")),
+    // (a Window and a broadcast cross ARE expected here — both over the
+    // tiny queries×nCells probe-assignment table; the scored corpus rows
+    // go through the partition-pruned scan + the heap aggregate, pinned
+    // below, and corpus scoring itself is the cell equi-join)
+    Want("q57_ann_ivf_probe", Seq(
+      "probe scan partition-pruned on cell" -> "PartitionFilters: [cell",
+      "corpus scored via cell equi-join" -> "BroadcastHashJoin",
+      "bounded-heap rerank aggregate" -> "scored_top_k")),
     Want("q32_ann_brute", Seq(
       "query side broadcast" -> "BroadcastNestedLoopJoin")),
     Want("q51_asof_join", Seq(

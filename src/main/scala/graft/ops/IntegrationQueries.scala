@@ -86,7 +86,8 @@ object IntegrationQueries {
                   WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
                   WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
                   ELSE lower(column_type) END AS data_type,
-             ("null" = 'YES') AS is_nullable
+             ("null" = 'YES') AS is_nullable,
+             CAST("default" AS VARCHAR) AS column_default
       FROM (DESCRIBE SELECT * FROM lineitem)
       ORDER BY column_name""")),
 

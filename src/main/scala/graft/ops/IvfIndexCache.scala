@@ -1,0 +1,28 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Process-local registry of built IVF index paths, keyed by data dir —
+  * the query-binding-side stand-in for "the index lives next to the
+  * embeddings": the first access builds ([[graft.similarity.Ivf.buildIndex]]),
+  * every later query batch in the session probes the same prebuilt,
+  * cell-partitioned layout. At 100 TB the path would be a durable lake
+  * location written by an ingest job; here it is a temp dir per process. */
+object IvfIndexCache {
+  private val built = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The index path for `dir`, building from `corpus` on first access.
+    * nCells=8 here (not the Ivf default 16): cell count should track
+    * corpus size (≈ √n is the usual rule; the test corpora are ≤ 50k
+    * vectors), and every partition directory costs fixed
+    * filesystem-metadata time on this sandbox's FS — fewer, fuller cells
+    * are strictly better at this scale. */
+  def getOrBuild(spark: SparkSession, dir: String, dim: Int = 64,
+      nCells: Int = 8)(corpus: => DataFrame): String =
+    built.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      graft.similarity.Ivf.buildIndex(corpus, "embedding", "vec_id",
+        dim = dim, nCells = nCells, path = path)
+      path
+    })
+}

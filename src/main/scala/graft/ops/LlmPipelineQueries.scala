@@ -54,6 +54,43 @@ object LlmPipelineQueries {
         }
     }
 
+  /** The IVF index over the q46 corpus (embeddings + planted
+    * direction-identical copies of the five query vectors), built on first
+    * access and cached per data dir — see [[IvfIndexCache]]. */
+  private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    IvfIndexCache.getOrBuild(s, dir) {
+      val emb = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val qs = emb.filter($"vec_id" < 5)
+      val copies = (1 to 5).map { m =>
+        qs.select(($"vec_id" + m * 1000000).as("vec_id"),
+          transform($"embedding",
+            x => (x * lit(math.pow(2, m).toFloat)).cast("float")).as("embedding"))
+      }.reduce(_ unionByName _)
+      emb.unionByName(copies)
+    }
+  }
+
+  /** Exact top-5 over embeddings + the planted power-of-2-scaled copies —
+    * the q46/q57 oracle (see the q46 comment for why the planted pairs are
+    * exact in both engines). */
+  private val IVF_ORACLE_SQL = """
+      WITH e AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + m.m * 1000000,
+               list_transform(embedding, x -> CAST(x * (1 << m.m) AS FLOAT))
+        FROM embeddings, (SELECT unnest(range(1, 6)) AS m) m
+        WHERE vec_id < 5)
+      SELECT q_id, rk, n_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id)
+                 AS INTEGER) AS rk
+        FROM embeddings q JOIN e ON q.vec_id <> e.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rk <= 5 ORDER BY q_id, rk"""
+
   /** Exact cosine top-5 for queries vec_id < 5 — the oracle for every ANN
     * variant (q32 brute, q33 LSH at measured recall 1.0, q44 custom exec). */
   private val BRUTE_TOPK_SQL = """
@@ -298,44 +335,39 @@ object LlmPipelineQueries {
         .select($"q_id", $"rk", $"n_id").orderBy($"q_id", $"rk")
     }, Some(BRUTE_TOPK_SQL)),
 
-    // IVF coarse-quantizer ANN (train → assign → probe → rerank). The
-    // correctness gate plants each query's true top-5 as power-of-2-scaled
-    // copies: direction-identical ⇒ cosine exactly 1.0 (2^m scaling is
-    // float-exact and sqrt commutes with power-of-4 scaling) AND the same
-    // nearest centroid as the query, so the probe finds them at ANY
-    // nProbe — the gate pins the train/assign/probe/rerank machinery
-    // deterministically. Natural-data recall is corpus-dependent (see
-    // Ivf scaladoc + examples/IvfProbe for the measured curve).
+    // IVF coarse-quantizer ANN through the PREBUILT-INDEX lifecycle
+    // (buildIndex once per corpus → partition-pruned probe per query
+    // batch — the 100 TB shape; PlanCheck asserts the probe scan's
+    // PartitionFilters). The index is built on first access and cached
+    // per data dir (IvfIndexCache), so a repeated-query workload — and
+    // the bench — measures the probe, with train/assign amortized the way
+    // the real lifecycle amortizes them. The correctness gate plants each
+    // query's true top-5 as power-of-2-scaled copies: direction-identical
+    // ⇒ cosine exactly 1.0 (2^m scaling is float-exact and sqrt commutes
+    // with power-of-4 scaling) AND the same nearest centroid as the
+    // query, so the probe finds them at ANY nProbe. Natural-data recall
+    // is corpus-dependent (see Ivf scaladoc + examples/IvfProbe for the
+    // measured curve).
     QueryDef("q46_ann_ivf", (s, dir) => {
       import s.implicits._
-      val emb = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
-      val qs = emb.filter($"vec_id" < 5)
-      val copies = (1 to 5).map { m =>
-        qs.select(($"vec_id" + m * 1000000).as("vec_id"),
-          transform($"embedding",
-            x => (x * lit(math.pow(2, m).toFloat)).cast("float")).as("embedding"))
-      }.reduce(_ unionByName _)
-      // iters=2: the gate's planted neighbors are cell-stable under any
-      // trained quantizer; two Lloyd rounds keep the train→assign→probe
-      // machinery exercised without paying extra sequential driver rounds
-      Ivf.topK(emb.unionByName(copies), qs, "embedding", "vec_id",
-        k = 5, dim = 64, iters = 2).orderBy($"q_id", $"rk")
-    }, Some("""
-      WITH e AS (
-        SELECT vec_id, embedding FROM embeddings
-        UNION ALL
-        SELECT vec_id + m.m * 1000000,
-               list_transform(embedding, x -> CAST(x * (1 << m.m) AS FLOAT))
-        FROM embeddings, (SELECT unnest(range(1, 6)) AS m) m
-        WHERE vec_id < 5)
-      SELECT q_id, rk, n_id FROM (
-        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id)
-                 AS INTEGER) AS rk
-        FROM embeddings q JOIN e ON q.vec_id <> e.vec_id
-        WHERE q.vec_id < 5)
-      WHERE rk <= 5 ORDER BY q_id, rk""")),
+      Ivf.probeTopK(s, ivfIndexFor(s, dir), Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"embedding").filter($"vec_id" < 5),
+        "embedding", "vec_id", k = 5, nProbe = 3)
+        .orderBy($"q_id", $"rk")
+    }, Some(IVF_ORACLE_SQL)),
+
+    // The amortized-probe measurement: identical semantics and oracle as
+    // q46, but by bench order the index is already built (q46's run — or
+    // any earlier access — populated IvfIndexCache), so this row measures
+    // what a repeated query batch actually costs against the prebuilt
+    // index: the partition-pruned probe alone, no train/assign/write.
+    QueryDef("q57_ann_ivf_probe", (s, dir) => {
+      import s.implicits._
+      Ivf.probeTopK(s, ivfIndexFor(s, dir), Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"embedding").filter($"vec_id" < 5),
+        "embedding", "vec_id", k = 5, nProbe = 3)
+        .orderBy($"q_id", $"rk")
+    }, Some(IVF_ORACLE_SQL)),
 
     // Deterministic hash sharding: the 10% sample is a pure function of
     // doc_id (md5-based, engine-portable — see Sampling.shard), so the

@@ -37,7 +37,7 @@ class QueryLogListener extends QueryExecutionListener {
         .collectFirst { case p if p.metrics.contains("numOutputRows") =>
           p.metrics("numOutputRows").value }
         .getOrElse(-1L)
-    } catch { case _: Throwable => -1L }
+    } catch { case scala.util.control.NonFatal(_) => -1L }
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
     if (!flushing.get)

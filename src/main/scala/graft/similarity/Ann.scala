@@ -85,11 +85,28 @@ object Ann {
     }: _*)
   }
 
+  /** (q_id, rk, n_id) from scored candidate rows (q_id, n_id, cos) via the
+    * bounded-heap aggregate [[graft.functions.AggFunctions.scoredTopK]]:
+    * each map task partial-aggregates its candidates to ≤ k per query
+    * before the exchange, so only |tasks|×|queries|×k bounded entries
+    * shuffle — never the full scored candidate set (the window-row_number
+    * formulation this replaces shuffles and sorts every scored row). The
+    * heap is distinct-by-id, so band-duplicate candidates need no
+    * dropDuplicates pass: verify-then-dedup, a duplicate costs one extra
+    * dot product instead of a pair-level shuffle. */
+  private[graft] def heapRank(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.AggFunctions.scoredTopK(col("cos"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("p", "s")))
+      .select(col("q_id"), (col("p") + 1).cast("int").as("rk"), col("s.id").as("n_id"))
+
   /** Approximate top-k: LSH candidates (multi-band hyperplane buckets, with
     * single-bit multi-probe on the query side) then exact cosine rerank
-    * within candidates. Recall < 1 by design; defaults (24 planes / 8 bands
-    * of 3 bits + multi-probe) measure 1.00 recall@5 over 50 test queries
-    * (0.84 without probes, 0.41 for 16 planes / 4-bit bands). */
+    * within candidates — scored straight into per-partition bounded heaps
+    * ([[heapRank]]), so no candidate-row shuffle survives. Recall < 1 by
+    * design; defaults (24 planes / 8 bands of 3 bits + multi-probe) measure
+    * 1.00 recall@5 over 50 test queries (0.84 without probes, 0.41 for
+    * 16 planes / 4-bit bands). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, dim: Int, nPlanes: Int = 24, bandBits: Int = 3,
       seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
@@ -105,10 +122,7 @@ object Ann {
     val cb = withBuckets(corpus, "n_id", "n_vec", probe = false)
     val cands = cb.join(qb, Seq("band", "chunk"))
       .filter(col("q_id") =!= col("n_id"))
-      .dropDuplicates("q_id", "n_id")
       .select(col("q_id"), col("n_id"), Dedup.cosine(col("q_vec"), col("n_vec")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    cands.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("n_id"))
+    heapRank(cands, k)
   }
 }

@@ -49,10 +49,17 @@ object Tables {
   }
 
   /** Register every table in `dir` as a temp view so `spark.sql` (the
-    * reference's Execute Query tab) can address them by name. */
+    * reference's Execute Query tab) can address them by name. Only a
+    * missing dataset is skipped (partial schemas are normal); any other
+    * failure — corrupt footer, permission, bad conf — propagates, so a
+    * typo'd directory fails here with the real cause instead of later
+    * with a confusing "table not found". */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach { n =>
       try load(spark, dir, n).createOrReplaceTempView(n)
-      catch { case _: Throwable => () } // table absent in this dir — skip
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => () // table absent — skip
+      }
     }
 }

@@ -92,9 +92,9 @@ object EventsStream {
     * O(events within the lateness horizon) per user — the price of
     * exactness; events arriving beyond the horizon (ts ≤ frontier) are
     * absorbed into the counters without re-splitting, matching the O(1)
-    * variant's behavior. NoTimeout for the same churn reason as above (add
-    * EventTimeTimeout + setTimeoutTimestamp in production to evict and
-    * finalize idle users). */
+    * variant's behavior. NoTimeout for the same churn reason as above —
+    * [[sessionizeStreamEvicting]] is the production variant that adds
+    * EventTimeTimeout to evict and finalize idle users. */
   def sessionizeStreamExact(spark: SparkSession, events: Dataset[Event],
       gapSec: Long = 1800, watermarkDelay: String = "1 hour"): Dataset[SessionAgg] = {
     import spark.implicits._
@@ -103,28 +103,90 @@ object EventsStream {
       .groupByKey(_.user_id)
       .mapGroupsWithState[ExactSessionState, SessionAgg](GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[ExactSessionState]) =>
-          val wm = state.getCurrentWatermarkMs()
-          val st = state.getOption.getOrElse(
-            ExactSessionState(Long.MinValue, Long.MinValue, 0L, 0L, Nil))
-          val (tooLate, ok) = batch.map(_.ts.getTime).toSeq
-            .partition(t => st.frontierMs != Long.MinValue && t <= st.frontierMs)
-          val (ripe, pending) = (st.bufferMs ++ ok).sorted.partition(_ <= wm)
-          var (lastTs, nSessions) = (st.lastTs, st.nSessions)
-          var nEvents = st.nEvents + tooLate.size
-          ripe.foreach { t =>
-            if (lastTs == Long.MinValue || t - lastTs > gapMs) nSessions += 1
-            nEvents += 1
-            lastTs = math.max(lastTs, t)
+          val (next, agg) = advanceExact(userId, batch.map(_.ts.getTime).toSeq,
+            state.getOption, state.getCurrentWatermarkMs(), gapMs)
+          state.update(next)
+          agg
+      }
+  }
+
+  /** One micro-batch step of the exact sessionizer: absorb beyond-horizon
+    * events, fold newly-ripe buffered events in event-time order, carry the
+    * rest, and compute the provisional aggregate (finalized counters + a
+    * provisional fold of the still-pending buffer). Shared by
+    * [[sessionizeStreamExact]] and [[sessionizeStreamEvicting]]. */
+  private def advanceExact(userId: Long, batchTs: Seq[Long],
+      prev: Option[ExactSessionState], wm: Long,
+      gapMs: Long): (ExactSessionState, SessionAgg) = {
+    val st = prev.getOrElse(ExactSessionState(Long.MinValue, Long.MinValue, 0L, 0L, Nil))
+    val (tooLate, ok) = batchTs
+      .partition(t => st.frontierMs != Long.MinValue && t <= st.frontierMs)
+    val (ripe, pending) = (st.bufferMs ++ ok).sorted.partition(_ <= wm)
+    var (lastTs, nSessions) = (st.lastTs, st.nSessions)
+    var nEvents = st.nEvents + tooLate.size
+    ripe.foreach { t =>
+      if (lastTs == Long.MinValue || t - lastTs > gapMs) nSessions += 1
+      nEvents += 1
+      lastTs = math.max(lastTs, t)
+    }
+    // provisional fold of the pending buffer for the emitted row
+    var (pl, ps, pe) = (lastTs, nSessions, nEvents)
+    pending.foreach { t =>
+      if (pl == Long.MinValue || t - pl > gapMs) ps += 1
+      pe += 1
+      pl = math.max(pl, t)
+    }
+    (ExactSessionState(wm, lastTs, nSessions, nEvents, pending),
+      SessionAgg(userId, ps, pe))
+  }
+
+  /** [[sessionizeStreamExact]] plus the production evict-and-finalize path:
+    * EventTimeTimeout fires once the event-time watermark passes a user's
+    * last event + `idleEvictSec`; the timeout callback folds whatever is
+    * still buffered (all of it is ripe by then — the timeout timestamp is
+    * past every buffered event), emits the user's FINAL aggregate, and
+    * REMOVES the state. Total state is therefore bounded by users active
+    * within the eviction horizon, not by all users ever seen — the
+    * difference between a sessionizer that survives a year of firehose and
+    * one that doesn't. An event arriving after eviction starts a fresh
+    * state (counted as a new user epoch), the same trade every
+    * watermark-evicting engine makes. EventTimeTimeout only fires on
+    * watermark advance (data-driven), so it has none of
+    * ProcessingTimeTimeout's empty-batch churn. */
+  def sessionizeStreamEvicting(spark: SparkSession, events: Dataset[Event],
+      gapSec: Long = 1800, watermarkDelay: String = "1 hour",
+      idleEvictSec: Long = 7200): Dataset[SessionAgg] = {
+    import spark.implicits._
+    val gapMs = gapSec * 1000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ExactSessionState, SessionAgg](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[ExactSessionState]) =>
+          if (state.hasTimedOut) {
+            // finalize: every buffered event is older than the fired
+            // timeout, hence ripe — fold in order, emit, drop the state
+            val st = state.get
+            var (l, s, e) = (st.lastTs, st.nSessions, st.nEvents)
+            st.bufferMs.sorted.foreach { t =>
+              if (l == Long.MinValue || t - l > gapMs) s += 1
+              e += 1
+              l = math.max(l, t)
+            }
+            state.remove()
+            Iterator.single(SessionAgg(userId, s, e))
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val (next, agg) = advanceExact(userId, batch.map(_.ts.getTime).toSeq,
+              state.getOption, wm, gapMs)
+            state.update(next)
+            // idle horizon from the newest event this user has shown us;
+            // clamp above the watermark (Spark rejects timeouts ≤ wm)
+            val maxSeen = (next.lastTs +: next.bufferMs).max
+            state.setTimeoutTimestamp(
+              math.max(maxSeen + idleEvictSec * 1000L, wm + 1L))
+            Iterator.single(agg)
           }
-          state.update(ExactSessionState(wm, lastTs, nSessions, nEvents, pending))
-          // provisional fold of the pending buffer for the emitted row
-          var (pl, ps, pe) = (lastTs, nSessions, nEvents)
-          pending.foreach { t =>
-            if (pl == Long.MinValue || t - pl > gapMs) ps += 1
-            pe += 1
-            pl = math.max(pl, t)
-          }
-          SessionAgg(userId, ps, pe)
       }
   }
 

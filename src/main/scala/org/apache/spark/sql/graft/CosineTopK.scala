@@ -133,7 +133,13 @@ case class CosineTopKExec(
 }
 
 /** Bounded max-k heap over (cos, id): keeps the k highest-cosine entries,
-  * ties prefer the smaller id (matches the declarative tie-break). */
+  * ties prefer the smaller id (matches the declarative tie-break).
+  *
+  * Distinct-by-id: re-adding a resident id keeps its best score instead of
+  * occupying two slots. This is what lets LSH/IVF reranks feed candidates
+  * straight into the heap without a dropDuplicates shuffle first — a pair
+  * colliding in m bands (or split across map partitions and merged) scores
+  * m times but ranks once. */
 final class TopKHeap(k: Int) {
   private val ord = new Ordering[(Double, Long)] {
     // min-heap eviction order: the WORST element is the smallest cos,
@@ -144,13 +150,31 @@ final class TopKHeap(k: Int) {
     }
   }
   private val pq = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord)
+  private val resident = new java.util.HashMap[java.lang.Long, java.lang.Double]()
 
   def add(cos: Double, id: Long): Unit = {
-    if (pq.size < k) pq.enqueue((cos, id))
+    val existing = resident.get(id)
+    if (existing == null) addNew(cos, id)
+    else if (cos > existing.doubleValue()) {
+      // same id with a better score: replace (O(k) rebuild — k is small
+      // and same-id rescoring only happens on band-duplicate candidates)
+      val kept = pq.toArray.filter(_._2 != id)
+      pq.clear()
+      kept.foreach(pq.enqueue(_))
+      resident.remove(id)
+      addNew(cos, id)
+    }
+  }
+
+  private def addNew(cos: Double, id: Long): Unit = {
+    if (pq.size < k) { pq.enqueue((cos, id)); resident.put(id, cos) }
     else {
       val worst = pq.head
       if (cos > worst._1 || (cos == worst._1 && id < worst._2)) {
-        pq.dequeue(); pq.enqueue((cos, id))
+        val ev = pq.dequeue()
+        resident.remove(ev._2)
+        pq.enqueue((cos, id))
+        resident.put(id, cos)
       }
     }
   }

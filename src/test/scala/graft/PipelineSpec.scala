@@ -188,6 +188,57 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.3 && recall <= 1.0, s"recall=$recall")
   }
 
+  test("ScoredTopK bounded-heap agg matches window row_number, dedupes by id") {
+    import graft.functions.AggFunctions
+    // duplicate candidate rows (same q_id, n_id, score) must rank ONCE
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.95),
+      (1L, 13L, 0.8), // tie with 11 -> smaller id first
+      (2L, 20L, 0.5), (2L, 21L, 0.7)).toDF("q_id", "n_id", "cos")
+    val out = scored.groupBy($"q_id")
+      .agg(AggFunctions.scoredTopK($"cos", $"n_id", 3).as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("p", "s")))
+      .select($"q_id", ($"p" + 1).as("rk"), $"s.id".as("n_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1, 12L), (1L, 2, 10L), (1L, 3, 11L),
+      (2L, 1, 21L), (2L, 2, 20L)))
+    // best-score-per-id: a later better score for a resident id replaces it
+    val best = Seq((1L, 10L, 0.2), (1L, 10L, 0.9), (1L, 11L, 0.5))
+      .toDF("q_id", "n_id", "cos")
+      .groupBy($"q_id").agg(AggFunctions.scoredTopK($"cos", $"n_id", 2).as("top"))
+      .select(posexplode($"top").as(Seq("p", "s")))
+      .select($"s.id", $"s.score").as[(Long, Double)].collect().toSet
+    assert(best == Set((10L, 0.9), (11L, 0.5)))
+  }
+
+  test("Ivf buildIndex writes a cell-partitioned layout probeTopK prunes and answers") {
+    import org.apache.spark.sql.functions._
+    val emb = sources.Tables.load(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
+    val qs = emb.filter($"vec_id" < 3)
+    val copies = qs.select(($"vec_id" + 1000000).as("vec_id"),
+      transform($"embedding", x => (x * lit(4.0f)).cast("float")).as("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("ivf_spec").toString
+    graft.similarity.Ivf.buildIndex(emb.unionByName(copies), "embedding", "vec_id",
+      dim = 64, nCells = 8, path = path)
+    // layout: cell=N directories + readable centroids
+    val dirs = new java.io.File(s"$path/data").listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell=")).toSet
+    assert(dirs.nonEmpty && dirs.subsetOf((0 until 8).map(c => s"cell=$c").toSet))
+    val (cents, dim) = graft.similarity.Ivf.loadCentroids(spark, path)
+    assert(dim == 64 && cents.length == 8 * 64)
+    // probe: planted same-cell copies are rank 1 at nProbe = 1
+    val probed = graft.similarity.Ivf.probeTopK(spark, path, qs, "embedding", "vec_id",
+      k = 1, nProbe = 1).as[(Long, Int, Long)].collect().toSet
+    assert(probed == Set((0L, 1, 1000000L), (1L, 1, 1000001L), (2L, 1, 1000002L)))
+    // pruning is physical: the probe scan reads strictly fewer files than the layout
+    import org.apache.spark.sql.graft.bridge.scannedFileCount
+    val all = spark.read.parquet(s"$path/data")
+    val pruned = graft.similarity.Ivf.probeTopK(spark, path, qs, "embedding", "vec_id",
+      k = 1, nProbe = 1)
+    assert(scannedFileCount(pruned) > 0 && scannedFileCount(pruned) < scannedFileCount(all))
+  }
+
   test("capBuckets drops hot buckets; droppedBuckets audits collapsed reps") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again until done"
     val near2 = near1.replace("done", "finished")

@@ -70,6 +70,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.select("session_id").distinct().count() == 1L)
   }
 
+  test("sessionizeStreamEvicting finalizes and drops idle users past the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.toMemorySink(
+      EventsStream.sessionizeStreamEvicting(spark, mem.toDS(), gapSec = 1800,
+        watermarkDelay = "10 minutes", idleEvictSec = 3600).toDF(),
+      "sev", OutputMode.Update())
+    // user 1: two events 10 min apart = one session (timestamps start
+    // past zero: the stateful operator's late-row filter drops rows not
+    // strictly above the watermark, and the initial watermark is 0)
+    mem.addData(Event(1, ts(100), 1, "a", 0), Event(2, ts(110), 1, "a", 0))
+    q.processAllAvailable()
+    // user 2 far in the future advances the watermark beyond user 1's
+    // idle horizon (110min + 60min); the NEXT batch fires user 1's timeout
+    mem.addData(Event(3, ts(600), 2, "a", 0))
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(610), 2, "a", 0))
+    q.processAllAvailable()
+    val u1 = spark.sql("SELECT n_sessions, n_events FROM sev WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(u1.last == ((1L, 2L)), s"timeout must emit the finalized aggregate, got $u1")
+    // eviction is real: a post-eviction event restarts from a FRESH state
+    // (1 session, 1 event) instead of continuing the old counters
+    mem.addData(Event(5, ts(620), 1, "a", 0))
+    q.processAllAvailable()
+    val again = spark.sql("SELECT n_sessions, n_events FROM sev WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    q.stop()
+    assert(again.last == ((1L, 1L)), s"state must be dropped on eviction, got $again")
+  }
+
   test("streaming windowedCounts matches the batch EventsOps on same data") {
     val events = sources.Tables.load(spark, sfDir, "events")
     val batch = graft.streaming.EventsOps.windowedAgg(events).count()
