@@ -33,6 +33,10 @@ object GraftSession {
       // here), and local .crc shadow files double the file ops for data
       // parquet already checksums per-page.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // managed tables (the raw-SQL DML surface: CREATE TABLE / INSERT
+      // INTO) live in a per-process scratch warehouse, not the repo cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
       .getOrCreate()
     org.apache.hadoop.fs.FileSystem
       .getLocal(spark.sparkContext.hadoopConfiguration).setWriteChecksum(false)

@@ -518,6 +518,42 @@ object LlmPipelineQueries {
              CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
              CAST(RANK() OVER (ORDER BY CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) DESC)
                AS INTEGER) AS rnk
-      FROM seg GROUP BY seg ORDER BY seg"""))
+      FROM seg GROUP BY seg ORDER BY seg""")),
+
+    // Raw-SQL DML — the Execute Query tab's write path (the reference's
+    // keyword list, ref 387-393, routes INSERT/UPDATE/DELETE statements
+    // straight to the engine). Spark-native scope, stated honestly:
+    // CREATE TABLE + INSERT INTO a managed parquet table are first-class
+    // SQL (exercised here end-to-end: DDL → DML → SELECT readback all
+    // through spark.sql); UPDATE/DELETE on plain parquet have no ACID
+    // story in OSS Spark without a lakehouse table format — they are
+    // exposed as the Merge.updateByKey / Merge.deleteWhere rewrites
+    // (q18-q20), and SURVEY §1.4 documents that split.
+    QueryDef("q56_sql_dml", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("DROP TABLE IF EXISTS graft_dml_orders")
+      s.sql("""
+        CREATE TABLE graft_dml_orders USING parquet AS
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0""")
+      s.sql("""
+        INSERT INTO graft_dml_orders
+        SELECT o_orderkey, 'N' AS o_orderstatus, o_totalprice + 100.0
+        FROM orders WHERE o_orderkey % 3 = 1""")
+      s.sql("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM graft_dml_orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }, Some("""
+      WITH t AS (
+        SELECT o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'N', o_totalprice + 100.0
+        FROM orders WHERE o_orderkey % 3 = 1)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -34,11 +34,47 @@ object Reports {
         count(lit(1)).as("n"))
       .orderBy(col(x))
 
-  /** The "Export Report" action (ref 1297-1357) minus the matplotlib part:
-    * persist chart data + the full result table as CSV/JSON next to a tiny
-    * manifest, distributed write (no driver materialization). */
-  def exportReport(chartData: DataFrame, fullResult: DataFrame, outDir: String): Unit = {
+  /** The "Export Report" action (ref 1297-1357), rendering included:
+    * persist chart data (CSV) + the full result table (JSON, distributed
+    * write — no driver materialization) + the RENDERED chart as SVG
+    * ([[ChartSvg]] — the zero-dependency stand-in for the reference's
+    * matplotlib figure embedded in its PDF/PNG export) + a manifest tying
+    * the pieces together. Only the already-aggregated chart rows (capped
+    * at `maxChartRows` — past that no chart is readable anyway) ever
+    * reach the driver. */
+  def exportReport(chartData: DataFrame, fullResult: DataFrame, outDir: String,
+      chartType: String = "bar", title: String = "report",
+      maxChartRows: Int = 500): Unit = {
     chartData.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$outDir/chart_data")
     fullResult.write.mode("overwrite").json(s"$outDir/result")
+    val rows = chartData.limit(maxChartRows + 1).collect()
+    val clipped = rows.size > maxChartRows
+    val data = rows.take(maxChartRows).toSeq.map { r =>
+      val label = Option(r.get(0)).map(_.toString).getOrElse("null")
+      val v = r.get(1) match {
+        case null                 => 0.0
+        case n: java.lang.Number  => n.doubleValue()
+        case other                => other.toString.toDouble
+      }
+      (label, v)
+    }
+    val spark = chartData.sparkSession
+    writeText(spark, s"$outDir/chart.svg", ChartSvg.render(chartType, data, title))
+    writeText(spark, s"$outDir/manifest.json",
+      s"""{"title": "${title.replace("\"", "\\\"")}", "chart_type": "$chartType",
+         | "chart": "chart.svg", "chart_data": "chart_data/", "result": "result/",
+         | "chart_rows": ${data.size}, "chart_clipped": $clipped}
+         |""".stripMargin)
+  }
+
+  /** Small driver-side artifacts (svg/manifest) through the Hadoop FS API,
+    * so the export works against whatever DFS `outDir` lives on. */
+  private def writeText(spark: org.apache.spark.sql.SparkSession,
+      file: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

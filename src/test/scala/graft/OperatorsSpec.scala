@@ -64,13 +64,30 @@ class OperatorsSpec extends SparkSpec {
     assert(vc.head.getString(0) == "a" && vc.head.getLong(1) == 2L)
   }
 
-  test("exportReport writes chart data CSV and full result JSON") {
+  test("exportReport writes chart data CSV, full result JSON, rendered SVG + manifest") {
     val out = java.nio.file.Files.createTempDirectory("report").toString
     val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("x", "y")
-    Reports.exportReport(Reports.groupSum(df, "x", "y"), df, out)
+    Reports.exportReport(Reports.groupSum(df, "x", "y"), df, out,
+      chartType = "bar", title = "acct <&> by seg")
     val chart = spark.read.option("header", "true").csv(s"$out/chart_data")
     assert(chart.columns.toSeq == Seq("x", "sum_y") && chart.count() == 2)
     assert(spark.read.json(s"$out/result").count() == 3)
+    def parseXml(s: String): Unit =
+      javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(s.getBytes("UTF-8")))
+    val svg = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/chart.svg")), "UTF-8")
+    assert(svg.startsWith("<svg") && svg.contains("<rect") && svg.endsWith("</svg>\n"))
+    parseXml(svg) // well-formed, label-escaping included
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/manifest.json")), "UTF-8")
+    assert(manifest.contains("\"chart\": \"chart.svg\"")
+      && manifest.contains("\"chart_rows\": 2"))
+    // every chart type renders well-formed SVG, incl. single-slice pie
+    val data = Seq(("a", 1.0), ("b", 2.0), ("c", 0.5))
+    Seq("bar", "line", "pie").foreach(t =>
+      parseXml(graft.ops.ChartSvg.render(t, data, s"$t chart")))
+    parseXml(graft.ops.ChartSvg.pie(Seq(("only", 3.0)), "one slice"))
   }
 
   test("SavedQueries persists and runs by name") {
