@@ -26,6 +26,16 @@ object LlmPipelineQueries {
             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
           FROM documents)"""
 
+  /** [[SHINGLE_SETS_SQL]] generalized to word k-grams (same normalize +
+    * short-text whole-text fallback as [[graft.text.Shingling.wordShingles]]). */
+  private def shingleSetsSqlK(k: Int): String = s"""
+    SELECT doc_id, list_distinct(
+      CASE WHEN len(w) < $k THEN [array_to_string(w, ' ')]
+           ELSE [array_to_string(w[i:i+${k - 1}], ' ') FOR i IN range(1, len(w)-${k - 2})] END) AS s
+    FROM (SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+          FROM documents)"""
+
   /** DuckDB language-ID expression generated from TextAnalysis.langProfiles
     * — the heuristic and its tie-break (earliest profile wins) can't drift
     * from the Spark implementation. Used by q36 and q54. */
@@ -554,6 +564,85 @@ object LlmPipelineQueries {
         FROM orders WHERE o_orderkey % 3 = 1)
       SELECT o_orderstatus, COUNT(*) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-      FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+      FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Benchmark decontamination (eval-leakage guard): docs sharing any
+    // 8-word-gram with the benchmark set are dropped. The benchmark here
+    // is a slice of the corpus itself (doc_id % 97), so contamination is
+    // planted by construction; broadcast semi-join on the tiny benchmark
+    // gram set, answer-sized distinct - see TrainingPrep.decontaminate.
+    QueryDef("q58_decontaminate", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val bench = docs.filter($"doc_id" % 97 === 0)
+      TrainingPrep.decontaminate(docs, "text", "doc_id", bench, "text", k = 8)
+        .select($"doc_id").orderBy($"doc_id")
+    }, Some(s"""
+      WITH sh AS (${shingleSetsSqlK(8)}),
+      bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+      bad AS (SELECT DISTINCT t.doc_id
+              FROM (SELECT doc_id, unnest(s) AS g FROM sh) t JOIN bench USING (g))
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id""")),
+
+    // Repetition score (Gopher/C4-family quality signal): fraction of a
+    // doc's 3-grams that repeat an earlier one. Pure projection.
+    QueryDef("q59_repetition", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", TrainingPrep.repetitionScore($"text").as("rep_ratio"))
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH sh AS (${shingleSetsSqlK(3)}),
+      w AS (SELECT doc_id,
+                   len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS nw
+            FROM documents)
+      SELECT w.doc_id,
+             CASE WHEN w.nw < 3 THEN 0.0
+                  ELSE 1.0 - CAST(len(sh.s) AS DOUBLE) / (w.nw - 2) END AS rep_ratio
+      FROM w JOIN sh ON w.doc_id = sh.doc_id
+      ORDER BY w.doc_id""")),
+
+    // Greedy context-window packing: md5-sharded, id-ordered, running
+    // token offset -> sequence floor(t/512). The scalable replacement for
+    // driver-side "concatenate and split" - one per-shard window.
+    QueryDef("q60_pack_sequences", (s, dir) => {
+      import s.implicits._
+      TrainingPrep.packSequences(Tables.load(s, dir, "documents"), "text", "doc_id",
+        ctxTokens = 512, shards = 8)
+        .select($"doc_id", $"shard", $"n_tok", $"seq_id")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+               CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+        FROM documents)
+      SELECT doc_id, shard, n_tok,
+             CAST(floor((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok) / 512.0) AS BIGINT) AS seq_id
+      FROM t ORDER BY doc_id""")),
+
+    // Domain-mixture resampling: per-source keep rates (permille),
+    // deterministic md5 keep decision - reproducible on any engine.
+    QueryDef("q61_domain_mix", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val permille = when($"source".isin("src0", "src1", "src2", "src3", "src4"), 1000)
+        .when($"source".isin("src5", "src6", "src7", "src8", "src9"), 500)
+        .otherwise(100)
+      TrainingPrep.sampleByDomain(docs, "doc_id", permille)
+        .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+        .orderBy($"source")
+    }, Some("""
+      SELECT source, COUNT(*) AS n_kept
+      FROM (SELECT source,
+                   CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS h,
+                   CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1000
+                        WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
+                        ELSE 100 END AS permille
+            FROM documents)
+      WHERE h < permille
+      GROUP BY source ORDER BY source"""))
   )
 }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.{Shingling, TextAnalysis}
+
+/** Training-corpus preparation operators beyond cleaning/dedup: the stages
+  * a large-scale LLM data pipeline runs between "filtered corpus" and
+  * "batches on the trainer" — benchmark decontamination, repetition
+  * scoring, context-window packing, domain-mixture resampling. All are
+  * single-projection or single-window transforms: no driver-side state,
+  * nothing that degrades at corpus scale.
+  */
+object TrainingPrep {
+
+  /** Benchmark decontamination: drop every document sharing at least one
+    * word k-gram with the benchmark corpus (the standard guard against
+    * evaluation leakage into training data; k≈8-13 words in published
+    * pipelines — small k over-matches, large k under-matches).
+    *
+    * Scale shape: the benchmark side (eval suites) is tiny by nature →
+    * its distinct k-grams broadcast; the corpus side streams through one
+    * explode + broadcast semi-join, so the only shuffle is the distinct
+    * over CONTAMINATED ids — answer-sized. Documents shorter than k words
+    * fall back to a whole-text gram on both sides (exact-match semantics
+    * for short texts, same rule as [[Shingling.wordShingles]]). */
+  def decontaminate(docs: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int = 8): DataFrame = {
+    val docGrams = docs.select(col(idCol),
+      explode(Shingling.wordShingles(col(textCol), k)).as("g"))
+    val benchGrams = benchmark
+      .select(explode(Shingling.wordShingles(col(benchTextCol), k)).as("g"))
+      .distinct()
+    val contaminated = docGrams.join(broadcast(benchGrams), "g")
+      .select(idCol).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Repetition score (Gopher/C4-family quality signal): the fraction of a
+    * document's word k-grams that are repeats of an earlier k-gram —
+    * 0.0 = no repetition, → 1.0 for degenerate loop spam. Documents
+    * shorter than k words score 0. Pure codegen projection. */
+  def repetitionScore(text: Column, k: Int = 3): Column = {
+    val toks = split(TextAnalysis.normalize(text), " ", -1)
+    val total = size(toks) - (k - 1)
+    when(size(toks) < k, lit(0.0))
+      .otherwise(lit(1.0) - size(Shingling.wordShingles(text, k)).cast("double") / total)
+  }
+
+  /** Greedy context-window packing: assign documents to fixed-size token
+    * sequences (the "pack short documents into one context window"
+    * trainer-prep step). Deterministic and engine-portable: documents are
+    * hash-sharded ([[Sampling.shard]] — md5-based, reproducible anywhere),
+    * ordered by id within the shard, and a document starting at running
+    * token offset t goes to sequence floor(t / ctxTokens).
+    *
+    * Scale shape: one shuffle (the per-shard window); shards bound each
+    * window partition (pick shards ≈ cores × a few at any corpus size),
+    * so no partition ever holds more than corpus/shards rows — this is
+    * the operator that replaces the driver-side "concatenate everything
+    * then split" loop that cannot scale. */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+      ctxTokens: Int, shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    docs.select(col(idCol),
+        TextAnalysis.wsTokenCount(col(textCol)).as("n_tok"),
+        Sampling.shard(col(idCol), shards, salt = "pack").as("shard"))
+      .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+      .select(col(idCol), col("shard"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / lit(ctxTokens.toDouble)).cast("long")
+          .as("seq_id"))
+  }
+
+  /** Domain-mixture resampling: keep each document with a per-source
+    * probability (the "raise Wikipedia, downsample CommonCrawl" mixing
+    * step), deterministically — the keep decision is a pure md5 function
+    * of the id, so the same mixture is reproducible on any engine and
+    * auditable row by row. `permille(source)` gives the keep rate in
+    * thousandths. One codegen'd filter; no shuffle. */
+  def sampleByDomain(docs: DataFrame, idCol: String,
+      permille: Column): DataFrame =
+    docs.filter(Sampling.shard(col(idCol), 1000, salt = "mix") < permille)
+}

@@ -239,6 +239,58 @@ class PipelineSpec extends SparkSpec {
     assert(scannedFileCount(pruned) > 0 && scannedFileCount(pruned) < scannedFileCount(all))
   }
 
+  test("TrainingPrep: decontaminate, repetition, packing, domain mix") {
+    import graft.ops.{Sampling, TrainingPrep}
+    // decontaminate: doc 2 shares an 8-gram with the benchmark doc, doc 3 doesn't
+    val bench = Seq((100L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "totally unrelated words that never appear in the benchmark corpus at all"),
+      (2L, "prefix words then one two three four five six seven eight and a tail"),
+      (3L, "one two three four five six seven shared but only seven grams long"))
+      .toDF("doc_id", "text")
+    val kept = TrainingPrep.decontaminate(docs, "text", "doc_id", bench, "text", k = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+
+    // repetition: looped text scores high, distinct text scores 0
+    val rep = Seq(("a b c a b c a b c a b c", 1), ("all words here are distinct now", 2))
+      .toDF("t", "i")
+      .select(TrainingPrep.repetitionScore($"t").as("r")).as[Double].collect()
+    assert(rep(0) > 0.6 && rep(1) == 0.0)
+
+    // packing: within a shard, seq_id is non-decreasing in id and starts at 0;
+    // a sequence's token count can only overflow ctx by its LAST doc
+    val corpus = sources.Tables.load(spark, sfDir, "documents")
+    val packed = TrainingPrep.packSequences(corpus, "text", "doc_id", ctxTokens = 512, shards = 4)
+    val byShard = packed.select("shard", "doc_id", "n_tok", "seq_id")
+      .as[(Long, Long, Int, Long)].collect().groupBy(_._1)
+    byShard.values.foreach { rows =>
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.head._4 == 0L)
+      assert(ordered.sliding(2).forall(p => p.length < 2 || p(0)._4 <= p(1)._4))
+      // start-offset rule: every doc's start offset lies inside its sequence
+      var cum = 0L
+      ordered.foreach { case (_, _, n, seq) =>
+        assert(cum / 512 == seq)
+        cum += n
+      }
+    }
+    // deterministic: same inputs, same assignment
+    val again = TrainingPrep.packSequences(corpus, "text", "doc_id", 512, 4)
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().toSet
+    assert(again == packed.select("doc_id", "seq_id").as[(Long, Long)].collect().toSet)
+
+    // domain mix: deterministic, and rates order as 1000 > 500 > 100 kept fractions
+    val permille = when($"source".isin("src0"), 1000)
+      .when($"source".isin("src1"), 500).otherwise(100)
+    val mixed = TrainingPrep.sampleByDomain(corpus, "doc_id", permille)
+    val keptBySrc = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    val totBySrc = corpus.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(keptBySrc("src0") == totBySrc("src0")) // permille 1000 keeps all
+    val frac500 = keptBySrc("src1").toDouble / totBySrc("src1")
+    assert(frac500 > 0.3 && frac500 < 0.7, s"src1 kept fraction $frac500")
+  }
+
   test("capBuckets drops hot buckets; droppedBuckets audits collapsed reps") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again until done"
     val near2 = near1.replace("done", "finished")
