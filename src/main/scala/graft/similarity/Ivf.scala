@@ -149,6 +149,26 @@ object Ivf {
     } finally out.close()
   }
 
+  /** Incremental index maintenance: assign NEW corpus vectors with the
+    * index's EXISTING centroids and append them to the cell-partitioned
+    * layout — the daily-ingest path (quantizers are retrained rarely;
+    * day-over-day data keeps the trained geometry). Dynamic partition
+    * append: only the cells the new batch lands in gain files; existing
+    * data is untouched, and probes see the union immediately. Retrain +
+    * [[buildIndex]] from scratch when drift warrants it. */
+  def appendToIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
+      path: String, writeTasks: Int = 0): Unit = {
+    val spark = newCorpus.sparkSession
+    val (cents, dim) = loadCentroids(spark, path)
+    val nCells = cents.length / dim
+    val tasks = if (writeTasks > 0) writeTasks else nCells
+    newCorpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        sqrt(dotF(col(vecCol), col(vecCol))).as("n_nrm"),
+        nearestCentroid(col(vecCol), cents, dim).as("cell"))
+      .repartitionByRange(tasks, col("cell"), col("n_id"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/data")
+  }
+
   /** Centroids persisted by [[buildIndex]], row-major, plus dim. */
   def loadCentroids(spark: SparkSession, path: String): (Array[Double], Int) = {
     val p = new org.apache.hadoop.fs.Path(s"$path/centroids.txt")

@@ -101,6 +101,44 @@ class StreamingSpec extends SparkSpec {
     assert(again.last == ((1L, 1L)), s"state must be dropped on eviction, got $again")
   }
 
+  test("StreamingDedup keeps first arrival per fingerprint; Ivf.appendToIndex extends a built index") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = EventsStream.toMemorySink(
+      graft.streaming.StreamingDedup.dedupStream(df, "text", "ts", "10 minutes"),
+      "sdd", OutputMode.Append())
+    mem.addData((1L, "hello world", ts(100)), (2L, "HELLO  world ", ts(101)),
+      (3L, "different text", ts(102)))
+    q.processAllAvailable()
+    mem.addData((4L, "hello world", ts(103))) // dup within horizon — dropped
+    q.processAllAvailable()
+    // advance watermark far past the horizon, then the fp is forgotten
+    mem.addData((5L, "way later", ts(500)))
+    q.processAllAvailable()
+    mem.addData((6L, "hello world", ts(501))) // past horizon — admitted again
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT doc_id FROM sdd").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids.intersect(Set(1L, 2L)).size == 1, s"one of the first-batch dups survives, got $ids")
+    assert(!ids.contains(4L) && ids.contains(3L) && ids.contains(5L))
+    assert(ids.contains(6L), "expired fingerprint must be admitted again (bounded state)")
+
+    // appendToIndex: new planted neighbor lands in the query's cell and wins
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = sources.Tables.load(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    graft.similarity.Ivf.buildIndex(emb, "embedding", "vec_id", dim = 64, nCells = 8, path = path)
+    val qs = emb.filter($"vec_id" === 1)
+    val newcomer = qs.select(($"vec_id" + 5000000).as("vec_id"),
+      transform($"embedding", x => (x * lit(8.0f)).cast("float")).as("embedding"))
+    graft.similarity.Ivf.appendToIndex(newcomer, "embedding", "vec_id", path)
+    val top = graft.similarity.Ivf.probeTopK(spark, path, qs, "embedding", "vec_id",
+      k = 1, nProbe = 1).select("n_id").as[Long].head()
+    assert(top == 5000001L, s"appended direction-identical vector must rank first, got $top")
+  }
+
   test("streaming windowedCounts matches the batch EventsOps on same data") {
     val events = sources.Tables.load(spark, sfDir, "events")
     val batch = graft.streaming.EventsOps.windowedAgg(events).count()
