@@ -46,6 +46,16 @@ object PlanCheck {
       "bounded-heap rerank aggregate" -> "scored_top_k")),
     Want("q32_ann_brute", Seq(
       "query side broadcast" -> "BroadcastNestedLoopJoin")),
+    Want("q58_decontaminate", Seq(
+      "benchmark gram set broadcast" -> "BroadcastHashJoin",
+      "anti-join keeps clean docs" -> "LeftAnti"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop contamination probe" -> "BroadcastNestedLoopJoin")),
+    Want("q60_pack_sequences", Seq(
+      "single per-shard window" -> "Window"),
+      mustNotContain = Seq(
+        "no extra shuffle beyond the shard window" -> "CartesianProduct")),
     Want("q51_asof_join", Seq(
       "single-shuffle window formulation" -> "Window"),
       mustNotContain = Seq(
