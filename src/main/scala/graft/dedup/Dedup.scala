@@ -258,12 +258,15 @@ object Dedup {
     val capped = capBuckets(chunked, Seq("band", "chunk"), maxBucket)
     val a = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
+    // verify first, dedup after (same trade as minHashPairs): a pair
+    // colliding in m chunks costs m-1 extra xor/popcounts, while the
+    // dedup shuffle shrinks from candidate-count to answer-size
     val repPairs = a.join(b, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
     expandPairs(repPairs, exactGroups(df, textCol, idCol), "hamming", lit(0))
       .orderBy("id_a", "id_b")
   }

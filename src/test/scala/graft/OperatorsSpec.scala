@@ -90,6 +90,18 @@ class OperatorsSpec extends SparkSpec {
     parseXml(graft.ops.ChartSvg.pie(Seq(("only", 3.0)), "one slice"))
   }
 
+  test("registerAll skips missing tables but surfaces corrupt ones") {
+    val dir = java.nio.file.Files.createTempDirectory("regall").toString
+    // empty dir: every table absent -> all skipped, no throw
+    Tables.registerAll(spark, dir)
+    // one corrupt dataset: must PROPAGATE (a typo'd/corrupt dir failing
+    // silently is the confusing-"table not found"-later bug)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/customer.parquet"),
+      "this is not parquet".getBytes("UTF-8"))
+    intercept[Exception] { Tables.registerAll(spark, dir) }
+  }
+
   test("SavedQueries persists and runs by name") {
     val f = java.nio.file.Files.createTempFile("sq", ".json").toString
     val sq = new graft.queries.SavedQueries(f)
