@@ -26,6 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash64", "simhash64(hashes) - 64-bit SimHash of an array of token hashes"),
       (args: Seq[Expression]) => SimHash64(args(0))))
 
+    ext.injectFunction((
+      FunctionIdentifier("scored_top_k"),
+      info("scored_top_k",
+        "scored_top_k(score, id, k) - aggregate: the k highest-score (score, id) pairs per group, distinct by id, sorted; partial-aggregates map-side"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "scored_top_k(score, id, k) takes 3 arguments")
+        require(args(2).foldable, "scored_top_k's k must be a literal")
+        ScoredTopK(args(0), args(1),
+          args(2).eval().asInstanceOf[Number].intValue())
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

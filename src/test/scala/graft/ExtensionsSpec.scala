@@ -21,6 +21,17 @@ class ExtensionsSpec extends AnyFunSuite {
       val sh = spark.sql("SELECT simhash64(array(1L, 3L, 3L)) AS s").head().getLong(0)
       assert(sh == 3L) // bits 0 and 1 win the vote (two 3s beat one 1 on bit 1)
 
+      // scored_top_k as a SQL aggregate: top-2 per group, distinct by id,
+      // ties prefer the smaller id
+      val top = spark.sql("""
+        SELECT g, scored_top_k(s, i, 2) AS t FROM VALUES
+          (1, 0.9D, 10L), (1, 0.9D, 10L), (1, 0.8D, 11L), (1, 0.95D, 12L),
+          (2, 0.5D, 20L) AS v(g, s, i)
+        GROUP BY g ORDER BY g""").collect()
+      val g1 = top(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getDouble(0), r.getLong(1)))
+      assert(g1 == Seq((0.95, 12L), (0.9, 10L)))
+      assert(top(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(20L))
+
       // ApproxDistinctRule: off by default (exact), HLL++ when enabled
       spark.range(1000).createOrReplaceTempView("r1k")
       val exact = spark.sql("SELECT COUNT(DISTINCT id) AS n FROM r1k").head().getLong(0)
