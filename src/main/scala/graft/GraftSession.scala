@@ -33,13 +33,16 @@ object GraftSession {
       // here), and local .crc shadow files double the file ops for data
       // parquet already checksums per-page.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // Without libhadoop, stock RawLocalFileSystem FORKS a chmod per
+      // created dir/file (~200 ms per fork here, serialized — thread
+      // dumps showed Shell.runCommand dominating partitioned writes);
+      // NioLocalFileSystem does the same permission op in-process.
+      .config("spark.hadoop.fs.file.impl", "graft.hadoop.NioLocalFileSystem")
       // managed tables (the raw-SQL DML surface: CREATE TABLE / INSERT
       // INTO) live in a per-process scratch warehouse, not the repo cwd
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
       .getOrCreate()
-    org.apache.hadoop.fs.FileSystem
-      .getLocal(spark.sparkContext.hadoopConfiguration).setWriteChecksum(false)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
