@@ -643,6 +643,32 @@ object LlmPipelineQueries {
                         ELSE 100 END AS permille
             FROM documents)
       WHERE h < permille
-      GROUP BY source ORDER BY source"""))
+      GROUP BY source ORDER BY source""")),
+
+    // int8 scalar quantization (embedding storage prep): 4x compression
+    // with bounded reconstruction error; codes are a pure double-math
+    // function with an explicit floor(x+0.5) rounding rule, so DuckDB
+    // reproduces them bit-for-bit - see Quantize.
+    QueryDef("q62_quantize_embed", (s, dir) => {
+      import s.implicits._
+      import graft.similarity.Quantize
+      Tables.load(s, dir, "embeddings")
+        .withColumn("scale", Quantize.scaleOf($"embedding"))
+        .select($"vec_id", $"scale",
+          array_join(transform(Quantize.codes($"embedding", $"scale"),
+            c => c.cast("string")), ",").as("codes"))
+        .orderBy($"vec_id")
+    }, Some("""
+      WITH t AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings)
+      SELECT vec_id, scale,
+             array_to_string(CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS INTEGER))
+             END, ',') AS codes
+      FROM t ORDER BY vec_id"""))
   )
 }

@@ -291,6 +291,28 @@ class PipelineSpec extends SparkSpec {
     assert(frac500 > 0.3 && frac500 < 0.7, s"src1 kept fraction $frac500")
   }
 
+  test("Quantize int8 roundtrip error is bounded by scale/254") {
+    import graft.similarity.Quantize
+    val emb = sources.Tables.load(spark, sfDir, "embeddings").limit(200)
+    val r = emb.withColumn("scale", Quantize.scaleOf($"embedding"))
+      .withColumn("codes", Quantize.codes($"embedding", $"scale"))
+      .withColumn("dq", Quantize.dequantize($"codes", $"scale"))
+      .select($"scale",
+        array_max(expr("zip_with(embedding, dq, (a, b) -> abs(CAST(a AS DOUBLE) - b))")).as("maxerr"),
+        array_max(transform($"codes", c => abs(c))).as("maxcode"))
+      .collect()
+    r.foreach { row =>
+      val (scale, maxerr, maxcode) = (row.getDouble(0), row.getDouble(1), row.getInt(2))
+      assert(maxerr <= scale / 254 + 1e-12, s"err $maxerr vs bound ${scale / 254}")
+      assert(maxcode <= 127)
+    }
+    // zero vector codes to zeros, no NaN
+    val z = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("scale", Quantize.scaleOf($"embedding"))
+      .select(Quantize.codes($"embedding", $"scale").as("c")).head().getSeq[Int](0)
+    assert(z == Seq(0, 0))
+  }
+
   test("capBuckets drops hot buckets; droppedBuckets audits collapsed reps") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again until done"
     val near2 = near1.replace("done", "finished")
