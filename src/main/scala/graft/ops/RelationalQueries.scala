@@ -349,6 +349,63 @@ object RelationalQueries {
              quantile_disc(o_totalprice, 0.75) AS p75,
              quantile_disc(o_totalprice, 0.95) AS p95,
              COUNT(*) AS n
-      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // UNPIVOT (melt): wide per-priority counts back to long (priority,
+    // status, n) rows via the stack() generator - the inverse of q13's
+    // conditional-aggregation pivot; DuckDB mirrors with UNION ALL.
+    QueryDef("q63_unpivot", (s, dir) => {
+      import s.implicits._
+      val wide = t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(when($"o_orderstatus" === "F", 1)).as("n_f"),
+          count(when($"o_orderstatus" === "O", 1)).as("n_o"),
+          count(when($"o_orderstatus" === "P", 1)).as("n_p"))
+      wide.select($"o_orderpriority",
+          expr("stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (status, n)"))
+        .filter($"n" > 0)
+        .orderBy($"o_orderpriority", $"status")
+    }, Some("""
+      WITH wide AS (
+        SELECT o_orderpriority,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, status, n FROM (
+        SELECT o_orderpriority, 'F' AS status, n_f AS n FROM wide
+        UNION ALL SELECT o_orderpriority, 'O', n_o FROM wide
+        UNION ALL SELECT o_orderpriority, 'P', n_p FROM wide)
+      WHERE n > 0
+      ORDER BY o_orderpriority, status""")),
+
+    // lead/lag + running totals: month-over-month revenue with delta vs
+    // the previous month and a cumulative sum - the analytic trio q12's
+    // ranking window doesn't cover. Decimal-exact sums (see SS5).
+    QueryDef("q64_lead_lag", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+        .agg(sum($"o_totalprice".cast("decimal(18,4)")).as("rev_d"))
+      val w = Window.orderBy($"month")
+      monthly
+        .withColumn("prev_rev", lag($"rev_d", 1).over(w))
+        .withColumn("cum_rev_d", sum($"rev_d").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"month", $"rev_d".cast("double").as("rev"),
+          ($"rev_d" - coalesce($"prev_rev", lit(0))).cast("double").as("delta"),
+          $"cum_rev_d".cast("double").as("cum_rev"))
+        .orderBy($"month")
+    }, Some("""
+      WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_d
+        FROM orders GROUP BY 1)
+      SELECT month, CAST(rev_d AS DOUBLE) AS rev,
+             CAST(rev_d - COALESCE(lag(rev_d) OVER (ORDER BY month), 0) AS DOUBLE) AS delta,
+             CAST(SUM(rev_d) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
+      FROM m ORDER BY month"""))
   )
 }

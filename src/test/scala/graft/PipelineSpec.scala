@@ -313,6 +313,30 @@ class PipelineSpec extends SparkSpec {
     assert(z == Seq(0, 0))
   }
 
+  test("CorpusPipeline: raw docs in, deduped/clean/packed shards out") {
+    import graft.ops.{CorpusPipeline, TrainingPrep}
+    val docs = sources.Tables.load(spark, sfDir, "documents").select($"doc_id", $"text")
+    // plant: an exact dup, a near-dup, and a benchmark-contaminated doc
+    val planted = Seq(
+      (900001L, docs.filter($"doc_id" === 3).head().getString(1)),          // exact dup of 3
+      (900002L, docs.filter($"doc_id" === 5).head().getString(1) + " tail") // near-dup of 5
+    ).toDF("doc_id", "text")
+    val corpus = docs.unionByName(planted)
+    val benchmark = docs.filter($"doc_id" % 101 === 0).limit(5)
+    val out = CorpusPipeline.prepare(corpus, benchmark, ctxTokens = 256, shards = 4)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    assert(!ids.contains(900001L), "exact dup must collapse to the min id")
+    assert(!ids.contains(900002L), "near-dup must drop in favor of the lower id")
+    assert(ids.contains(3L) && ids.contains(5L))
+    // benchmark docs contaminate themselves out
+    val benchIds = benchmark.select("doc_id").as[Long].collect().toSet
+    assert(ids.intersect(benchIds).isEmpty, "benchmark members must be decontaminated away")
+    // packed output carries a valid (shard, seq) assignment
+    val bad = out.filter($"seq_id" < 0 || $"shard" < 0 || $"shard" >= 4).count()
+    assert(bad == 0)
+  }
+
   test("capBuckets drops hot buckets; droppedBuckets audits collapsed reps") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again until done"
     val near2 = near1.replace("done", "finished")
