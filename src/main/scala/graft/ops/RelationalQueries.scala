@@ -406,6 +406,24 @@ object RelationalQueries {
       SELECT month, CAST(rev_d AS DOUBLE) AS rev,
              CAST(rev_d - COALESCE(lag(rev_d) OVER (ORDER BY month), 0) AS DOUBLE) AS delta,
              CAST(SUM(rev_d) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
-      FROM m ORDER BY month"""))
+      FROM m ORDER BY month""")),
+
+    // LIMIT/OFFSET pagination (both in the reference editor's keyword
+    // list): page 3 of customers by descending balance, through the SQL
+    // path. A determinism note that matters in any engine: the ORDER BY
+    // adds a unique tie-break column, because paginating on a non-unique
+    // sort is undefined ordering across engines.
+    QueryDef("q65_pagination", (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 20 OFFSET 40""")
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 20 OFFSET 40"""))
   )
 }
