@@ -28,6 +28,17 @@ case class QueryLogEvent(ts_ms: Long, op: String, status: String,
 class QueryLogListener extends QueryExecutionListener {
   private val buf = new ConcurrentLinkedQueue[QueryLogEvent]()
   private val flushing = new AtomicBoolean(false)
+  // dirs this log has flushed to: listener events are ASYNC, so a
+  // time-window flag alone races (the flush's own write event can arrive
+  // after the flag resets); a write INTO a log dir is self-logging by
+  // definition, whenever its event lands
+  private val selfDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def isSelfWrite(qe: QueryExecution): Boolean =
+    !selfDirs.isEmpty && {
+      val plan = try qe.logical.toString catch { case scala.util.control.NonFatal(_) => "" }
+      selfDirs.stream().anyMatch(d => plan.contains(d))
+    }
 
   /** Output rows of the action's final plan, -1 when the root exposes no
     * metric (e.g. commands). Reads through AQE to the runtime-final plan. */
@@ -40,12 +51,12 @@ class QueryLogListener extends QueryExecutionListener {
     } catch { case scala.util.control.NonFatal(_) => -1L }
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-    if (!flushing.get)
+    if (!flushing.get && !isSelfWrite(qe))
       buf.add(QueryLogEvent(System.currentTimeMillis(), funcName, "success",
         outputRows(qe), durationNs / 1000000L, null))
 
   override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
-    if (!flushing.get)
+    if (!flushing.get && !isSelfWrite(qe))
       buf.add(QueryLogEvent(System.currentTimeMillis(), funcName, "error",
         -1L, -1L, String.valueOf(error.getMessage)))
 
@@ -58,6 +69,7 @@ class QueryLogListener extends QueryExecutionListener {
   def flush(spark: SparkSession, dir: String): Long = {
     val drained = Iterator.continually(buf.poll()).takeWhile(_ != null).toSeq
     if (drained.nonEmpty) {
+      selfDirs.add(dir)
       flushing.set(true)
       try {
         import spark.implicits._
