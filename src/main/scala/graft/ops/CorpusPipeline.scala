@@ -26,10 +26,14 @@ object CorpusPipeline {
       minChars: Int = 50, minAlpha: Double = 0.5,
       maxRepetition: Double = 0.5, jaccardThreshold: Double = 0.8,
       ctxTokens: Int = 512, shards: Int = 64): DataFrame = {
-    // exact dedup: one representative (min id) per normalized fingerprint
+    // exact dedup: one representative (min id) per normalized fingerprint.
+    // min_by, not first(): group members share normalized text but can
+    // differ in raw whitespace, and the quality gates below measure RAW
+    // text — the representative must be deterministic or a marginal doc
+    // could flip across runs.
     val deduped = docs
       .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+      .agg(min(col(idCol)).as(idCol), min_by(col(textCol), col(idCol)).as(textCol))
       .drop("fp")
     // quality + repetition gates (pure codegen predicates)
     val quality = deduped.filter(
