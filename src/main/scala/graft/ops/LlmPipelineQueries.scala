@@ -669,6 +669,27 @@ object LlmPipelineQueries {
                   ELSE list_transform(embedding,
                     x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS INTEGER))
              END, ',') AS codes
-      FROM t ORDER BY vec_id"""))
+      FROM t ORDER BY vec_id""")),
+
+    // REAL image decode end-to-end: synthImages writes actual PNG/JPEG/BMP
+    // bytes (dims/format/alpha are pure functions of doc_id), and
+    // extractFeatures recovers width/height/channels by DECODING the pixels
+    // with the JDK codec (ImageCodec). DuckDB predicts the same values
+    // arithmetically — so a codec regression (wrong dims, dropped alpha,
+    // broken writer) breaks the hash match. Per-row CPU kernel, no shuffle.
+    QueryDef("q66_image_decode", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id")
+      Multimodal.extractFeatures(s, Multimodal.synthImages(s, docs)).toDF()
+        .select($"doc_id", $"format", $"width", $"height", $"channels")
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+                  WHEN 1 THEN 'jpeg' ELSE 'bmp' END AS format,
+             CAST(8 + doc_id % 9 AS INTEGER) AS width,
+             CAST(8 + (doc_id // 9) % 7 AS INTEGER) AS height,
+             CAST(CASE WHEN doc_id % 6 = 0 THEN 4 ELSE 3 END AS INTEGER) AS channels
+      FROM documents ORDER BY doc_id"""))
   )
 }
