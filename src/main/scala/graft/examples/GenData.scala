@@ -31,6 +31,26 @@ object GenData {
   /** uniform [0,1) double, pure function of (id, salt) */
   private def u(salt: Int) = (pmod(hash(col("id"), lit(salt)), lit(1000000)) / 1000000.0)
 
+  /** CLUSTERED embeddings (vec_id, embedding, label): `nClusters` uniform
+    * [-1,1]^dim centers, each vector = its cluster's center + uniform
+    * [-noise, noise] per-component jitter. This is the structure real
+    * text/image embedding corpora have and the IVF coarse quantizer
+    * exploits (vs the main `embeddings` table, which stays near-isotropic
+    * like the driver corpus) — see examples/IvfProbe for the measured
+    * recall-vs-nProbe curve on it. Deterministic: pure hash of (id, dim). */
+  def clusteredEmbeddings(spark: SparkSession, n: Long, dim: Int,
+      nClusters: Int, noise: Double): DataFrame = {
+    val cluster = pmod(hash(col("id"), lit(50)), lit(nClusters))
+    def unit(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column, salt: Int) =
+      (pmod(hash(a, b, lit(salt)), lit(2000001)) - lit(1000000)) / 1000000.0
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => (unit(cluster, j, 51) + unit(col("id"), j, 52) * noise).cast("float"))
+        .as("embedding"),
+      cluster.cast("int").as("label"))
+  }
+
   private def pick(choices: Seq[String], salt: Int) =
     element_at(array(choices.map(lit): _*),
       (pmod(hash(col("id"), lit(salt)), lit(choices.size)) + 1).cast("int"))
@@ -132,20 +152,31 @@ object GenData {
       concat(lit("{\"k\": "), pmod(hash(col("id"), lit(32)), lit(100)), lit("}"))
         .as("props")), "events")
 
-    // documents: 15-60 uniform tech words — same vocabulary shape as the
-    // driver corpus, so shingle/minhash/jaccard costs scale comparably.
+    // documents: 15-60 words drawn from a HEAPS-LAW vocabulary — 30% from
+    // a fixed 40-word head (the stopword-like mass of a real corpus), 70%
+    // from a tail whose size grows ∝ nDocs^0.7. A fixed vocabulary would
+    // saturate the 3-gram shingle space and make per-shingle document
+    // frequency grow ∝ n — the documented adversarial worst case for
+    // exact similarity joins (candidates ∝ n²/|vocab|), so scale benches
+    // of q30 would measure the corpus, not the operator. With the Heaps
+    // tail, distinct shingles grow with the corpus and prefix-token df
+    // stays near-flat, like real text.
     // Every 50th doc (id % 50 == 1) is a NEAR-DUP of its predecessor
     // (same generated words + one extra): the dedup operators' answer
     // paths (verify + pair output) then scale with the corpus instead of
     // returning empty at every sf.
     val nDocs = n(50000)
+    val nTailVocab = math.max(Vocab.size,
+      math.ceil(8.0 * math.pow(nDocs.toDouble, 0.7)).toInt)
     val vocabCol = array(Vocab.map(lit): _*)
     val isNearDup = pmod(col("id"), lit(50)) === 1
     val genId = when(isNearDup, col("id") - 1).otherwise(col("id"))
     val baseText = array_join(transform(
       sequence(lit(1), (pmod(hash(genId, lit(33)), lit(46)) + 15).cast("int")),
-      i => element_at(vocabCol,
-        (pmod(hash(genId, i, lit(34)), lit(Vocab.size)) + 1).cast("int"))),
+      i => when(pmod(hash(genId, i, lit(40)), lit(10)) < 3,
+        element_at(vocabCol,
+          (pmod(hash(genId, i, lit(34)), lit(Vocab.size)) + 1).cast("int")))
+        .otherwise(concat(lit("w"), pmod(hash(genId, i, lit(39)), lit(nTailVocab))))),
       " ")
     write(spark.range(nDocs).select(
       col("id").as("doc_id"),
