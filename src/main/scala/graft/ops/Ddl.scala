@@ -21,11 +21,34 @@ object Ddl {
     * rewrite; on real deployments this is a metadata-only op on formats
     * with schema evolution — parquet-dir keeps it explicit. */
   def addColumn(spark: SparkSession, dir: String, name: String,
-      colName: String, value: org.apache.spark.sql.Column): Unit = {
+      colName: String, value: org.apache.spark.sql.Column): Unit =
+    rewrite(spark, dir, name)(_.withColumn(colName, value))
+
+  /** ALTER TABLE DROP COLUMN: projection rewrite (same rewrite shape as
+    * [[addColumn]]; metadata-only on lakehouse formats). */
+  def dropColumn(spark: SparkSession, dir: String, name: String,
+      colName: String): Unit =
+    rewrite(spark, dir, name) { df =>
+      require(df.columns.contains(colName), s"no column $colName in $name")
+      df.drop(colName)
+    }
+
+  /** ALTER TABLE RENAME COLUMN: projection rewrite. */
+  def renameColumn(spark: SparkSession, dir: String, name: String,
+      from: String, to: String): Unit =
+    rewrite(spark, dir, name) { df =>
+      require(df.columns.contains(from), s"no column $from in $name")
+      require(!df.columns.contains(to), s"column $to already exists in $name")
+      df.withColumnRenamed(from, to)
+    }
+
+  /** Full-table rewrite through a temp dir + atomic-ish rename — shared by
+    * every ALTER variant on the parquet-dir catalog. */
+  private def rewrite(spark: SparkSession, dir: String, name: String)(
+      f: DataFrame => DataFrame): Unit = {
     val path = s"$dir/$name.parquet"
     val tmp = s"$dir/.$name.parquet.tmp"
-    val df = spark.read.parquet(path).withColumn(colName, value)
-    df.write.mode("overwrite").parquet(tmp)
+    f(spark.read.parquet(path)).write.mode("overwrite").parquet(tmp)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(path), true)
     fs.rename(new Path(tmp), new Path(path))

@@ -25,9 +25,28 @@ case class QueryLogEvent(ts_ms: Long, op: String, status: String,
   * executor-side append of a session's worth of slim rows — negligible next
   * to any query it describes.
   */
-class QueryLogListener extends QueryExecutionListener {
+/** @param maxBuffer cap on buffered events between flushes: a long-lived
+  *   session that never calls [[QueryLogListener.flush]] would otherwise
+  *   grow the buffer without bound. Past the cap the OLDEST events drop
+  *   (the recent past is what debugging wants) and [[QueryLogListener
+  *   .dropped]] counts the loss, surfaced by flush as a `dropped_events`
+  *   synthetic row so the gap is visible in the log itself. */
+class QueryLogListener(maxBuffer: Int = QueryLog.DefaultMaxBuffer)
+    extends QueryExecutionListener {
+  require(maxBuffer > 0, "maxBuffer must be positive")
   private val buf = new ConcurrentLinkedQueue[QueryLogEvent]()
+  private val nBuf = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val nDropped = new java.util.concurrent.atomic.AtomicLong(0L)
   private val flushing = new AtomicBoolean(false)
+
+  private def offer(e: QueryLogEvent): Unit = {
+    buf.add(e)
+    if (nBuf.incrementAndGet() > maxBuffer) {
+      // drop-oldest; poll may return null if a concurrent flush drained us
+      if (buf.poll() != null) nDropped.incrementAndGet()
+      nBuf.decrementAndGet()
+    }
+  }
   // dirs this log has flushed to: listener events are ASYNC, so a
   // time-window flag alone races (the flush's own write event can arrive
   // after the flag resets); a write INTO a log dir is self-logging by
@@ -52,39 +71,54 @@ class QueryLogListener extends QueryExecutionListener {
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
     if (!flushing.get && !isSelfWrite(qe))
-      buf.add(QueryLogEvent(System.currentTimeMillis(), funcName, "success",
+      offer(QueryLogEvent(System.currentTimeMillis(), funcName, "success",
         outputRows(qe), durationNs / 1000000L, null))
 
   override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
     if (!flushing.get && !isSelfWrite(qe))
-      buf.add(QueryLogEvent(System.currentTimeMillis(), funcName, "error",
+      offer(QueryLogEvent(System.currentTimeMillis(), funcName, "error",
         -1L, -1L, String.valueOf(error.getMessage)))
 
   /** Number of buffered, unflushed events. */
   def pending: Int = buf.size()
 
+  /** Events dropped (oldest-first) since the last flush. */
+  def dropped: Long = nDropped.get()
+
   /** Drain the buffer and append it to the parquet log at `dir`. Returns
     * the number of events written. Safe to call repeatedly; concurrent
-    * events arriving mid-flush stay buffered for the next one. */
+    * events arriving mid-flush stay buffered for the next one. If the cap
+    * dropped events since the last flush, one synthetic `dropped_events`
+    * row records how many. */
   def flush(spark: SparkSession, dir: String): Long = {
     val drained = Iterator.continually(buf.poll()).takeWhile(_ != null).toSeq
-    if (drained.nonEmpty) {
+    nBuf.addAndGet(-drained.size)
+    val lost = nDropped.getAndSet(0L)
+    val rows = if (lost > 0)
+      QueryLogEvent(System.currentTimeMillis(), "dropped_events", "warn",
+        lost, -1L, s"$lost events dropped by maxBuffer=$maxBuffer") +: drained
+    else drained
+    if (rows.nonEmpty) {
       selfDirs.add(dir)
       flushing.set(true)
       try {
         import spark.implicits._
-        drained.toDF().coalesce(1).write.mode("append").parquet(dir)
+        rows.toDF().coalesce(1).write.mode("append").parquet(dir)
       } finally flushing.set(false)
     }
-    drained.size.toLong
+    rows.size.toLong
   }
 }
 
 object QueryLog {
+  /** Generous-but-bounded default: slim rows, so even the cap is only a
+    * few MB of driver heap. */
+  val DefaultMaxBuffer = 100000
+
   /** Register a fresh listener on the session and return it (the handle is
     * needed for [[QueryLogListener.flush]] and for deregistration). */
-  def install(spark: SparkSession): QueryLogListener = {
-    val l = new QueryLogListener
+  def install(spark: SparkSession, maxBuffer: Int = DefaultMaxBuffer): QueryLogListener = {
+    val l = new QueryLogListener(maxBuffer)
     spark.listenerManager.register(l)
     l
   }

@@ -60,9 +60,11 @@ object Reports {
     }
     val spark = chartData.sparkSession
     writeText(spark, s"$outDir/chart.svg", ChartSvg.render(chartType, data, title))
+    writeBytes(spark, s"$outDir/chart.png", ChartRaster.render(chartType, data, title))
     writeText(spark, s"$outDir/manifest.json",
       s"""{"title": "${title.replace("\"", "\\\"")}", "chart_type": "$chartType",
-         | "chart": "chart.svg", "chart_data": "chart_data/", "result": "result/",
+         | "chart": "chart.svg", "chart_png": "chart.png",
+         | "chart_data": "chart_data/", "result": "result/",
          | "chart_rows": ${data.size}, "chart_clipped": $clipped}
          |""".stripMargin)
   }
@@ -70,11 +72,15 @@ object Reports {
   /** Small driver-side artifacts (svg/manifest) through the Hadoop FS API,
     * so the export works against whatever DFS `outDir` lives on. */
   private def writeText(spark: org.apache.spark.sql.SparkSession,
-      file: String, content: String): Unit = {
+      file: String, content: String): Unit =
+    writeBytes(spark, file, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def writeBytes(spark: org.apache.spark.sql.SparkSession,
+      file: String, content: Array[Byte]): Unit = {
     val p = new org.apache.hadoop.fs.Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(content)
     finally out.close()
   }
 }

@@ -88,6 +88,22 @@ class OperatorsSpec extends SparkSpec {
     Seq("bar", "line", "pie").foreach(t =>
       parseXml(graft.ops.ChartSvg.render(t, data, s"$t chart")))
     parseXml(graft.ops.ChartSvg.pie(Seq(("only", 3.0)), "one slice"))
+    // the PNG export is a REAL raster: decodes with the canvas geometry
+    assert(manifest.contains("\"chart_png\": \"chart.png\""))
+    val pngBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/chart.png"))
+    val png = graft.multimodal.ImageCodec.decode(pngBytes)
+    assert(png.isDefined && png.get.getWidth == 640 && png.get.getHeight == 400)
+    // non-blank (bars actually painted): more than one distinct color
+    val colors = (for (x <- 0 until 640 by 16; y <- 0 until 400 by 16)
+      yield png.get.getRGB(x, y)).toSet
+    assert(colors.size > 1)
+    // every chart type rasterizes to a decodable 640x400 PNG
+    Seq("bar", "line", "pie").foreach { t =>
+      val img = graft.multimodal.ImageCodec.decode(
+        graft.ops.ChartRaster.render(t, data, s"$t chart"))
+      assert(img.isDefined && img.get.getWidth == 640 && img.get.getHeight == 400, t)
+    }
   }
 
   test("registerAll skips missing tables but surfaces corrupt ones") {

@@ -51,6 +51,28 @@ class QueryLogSpec extends SparkSpec {
     } finally QueryLog.uninstall(spark, l)
   }
 
+  test("maxBuffer bounds listener state: oldest drop, loss surfaces as a dropped_events row") {
+    val dir = Files.createTempDirectory("qlog3").toString + "/log"
+    val l = QueryLog.install(spark, maxBuffer = 3)
+    try {
+      (1 to 8).foreach(i => spark.range(i).count())
+      awaitPending(l, 3)
+      // async bus: wait until all 8 actions have been DELIVERED (3 buffered
+      // + the rest counted as dropped), not just until the buffer fills
+      val deadline = System.currentTimeMillis() + 45000
+      while (l.pending + l.dropped < 8 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(l.pending <= 3, s"buffer must stay capped, got ${l.pending}")
+      assert(l.dropped == 8 - l.pending, s"pending=${l.pending} dropped=${l.dropped}")
+      l.flush(spark, dir)
+      val log = spark.read.parquet(dir)
+      val drop = log.filter($"op" === "dropped_events")
+      assert(drop.count() == 1)
+      assert(drop.head().getAs[Long]("rows") == 5L)
+      assert(l.dropped == 0, "flush resets the dropped counter")
+    } finally QueryLog.uninstall(spark, l)
+  }
+
   test("flush is append-safe across batches") {
     val dir = Files.createTempDirectory("qlog2").toString + "/log"
     val l = QueryLog.install(spark)

@@ -47,6 +47,22 @@ class SkewDdlSpec extends SparkSpec {
     val df = spark.read.parquet(s"$dir/t1.parquet")
     assert(df.columns.toSeq.contains("flag") && df.filter($"flag").count() == 2)
 
+    // ALTER ... RENAME COLUMN: data survives under the new name
+    Ddl.renameColumn(spark, dir, "t1", "name", "label")
+    val renamed = spark.read.parquet(s"$dir/t1.parquet")
+    assert(renamed.columns.toSeq == Seq("id", "label", "flag"))
+    assert(renamed.select("label").as[String].collect().sorted.toSeq == Seq("a", "b"))
+    intercept[IllegalArgumentException](
+      Ddl.renameColumn(spark, dir, "t1", "nope", "x"))
+    intercept[IllegalArgumentException](
+      Ddl.renameColumn(spark, dir, "t1", "id", "label")) // target exists
+
+    // ALTER ... DROP COLUMN: column gone, rows intact
+    Ddl.dropColumn(spark, dir, "t1", "flag")
+    val dropped = spark.read.parquet(s"$dir/t1.parquet")
+    assert(dropped.columns.toSeq == Seq("id", "label") && dropped.count() == 2)
+    intercept[IllegalArgumentException](Ddl.dropColumn(spark, dir, "t1", "flag"))
+
     Ddl.dropTable(spark, dir, "t1")
     assert(!Ddl.tableExists(spark, dir, "t1"))
   }

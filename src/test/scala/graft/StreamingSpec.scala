@@ -139,6 +139,50 @@ class StreamingSpec extends SparkSpec {
     assert(top == 5000001L, s"appended direction-identical vector must rank first, got $top")
   }
 
+  test("ingest composition: stream → dedup → appendToIndex makes novel vectors probeable, drops dups") {
+    // The "daily ingest" story end-to-end: documents+embeddings arrive as a
+    // micro-batch stream, exact-dedup runs BEFORE landing, and each deduped
+    // batch is appended to the prebuilt IVF index via dynamic-partition
+    // append — so a late near-dup never pollutes the index and a novel
+    // vector is probeable as soon as its batch commits.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = sources.Tables.load(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_ingest").toString
+    graft.similarity.Ivf.buildIndex(emb, "embedding", "vec_id", dim = 64, nCells = 8, path = path)
+
+    // newcomer embedding: 8x the query vector — direction-identical (float-
+    // exact scaling), so same cell and cosine exactly 1.0 ⇒ must rank first
+    val qs = emb.filter($"vec_id" === 2)
+    val novelVec = qs.select(transform($"embedding", x => (x * lit(8.0f)).cast("float")))
+      .as[Array[Float]].head()
+
+    val mem = MemoryStream[(Long, String, Timestamp, Array[Float])]
+    val deduped = graft.streaming.StreamingDedup.dedupStream(
+      mem.toDF().toDF("doc_id", "text", "ts", "embedding"), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vecs = batch.select($"doc_id".as("vec_id"), $"embedding")
+        if (!vecs.isEmpty)
+          graft.similarity.Ivf.appendToIndex(vecs, "embedding", "vec_id", path)
+      }.start()
+    try {
+      mem.addData((9000001L, "novel ingest doc", ts(100), novelVec))
+      q.processAllAvailable()
+      // later batch, same normalized text, different vector: dedup drops it
+      mem.addData((9000002L, "  NOVEL ingest  doc", ts(101), novelVec.map(-_)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val top = graft.similarity.Ivf.probeTopK(spark, path, qs, "embedding", "vec_id",
+      k = 1, nProbe = 1).select("n_id").as[Long].head()
+    assert(top == 9000001L, s"ingested novel vector must be probeable and rank first, got $top")
+    val polluted = spark.read.parquet(s"$path/data")
+      .filter($"n_id" === 9000002L).count()
+    assert(polluted == 0, "deduped doc's vector must never reach the index")
+  }
+
   test("streaming windowedCounts matches the batch EventsOps on same data") {
     val events = sources.Tables.load(spark, sfDir, "events")
     val batch = graft.streaming.EventsOps.windowedAgg(events).count()
