@@ -405,7 +405,20 @@ object Dedup {
     * that keeps recall 1.0 degenerates to all-pairs (LSH's documented
     * low-similarity failure mode). Use thresholds ≥ ~0.9, where real
     * near-dups live and the formula above has teeth; for exhaustive joins
-    * at bulk thresholds use [[embeddingPairsExact]] knowing it is O(n²). */
+    * at bulk thresholds use [[embeddingPairsExact]] knowing it is O(n²).
+    *
+    * SIZING bandBits AT SCALE: random-collision candidates cost
+    * ≈ n²·probes·bands / 2^bandBits dot products — the dominant term on a
+    * weakly-clustered corpus (measured: q31 wall 2.5s → 8.3s → 19.1s at
+    * 1×/10×/30× corpus as this term overtakes the linear signature cost).
+    * It stays linear if bandBits grows with log₂(n) (bandBits ≈ log₂(n)
+    * + c, c ≈ 4–6). Longer chunks lower each band's hit rate at a fixed
+    * cosine, so holding recall means MORE bands: by the formula above,
+    * matching the default's 1.4e-2 miss at cos 0.95 with 30-bit chunks
+    * takes ~22 bands (660 planes). That trade is the point — signature
+    * cost is linear in n·planes while the collision term is quadratic in
+    * n, so at 10⁹ vectors the retuned config wins by orders of magnitude.
+    * The 16-bit default is right for ~10⁵–10⁶ vectors. */
   def embeddingPairsLsh(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, dim: Int, nPlanes: Int = 96, bandBits: Int = 16,
       seed: Long = 42L, maxBucket: Int = 100000,

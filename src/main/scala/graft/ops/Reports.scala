@@ -61,9 +61,10 @@ object Reports {
     val spark = chartData.sparkSession
     writeText(spark, s"$outDir/chart.svg", ChartSvg.render(chartType, data, title))
     writeBytes(spark, s"$outDir/chart.png", ChartRaster.render(chartType, data, title))
+    writeBytes(spark, s"$outDir/chart.pdf", ChartPdf.render(chartType, data, title))
     writeText(spark, s"$outDir/manifest.json",
       s"""{"title": "${title.replace("\"", "\\\"")}", "chart_type": "$chartType",
-         | "chart": "chart.svg", "chart_png": "chart.png",
+         | "chart": "chart.svg", "chart_png": "chart.png", "chart_pdf": "chart.pdf",
          | "chart_data": "chart_data/", "result": "result/",
          | "chart_rows": ${data.size}, "chart_clipped": $clipped}
          |""".stripMargin)

@@ -104,6 +104,26 @@ class OperatorsSpec extends SparkSpec {
         graft.ops.ChartRaster.render(t, data, s"$t chart"))
       assert(img.isDefined && img.get.getWidth == 640 && img.get.getHeight == 400, t)
     }
+    // the PDF export is structurally valid: header, one page, an embedded
+    // DCTDecode image whose JPEG payload decodes at the canvas geometry
+    val pdfBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/chart.pdf"))
+    val pdf = new String(pdfBytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(pdf.startsWith("%PDF-1.4") && pdf.endsWith("%%EOF\n"))
+    assert(pdf.contains("/Type /Page ") && pdf.contains("/Filter /DCTDecode")
+      && pdf.contains("/MediaBox [0 0 640 400]") && pdf.contains("startxref"))
+    val jpegStart = pdf.indexOf("stream\n", pdf.indexOf("/DCTDecode")) + "stream\n".length
+    val jpegEnd = pdf.indexOf("\nendstream", jpegStart)
+    val jpeg = graft.multimodal.ImageCodec.decode(
+      pdfBytes.slice(jpegStart, jpegEnd))
+    assert(jpeg.isDefined && jpeg.get.getWidth == 640 && jpeg.get.getHeight == 400)
+    // xref offsets must point at the object headers ("N 0 obj")
+    val xref = pdf.substring(pdf.indexOf("xref\n"))
+    val offs = xref.split("\n").drop(2).takeWhile(_.endsWith("n "))
+      .map(_.split(" ")(0).toInt)
+    offs.zipWithIndex.foreach { case (o, i) =>
+      assert(pdf.startsWith(s"${i + 1} 0 obj", o), s"xref entry ${i + 1} -> $o")
+    }
   }
 
   test("registerAll skips missing tables but surfaces corrupt ones") {
