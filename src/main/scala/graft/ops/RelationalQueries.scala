@@ -424,6 +424,70 @@ object RelationalQueries {
       SELECT c_custkey, c_name, c_acctbal
       FROM customer
       ORDER BY c_acctbal DESC, c_custkey
-      LIMIT 20 OFFSET 40"""))
+      LIMIT 20 OFFSET 40""")),
+
+    // GROUPING SETS — the multi-granularity report q41's ROLLUP doesn't
+    // cover (independent groupings, not a prefix hierarchy): revenue by
+    // (status, priority), by status alone, and by priority alone in ONE
+    // pass (Spark Expand: one scan, one shuffle — vs three scans + union).
+    // grouping() disambiguates real NULLs from subtotal rows portably.
+    QueryDef("q67_grouping_sets", (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        ORDER BY g_status, g_priority, status, priority""")
+    }, Some("""
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), (o_orderpriority))
+      ORDER BY g_status, g_priority, status, priority""")),
+
+    // Sliding-frame window: 7-day moving average over the daily event
+    // value series (RANGE frame over a day index — rows vs range matters:
+    // days can be missing, so the frame is time-based, not row-based).
+    // One shuffle for the daily agg; the window is a single global-ordered
+    // frame over ~30 pre-aggregated rows (answer-sized by construction).
+    QueryDef("q68_moving_avg", (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(sum(dec($"value")).as("day_val_d"), count(lit(1)).as("n"))
+      val w = Window.orderBy(datediff($"day", lit("2024-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+      daily
+        .select($"day".cast("string").as("day"),
+          $"day_val_d".cast("double").as("day_val"),
+          ($"day_val_d" * lit(100)).cast("long").as("cents"), $"n")
+        // exact integer window sums; ma7 = two IEEE divisions in a fixed
+        // order over exact operands — bit-identical cross-engine (§5)
+        .withColumn("ma7",
+          sum($"cents").over(w).cast("double") / lit(100.0) / sum($"n").over(w))
+        .select($"day", $"day_val", $"ma7")
+        .orderBy($"day")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS di,
+               SUM(CAST(value AS DECIMAL(18,4))) AS day_val_d,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT day, CAST(day_val_d AS DOUBLE) AS day_val,
+             CAST(SUM(CAST(day_val_d * 100 AS BIGINT))
+                    OVER (ORDER BY di RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / 100.0 /
+             CAST(SUM(n) OVER (ORDER BY di RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma7
+      FROM daily ORDER BY day"""))
   )
 }

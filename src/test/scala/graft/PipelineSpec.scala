@@ -158,6 +158,55 @@ class PipelineSpec extends SparkSpec {
     resized.foreach(r => assert(java.util.Arrays.equals(r.payload, byId(r.doc_id))))
   }
 
+  test("PQ: 32x-compressed codes rank true neighbors on clustered data; decode distortion bounded") {
+    import graft.similarity.{Ann, Pq}
+    // clustered corpus — the data PQ (like IVF) is for; 2k vectors suffice
+    val emb = graft.examples.GenData.clusteredEmbeddings(
+      spark, n = 2000, dim = 64, nClusters = 32, noise = 0.3)
+    val cb = Pq.train(emb, "embedding", dim = 64, m = 8, k = 32, iters = 8)
+    val codes = Pq.encode(emb, "embedding", "vec_id", cb).cache()
+    assert(codes.count() == 2000)
+    assert(codes.head().codes.length == 8) // 8 bytes vs 256: 32x
+
+    // decode distortion: quantized vector stays close to the original
+    // (clustered corpus: subspace k-means centroids sit near cluster arms)
+    val sample = emb.filter($"vec_id" < 50)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    val codesById = codes.filter(_.id < 50).collect().map(c => c.id -> c.codes).toMap
+    val relErrs = sample.map { case (id, v) =>
+      // PQ is cosine-native: codes quantize the UNIT vector
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val u = v.map(_ / nrm)
+      val d = Pq.decode(codesById(id), cb)
+      math.sqrt(u.zip(d).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    assert(relErrs.max < 0.5, s"worst unit-sphere distortion ${relErrs.max}")
+
+    // ADC recall@5 vs exact brute force over the same corpus
+    val qs = emb.filter($"vec_id" < 10)
+    val brute = Ann.bruteTopK(emb, qs, "embedding", "vec_id", 5)
+      .select("q_id", "rk", "n_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+    // pure ADC can't discriminate within a cluster (identical codes) but
+    // must still land the shortlist in the right cluster...
+    val short = Pq.adcTopK(codes, qs, "embedding", "vec_id", cb, 100)
+      .select("q_id", "rk", "n_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+    val shortRecall = brute.map { case (q, t) => (short(q) & t).size.toDouble / t.size }
+    assert(shortRecall.sum / shortRecall.size >= 0.9,
+      s"ADC shortlist recall ${shortRecall.sum / shortRecall.size}")
+    // ...and the production composition (ADC shortlist + exact rerank of
+    // candidates only) recovers the true top-5
+    val rr = Pq.adcRerankTopK(codes, emb, qs, "embedding", "vec_id", cb,
+      k = 5, shortlist = 100)
+      .select("q_id", "rk", "n_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+    val recall = brute.map { case (q, t) => (rr(q) & t).size.toDouble / t.size }
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.9, s"ADC+rerank recall@5 $mean < 0.9 (per-query: $recall)")
+    codes.unpersist()
+  }
+
   test("jaccardJoin equals the all-pairs oracle, incl. a moderate-J/high-hamming pair") {
     // d1↔d2 share half their vocabulary → J(shingles) ≈ 0.2-0.4 with a
     // LARGE simhash hamming distance — exactly the pair class the old
