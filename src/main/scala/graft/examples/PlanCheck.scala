@@ -117,6 +117,39 @@ object PlanCheck {
       }
     }
 
+    // IVF+PQ probe audit: the composed index's probe scan must prune to
+    // the probed cells at plan AND file level, shortlist through the
+    // bounded-heap aggregate, and never fall back to a nested loop.
+    if (args.isEmpty) {
+      import org.apache.spark.sql.functions.col
+      val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      val ipath = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      graft.similarity.IvfPq.buildIndex(emb, "embedding", "vec_id",
+        dim = 64, nCells = 16, m = 8, kCodes = 16, path = ipath)
+      val probe = graft.similarity.IvfPq.probeTopK(spark, ipath,
+        emb.filter(col("vec_id") < 3), "embedding", "vec_id",
+        k = 5, nProbe = 4, shortlist = 50)
+      val plan = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== ivfpq_probe ==========")
+      println(plan.linesIterator.take(40).mkString("\n"))
+      val all = spark.read.parquet(s"$ipath/data")
+      val prunedScan = all.filter(col("cell").isInCollection(Seq(0, 1).map(Int.box)))
+      import org.apache.spark.sql.graft.bridge.scannedFileCount
+      val checks = Seq(
+        "probe scan partition-pruned on cell" -> plan.contains("PartitionFilters: [cell"),
+        "ADC shortlist + rerank via bounded heap" -> plan.contains("scored_top_k"),
+        "cell filter reads a strict file subset" ->
+          (scannedFileCount(prunedScan) > 0 &&
+            scannedFileCount(prunedScan) < scannedFileCount(all)),
+        "no nested-loop fallback" -> !plan.contains("BroadcastNestedLoopJoin"),
+        "no cartesian" -> !plan.contains("CartesianProduct"))
+      checks.foreach { case (label, ok) =>
+        if (!ok) failed += 1
+        println(s"[plancheck] ivfpq_probe :: $label -> ${if (ok) "OK" else "FAILED"}")
+      }
+    }
+
     println(s"\n[plancheck] ${if (failed == 0) "ALL OK" else s"$failed FAILED"}")
     spark.stop()
     if (failed > 0) sys.exit(1)

@@ -112,23 +112,24 @@ object Pq {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-      .mapPartitions { rows =>
-        rows.map { case (id, raw) =>
-          val v = unit(raw.map(_.toDouble))
-          val codes = new Array[Byte](cb.m)
-          var sub = 0
-          while (sub < cb.m) {
-            val sv = new Array[Double](cb.subDim)
-            var i = 0
-            while (i < cb.subDim) { sv(i) = v(sub * cb.subDim + i); i += 1 }
-            codes(sub) = nearest(
-              java.util.Arrays.copyOfRange(cb.cents, sub * cb.k * cb.subDim,
-                (sub + 1) * cb.k * cb.subDim), sv, cb.subDim, cb.k).toByte
-            sub += 1
-          }
-          PqCode(id, codes)
-        }
-      }
+      .mapPartitions(rows => rows.map { case (id, raw) => PqCode(id, encodeOne(raw, cb)) })
+  }
+
+  /** Encode one vector (executor-side kernel shared with [[IvfPq]]). */
+  def encodeOne(raw: Array[Float], cb: Codebook): Array[Byte] = {
+    val v = unit(raw.map(_.toDouble))
+    val codes = new Array[Byte](cb.m)
+    var sub = 0
+    while (sub < cb.m) {
+      val sv = new Array[Double](cb.subDim)
+      var i = 0
+      while (i < cb.subDim) { sv(i) = v(sub * cb.subDim + i); i += 1 }
+      codes(sub) = nearest(
+        java.util.Arrays.copyOfRange(cb.cents, sub * cb.k * cb.subDim,
+          (sub + 1) * cb.k * cb.subDim), sv, cb.subDim, cb.k).toByte
+      sub += 1
+    }
+    codes
   }
 
   /** Reconstruct a vector from its codes (test/diagnostic helper — ADC

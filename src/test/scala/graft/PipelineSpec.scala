@@ -207,6 +207,31 @@ class PipelineSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("IvfPq: cell-partitioned PQ index probes pruned, recall matches brute on clustered data") {
+    import graft.similarity.{Ann, IvfPq}
+    val emb = graft.examples.GenData.clusteredEmbeddings(
+      spark, n = 2000, dim = 64, nClusters = 32, noise = 0.3)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    IvfPq.buildIndex(emb, "embedding", "vec_id", dim = 64, nCells = 16,
+      m = 8, kCodes = 32, path = path)
+    // the layout is really cell-partitioned
+    val cellDirs = new java.io.File(s"$path/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length > 1 && cellDirs.length <= 16)
+
+    val qs = emb.filter($"vec_id" < 10)
+    val brute = Ann.bruteTopK(emb, qs, "embedding", "vec_id", 5)
+      .select("q_id", "rk", "n_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+    val probed = IvfPq.probeTopK(spark, path, qs, "embedding", "vec_id",
+      k = 5, nProbe = 4, shortlist = 100)
+      .select("q_id", "rk", "n_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+    val recall = brute.map { case (q, t) => (probed(q) & t).size.toDouble / t.size }
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.9, s"IVF+PQ recall@5 $mean < 0.9 (per-query: $recall)")
+  }
+
   test("jaccardJoin equals the all-pairs oracle, incl. a moderate-J/high-hamming pair") {
     // d1↔d2 share half their vocabulary → J(shingles) ≈ 0.2-0.4 with a
     // LARGE simhash hamming distance — exactly the pair class the old
