@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.text.{Shingling, TextAnalysis}
+import graft.text.TextAnalysis
 
 /** Training-corpus preparation operators beyond cleaning/dedup: the stages
   * a large-scale LLM data pipeline runs between "filtered corpus" and
@@ -24,7 +24,7 @@ object TrainingPrep {
     * explode + broadcast semi-join, so the only shuffle is the distinct
     * over CONTAMINATED ids — answer-sized. Documents shorter than k words
     * fall back to a whole-text gram on both sides (exact-match semantics
-    * for short texts, same rule as [[Shingling.wordShingles]]). */
+    * for short texts, same rule as [[graft.text.Shingling.wordShingles]]). */
   def decontaminate(docs: DataFrame, textCol: String, idCol: String,
       benchmark: DataFrame, benchTextCol: String, k: Int = 8): DataFrame = {
     // grams travel as 61-bit hashes (native codegen kernel), not k-word
@@ -48,7 +48,8 @@ object TrainingPrep {
   /** 2^61 - 1 (Mersenne prime): big enough that gram-hash collisions are
     * negligible at corpus scale (unlike MinHash's 2^31 - 1, whose small
     * range exists for overflow-safe permutation arithmetic). */
-  private val DecontaminatePrime = 2305843009213693951L
+  private val GramHashPrime = 2305843009213693951L
+  private def DecontaminatePrime = GramHashPrime
 
   /** Repetition score (Gopher/C4-family quality signal): the fraction of a
     * document's word k-grams that are repeats of an earlier k-gram —
@@ -57,8 +58,13 @@ object TrainingPrep {
   def repetitionScore(text: Column, k: Int = 3): Column = {
     val toks = split(TextAnalysis.normalize(text), " ", -1)
     val total = size(toks) - (k - 1)
+    // distinct-gram COUNT through the native hashed kernel (one pass, no
+    // k-word strings); equals the string-distinct count absent a
+    // within-document 61-bit collision (~n²/2^62 per doc — negligible)
+    val distinctGrams = size(graft.functions.HashFunctions.wordShingleHash(
+      TextAnalysis.normalize(text), k, GramHashPrime))
     when(size(toks) < k, lit(0.0))
-      .otherwise(lit(1.0) - size(Shingling.wordShingles(text, k)).cast("double") / total)
+      .otherwise(lit(1.0) - distinctGrams.cast("double") / total)
   }
 
   /** Greedy context-window packing: assign documents to fixed-size token
