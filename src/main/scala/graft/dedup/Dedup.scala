@@ -491,4 +491,85 @@ object Dedup {
       .filter(dotF(col("v_a"), col("v_b")) / col("n_a") / col("n_b") > threshold)
       .select(col("id_a"), col("id_b"))
   }
+
+  // ---------------- duplicate clustering (connected components) ----------------
+
+  /** Connected components over an undirected pair list — the operator that
+    * turns near-duplicate PAIRS into duplicate CLUSTERS (transitive
+    * closure), making "keep one per cluster" principled: pair-wise removal
+    * either drops both endpoints of a chain a–b–c or keeps near-dups whose
+    * only witness was a removed middle document.
+    *
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Each round is two
+    * min-aggregations + two joins; NO per-node neighbor list is ever
+    * materialized, so the hot center of a 10⁶-member boilerplate cluster
+    * costs one min() group, not a 10⁶-element array on one row. The edge
+    * set converges to per-component stars centered on the component minimum
+    * in O(log n) rounds regardless of graph diameter (min-label propagation
+    * needs O(diameter) rounds — a pathological dup chain kills it).
+    * Lineage is truncated with an eager localCheckpoint per round;
+    * iterative DataFrame plans otherwise grow without bound. Convergence is
+    * detected by a (count, xor-of-xxhash64) edge-set signature — one tiny
+    * aggregate per round against the checkpointed edges; a false positive
+    * needs a 64-bit xor collision on top of an identical edge count.
+    *
+    * Input rows are (aCol, bCol) node pairs; self-pairs are dropped.
+    * Returns (id, cluster_id) — one row per node appearing in `pairs`,
+    * cluster_id = the minimum id of the node's component. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val empty = {
+      val s = pairs.sparkSession
+      import s.implicits._
+      Seq.empty[(Long, Long)].toDF("id", "cluster_id")
+    }
+    // canonical u < v edges
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    if (edges.isEmpty) return empty
+
+    def bothDirs(e: DataFrame) =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+
+    // large-star: every neighbor v > u re-links to m = min(Γ(u) ∪ {u}).
+    // m ≤ u < v, so (m, v) is already canonical.
+    def largeStar(e: DataFrame) = {
+      val d = bothDirs(e)
+      val m = d.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      d.join(m, "u").filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")).distinct()
+    }
+
+    // small-star: every neighbor v < u (and u itself) re-links to
+    // m = min of u's smaller neighbors. m < v and m < u throughout.
+    def smallStar(e: DataFrame) = {
+      val d = bothDirs(e).filter(col("v") < col("u"))
+      val m = d.groupBy("u").agg(min(col("v")).as("m"))
+      d.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v"))
+        .unionByName(m.select(col("m").as("u"), col("u").as("v")))
+        .distinct()
+    }
+
+    var sig: (Long, Long) = null
+    var round = 0
+    while (round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val row = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      val nextSig = (row.getLong(0), row.getLong(1))
+      edges = next
+      if (nextSig == sig) round = maxRounds + 1 else { sig = nextSig; round += 1 }
+    }
+    if (round == maxRounds) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds")
+    // converged star edges are exactly (component_min, member)
+    edges.select(col("v").as("id"), col("u").as("cluster_id"))
+      .unionByName(edges.select(col("u").as("id"), col("u").as("cluster_id")).distinct())
+  }
 }

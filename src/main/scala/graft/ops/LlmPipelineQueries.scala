@@ -690,6 +690,128 @@ object LlmPipelineQueries {
              CAST(8 + doc_id % 9 AS INTEGER) AS width,
              CAST(8 + (doc_id // 9) % 7 AS INTEGER) AS height,
              CAST(CASE WHEN doc_id % 6 = 0 THEN 4 ELSE 3 END AS INTEGER) AS channels
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // Near-duplicate CLUSTERS, not just pairs: connected components over
+    // the exact Jaccard pair set (transitive closure), cluster id = the
+    // component's min doc_id — the principled "keep one per duplicate
+    // cluster" semantics (pair-wise removal either drops both ends of a
+    // chain a–b–c or keeps near-dups whose only witness was removed).
+    // Spark side: alternating large-star/small-star, O(log n) rounds, no
+    // neighbor lists (Dedup.connectedComponents); oracle: recursive-CTE
+    // reachability closure over the same pair set.
+    QueryDef("q69_dup_clusters", (s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.jaccardJoin(Tables.load(s, dir, "documents"),
+        "text", "doc_id", threshold = 0.3)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select($"id".as("doc_id"), $"cluster_id")
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")))
+        .withColumn("keep", $"doc_id" === $"cluster_id")
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH RECURSIVE sh AS ($SHINGLE_SETS_SQL),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         AND len(a.s) * 0.3 <= len(b.s) AND len(b.s) * 0.3 <= len(a.s)
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)) >= 0.3),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(u, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, rr.r FROM edges e JOIN reach rr ON e.v = rr.u)
+      SELECT u AS doc_id, MIN(r) AS cluster_id,
+             COUNT(*) OVER (PARTITION BY MIN(r)) AS cluster_size,
+             u = MIN(r) AS keep
+      FROM reach GROUP BY u ORDER BY doc_id""")),
+
+    // PII redaction (email / phone / IPv4) — the compliance scrub every
+    // training corpus runs. PII is planted by deterministic concatenation
+    // (same arithmetic both engines); counts via regexp_count on the raw
+    // text; redaction applies the classes in an order that keeps them
+    // disjoint (emails first — a redacted token has no digits or @ left to
+    // re-match). Patterns live in TextAnalysis and are interpolated into
+    // the oracle, so the two sides cannot drift; they are restricted to
+    // the Java-regex ∩ RE2 subset (no lookaround, no backreferences) so
+    // DuckDB is an exact oracle. Pure codegen projection — no shuffle.
+    QueryDef("q70_pii_redact", (s, dir) => {
+      import s.implicits._
+      val withPii = Tables.load(s, dir, "documents").select($"doc_id",
+        when($"doc_id" % 7 === 0,
+          concat($"text", lit(" contact user"), $"doc_id", lit("@mail.example.com now")))
+        .when($"doc_id" % 7 === 1,
+          concat($"text", lit(" call 555-123-4567 or 555.987.6543")))
+        .when($"doc_id" % 7 === 2,
+          concat($"text", lit(" host 10.0."), ($"doc_id" % 256).cast("string"), lit(".25 down")))
+        .otherwise($"text").as("text"))
+      withPii.select(Seq($"doc_id") ++ TextAnalysis.piiCounts($"text") :+
+          TextAnalysis.redactPii($"text").as("redacted"): _*)
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH withpii AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+                    WHEN doc_id % 7 = 1 THEN text || ' call 555-123-4567 or 555.987.6543'
+                    WHEN doc_id % 7 = 2 THEN text || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25 down'
+                    ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS INTEGER) AS n_email,
+             CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS INTEGER) AS n_phone,
+             CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS INTEGER) AS n_ip,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
+               '${TextAnalysis.PhoneRe}', '[PHONE]', 'g'),
+               '${TextAnalysis.Ipv4Re}', '[IP]', 'g') AS redacted
+      FROM withpii ORDER BY doc_id""")),
+
+    // Rarity-weighted top terms per document (tf-idf family; score = tf/df
+    // is ONE division of exact integer operands — §5-deterministic, no ln).
+    // The per-doc argsort runs through the scored_top_k bounded heap:
+    // map-side partial top-k, so the rerank shuffle carries tasks×docs×5
+    // entries, never the full (doc, term) table. Term identity rides the
+    // portable 60-bit md5 hash (DuckDB computes the identical value), which
+    // makes the DESC-score tie-break bit-identical cross-engine; the term
+    // string joins back from the vocab-sized df table only for answer rows.
+    // Scale: tf and df are linear shuffles; AQE broadcasts the df side of
+    // both joins when the vocabulary fits, and they stay linear equi-joins
+    // when it doesn't.
+    QueryDef("q72_tfidf", (s, dir) => {
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(split(TextAnalysis.normalize($"text"), " ", -1)).as("tok"))
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "tok")
+        .select($"doc_id", ($"tf".cast("double") / $"df").as("score"),
+          Dedup.portableTokenHash($"tok").as("h"))
+      val top = scored.groupBy($"doc_id")
+        .agg(graft.functions.AggFunctions.scoredTopK($"score", $"h", 5).as("top"))
+        .select($"doc_id", posexplode($"top"))
+        .select($"doc_id", ($"pos" + 1).cast("int").as("rk"),
+          $"col.score".as("score"), $"col.id".as("h"))
+      top.join(df.select($"tok", Dedup.portableTokenHash($"tok").as("h")), "h")
+        .select($"doc_id", $"rk", $"tok".as("term"), $"score")
+        .orderBy($"doc_id", $"rk")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT doc_id, tok, CAST(tf AS DOUBLE) / df AS score,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM tf JOIN df USING (tok)),
+      ranked AS (
+        SELECT doc_id, tok, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, h) AS rk
+        FROM scored)
+      SELECT doc_id, CAST(rk AS INTEGER) AS rk, tok AS term, score
+      FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk"""))
   )
 }

@@ -488,6 +488,33 @@ object RelationalQueries {
                     OVER (ORDER BY di RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
                / 100.0 /
              CAST(SUM(n) OVER (ORDER BY di RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma7
-      FROM daily ORDER BY day"""))
+      FROM daily ORDER BY day""")),
+
+    // Array-aggregation surface (collect_list / sort_array / array_join /
+    // element_at): per sampled order, the sorted quantity multiset of its
+    // line items. The sort happens INSIDE each row (sort_array over an
+    // order-sized list), never as a global orderBy; one partial-aggregated
+    // groupBy shuffle on the key. Quantities are integral in TPC-H — cast
+    // to int so the string rendering is engine-identical.
+    QueryDef("q71_array_agg", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" % 200 === 0)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_list($"l_quantity".cast("int"))).as("qtys"))
+        .select($"l_orderkey", size($"qtys").as("n_items"),
+          array_join(transform($"qtys", q => q.cast("string")), ",").as("qty_list"),
+          element_at($"qtys", -1).as("qty_max"))
+        .orderBy($"l_orderkey")
+    }, Some("""
+      SELECT l_orderkey,
+             CAST(len(qtys) AS INTEGER) AS n_items,
+             array_to_string(qtys, ',') AS qty_list,
+             qtys[len(qtys)] AS qty_max
+      FROM (SELECT l_orderkey,
+                   list_sort(list(CAST(l_quantity AS INTEGER))) AS qtys
+            FROM lineitem WHERE l_orderkey % 200 = 0
+            GROUP BY l_orderkey)
+      ORDER BY l_orderkey"""))
   )
 }

@@ -65,6 +65,34 @@ object TextAnalysis {
     * (a 1-perm minhash; winnowing-style representative). */
   def rollingHashMin(c: Column, k: Int = 3): Column =
     array_min(transform(Shingling.wordShingles(c, k), s => xxhash64(s)))
+
+  // ---------------- PII detection / redaction ----------------
+
+  /** PII patterns shared by [[piiCounts]] and [[redactPii]] — deliberately
+    * restricted to the regex subset Java regex and RE2 (DuckDB/Trino/Go)
+    * interpret identically (no lookaround, no backreferences), so redaction
+    * is oracle-checkable across engines. Order matters downstream: emails
+    * are redacted before phones/IPs so their digit runs can't re-match. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+  val Ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** Per-class PII match counts over the raw text: (n_email, n_phone,
+    * n_ip) int columns. Pure codegen projections — a 100 TB corpus scan. */
+  def piiCounts(c: Column): Seq[Column] = Seq(
+    regexp_count(c, lit(EmailRe)).cast("int").as("n_email"),
+    regexp_count(c, lit(PhoneRe)).cast("int").as("n_phone"),
+    regexp_count(c, lit(Ipv4Re)).cast("int").as("n_ip"))
+
+  /** Redact PII in place: emails → [EMAIL], then phones → [PHONE], then
+    * IPv4s → [IP]. Sequential application (email first) keeps the classes
+    * disjoint: a redacted token contains no digits or @ to re-match. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
 }
 
 /** Word k-shingling shared by text fingerprints and MinHash dedup. */

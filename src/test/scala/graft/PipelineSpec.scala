@@ -465,4 +465,55 @@ class PipelineSpec extends SparkSpec {
     assert(dropped.count() > 0)
     assert(dropped.agg(org.apache.spark.sql.functions.max($"size")).head().getLong(0) == 2L)
   }
+
+  test("connectedComponents matches union-find on random graphs, chains and hubs") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // path-compress fully, then label every node by its root (= min id,
+      // because unions always point the larger root at the smaller)
+      nodes.map(v => v -> find(v)).toMap
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      // long chain: the O(diameter) killer for label propagation
+      (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq,
+      // star hub + disjoint cliques
+      (1L to 50L).map(i => (0L, i)) ++ Seq((100L, 101L), (101L, 102L), (200L, 201L)),
+      // random sparse graph (with self-loops and duplicate/reversed edges)
+      Seq.fill(300)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong)))
+    for (edges <- cases) {
+      val expected = unionFind(0, edges.filter(e => e._1 != e._2))
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    }
+    // empty input → empty output, correct schema
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(empty.columns.toSeq == Seq("id", "cluster_id") && empty.isEmpty)
+  }
+
+  test("PII redaction: per-class counts and in-place replacement") {
+    val df = Seq(
+      (1L, "write to alice.smith+news@sub.example.org today"),
+      (2L, "call 555-123-4567 or 555.987.6543 now"),
+      (3L, "ping 10.0.3.25 and 192.168.1.1"),
+      (4L, "no pii here at all")).toDF("id", "t")
+    val out = df.select(Seq($"id") ++ TextAnalysis.piiCounts($"t") :+
+        TextAnalysis.redactPii($"t").as("r"): _*)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1, 0, 0, "write to [EMAIL] today")))
+    assert(out(1) == ((2L, 0, 2, 0, "call [PHONE] or [PHONE] now")))
+    assert(out(2) == ((3L, 0, 0, 2, "ping [IP] and [IP]")))
+    assert(out(3) == ((4L, 0, 0, 0, "no pii here at all")))
+  }
 }
