@@ -64,7 +64,23 @@ object PlanCheck {
     Want("q52_interval_join", Seq.empty,
       mustNotContain = Seq(
         "no nested-loop range join" -> "BroadcastNestedLoopJoin",
-        "no cartesian" -> "CartesianProduct")))
+        "no cartesian" -> "CartesianProduct")),
+    // PII scrub is one codegen projection over the scan — the only
+    // exchange in the plan is the final presentation orderBy (range),
+    // never a hash shuffle.
+    Want("q70_pii_redact", Seq(
+      "redaction inline in the projection" -> "regexp_replace"),
+      mustNotContain = Seq(
+        "no hash shuffle in a pure scan+project" -> "Exchange hashpartitioning")),
+    // per-doc top-terms rerank goes through the bounded-heap aggregate
+    // (map-side partial top-k), NOT a row_number window over the full
+    // (doc, term) table
+    Want("q72_tfidf", Seq(
+      "bounded-heap rerank aggregate" -> "scored_top_k"),
+      mustNotContain = Seq(
+        "no scored-row window shuffle+sort" -> "Window",
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()

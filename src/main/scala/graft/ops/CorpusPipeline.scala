@@ -10,14 +10,16 @@ import graft.text.TextAnalysis
   * to serve:
   *
   *   exact dedup → quality filter → repetition filter → benchmark
-  *   decontamination → near-dup removal (MinHash) → context-window packing
+  *   decontamination → near-dup cluster removal (MinHash + connected
+  *   components) → context-window packing
   *
   * Each stage is the already-tested operator; the value here is the
   * composition being ONE lazy DataFrame plan: Catalyst sees the whole
   * chain (filters merge, projections prune, nothing materializes between
-  * stages unless a stage inherently shuffles), and the pipeline runs at
-  * corpus scale exactly as its pieces do. Returns
-  * (doc_id, shard, n_tok, seq_id) — the trainer-facing assignment.
+  * stages unless a stage inherently shuffles) — except the component
+  * closure, which iterates eagerly over the answer-sized near-dup pair
+  * graph. Returns (doc_id, shard, n_tok, seq_id) — the trainer-facing
+  * assignment.
   */
 object CorpusPipeline {
 
@@ -43,11 +45,18 @@ object CorpusPipeline {
     // eval-leakage guard
     val clean = TrainingPrep.decontaminate(quality, textCol, idCol,
       benchmark, textCol)
-    // near-dup removal: drop the higher id of every MinHash-verified pair
-    // (greedy min-id keep — deterministic, answer-sized join)
-    val dupIds = Dedup.minHashPairs(clean, textCol, idCol,
-        threshold = jaccardThreshold)
-      .select(col("id_b").as(idCol)).distinct()
+    // near-dup removal with CLUSTER semantics: MinHash pairs close into
+    // connected components (transitive closure) and every non-minimum
+    // member drops — one survivor per duplicate cluster. Greedy drop-the-
+    // larger-of-each-pair keeps every local minimum instead: a chain
+    // 2–9–4 would survive as {2, 4}. The component iteration runs on the
+    // ANSWER-SIZED pair graph (the one eager sub-step in an otherwise
+    // lazy plan — bounded actions over a tiny edge list).
+    val clusters = Dedup.connectedComponents(
+      Dedup.minHashPairs(clean, textCol, idCol, threshold = jaccardThreshold)
+        .select("id_a", "id_b"), "id_a", "id_b")
+    val dupIds = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
     val unique = clean.join(dupIds, Seq(idCol), "left_anti")
     // trainer prep: deterministic shard + context-window assignment
     TrainingPrep.packSequences(unique, textCol, idCol, ctxTokens, shards)
