@@ -45,31 +45,48 @@ object Bench {
     // and q46's repeat runs hit the prebuilt-index cache — i.e. measure
     // the amortized probe, which is the lifecycle the query exists to show
     // (q57 pins the cold/pruned-probe split).
+    // Wall time alone cannot support cross-round comparisons here: this
+    // container is CPU-throttled in windows by neighbors (measured: two
+    // back-to-back full runs with IDENTICAL code, totals within 1%, but
+    // single queries swinging 1.2s ↔ 38.9s depending on which one was
+    // running when a throttle window hit). Process CPU time is largely
+    // invariant under external contention — the JVM burns the same cycles,
+    // just spread over more wall — so every query also reports the
+    // process-CPU delta (all 32 executor threads + driver, in seconds).
+    // Compare queries_cpu across rounds; treat wall as weather.
+    val osBean = java.lang.management.ManagementFactory
+      .getPlatformMXBean(classOf[com.sun.management.OperatingSystemMXBean])
+
     val REPEAT_FLOOR = 0.5
-    def once(d: QueryDef): (Double, Long) = {
+    def once(d: QueryDef): (Double, Double, Long) = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val n = try d.run(spark, sfDir).count() catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${d.name} FAILED: ${e.getMessage}"); -1L
       }
-      ((System.nanoTime() - t0) / 1e9, n)
+      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9, n)
     }
     val results = defs.map { d =>
-      val (t1, n1) = once(d)
-      val times =
-        if (t1 >= REPEAT_FLOOR && n1 >= 0) Seq(t1, once(d)._1, once(d)._1)
-        else Seq(t1)
-      val sorted = times.sorted
-      val med = sorted(sorted.size / 2)
-      val min = sorted.head
+      val (t1, c1, n1) = once(d)
+      val runs =
+        if (t1 >= REPEAT_FLOOR && n1 >= 0) {
+          val (t2, c2, _) = once(d); val (t3, c3, _) = once(d)
+          Seq((t1, c1), (t2, c2), (t3, c3))
+        } else Seq((t1, c1))
+      def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      val med = median(runs.map(_._1))
+      val min = runs.map(_._1).min
+      val cpu = median(runs.map(_._2))
       System.err.println(
-        f"[bench] ${d.name}%-24s med=$med%8.2f s  min=$min%8.2f s  runs=${times.size}  rows=$n1")
-      (d.name, med, min)
+        f"[bench] ${d.name}%-24s med=$med%8.2f s  min=$min%8.2f s  cpu=$cpu%8.2f s  runs=${runs.size}  rows=$n1")
+      (d.name, med, min, cpu)
     }
-    def obj(f: ((String, Double, Double)) => Double): String =
+    def obj(f: ((String, Double, Double, Double)) => Double): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"queries_min":${obj(_._3)},"repeats":3,"sf":"$sfDir"}""")
+    val totalCpu = results.map(_._4).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"queries_min":${obj(_._3)},"queries_cpu":${obj(_._4)},"total_cpu":$totalCpu,"repeats":3,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -515,6 +515,52 @@ object RelationalQueries {
                    list_sort(list(CAST(l_quantity AS INTEGER))) AS qtys
             FROM lineitem WHERE l_orderkey % 200 = 0
             GROUP BY l_orderkey)
-      ORDER BY l_orderkey"""))
+      ORDER BY l_orderkey""")),
+
+    // Fixed-width histogram of order values — the numeric-distribution
+    // report prep behind the reference's charts. Bucketing is a pure
+    // projection (floor of one IEEE division — identical both engines,
+    // same input bits); the aggregation shuffles ≤ 20 groups after
+    // map-side partial counts. The top bucket is open-ended via least().
+    QueryDef("q73_histogram", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(least(floor($"o_totalprice" / 25000.0), lit(19)).cast("int").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .select($"bucket", ($"bucket" * 25000.0).as("lo"), $"n")
+        .orderBy($"bucket")
+    }, Some("""
+      SELECT bucket, bucket * 25000.0 AS lo, n
+      FROM (SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS INTEGER) AS bucket,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1)
+      ORDER BY bucket""")),
+
+    // CUBE through the DataFrame API (q67 covers GROUPING SETS through the
+    // SQL path): all four (status, year) granularities in ONE pass — one
+    // scan + one Expand + one shuffle vs four scans + union. grouping()
+    // flags disambiguate subtotal rows from genuine NULL keys portably.
+    QueryDef("q74_cube", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderstatus".as("status"), year($"o_orderdate").as("yr"),
+          $"o_totalprice")
+        .cube($"status", $"yr")
+        .agg(grouping($"status").cast("int").as("g_status"),
+          grouping($"yr").cast("int").as("g_yr"),
+          count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,4)")).cast("double").as("revenue"))
+        .select($"status", $"yr", $"g_status", $"g_yr", $"n", $"revenue")
+        .orderBy($"g_status", $"g_yr", $"status", $"yr")
+    }, Some("""
+      SELECT o_orderstatus AS status,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+             CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+             CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate)) AS INTEGER) AS g_yr,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, EXTRACT(YEAR FROM o_orderdate))
+      ORDER BY g_status, g_yr, status, yr"""))
   )
 }
