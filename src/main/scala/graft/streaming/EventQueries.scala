@@ -106,6 +106,67 @@ object EventQueries {
              COUNT(*) AS n_err
       FROM err e JOIN win w
         ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts <= w.w_end
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Funnel analysis (view → click → purchase, strictly ordered): how far
+    // each user gets, counted per stage. Formulated as three cascaded
+    // conditional min-aggregations — each stage is one equi-join on
+    // user_id + one partial-aggregated groupBy, all linear in |events|;
+    // no per-user event sorting, no window over the raw event stream.
+    QueryDef("q75_funnel", (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", $"ts")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t_view"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts" > $"t_view")
+        .groupBy($"user_id").agg(min($"ts").as("t_click"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ts" > $"t_click")
+        .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select((lit(1) + when($"t_click".isNotNull, 1).otherwise(0)
+          + when($"t_purchase".isNotNull, 1).otherwise(0)).as("stage"))
+        .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+        .orderBy($"stage")
+    }, Some("""
+      WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      SELECT stage, COUNT(*) AS n_users FROM (
+        SELECT 1 + CAST(c.t_click IS NOT NULL AS INTEGER)
+                 + CAST(p.t_purchase IS NOT NULL AS INTEGER) AS stage
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id)
+      GROUP BY stage ORDER BY stage""")),
+
+    // Cohort retention: users grouped by first-seen day, counted per
+    // active-day offset — the (cohort × offset) matrix behind retention
+    // charts. One distinct, one min-agg, one equi-join on user_id; the
+    // grouped output is answer-sized (days × days), never user-sized.
+    QueryDef("q76_retention", (s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "events")
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val cohort = d.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      d.join(cohort, "user_id")
+        .groupBy($"cohort_day", datediff($"day", $"cohort_day").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .select($"cohort_day".cast("string").as("cohort_day"), $"day_offset", $"n_users")
+        .orderBy($"cohort_day", $"day_offset")
+    }, Some("""
+      WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+      SELECT CAST(cohort.cohort_day AS VARCHAR) AS cohort_day,
+             CAST(d.day - cohort.cohort_day AS INTEGER) AS day_offset,
+             COUNT(*) AS n_users
+      FROM d JOIN cohort ON d.user_id = cohort.user_id
       GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
