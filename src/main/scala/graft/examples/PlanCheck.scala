@@ -80,6 +80,23 @@ object PlanCheck {
       mustNotContain = Seq(
         "no scored-row window shuffle+sort" -> "Window",
         "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // funnel = cascaded conditional min-aggs: stage timestamps come from
+    // map-side partial_min groupBys + user_id equi-joins — never a Window
+    // (per-user sort) over the raw event stream
+    Want("q75_funnel", Seq(
+      "map-side partial min per stage" -> "partial_min"),
+      mustNotContain = Seq(
+        "no per-user window over raw events" -> "Window",
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // retention matrix: distinct + min-agg + one user_id equi-join; the
+    // only rows shuffled are (user, day) pairs, the output is days²
+    Want("q76_retention", Seq(
+      "map-side partial cohort min" -> "partial_min"),
+      mustNotContain = Seq(
+        "no per-user window" -> "Window",
+        "no cartesian" -> "CartesianProduct",
         "no nested-loop join" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {
