@@ -97,7 +97,33 @@ object PlanCheck {
       mustNotContain = Seq(
         "no per-user window" -> "Window",
         "no cartesian" -> "CartesianProduct",
-        "no nested-loop join" -> "BroadcastNestedLoopJoin")))
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // source-overlap: grams travel as 61-bit hashes through the native
+    // kernel; the per-source count tables join back by broadcast; the gram
+    // self-join is an equi-join (fan-out bounded by |sources|² per gram)
+    Want("q77_source_overlap", Seq(
+      "grams hashed via the native shingle kernel" -> "word_shingle_hash",
+      "per-source counts broadcast back" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no cartesian gram pairing" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // SCD2: the user_id<50 predicate must reach the parquet scan; the
+    // version ordering is two key-partitioned windows, never a sort of the
+    // whole log
+    Want("q78_scd2", Seq(
+      "changelog filter pushed to scan" -> "PushedFilters: [IsNotNull(user_id), LessThan(user_id,50)",
+      "key-partitioned version windows" -> "Window"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct")),
+    // postings: capped lists via the bounded-heap aggregate — per-term
+    // state is k entries, the term shuffle carries tasks×terms×k rows,
+    // never a stop-word's corpus-sized posting list
+    Want("q79_postings", Seq(
+      "capped postings via bounded heap" -> "scored_top_k",
+      "map-side partial df count" -> "partial_count"),
+      mustNotContain = Seq(
+        "no raw collect_list of postings" -> "collect_list",
+        "no cartesian" -> "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()

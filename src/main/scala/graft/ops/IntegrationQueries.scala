@@ -162,6 +162,38 @@ object IntegrationQueries {
     }, Some("""
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
-      FROM events GROUP BY event_type ORDER BY event_type"""))
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // SCD Type-2 history build (Merge.scd2FromChangelog): the audit-keeping
+    // complement of the reference's in-place keyed update — each event_type
+    // change per user opens a version row with [valid_from, valid_to) and
+    // an is_current flag. Two key-partitioned windows, one shuffle on
+    // user_id; the user_id predicate prunes at the scan.
+    QueryDef("q78_scd2", (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events").filter($"user_id" < 50)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+      Merge.scd2FromChangelog(ev, "user_id", "event_type", "ts", "event_id")
+        .select($"user_id", $"event_type",
+          date_format($"valid_from", "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format($"valid_to", "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          $"is_current")
+        .orderBy($"user_id", $"valid_from")
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, ts, event_id FROM events WHERE user_id < 50),
+      lagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM ev),
+      chg AS (
+        SELECT user_id, event_type, ts, event_id FROM lagged
+        WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      '%Y-%m-%d %H:%M:%S') AS valid_to,
+             (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+      FROM chg ORDER BY user_id, valid_from"""))
   )
 }

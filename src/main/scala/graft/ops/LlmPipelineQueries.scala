@@ -812,6 +812,83 @@ object LlmPipelineQueries {
                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, h) AS rk
         FROM scored)
       SELECT doc_id, CAST(rk AS INTEGER) AS rk, tok AS term, score
-      FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk"""))
+      FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk""")),
+
+    // Source-overlap matrix: pairwise 5-gram Jaccard between domains — the
+    // curation diagnostic behind "is src A already covered by src B?"
+    // decisions before mixing. Grams travel as 61-bit hashes through one
+    // distinct (source, gram) projection; the gram self-join fans out at
+    // most |sources|^2 rows per gram (a constant), and the final shuffle is
+    // answer-sized (|sources|^2 pairs). The oracle joins raw gram strings —
+    // counts agree unless two distinct grams collide in 2^61 (negligible).
+    QueryDef("q77_source_overlap", (s, dir) => {
+      import s.implicits._
+      val grams = Tables.load(s, dir, "documents")
+        .select($"source", explode(graft.functions.HashFunctions.wordShingleHash(
+          TextAnalysis.normalize($"text"), 5, 2305843009213693951L)).as("g"))
+        .distinct()
+      val counts = grams.groupBy($"source").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a").join(grams.as("b"),
+          $"a.g" === $"b.g" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(counts.select($"source".as("src_a"), $"n".as("na"))), "src_a")
+        .join(broadcast(counts.select($"source".as("src_b"), $"n".as("nb"))), "src_b")
+        .select($"src_a", $"src_b", $"n_common",
+          ($"n_common".cast("double") / ($"na" + $"nb" - $"n_common")).as("jaccard"))
+        .orderBy($"src_a", $"src_b")
+    }, Some(s"""
+      WITH sg AS (
+        SELECT DISTINCT source, unnest(s) AS g FROM (
+          SELECT source, list_distinct(
+            CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                 ELSE [array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)] END) AS s
+          FROM (SELECT source,
+                  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents))),
+      n AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY 1),
+      i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+            FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT src_a, src_b, n_common,
+             CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+      FROM i JOIN n na ON na.source = i.src_a JOIN n nb ON nb.source = i.src_b
+      ORDER BY src_a, src_b""")),
+
+    // Inverted-index build: per-term document frequency + the first 10
+    // postings. The posting list for a stop-word is corpus-sized, so the
+    // naive collect_list+sort dies exactly where it matters — instead the
+    // capped list goes through the scored_top_k bounded heap (map-side
+    // partial top-k): per-term state is k entries and the term shuffle
+    // carries tasks×terms×k rows, never raw postings.
+    QueryDef("q79_postings", (s, dir) => {
+      import s.implicits._
+      val td = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          explode(split(TextAnalysis.normalize($"text"), " ", -1)).as("tok"))
+        .distinct()
+      val agg = td.groupBy($"tok").agg(
+        count(lit(1)).as("df"),
+        graft.functions.AggFunctions.scoredTopK(
+          -$"doc_id".cast("double"), $"doc_id", 10).as("top"))
+      agg.select($"tok", $"df",
+          array_join(transform($"top", x => x.getField("id").cast("string")), ",")
+            .as("postings"))
+        .orderBy($"df".desc, $"tok").limit(100)
+    }, Some("""
+      WITH td AS (SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents)),
+      agg AS (SELECT tok, COUNT(*) AS df FROM td GROUP BY 1),
+      r AS (SELECT tok, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+            FROM td)
+      SELECT a.tok, a.df,
+             string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id) AS postings
+      FROM agg a JOIN r ON a.tok = r.tok AND r.rn <= 10
+      GROUP BY a.tok, a.df
+      ORDER BY a.df DESC, a.tok LIMIT 100"""))
   )
 }

@@ -53,4 +53,30 @@ object Merge {
   /** DELETE WHERE cond, as a filter-out rewrite (immutable-storage delete). */
   def deleteWhere(df: DataFrame, cond: Column): DataFrame =
     df.filter(!coalesce(cond, lit(false)))
+
+  /** SCD Type-2 dimension history from a changelog: every change of `attr`
+    * per `key` opens a version row [valid_from, valid_to), the latest
+    * version has valid_to = NULL / is_current = true. The warehouse-side
+    * complement of [[updateByKey]] — the reference's keyed update
+    * (SQL_DATA_INTEGRATION_TOOL.py:282-312) overwrites in place; this keeps
+    * the full audit history the way a dimension table would.
+    *
+    * Scale shape: two key-partitioned windows (lag to collapse no-op
+    * repeats, lead over the surviving change rows for the closing
+    * timestamp) — both shuffle once on `key` and stream within each key;
+    * nothing is corpus-global. Ties on `tsCol` are broken by `tieBreak`
+    * (a unique id) so version order is total and engine-portable. */
+  def scd2FromChangelog(log: DataFrame, key: String, attr: String,
+      tsCol: String, tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieBreak))
+    val changes = log
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .filter(!(col("__prev") <=> col(attr)))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(key), col(attr),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -25,6 +25,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 10.0), (2L, 99.0), (5L, 50.0)))
   }
 
+  test("scd2FromChangelog collapses no-op repeats and closes versions in order") {
+    // user 1: a, a (no-op), b, a  -> three versions; user 2: x only
+    val log = Seq(
+      (1L, "a", 10L, 100L), (1L, "a", 20L, 101L), (1L, "b", 30L, 102L),
+      (1L, "a", 40L, 103L), (2L, "x", 15L, 104L))
+      .toDF("k", "attr", "t", "id")
+      .withColumn("t", timestamp_seconds($"t"))
+    val out = Merge.scd2FromChangelog(log, "k", "attr", "t", "id")
+      .select($"k", $"attr", unix_timestamp($"valid_from").as("from"),
+        unix_timestamp($"valid_to").as("to"), $"is_current")
+      .orderBy($"k", $"from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 10L, 30L, false),   // repeat at t=20 collapsed
+      (1L, "b", 30L, 40L, false),
+      (1L, "a", 40L, -1L, true),    // re-opened attr is a NEW version
+      (2L, "x", 15L, -1L, true)))
+  }
+
+  test("scd2FromChangelog breaks timestamp ties by the tie-break id") {
+    val log = Seq((1L, "a", 10L, 2L), (1L, "b", 10L, 1L))
+      .toDF("k", "attr", "t", "id")
+      .withColumn("t", timestamp_seconds($"t"))
+    val out = Merge.scd2FromChangelog(log, "k", "attr", "t", "id")
+      .select($"attr", $"is_current").orderBy($"is_current").collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    assert(out.toSeq == Seq(("b", false), ("a", true)))
+  }
+
   test("deleteWhere treats null predicate as keep") {
     val df = Seq[(Long, Option[String])]((1L, Some("x")), (2L, None), (3L, Some("y")))
       .toDF("k", "s")
