@@ -190,6 +190,36 @@ object EventsStream {
       }
   }
 
+  /** Watermarked stream-stream interval join: every left row pairs with
+    * the right rows sharing its key whose timestamp falls in
+    * [leftTs, leftTs + horizon] — clicks × purchases-within-the-hour, ad
+    * impressions × conversions, etc., with BOTH sides unbounded.
+    *
+    * The batch analog is [[graft.ops.IntervalJoin]]; streaming gets exact
+    * results with bounded state because the two watermarks plus the
+    * time-range predicate tell the engine how long a buffered row can
+    * still find partners: left rows age out `horizon` past the right
+    * watermark, right rows age out at the left watermark — state is
+    * O(rows inside the lateness+horizon window), never the full history.
+    * Spark requires the range predicate for exactly this reason; an
+    * unconstrained stream-stream join would buffer forever.
+    *
+    * `leftKey`/`rightKey` (and the two ts columns) must be distinct names
+    * on the two sides — streaming joins resolve the condition by name.
+    * Inner joins emit in append mode as soon as both rows arrive; pass
+    * "leftOuter" to also emit unmatched left rows once the watermark
+    * proves no partner can appear. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      horizon: String = "1 hour", watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"$leftKey = $rightKey AND $rightTs >= $leftTs AND $rightTs <= $leftTs + INTERVAL $horizon"),
+      joinType)
+  }
+
   /** Wire a streaming DataFrame to an in-memory sink (testing/debug). */
   def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()

@@ -188,4 +188,63 @@ class StreamingSpec extends SparkSpec {
     val batch = graft.streaming.EventsOps.windowedAgg(events).count()
     assert(batch > 0)
   }
+
+  // stream-stream join tests place events well past epoch 0: the initial
+  // watermark is 0, and a row AT the watermark is treated as late and
+  // dropped from join state — an artifact of epoch-0 test data, not of the
+  // operator.
+  private def ts6(min: Long): Timestamp = new Timestamp((min + 1000000L) * 60000L)
+
+  test("streamIntervalJoin pairs in-horizon rows across batches, excludes out-of-range") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventsStream.streamIntervalJoin(
+      clicks.toDF().selectExpr("event_id AS click_id", "user_id AS c_user", "ts AS click_ts"),
+      purchases.toDF().selectExpr("event_id AS p_id", "user_id AS p_user", "ts AS p_ts", "value"),
+      "c_user", "p_user", "click_ts", "p_ts",
+      horizon = "60 minutes", watermark = "120 minutes")
+    val q = EventsStream.toMemorySink(joined, "ssj", OutputMode.Append())
+    // user 1 clicks at t0; purchase at t30 (in horizon), at t90 (out).
+    // user 2 purchase at t10 with no click — inner join drops it.
+    clicks.addData(Event(1, ts6(0), 1, "click", 0))
+    purchases.addData(Event(10, ts6(30), 1, "purchase", 5.0))
+    q.processAllAvailable()
+    // second batch: the purchase side arrives AFTER the click was buffered
+    purchases.addData(Event(11, ts6(90), 1, "purchase", 7.0),
+      Event(12, ts6(10), 2, "purchase", 9.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT click_id, p_id, value FROM ssj ORDER BY p_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(out.toSeq == Seq((1L, 10L, 5.0)))
+  }
+
+  test("streamIntervalJoin matches the batch interval join on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val cRows = Seq(Event(1, ts6(0), 1, "click", 0), Event(2, ts6(45), 1, "click", 0),
+      Event(3, ts6(20), 2, "click", 0))
+    val pRows = Seq(Event(10, ts6(30), 1, "purchase", 5.0),
+      Event(11, ts6(100), 1, "purchase", 7.0), Event(12, ts6(25), 2, "purchase", 9.0))
+    val joined = EventsStream.streamIntervalJoin(
+      clicks.toDF().selectExpr("event_id AS click_id", "user_id AS c_user", "ts AS click_ts"),
+      purchases.toDF().selectExpr("event_id AS p_id", "user_id AS p_user", "ts AS p_ts"),
+      "c_user", "p_user", "click_ts", "p_ts",
+      horizon = "60 minutes", watermark = "240 minutes")
+    val q = EventsStream.toMemorySink(joined, "ssj2", OutputMode.Append())
+    clicks.addData(cRows: _*); purchases.addData(pRows: _*)
+    q.processAllAvailable()
+    val stream = spark.sql("SELECT click_id, p_id FROM ssj2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    val batch = cRows.toDF().selectExpr("event_id AS click_id", "user_id AS c_user", "ts AS click_ts")
+      .join(pRows.toDF().selectExpr("event_id AS p_id", "user_id AS p_user", "ts AS p_ts"),
+        org.apache.spark.sql.functions.expr(
+          "c_user = p_user AND p_ts >= click_ts AND p_ts <= click_ts + INTERVAL 60 minutes"))
+      .select("click_id", "p_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
 }
