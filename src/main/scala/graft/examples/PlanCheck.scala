@@ -123,6 +123,23 @@ object PlanCheck {
       "map-side partial df count" -> "partial_count"),
       mustNotContain = Seq(
         "no raw collect_list of postings" -> "collect_list",
+        "no cartesian" -> "CartesianProduct")),
+    // quantile bucketing: boundaries are one answer-sized percentile agg
+    // broadcast back over the scan (the 1-row BNLJ is the intended plan) —
+    // never an NTILE window, which would globally sort the corpus
+    Want("q80_quantile_bucket", Seq(
+      "exact quartile boundaries" -> "percentile_disc",
+      "1-row bounds broadcast over the scan" -> "BroadcastNestedLoopJoin"),
+      mustNotContain = Seq(
+        "no global-sort ntile window" -> "Window",
+        "no cartesian" -> "CartesianProduct")),
+    // BM25: per-term df and corpus stats broadcast back; the corpus-side
+    // work is one explode + two partial-aggregated groupBys
+    Want("q81_bm25", Seq(
+      "df table broadcast back" -> "BroadcastHashJoin",
+      "map-side partial tf" -> "partial_count"),
+      mustNotContain = Seq(
+        "no per-doc window" -> "Window",
         "no cartesian" -> "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {

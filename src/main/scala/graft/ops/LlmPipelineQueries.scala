@@ -889,6 +889,63 @@ object LlmPipelineQueries {
              string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id) AS postings
       FROM agg a JOIN r ON a.tok = r.tok AND r.rn <= 10
       GROUP BY a.tok, a.df
-      ORDER BY a.df DESC, a.tok LIMIT 100"""))
+      ORDER BY a.df DESC, a.tok LIMIT 100""")),
+
+    // BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed 3-term query:
+    // per-term tf + doc lengths + broadcast df/corpus stats — the classic
+    // search scorer as one linear pass + answer-sized joins. Cross-engine
+    // float discipline: each per-term contribution is aggregated with a
+    // disjoint-support conditional sum (adding exact zeros commutes), the
+    // three contributions add in fixed textual order, and the score ships
+    // as floor(score*1e6) so a last-ulp ln() difference cannot flip the
+    // hash. Top-20 ordered by the integerized score.
+    QueryDef("q81_bm25", (s, dir) => {
+      import s.implicits._
+      val k1 = 1.2; val b = 0.75
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select($"doc_id",
+        explode(split(TextAnalysis.normalize($"text"), " ", -1)).as("tok"))
+      val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"), avg($"len").as("avg_len"))
+      val tf = toks.filter($"tok".isin("spark", "join", "merge"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val contrib = tf.join(lens, "doc_id").join(broadcast(df), "tok")
+        .join(broadcast(stats))
+        .select($"doc_id", $"tok",
+          (log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+            ($"tf" * (k1 + 1)) /
+            ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"len" / $"avg_len"))).as("c"))
+      contrib.groupBy($"doc_id")
+        .agg(sum(when($"tok" === "spark", $"c").otherwise(0.0)).as("c_spark"),
+          sum(when($"tok" === "join", $"c").otherwise(0.0)).as("c_join"),
+          sum(when($"tok" === "merge", $"c").otherwise(0.0)).as("c_merge"))
+        .select($"doc_id",
+          floor(($"c_spark" + $"c_join" + $"c_merge") * 1e6).cast("long").as("score_u"))
+        .orderBy($"score_u".desc, $"doc_id").limit(20)
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents),
+      lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+      stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avg_len FROM lens),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+             WHERE tok IN ('spark', 'join', 'merge') GROUP BY 1, 2),
+      df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      contrib AS (
+        SELECT tf.doc_id, tf.tok,
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                 (tf.tf * 2.2) /
+                 (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / stats.avg_len)) AS c
+        FROM tf JOIN lens ON tf.doc_id = lens.doc_id
+                JOIN df ON tf.tok = df.tok
+                CROSS JOIN stats)
+      SELECT doc_id,
+             CAST(floor((SUM(CASE WHEN tok = 'spark' THEN c ELSE 0.0 END)
+                       + SUM(CASE WHEN tok = 'join'  THEN c ELSE 0.0 END)
+                       + SUM(CASE WHEN tok = 'merge' THEN c ELSE 0.0 END)) * 1e6) AS BIGINT) AS score_u
+      FROM contrib GROUP BY doc_id
+      ORDER BY score_u DESC, doc_id LIMIT 20"""))
   )
 }

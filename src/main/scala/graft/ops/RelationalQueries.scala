@@ -561,6 +561,37 @@ object RelationalQueries {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM orders
       GROUP BY CUBE (o_orderstatus, EXTRACT(YEAR FROM o_orderdate))
-      ORDER BY g_status, g_yr, status, yr"""))
+      ORDER BY g_status, g_yr, status, yr""")),
+
+    // Global quantile bucketing WITHOUT a global sort: NTILE(4) over a
+    // corpus needs one total order — a scale-killer — but the same buckets
+    // fall out of computing the three quartile boundaries once (answer-
+    // sized aggregate) and broadcasting them back over the scan as a
+    // comparison projection. percentile_disc picks actual data values, so
+    // both engines agree bit-for-bit (no interpolation arithmetic).
+    QueryDef("q80_quantile_bucket", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bounds = docs.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)").as("q1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("q2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)").as("q3"))
+      docs.join(broadcast(bounds))
+        .select($"doc_id", $"n_chars",
+          when($"n_chars" <= $"q1", 1).when($"n_chars" <= $"q2", 2)
+            .when($"n_chars" <= $"q3", 3).otherwise(4).as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+        .orderBy($"bucket")
+    }, Some("""
+      WITH b AS (SELECT quantile_disc(n_chars, 0.25) AS q1,
+                        quantile_disc(n_chars, 0.5)  AS q2,
+                        quantile_disc(n_chars, 0.75) AS q3
+                 FROM documents)
+      SELECT CASE WHEN n_chars <= q1 THEN 1 WHEN n_chars <= q2 THEN 2
+                  WHEN n_chars <= q3 THEN 3 ELSE 4 END AS bucket,
+             COUNT(*) AS n, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM documents, b
+      GROUP BY 1 ORDER BY 1"""))
   )
 }
