@@ -61,6 +61,51 @@ object Catalog {
       .orderBy("column_name")
   }
 
+  /** ANALYZE TABLE: per-column profile — null count, HLL++ approximate
+    * distinct count, min/max — in ONE aggregate pass over the table (all
+    * columns' partial aggregates travel together; no per-column scans).
+    * This is the stats collection feeding any cost-based optimizer and the
+    * reference-style "profile this table" UI. min/max surface as strings so
+    * every column type fits one result schema; approx_count_distinct keeps
+    * the pass shuffle-light at corpus scale (rsd 5% default) where exact
+    * per-column distincts would each be their own shuffle. Complex-typed
+    * columns (array/struct/map/binary) profile null counts only. */
+  def analyzeTable(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType}
+    val cols = df.schema.fields.toSeq
+    def simple(f: StructField) = f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+      case _ => true
+    }
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(when(c.isNull, 1)).as(s"__null_${f.name}")) ++ (if (simple(f)) Seq(
+        approx_count_distinct(c).as(s"__d_${f.name}"),
+        min(c).cast(StringType).as(s"__min_${f.name}"),
+        max(c).cast(StringType).as(s"__max_${f.name}")) else Seq.empty)
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Long]("__n")
+    val rows = cols.map { f =>
+      Row(f.name, f.dataType.simpleString, n,
+        r.getAs[Long](s"__null_${f.name}"),
+        if (simple(f)) Long.box(r.getAs[Long](s"__d_${f.name}")) else null,
+        if (simple(f)) r.getAs[String](s"__min_${f.name}") else null,
+        if (simple(f)) r.getAs[String](s"__max_${f.name}") else null)
+    }
+    val schema = StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("data_type", StringType, nullable = false),
+      StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("null_count", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("approx_distinct", org.apache.spark.sql.types.LongType, nullable = true),
+      StructField("min_value", StringType, nullable = true),
+      StructField("max_value", StringType, nullable = true)))
+    val spark = df.sparkSession
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .orderBy("column_name")
+  }
+
   /** Primary-key candidates (ref 222-239): columns whose distinct count
     * equals the row count. One distributed aggregate pass over all candidate
     * columns at once (count_distinct is partial-aggregated; no per-column

@@ -108,11 +108,15 @@ object EventQueries {
         ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts <= w.w_end
       GROUP BY 1, 2 ORDER BY 1, 2""")),
 
-    // Funnel analysis (view → click → purchase, strictly ordered): how far
+    // Funnel analysis (view → click → purchase, strictly ordered, each
+    // stage within a 1-day attribution window of the previous): how far
     // each user gets, counted per stage. Formulated as three cascaded
     // conditional min-aggregations — each stage is one equi-join on
     // user_id + one partial-aggregated groupBy, all linear in |events|;
-    // no per-user event sorting, no window over the raw event stream.
+    // no per-user event sorting, no window over the raw event stream. The
+    // attribution window is what real funnels use AND what keeps the
+    // stage populations distinct on this corpus (unwindowed, every viewer
+    // eventually purchases and the funnel collapses to one row).
     QueryDef("q75_funnel", (s, dir) => {
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
@@ -120,10 +124,10 @@ object EventQueries {
       val v = ev.filter($"event_type" === "view")
         .groupBy($"user_id").agg(min($"ts").as("t_view"))
       val c = ev.filter($"event_type" === "click").join(v, "user_id")
-        .filter($"ts" > $"t_view")
+        .filter($"ts" > $"t_view" && $"ts" <= $"t_view" + expr("INTERVAL 1 DAY"))
         .groupBy($"user_id").agg(min($"ts").as("t_click"))
       val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
-        .filter($"ts" > $"t_click")
+        .filter($"ts" > $"t_click" && $"ts" <= $"t_click" + expr("INTERVAL 1 DAY"))
         .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
       v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
         .select((lit(1) + when($"t_click".isNotNull, 1).otherwise(0)
@@ -135,10 +139,12 @@ object EventQueries {
                  WHERE event_type = 'view' GROUP BY 1),
       c AS (SELECT e.user_id, MIN(e.ts) AS t_click
             FROM events e JOIN v ON e.user_id = v.user_id
-            WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+              AND e.ts <= v.t_view + INTERVAL 1 DAY GROUP BY 1),
       p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
             FROM events e JOIN c ON e.user_id = c.user_id
-            WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              AND e.ts <= c.t_click + INTERVAL 1 DAY GROUP BY 1)
       SELECT stage, COUNT(*) AS n_users FROM (
         SELECT 1 + CAST(c.t_click IS NOT NULL AS INTEGER)
                  + CAST(p.t_purchase IS NOT NULL AS INTEGER) AS stage

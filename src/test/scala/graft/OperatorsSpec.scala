@@ -86,6 +86,22 @@ class OperatorsSpec extends SparkSpec {
     assert(pks.contains("o_orderkey") && !pks.contains("o_orderstatus"))
   }
 
+  test("Catalog.analyzeTable profiles nulls, distincts and min/max in one pass") {
+    val df = Seq((1L, Some("a"), 1.5), (2L, None, -2.5), (3L, Some("a"), 0.0))
+      .toDF("id", "s", "v")
+    val prof = Catalog.analyzeTable(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof("id").getLong(2) == 3 && prof("id").getLong(3) == 0)
+    assert(prof("id").getLong(4) == 3)            // exact at this cardinality
+    assert(prof("s").getLong(3) == 1)             // one null
+    assert(prof("s").getString(5) == "a" && prof("s").getString(6) == "a")
+    assert(prof("v").getString(5) == "-2.5" && prof("v").getString(6) == "1.5")
+    // complex column: null-count only, stats columns null
+    val arr = Seq((1L, Seq(1, 2))).toDF("id", "xs")
+    val p2 = Catalog.analyzeTable(arr).collect().map(r => r.getString(0) -> r).toMap
+    assert(p2("xs").isNullAt(4) && p2("xs").isNullAt(5))
+  }
+
   test("Reports groupSum/valueCounts aggregate correctly") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("x", "y")
     val gs = Reports.groupSum(df, "x", "y").collect()

@@ -51,4 +51,41 @@ class SourcesSpec extends SparkSpec {
     assert(scannedFileCount(pruned) > 0 &&
       scannedFileCount(pruned) < scannedFileCount(all))
   }
+
+  test("Layout.compact rewrites a fragmented dir to the computed file count, content intact") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Layout
+    val dir = Files.createTempDirectory("frag").toString + "/t.parquet"
+    // fragment: 64 tiny files
+    spark.range(10000).withColumn("v", col("id") * 2)
+      .repartition(64).write.parquet(dir)
+    val before = Layout.stats(spark, dir)
+    assert(before._2 == 64)
+    val sumBefore = spark.read.parquet(dir).agg(sum(col("v"))).head().getLong(0)
+    // target = half the total bytes -> exactly 2 files
+    val n = Layout.compact(spark, dir, targetBytes = before._1 / 2 + 1)
+    val after = Layout.stats(spark, dir)
+    assert(n == 2 && after._2 == 2, s"expected 2 files, got $after")
+    assert(spark.read.parquet(dir).count() == 10000)
+    assert(spark.read.parquet(dir).agg(sum(col("v"))).head().getLong(0) == sumBefore)
+  }
+
+  test("Layout.writeClustered gives files disjoint key ranges (zonemap-friendly)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Layout
+    val out = Files.createTempDirectory("clus").toString + "/docs.parquet"
+    val docs = Tables.load(spark, sfDir, "documents")
+    Layout.writeClustered(docs, out, nFiles = 4, col("n_chars"))
+    val files = spark.read.parquet(out).inputFiles
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("n_chars")), max(col("n_chars"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"file key ranges overlap: $ranges")
+    }
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
 }
