@@ -61,4 +61,19 @@ object CorpusPipeline {
     // trainer prep: deterministic shard + context-window assignment
     TrainingPrep.packSequences(unique, textCol, idCol, ctxTokens, shards)
   }
+
+  /** [[prepare]] landed as a trainer-ready dataset: the packed assignment
+    * written range-clustered on (shard, seq_id) via
+    * [[graft.sources.Layout.writeClustered]], so each output file holds a
+    * contiguous run of shards and a trainer pulling one shard reads a file
+    * subset (row-group min/max skip the rest) instead of the whole corpus.
+    * nFiles sizes the layout: one file per few shards is right when shards
+    * ≫ executors. */
+  def prepareAndWrite(docs: DataFrame, benchmark: DataFrame, outDir: String,
+      nFiles: Int = 16, textCol: String = "text", idCol: String = "doc_id",
+      ctxTokens: Int = 512, shards: Int = 64): Unit =
+    graft.sources.Layout.writeClustered(
+      prepare(docs, benchmark, textCol, idCol, ctxTokens = ctxTokens,
+        shards = shards),
+      outDir, nFiles, col("shard"), col("seq_id"))
 }

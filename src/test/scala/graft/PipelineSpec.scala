@@ -441,6 +441,22 @@ class PipelineSpec extends SparkSpec {
     // packed output carries a valid (shard, seq) assignment
     val bad = out.filter($"seq_id" < 0 || $"shard" < 0 || $"shard" >= 4).count()
     assert(bad == 0)
+
+    // landed trainer-ready: clustered write gives files with disjoint
+    // shard ranges, so a one-shard read touches a file subset
+    val outDir = java.nio.file.Files.createTempDirectory("corpus").toString + "/packed"
+    graft.ops.CorpusPipeline.prepareAndWrite(corpus, benchmark, outDir,
+      nFiles = 2, ctxTokens = 256, shards = 4)
+    val back = spark.read.parquet(outDir)
+    assert(back.select("doc_id").as[Long].collect().toSet == ids)
+    val files = back.inputFiles
+    assert(files.length == 2)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"shard"), max($"shard")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.sliding(2).forall { case Array((_, hi), (lo, _)) => hi <= lo },
+      s"shard ranges overlap across files: ${ranges.toSeq}")
   }
 
   test("capBuckets drops hot buckets; droppedBuckets audits collapsed reps") {
