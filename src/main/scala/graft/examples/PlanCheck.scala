@@ -140,7 +140,15 @@ object PlanCheck {
       "map-side partial tf" -> "partial_count"),
       mustNotContain = Seq(
         "no per-doc window" -> "Window",
-        "no cartesian" -> "CartesianProduct")))
+        "no cartesian" -> "CartesianProduct")),
+    // correlation: five exact decimal moments in ONE partial-aggregated
+    // groupBy — a single scan + single shuffle, closed form on top
+    Want("q82_correlation", Seq(
+      "map-side partial moment sums" -> "partial_sum"),
+      mustNotContain = Seq(
+        "no window" -> "Window",
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()

@@ -592,6 +592,56 @@ object RelationalQueries {
                   WHEN n_chars <= q3 THEN 3 ELSE 4 END AS bucket,
              COUNT(*) AS n, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       FROM documents, b
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Pearson correlation per group, engine-portable by construction:
+    // corr()'s streaming double sums are shuffle-order-dependent, so the
+    // five moments accumulate as EXACT decimal sums (one partial-agg
+    // shuffle) and only the final closed-form — a fixed-order chain of
+    // IEEE mult/sub/sqrt/div, each correctly rounded — runs in floating
+    // point. Same trick as q1's decimal revenue sums, extended to second
+    // moments.
+    QueryDef("q82_correlation", (s, dir) => {
+      import s.implicits._
+      // asymmetric (19,4)x(18,4) casts: the product is DECIMAL(38,8) in
+      // Spark (19+18+1) and DECIMAL(37,8) in DuckDB (19+18) — exact in
+      // both, while (18,4)x(18,4) would hit DuckDB's int64 fast path
+      // (overflows at 1e9 operands) and (19,4)x(19,4) would exceed
+      // Spark's 38-digit cap (lossy scale adjustment)
+      val li = t(s, dir, "lineitem").select($"l_returnflag",
+        $"l_quantity".cast("decimal(19,4)").as("xa"),
+        $"l_quantity".cast("decimal(18,4)").as("xb"),
+        $"l_extendedprice".cast("decimal(19,4)").as("ya"),
+        $"l_extendedprice".cast("decimal(18,4)").as("yb"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      li.groupBy($"l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum($"xa").as("sx"), sum($"ya").as("sy"),
+          sum($"xa" * $"xb").as("sxx"), sum($"ya" * $"yb").as("syy"),
+          sum($"xa" * $"yb").as("sxy"))
+        .select($"l_returnflag", $"n",
+          // micro-units floor: DuckDB's decimal->double cast double-rounds
+          // (int128->double, then /1e8) while Spark's BigDecimal cast
+          // rounds once — a ~1e-12 relative drift that floor(corr*1e6)
+          // absorbs (same cross-engine float discipline as q81's score_u)
+          floor(((d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+            (sqrt(d($"n") * d($"sxx") - d($"sx") * d($"sx")) *
+             sqrt(d($"n") * d($"syy") - d($"sy") * d($"sy")))) * 1e6)
+            .cast("long").as("corr_u"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      WITH a AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS syy,
+               SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS sxy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, n,
+             CAST(floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1e6) AS BIGINT) AS corr_u
+      FROM a ORDER BY l_returnflag"""))
   )
 }
