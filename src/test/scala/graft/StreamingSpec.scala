@@ -220,6 +220,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 10L, 5.0)))
   }
 
+  test("streamIntervalJoin leftOuter emits unmatched rows once the watermark proves no partner") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventsStream.streamIntervalJoin(
+      clicks.toDF().selectExpr("event_id AS click_id", "user_id AS c_user", "ts AS click_ts"),
+      purchases.toDF().selectExpr("event_id AS p_id", "user_id AS p_user", "ts AS p_ts"),
+      "c_user", "p_user", "click_ts", "p_ts",
+      horizon = "60 minutes", watermark = "30 minutes", joinType = "leftOuter")
+    val q = EventsStream.toMemorySink(joined, "ssjo", OutputMode.Append())
+    // user 1 clicks and converts; user 2 clicks and never converts
+    clicks.addData(Event(1, ts6(0), 1, "click", 0), Event(2, ts6(0), 2, "click", 0))
+    purchases.addData(Event(10, ts6(30), 1, "purchase", 5.0))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past click+horizon+lateness so the
+    // engine can prove user 2's click will never find a partner
+    clicks.addData(Event(3, ts6(600), 3, "click", 0))
+    purchases.addData(Event(11, ts6(600), 3, "purchase", 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT click_id, p_id FROM ssjo").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    q.stop()
+    assert(rows.contains((1L, 10L)), s"matched pair must emit, got $rows")
+    assert(rows.contains((2L, -1L)),
+      s"unmatched click must emit with null partner after the watermark passes, got $rows")
+  }
+
   test("streamIntervalJoin matches the batch interval join on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
