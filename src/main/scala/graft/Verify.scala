@@ -6,14 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = args match {
-      case Array(s, o)    => (s, o, None)
-      case Array(s, o, p) => (s, o, Some(p)) // name-prefix filter, dev loops
+      case Array(s, o)          => (s, o, Seq.empty[String])
+      case Array(s, o, ps @ _*) => (s, o, ps) // name-prefix filters, dev loops
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.GraftSession(s"local[$cpus]", cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.startsWith) }
+      .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -296,28 +296,40 @@ object Dedup {
     * minimized by construction; all shuffles are linear in Σ|prefix|.
     * Returns (id_a, id_b, jaccard), id_a < id_b. */
   def jaccardJoin(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, k: Int = 3): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold outside (0,1]")
-    val tt = threshold / (1.0 + threshold)
+      threshold: Double, k: Int = 3): DataFrame =
+    jaccardJoinOrdered(shingleProjection(df, textCol, idCol, k).persist(), threshold)
+
+  /** The df-ordered shingle projection feeding [[jaccardJoinOrdered]]:
+    * one row per doc with (id, toks, sz), toks sorted by ascending global
+    * document frequency (rarest first) under one (df, tok) total order,
+    * carrying the full 61-bit token — array_intersect/union are
+    * order-insensitive, so the same array IS the exact verify set; no
+    * second shingle scan, no packed-key collisions to reason about.
+    * At corpus scale this is the AllPairs "inverted index"
+    * materialization. It depends only on (corpus, k), NOT on the join
+    * threshold — callers running several thresholds (or a pair join plus
+    * clustering, q30/q69) should persist ONE projection and share it
+    * ([[DedupCache]] memoizes it per corpus). */
+  def shingleProjection(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
     val sh = hashedShingleSets(df, textCol, idCol, k, BigPrime)
     val toks = sh.select(col("id"), explode(col("sh")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // ONE df-ordered projection feeds everything downstream: the prefix
-    // arrays (both join sides) AND the verify sets — sorted by (df, tok)
-    // so the rarest-first total order holds, carrying the full 61-bit
-    // token (array_intersect/union are order-insensitive, so the same
-    // array IS the exact verify set; no second shingle scan, no packed-key
-    // collisions to reason about). persist() because four branches read
-    // it — recomputing the freq join + collect_list per branch is the
-    // single biggest cost in this join; at corpus scale this is the
-    // AllPairs "inverted index" materialization (use MEMORY_AND_DISK —
-    // the default — so it spills rather than OOMs).
-    val ordered = toks.join(freq, "tok")
+    toks.join(freq, "tok")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("dtoks"))
       .select(col("id"), transform(col("dtoks"), s => s.getField("tok")).as("toks"),
         size(col("dtoks")).as("sz"))
-      .persist()
+  }
+
+  /** The join phase of [[jaccardJoin]] over a prebuilt [[shingleProjection]]
+    * — `ordered` should be persisted by the caller: the prefix arrays (both
+    * join sides) AND the verify sets read it, and recomputing the freq join
+    * + collect_list per branch is the single biggest cost in this join
+    * (use MEMORY_AND_DISK — the default — so it spills rather than OOMs). */
+  def jaccardJoinOrdered(ordered: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold outside (0,1]")
+    val tt = threshold / (1.0 + threshold)
     val prefixed = ordered.select(col("id"), col("sz"),
       slice(col("toks"), lit(1),
         greatest(lit(0), (col("sz") - ceil(col("sz") * lit(tt)) + 1).cast("int"))).as("pref"))
@@ -508,29 +520,55 @@ object Dedup {
     * set converges to per-component stars centered on the component minimum
     * in O(log n) rounds regardless of graph diameter (min-label propagation
     * needs O(diameter) rounds — a pathological dup chain kills it).
-    * Lineage is truncated with an eager localCheckpoint per round;
+    * Lineage is truncated eagerly per round (see `checkpointDir` below);
     * iterative DataFrame plans otherwise grow without bound. Convergence is
     * detected by a (count, xor-of-xxhash64) edge-set signature — one tiny
     * aggregate per round against the checkpointed edges; a false positive
     * needs a 64-bit xor collision on top of an identical edge count.
     *
-    * Input rows are (aCol, bCol) node pairs; self-pairs are dropped.
+    * Input rows are (aCol, bCol) node pairs; self-pairs are dropped. The
+    * id columns must already be integral (byte/short/int/long): a silent
+    * cast from string/double would turn un-castable ids into NULLs and
+    * drop their edges — callers with string ids should hash or
+    * dictionary-encode them first and get an error here, not a quietly
+    * wrong clustering.
+    *
+    * `checkpointDir`: lineage must be truncated every round or iterative
+    * DataFrame plans grow without bound. By default the truncation is an
+    * eager `localCheckpoint` — executor-local blocks, correct locally and
+    * cheapest, but on a real cluster they die with their executor and a
+    * 50-round job would restart from nothing. Pass a reliable location
+    * (HDFS/object store) to use `checkpoint()` instead; the dir is set on
+    * the SparkContext if none is configured yet.
+    *
     * Returns (id, cluster_id) — one row per node appearing in `pairs`,
     * cluster_id = the minimum id of the node's component. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    Seq(aCol, bCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents: id column '$c' must be an integral type, got $dt " +
+          "(hash or dictionary-encode string ids first)")
+    }
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach { d =>
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val empty = {
       val s = pairs.sparkSession
       import s.implicits._
       Seq.empty[(Long, Long)].toDF("id", "cluster_id")
     }
     // canonical u < v edges
-    var edges = pairs
+    var edges = truncate(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     if (edges.isEmpty) return empty
 
     def bothDirs(e: DataFrame) =
@@ -560,7 +598,7 @@ object Dedup {
     var sig: (Long, Long) = null
     var round = 0
     while (round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = truncate(smallStar(largeStar(edges)))
       val row = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       val nextSig = (row.getLong(0), row.getLong(1))
       edges = next
