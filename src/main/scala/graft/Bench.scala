@@ -82,11 +82,30 @@ object Bench {
         f"[bench] ${d.name}%-24s med=$med%8.2f s  min=$min%8.2f s  cpu=$cpu%8.2f s  runs=${runs.size}  rows=$n1")
       (d.name, med, min, cpu)
     }
-    def obj(f: ((String, Double, Double, Double)) => Double): String =
-      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    // The driver records only the LAST 2000 chars of this line (r6 lost
+    // 79/82 wall medians to that window), so the line must fit in 2000
+    // chars at 84+ queries: ONE per-query object, short names (the unique
+    // qNN prefix), values [med, min, cpu] as centisecond ints (self-
+    // described by "enc"), scalars rounded, and the per-query object
+    // printed last so a tail cut hits metadata first. Full names and
+    // uncompressed numbers: stderr above, or SPARK_GRAFT_BENCH_OUT=<file>
+    // for the full three-object JSON.
+    def cs(x: Double): Long = math.round(x * 100)
+    def r2(x: Double): Double = math.round(x * 100) / 100.0
+    def shortName(n: String): String = n.takeWhile(_ != '_')
     val total = results.map(_._2).sum
     val totalCpu = results.map(_._4).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"queries_min":${obj(_._3)},"queries_cpu":${obj(_._4)},"total_cpu":$totalCpu,"repeats":3,"sf":"$sfDir"}""")
+    val compact = results
+      .map(r => "\"" + shortName(r._1) + "\":[" + cs(r._2) + "," + cs(r._3) + "," + cs(r._4) + "]")
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","total_cpu":${r2(totalCpu)},"repeats":3,"sf":"$sfDir","enc":"queries: qNN -> [median,min,cpu] wall/wall/process-cpu centiseconds","queries":$compact}""")
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      def obj(f: ((String, Double, Double, Double)) => Double): String =
+        results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"queries_min":${obj(_._3)},"queries_cpu":${obj(_._4)},"total_cpu":$totalCpu,"repeats":3,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

@@ -518,6 +518,33 @@ class PipelineSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("id", "cluster_id") && empty.isEmpty)
   }
 
+  test("connectedComponents reliable-checkpoint path and string-id rejection") {
+    // the cluster-safe truncation path: checkpoint() to a durable dir
+    // (executor-local blocks die with their executor; see scaladoc)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    try {
+      val edges = ((0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+        ++ Seq((100L, 101L), (300L, 200L))).toDF("a", "b")
+      val got = Dedup.connectedComponents(edges, "a", "b",
+          checkpointDir = Some(dir.toString))
+        .as[(Long, Long)].collect().toMap
+      assert((0L until 40L).forall(got(_) == 0L)
+        && got(101L) == 100L && got(300L) == 200L)
+      // checkpoint files actually landed in the reliable location
+      assert(java.nio.file.Files.list(dir).count() > 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    // string ids must fail loudly, not silently drop un-castable edges
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(
+        Seq(("a", "b")).toDF("a", "b"), "a", "b")
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("PII redaction: per-class counts and in-place replacement") {
     val df = Seq(
       (1L, "write to alice.smith+news@sub.example.org today"),
