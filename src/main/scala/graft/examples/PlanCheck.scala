@@ -44,6 +44,15 @@ object PlanCheck {
       "probe scan partition-pruned on cell" -> "PartitionFilters: [cell",
       "corpus scored via cell equi-join" -> "BroadcastHashJoin",
       "bounded-heap rerank aggregate" -> "scored_top_k")),
+    // the q83 SparkEntry binding of the IVF+PQ probe (the ivfpq_probe
+    // section below re-checks the same shape on a throwaway index, plus
+    // the file-level strict-subset assertion)
+    Want("q83_ann_ivfpq", Seq(
+      "probe scan partition-pruned on cell" -> "PartitionFilters: [cell",
+      "ADC shortlist + rerank via bounded heap" -> "scored_top_k"),
+      mustNotContain = Seq(
+        "no nested-loop fallback" -> "BroadcastNestedLoopJoin",
+        "no cartesian" -> "CartesianProduct")),
     Want("q32_ann_brute", Seq(
       "query side broadcast" -> "BroadcastNestedLoopJoin")),
     Want("q58_decontaminate", Seq(

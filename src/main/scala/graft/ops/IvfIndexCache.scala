@@ -25,4 +25,20 @@ object IvfIndexCache {
         dim = dim, nCells = nCells, path = path)
       path
     })
+
+  private val builtPq = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The IVF+PQ index path for `dir` ([[graft.similarity.IvfPq]] layout:
+    * coarse-cell-partitioned parquet carrying PQ codes + full vectors),
+    * built from `corpus` on first access. Same nCells rationale as
+    * [[getOrBuild]]; m/kCodes are the Pq defaults (8-byte codes, 32
+    * codewords per subspace — 32× compression of a 64-float vector). */
+  def getOrBuildPq(spark: SparkSession, dir: String, dim: Int = 64,
+      nCells: Int = 8, m: Int = 8, kCodes: Int = 32)(corpus: => DataFrame): String =
+    builtPq.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      graft.similarity.IvfPq.buildIndex(corpus, "embedding", "vec_id",
+        dim = dim, nCells = nCells, m = m, kCodes = kCodes, path = path)
+      path
+    })
 }

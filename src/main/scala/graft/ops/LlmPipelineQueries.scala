@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.dedup.{Dedup, DedupCache}
 import graft.multimodal.Multimodal
-import graft.similarity.{Ann, Ivf}
+import graft.similarity.{Ann, Ivf, IvfPq}
 import graft.sources.Tables
 import graft.text.TextAnalysis
 
@@ -69,19 +69,25 @@ object LlmPipelineQueries {
   /** The IVF index over the q46 corpus (embeddings + planted
     * direction-identical copies of the five query vectors), built on first
     * access and cached per data dir — see [[IvfIndexCache]]. */
-  private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+  private def ivfCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    IvfIndexCache.getOrBuild(s, dir) {
-      val emb = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
-      val qs = emb.filter($"vec_id" < 5)
-      val copies = (1 to 5).map { m =>
-        qs.select(($"vec_id" + m * 1000000).as("vec_id"),
-          transform($"embedding",
-            x => (x * lit(math.pow(2, m).toFloat)).cast("float")).as("embedding"))
-      }.reduce(_ unionByName _)
-      emb.unionByName(copies)
-    }
+    val emb = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val qs = emb.filter($"vec_id" < 5)
+    val copies = (1 to 5).map { m =>
+      qs.select(($"vec_id" + m * 1000000).as("vec_id"),
+        transform($"embedding",
+          x => (x * lit(math.pow(2, m).toFloat)).cast("float")).as("embedding"))
+    }.reduce(_ unionByName _)
+    emb.unionByName(copies)
   }
+
+  private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    IvfIndexCache.getOrBuild(s, dir)(ivfCorpus(s, dir))
+
+  /** The IVF+PQ analog of [[ivfIndexFor]] (its own index layout + cache). */
+  private def ivfPqIndexFor(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    IvfIndexCache.getOrBuildPq(s, dir)(ivfCorpus(s, dir))
 
   /** Exact top-5 over embeddings + the planted power-of-2-scaled copies —
     * the q46/q57 oracle (see the q46 comment for why the planted pairs are
@@ -1000,6 +1006,28 @@ object LlmPipelineQueries {
                        + SUM(CASE WHEN tok = 'join'  THEN c ELSE 0.0 END)
                        + SUM(CASE WHEN tok = 'merge' THEN c ELSE 0.0 END)) * 1e6) AS BIGINT) AS score_u
       FROM contrib GROUP BY doc_id
-      ORDER BY score_u DESC, doc_id LIMIT 20"""))
+      ORDER BY score_u DESC, doc_id LIMIT 20""")),
+
+    // IVF+PQ — the composed billion-scale index (IvfPq: coarse cells prune
+    // WHICH files a probe reads, PQ codes shrink WHAT in-cell scoring
+    // touches) through the same prebuilt-index lifecycle and exact-ANN
+    // oracle as q46/q57. The planted-copy correctness argument carries
+    // over to both quantizers: coarse assignment is an argmax of
+    // dot(x, centroid) — scale-invariant, so each scaled copy lands in
+    // its query's cell — and Pq.encodeOne unit-normalizes before coding,
+    // so every copy carries the query's OWN code word-for-word and tops
+    // the ADC shortlist; the exact rerank then restores cosine-1 +
+    // n_id tie-break order. As with q33: a future hash mismatch here
+    // means shortlist recall regressed (parameter/corpus drift), not a
+    // wrong join — triage it as a recall regression.
+    QueryDef("q83_ann_ivfpq", (s, dir) => {
+      import s.implicits._
+      IvfPq.probeTopK(s, ivfPqIndexFor(s, dir),
+        Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"embedding").filter($"vec_id" < 5),
+        "embedding", "vec_id", k = 5, nProbe = 3, shortlist = 100)
+        .select($"q_id", $"rk", $"n_id")
+        .orderBy($"q_id", $"rk")
+    }, Some(IVF_ORACLE_SQL))
   )
 }
