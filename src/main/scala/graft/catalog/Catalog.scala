@@ -78,7 +78,9 @@ object Catalog {
       case _ => true
     }
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { f =>
-      val c = col(f.name)
+      // backtick-quote: col("a.b") would parse the dot as struct-field
+      // access; a column literally named "a.b" must resolve as itself
+      val c = col(s"`${f.name.replace("`", "``")}`")
       Seq(count(when(c.isNull, 1)).as(s"__null_${f.name}")) ++ (if (simple(f)) Seq(
         approx_count_distinct(c).as(s"__d_${f.name}"),
         min(c).cast(StringType).as(s"__min_${f.name}"),

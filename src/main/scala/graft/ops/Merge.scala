@@ -70,9 +70,14 @@ object Merge {
       tsCol: String, tieBreak: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieBreak))
+    // a key's FIRST row always opens a version: lag() is NULL there, and
+    // for a leading-NULL attribute NULL <=> NULL would otherwise swallow
+    // the opening row (losing the key's whole early history) — so the
+    // first row is kept explicitly, not via the null-safe inequality
     val changes = log
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__prev", lag(col(attr), 1).over(w))
-      .filter(!(col("__prev") <=> col(attr)))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attr)))
     changes
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .select(col(key), col(attr),

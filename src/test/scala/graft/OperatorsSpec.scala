@@ -55,6 +55,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("b", false), ("a", true)))
   }
 
+  test("scd2FromChangelog keeps a key whose attribute history starts NULL") {
+    // k=1 opens with NULL attr (lag NULL <=> NULL must NOT swallow it),
+    // k=2 is NULL for its whole history — one open NULL version
+    val log = Seq(
+      (1L, None, 10L, 100L), (1L, Some("a"), 20L, 101L),
+      (2L, None, 15L, 102L), (2L, None, 25L, 103L))
+      .toDF("k", "attr", "t", "id")
+      .withColumn("t", timestamp_seconds($"t"))
+    val out = Merge.scd2FromChangelog(log, "k", "attr", "t", "id")
+      .select($"k", $"attr", unix_timestamp($"valid_from").as("from"), $"is_current")
+      .orderBy($"k", $"from").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, null, 10L, false),  // the leading-NULL version opens
+      (1L, "a", 20L, true),
+      (2L, null, 15L, true)))  // all-NULL key: one collapsed open version
+  }
+
   test("deleteWhere treats null predicate as keep") {
     val df = Seq[(Long, Option[String])]((1L, Some("x")), (2L, None), (3L, Some("y")))
       .toDF("k", "s")
@@ -100,6 +119,10 @@ class OperatorsSpec extends SparkSpec {
     val arr = Seq((1L, Seq(1, 2))).toDF("id", "xs")
     val p2 = Catalog.analyzeTable(arr).collect().map(r => r.getString(0) -> r).toMap
     assert(p2("xs").isNullAt(4) && p2("xs").isNullAt(5))
+    // a column literally named "a.b" must profile, not resolve as struct access
+    val dotted = Seq((1L, "x"), (2L, "y")).toDF("id", "a.b")
+    val p3 = Catalog.analyzeTable(dotted).collect().map(r => r.getString(0) -> r).toMap
+    assert(p3("a.b").getLong(2) == 2 && p3("a.b").getLong(4) == 2)
   }
 
   test("Reports groupSum/valueCounts aggregate correctly") {

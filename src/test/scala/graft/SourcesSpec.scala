@@ -70,6 +70,23 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).agg(sum(col("v"))).head().getLong(0) == sumBefore)
   }
 
+  test("Layout.compact refuses partitioned layouts; stats counts them recursively") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Layout
+    val dir = Files.createTempDirectory("part").toString + "/t.parquet"
+    spark.range(1000).withColumn("p", col("id") % 4)
+      .write.partitionBy("p").parquet(dir)
+    // recursive stats sees the leaf files a flat listing would miss
+    val (bytes, n) = Layout.stats(spark, dir)
+    assert(bytes > 0 && n >= 4, s"recursive stats: ($bytes, $n)")
+    // compacting the root would flatten p=... dirs — must refuse
+    val ex = intercept[IllegalArgumentException](Layout.compact(spark, dir))
+    assert(ex.getMessage.contains("subdirectories"))
+    // a leaf partition dir is flat and compacts fine
+    assert(Layout.compact(spark, s"$dir/p=0") >= 1)
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
   test("Layout.writeClustered gives files disjoint key ranges (zonemap-friendly)") {
     import org.apache.spark.sql.functions._
     import graft.sources.Layout
