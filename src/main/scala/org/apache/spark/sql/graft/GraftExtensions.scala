@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** SparkSessionExtensions entry point: registers the graft native
   * expressions as SQL functions, so `spark.sql("SELECT float_vec_dot(a,b)")`
@@ -35,6 +36,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args(2).foldable, "scored_top_k's k must be a literal")
         ScoredTopK(args(0), args(1),
           args(2).eval().asInstanceOf[Number].intValue())
+      }))
+
+    // ---- table functions: the whole-table operators the reference's
+    // Execute-Query-tab user reaches by typing SQL. Each takes a
+    // table/view name (resolved through the active session's catalog) +
+    // literal parameters and returns the operator's result as a relation:
+    //   SELECT * FROM graft_jaccard_join('docs', 'text', 'doc_id', 0.7)
+    //   SELECT * FROM graft_connected_components('pairs', 'id_a', 'id_b')
+    //   SELECT * FROM graft_analyze_table('lineitem')
+    // graft_jaccard_join expands to the operator's (lazy) plan;
+    // connected-components and analyze are driver-coordinated algorithms
+    // (an iterative loop / a one-pass profile), so those two EXECUTE
+    // during analysis and embed their materialized result — procedure
+    // semantics behind table-function syntax, same as a CALL statement.
+
+    def strArg(e: Expression, what: String): String = {
+      require(e.foldable, s"$what must be a literal string")
+      String.valueOf(e.eval())
+    }
+    def tableArg(e: Expression): org.apache.spark.sql.DataFrame =
+      SparkSession.active.table(strArg(e, "the table/view name"))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_jaccard_join"),
+      info("graft_jaccard_join",
+        "graft_jaccard_join(table, textCol, idCol, threshold) - exact n-gram Jaccard similarity self-join (PPJoin prefix filter): rows (id_a, id_b, jaccard) with jaccard >= threshold"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_jaccard_join(table, textCol, idCol, threshold) takes 4 arguments")
+        require(args(3).foldable, "threshold must be a literal")
+        graft.dedup.Dedup.jaccardJoin(tableArg(args(0)),
+          strArg(args(1), "textCol"), strArg(args(2), "idCol"),
+          args(3).eval().asInstanceOf[Number].doubleValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_connected_components"),
+      info("graft_connected_components",
+        "graft_connected_components(table, aCol, bCol) - connected components over the pair table: rows (id, cluster_id), cluster_id = component minimum. Executes eagerly (iterative algorithm)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_connected_components(table, aCol, bCol) takes 3 arguments")
+        graft.dedup.Dedup.connectedComponents(tableArg(args(0)),
+          strArg(args(1), "aCol"), strArg(args(2), "bCol"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_analyze_table"),
+      info("graft_analyze_table",
+        "graft_analyze_table(table) - one-pass column profile: (column_name, data_type, n_rows, null_count, approx_distinct, min, max). Executes eagerly."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_analyze_table(table) takes 1 argument")
+        graft.catalog.Catalog.analyzeTable(tableArg(args(0)))
+          .queryExecution.logical
       }))
 
     // whole-operator path: plans CosineTopKPlan nodes

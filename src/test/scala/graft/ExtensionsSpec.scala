@@ -42,6 +42,30 @@ class ExtensionsSpec extends AnyFunSuite {
       val approx = df.head().getLong(0)
       assert(math.abs(approx - 1000L) < 150, s"approx=$approx")
       spark.conf.set("spark.graft.approxDistinct.enabled", "false")
+
+      // table functions: the whole-table operators as SQL relations
+      import spark.implicits._
+      Seq((1L, "the quick brown fox jumps over the lazy dog end"),
+          (2L, "the quick brown fox jumps over the lazy dog end"),
+          (3L, "completely different words in every single position here"))
+        .toDF("doc_id", "text").createOrReplaceTempView("tf_docs")
+      val jj = spark.sql(
+        """SELECT id_a, id_b FROM graft_jaccard_join('tf_docs', 'text', 'doc_id', 0.7D)
+           ORDER BY id_a, id_b""").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(jj.toSeq == Seq((1L, 2L)))
+
+      Seq((1L, 2L), (2L, 3L), (10L, 11L))
+        .toDF("a", "b").createOrReplaceTempView("tf_pairs")
+      val cc = spark.sql(
+        """SELECT id, cluster_id FROM graft_connected_components('tf_pairs', 'a', 'b')
+           ORDER BY id""").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(cc.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+
+      // composes with plain SQL around it (WHERE over the profile)
+      val prof = spark.sql(
+        """SELECT column_name, null_count FROM graft_analyze_table('tf_pairs')
+           WHERE column_name = 'a'""").collect()
+      assert(prof.length == 1 && prof(0).getLong(1) == 0L)
     } finally {
       // don't leak this untuned session (200 shuffle partitions) into the
       // suites that follow — TestSession rebuilds the tuned one on demand
