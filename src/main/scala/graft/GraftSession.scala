@@ -26,6 +26,23 @@ object GraftSession {
       // — there is no per-read option for it, and mutating a shared session
       // per call is not acceptable (see Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Streaming checkpoint checksum files (4.1 default on) double every
+      // state-store file op and serialize commits through an awaitResult
+      // (measured: 31/32 executor threads idle, the stream-stream join
+      // bottlenecked in ChecksumCheckpointFileManager — 240 s for a
+      // 200k-row replay). Corruption detection pays for itself on object
+      // stores, not on a local scratch checkpoint; a cluster deploy with
+      // durable checkpoints can re-enable it.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // The default checkpoint manager goes through the FileContext API,
+      // which is hardwired to RawLocalFileSystem — and RawLocal's rename
+      // FORKS a `readlink` per state file (Shell.runCommand in thread
+      // dumps; the same fork-bound class as the chmod story above). The
+      // FileSystem-based manager routes through fs.file.impl =
+      // NioLocalFileSystem instead: in-process rename, same atomicity on
+      // a local FS. On HDFS/object stores, deploys keep the default.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       // Output-commit cost dominates small/partitioned writes on this
       // filesystem (each create/rename is expensive): v2 commits task
       // output straight to the destination (one rename per file instead

@@ -173,6 +173,49 @@ object EventQueries {
              CAST(d.day - cohort.cohort_day AS INTEGER) AS day_offset,
              COUNT(*) AS n_users
       FROM d JOIN cohort ON d.user_id = cohort.user_id
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // The stream-stream interval join under the ORACLE protocol (r7): the
+    // events table is replayed through the real streaming engine (file-
+    // source readStream → withWatermark → stream-stream interval join →
+    // memory sink), and the result must equal DuckDB's BATCH interval
+    // join on the same rows — the batch-equivalence contract Structured
+    // Streaming promises for append-mode inner joins, promoted from a
+    // ScalaTest (StreamingSpec) to a driver-checked CORRECTNESS row.
+    // Error events pair with the same user's purchases within 2 h; the
+    // answer aggregates to per-user pair counts (answer-sized output; the
+    // raw pair stream is what the sink holds). processAllAvailable +
+    // stop() bound the query — no open stream escapes the QueryDef.
+    QueryDef("q84_stream_interval_join", (s, dir) => {
+      import s.implicits._
+      val ev = EventsStream.replayEvents(s, dir)
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"event_id".as("e_id"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
+      val joined = EventsStream.streamIntervalJoin(errors, purchases,
+        "e_user", "p_user", "e_ts", "p_ts",
+        horizon = "2 hours", watermark = "4 hours")
+      s.catalog.dropTempView("q84_sink")
+      val q = EventsStream.toMemorySink(
+        joined.select($"e_user".as("user_id"), $"e_id", $"p_id"),
+        "q84_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+      try q.processAllAvailable() finally q.stop()
+      s.table("q84_sink")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"p_id").as("n_purchases"))
+        .orderBy($"user_id")
+    }, Some("""
+      WITH err AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+      pur AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      SELECT e.user_id, COUNT(*) AS n_pairs,
+             COUNT(DISTINCT p.event_id) AS n_purchases
+      FROM err e JOIN pur p
+        ON e.user_id = p.user_id
+       AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 2 HOUR
+      GROUP BY 1 ORDER BY 1"""))
   )
 }

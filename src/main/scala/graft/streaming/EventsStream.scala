@@ -223,4 +223,26 @@ object EventsStream {
   /** Wire a streaming DataFrame to an in-memory sink (testing/debug). */
   def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+
+  /** Replay the events table as a genuine file-source stream (readStream
+    * over the same parquet, schema from a batch read) — the oracle-protocol
+    * bridge: a batch-SQL-checkable query can run its input through the
+    * streaming engine and compare against the batch answer (q84). Same
+    * TIMESTAMP(NANOS)→micros handling as [[graft.sources.Tables.load]]. */
+  def replayEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Tables.path(dir, "events")
+    val schema = spark.read.parquet(path).schema
+    // the file source wants a DIRECTORY: point it at the parent with a
+    // glob filter when the dataset is a single parquet file
+    val p = new org.apache.hadoop.fs.Path(path)
+    val isDir = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    val reader = spark.readStream.schema(schema)
+    val df =
+      if (isDir) reader.parquet(path)
+      else reader.option("pathGlobFilter", p.getName).parquet(p.getParent.toString)
+    if (schema.exists(f => f.name == "ts" && f.dataType.typeName == "long"))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }
