@@ -53,6 +53,18 @@ object PlanCheck {
       mustNotContain = Seq(
         "no nested-loop fallback" -> "BroadcastNestedLoopJoin",
         "no cartesian" -> "CartesianProduct")),
+    Want("q88_bloom_join", Seq(
+      "bloom membership predicate pre-filters the fact side" -> "might_contain",
+      "map-side combine after the join" -> "partial_sum"),
+      mustNotContain = Seq(
+        "no nested-loop fallback" -> "BroadcastNestedLoopJoin",
+        "no cartesian" -> "CartesianProduct")),
+    Want("q85_stratified_sample", Seq(
+      "bounded-heap per-stratum sample" -> "scored_top_k"),
+      mustNotContain = Seq(
+        "no per-stratum window sort of the corpus" -> "Window")),
+    Want("q87_contamination_score", Seq(
+      "benchmark gram set broadcast" -> "BroadcastHashJoin")),
     Want("q32_ann_brute", Seq(
       "query side broadcast" -> "BroadcastNestedLoopJoin")),
     Want("q58_decontaminate", Seq(

@@ -1028,6 +1028,73 @@ object LlmPipelineQueries {
         "embedding", "vec_id", k = 5, nProbe = 3, shortlist = 100)
         .select($"q_id", $"rk", $"n_id")
         .orderBy($"q_id", $"rk")
-    }, Some(IVF_ORACLE_SQL))
+    }, Some(IVF_ORACLE_SQL)),
+
+    // Exact-size stratified sample (eval-set carving): the 10 docs per
+    // source with the smallest md5 rank, through the ScoredTopK bounded
+    // heap — never a per-stratum Window sort of the corpus. The oracle
+    // re-derives the same rows from the same md5 arithmetic.
+    QueryDef("q85_stratified_sample", (s, dir) => {
+      import s.implicits._
+      TrainingPrep.stratifiedSample(
+        Tables.load(s, dir, "documents"), "doc_id", "source", n = 10)
+        .orderBy($"source", $"smp_rank")
+    }, Some("""
+      SELECT source, smp_rank, doc_id FROM (
+        SELECT source, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000000,
+                          doc_id) AS INTEGER) AS smp_rank
+        FROM documents)
+      WHERE smp_rank <= 10 ORDER BY source, smp_rank""")),
+
+    // Fractional-epoch upsampling (domain mixing, the upsampling half q61
+    // can't express): 2.5 epochs of src0-3, 1.0 of src4-7, 0.3 of the
+    // rest — whole copies for everyone, the remainder resolved by the
+    // md5 draw, exploded to one row per (doc, epoch).
+    QueryDef("q86_epoch_upsample", (s, dir) => {
+      import s.implicits._
+      val w = when($"source".isin("src0", "src1", "src2", "src3"), 2500)
+        .when($"source".isin("src4", "src5", "src6", "src7"), 1000)
+        .otherwise(300)
+      TrainingPrep.epochUpsample(Tables.load(s, dir, "documents"), "doc_id", w)
+        .select($"doc_id", $"source", $"n_copies", $"epoch_i")
+        .orderBy($"doc_id", $"epoch_i")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS h,
+               CASE WHEN source IN ('src0','src1','src2','src3') THEN 2500
+                    WHEN source IN ('src4','src5','src6','src7') THEN 1000
+                    ELSE 300 END AS w
+        FROM documents),
+      c AS (SELECT doc_id, source,
+                   CAST(w // 1000 + CASE WHEN h < w % 1000 THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+            FROM t)
+      SELECT doc_id, source, n_copies,
+             CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS epoch_i
+      FROM c WHERE n_copies >= 1
+      ORDER BY doc_id, epoch_i""")),
+
+    // Graded benchmark contamination (the ratio published pipelines
+    // threshold, vs q58's binary any-gram drop): per doc, the fraction of
+    // its distinct 8-grams found in the benchmark set. Answer-sized —
+    // only docs with >=1 shared gram surface.
+    QueryDef("q87_contamination_score", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val bench = docs.filter($"doc_id" % 89 === 0)
+      TrainingPrep.contaminationScore(docs, "text", "doc_id", bench, "text", k = 8)
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH sh AS (${shingleSetsSqlK(8)}),
+      bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 89 = 0),
+      tot AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n_grams FROM sh),
+      hit AS (SELECT t.doc_id, CAST(COUNT(*) AS INTEGER) AS n_hit
+              FROM (SELECT doc_id, unnest(s) AS g FROM sh) t JOIN bench USING (g)
+              GROUP BY t.doc_id)
+      SELECT doc_id, n_grams, n_hit, CAST(n_hit AS DOUBLE) / n_grams AS score
+      FROM tot JOIN hit USING (doc_id)
+      ORDER BY doc_id"""))
   )
 }

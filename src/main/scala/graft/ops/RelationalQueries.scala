@@ -642,6 +642,28 @@ object RelationalQueries {
              CAST(floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
              (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
               sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1e6) AS BIGINT) AS corr_u
-      FROM a ORDER BY l_returnflag"""))
+      FROM a ORDER BY l_returnflag""")),
+
+    // Bloom semi-join reduction (BloomPrune): the fact side is pre-filtered
+    // by a distributed-built sketch of the selective dim subset's keys, so
+    // ~99% of lineitem never reaches the join shuffle; the exact join then
+    // clears the ~fpp false positives. The oracle sees a plain join — the
+    // sketch is correctness-transparent by construction — while PlanCheck
+    // pins might_contain into the scan stage ahead of the exchange.
+    QueryDef("q88_bloom_join", (s, dir) => {
+      import s.implicits._
+      val hot = t(s, dir, "orders").filter($"o_totalprice" > 450000)
+      val pruned = BloomPrune.semiPrune(t(s, dir, "lineitem"), $"l_orderkey",
+        hot.select($"o_orderkey"), $"o_orderkey",
+        expectedKeys = math.max(hot.count(), 1L), fpp = 0.001)
+      pruned.join(hot, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_items, ${dsql("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 450000
+      GROUP BY 1 ORDER BY 1"""))
   )
 }

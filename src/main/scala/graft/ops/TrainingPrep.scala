@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.AggFunctions
 import graft.text.TextAnalysis
 
 /** Training-corpus preparation operators beyond cleaning/dedup: the stages
@@ -100,4 +101,74 @@ object TrainingPrep {
   def sampleByDomain(docs: DataFrame, idCol: String,
       permille: Column): DataFrame =
     docs.filter(Sampling.shard(col(idCol), 1000, salt = "mix") < permille)
+
+  /** Exact-size stratified sample: the `n` rows per stratum with the
+    * smallest md5 rank (eval-set carving, per-domain spot-check pulls —
+    * [[sampleByDomain]]'s Bernoulli sampling can't promise "exactly n per
+    * source"). Deterministic and engine-portable like every Sampling op:
+    * the rank is a pure md5 function of the id, so any engine re-derives
+    * the same n rows.
+    *
+    * Scale shape: per-stratum top-n runs through the ScoredTopK bounded
+    * heap — map-side partials shuffle tasks×strata×n entries, NEVER a
+    * per-stratum Window sort of the full corpus (the q54/PlanCheck rule).
+    * Rank collisions (~rows²/2·10⁹ per stratum) tie-break on the smaller
+    * id identically in the heap and in `ORDER BY h, id` SQL. */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+      n: Int, salt: String = "strat"): DataFrame = {
+    // 1e9 buckets: exact as double (< 2^53) for the heap's score order
+    val rank = Sampling.shard(col(idCol), 1000000000, salt).cast("double")
+    docs
+      .groupBy(col(strataCol))
+      .agg(AggFunctions.scoredTopK(-rank, col(idCol), n).as("tk"))
+      .select(col(strataCol), posexplode(col("tk")))
+      .select(col(strataCol), (col("pos") + 1).cast("int").as("smp_rank"),
+        col("col.id").as(idCol))
+  }
+
+  /** Fractional-epoch upsampling: emit `weightPermille/1000` copies of
+    * each document, with the fractional remainder resolved per-document by
+    * the same md5 shard draw as [[sampleByDomain]] (weight 2500‰ = every
+    * doc twice, plus a deterministic half of them a third time — the
+    * "3.5 epochs of Wikipedia, 0.3 epochs of CC" mixing step, exact in
+    * expectation AND reproducible row by row). Output rows carry
+    * `epoch_i` in [1, n_copies]; weight < 1000‰ downsamples (0-copy rows
+    * vanish), so this subsumes [[sampleByDomain]] while adding the
+    * upsampling half. One codegen'd projection + explode; no shuffle. */
+  def epochUpsample(docs: DataFrame, idCol: String,
+      weightPermille: Column, salt: String = "epoch"): DataFrame = {
+    val whole = floor(weightPermille.cast("long") / 1000).cast("int")
+    val extra = when(
+      Sampling.shard(col(idCol), 1000, salt) < pmod(weightPermille.cast("long"), lit(1000L)),
+      1).otherwise(0)
+    docs.withColumn("n_copies", (whole + extra).cast("int"))
+      .filter(col("n_copies") >= 1)
+      .withColumn("epoch_i", explode(sequence(lit(1), col("n_copies"))))
+  }
+
+  /** Benchmark-contamination score: per document, the fraction of its
+    * distinct word k-grams that appear anywhere in the benchmark corpus —
+    * the graded companion to [[decontaminate]]'s binary any-gram drop
+    * (published pipelines threshold this ratio instead of dropping on one
+    * shared gram, which over-fires on boilerplate). Returns one row per
+    * document with ≥1 shared gram: (id, n_grams, n_hit, score) —
+    * answer-sized, clean docs never leave the map side.
+    *
+    * Same scale shape as [[decontaminate]]: benchmark grams broadcast as
+    * 61-bit hashes, the corpus side is one explode + broadcast join +
+    * per-doc count; collisions can only nudge a score up by ~1/n_grams
+    * at 10⁻¹³ probability (same arithmetic as the decontaminate note). */
+  def contaminationScore(docs: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int = 8): DataFrame = {
+    def grams(c: Column) = graft.functions.HashFunctions.wordShingleHash(
+      TextAnalysis.normalize(c), k, DecontaminatePrime)
+    val docGrams = docs.select(col(idCol), explode(grams(col(textCol))).as("g"))
+    val benchGrams = benchmark
+      .select(explode(grams(col(benchTextCol))).as("g")).distinct()
+    val hits = docGrams.join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).cast("int").as("n_hit"))
+    docs.select(col(idCol), size(grams(col(textCol))).as("n_grams"))
+      .join(hits, Seq(idCol))
+      .withColumn("score", col("n_hit").cast("double") / col("n_grams"))
+  }
 }

@@ -397,6 +397,53 @@ class PipelineSpec extends SparkSpec {
     assert(frac500 > 0.3 && frac500 < 0.7, s"src1 kept fraction $frac500")
   }
 
+  test("TrainingPrep: stratified sample, epoch upsample, contamination score") {
+    import graft.ops.{Sampling, TrainingPrep}
+    val corpus = sources.Tables.load(spark, sfDir, "documents")
+
+    // stratified: exactly n per stratum, stable across runs, and equal to
+    // the rank-by-md5 reference computed the naive way
+    val smp = TrainingPrep.stratifiedSample(corpus, "doc_id", "source", n = 7)
+    val bySrc = smp.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.values.forall(_ == 7L), s"per-stratum counts $bySrc")
+    val naive = corpus
+      .select($"source", $"doc_id",
+        Sampling.shard($"doc_id", 1000000000, "strat").as("h"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"h", $"doc_id")))
+      .filter($"rk" <= 7)
+      .select($"source", $"doc_id").as[(String, Long)].collect().toSet
+    assert(smp.select($"source", $"doc_id").as[(String, Long)].collect().toSet == naive)
+
+    // epoch upsample: whole part copies everyone, remainder a deterministic
+    // fraction; per-doc copy counts are floor(w) or floor(w)+1
+    val up = TrainingPrep.epochUpsample(corpus, "doc_id", lit(2300))
+    val perDoc = up.groupBy("doc_id").count().as[(Long, Long)].collect()
+    assert(perDoc.forall { case (_, n) => n == 2L || n == 3L })
+    val total = corpus.count()
+    val tripled = perDoc.count(_._2 == 3L).toDouble / total
+    assert(tripled > 0.15 && tripled < 0.45, s"fraction tripled $tripled")
+    assert(up.filter($"epoch_i" < 1 || $"epoch_i" > $"n_copies").isEmpty)
+    // weight below 1000 permille downsamples instead
+    val down = TrainingPrep.epochUpsample(corpus, "doc_id", lit(400))
+    val downN = down.count()
+    assert(downN > 0 && downN < total, s"downsampled $downN of $total")
+
+    // contamination: a doc sharing half its grams scores 0.5-ish, a clean
+    // doc never surfaces
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (2L, "completely different words with no benchmark overlap whatsoever in any gram"))
+      .toDF("doc_id", "text")
+    val sc = TrainingPrep.contaminationScore(docs, "text", "doc_id", bench, "text", k = 8)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(sc.map(_._1).toSet == Set(1L))
+    val (_, nGrams, nHit, score) = sc.head
+    // doc 1 has 7 grams, exactly one of which (the first) is the benchmark's
+    assert(nGrams == 7 && nHit == 1 && math.abs(score - 1.0 / 7) < 1e-12)
+  }
+
   test("Quantize int8 roundtrip error is bounded by scale/254") {
     import graft.similarity.Quantize
     val emb = sources.Tables.load(spark, sfDir, "embeddings").limit(200)
