@@ -65,6 +65,13 @@ object PlanCheck {
         "no per-stratum window sort of the corpus" -> "Window")),
     Want("q87_contamination_score", Seq(
       "benchmark gram set broadcast" -> "BroadcastHashJoin")),
+    Want("q90_more_like_this", Seq(
+      "query-side weights broadcast" -> "BroadcastHashJoin",
+      "bounded-heap top-k" -> "scored_top_k"),
+      mustNotContain = Seq(
+        "no all-pairs candidate generation" -> "CartesianProduct",
+        "no nested-loop fallback" -> "BroadcastNestedLoopJoin",
+        "no scored-row window shuffle+sort" -> "Window")),
     Want("q32_ann_brute", Seq(
       "query side broadcast" -> "BroadcastNestedLoopJoin")),
     Want("q58_decontaminate", Seq(

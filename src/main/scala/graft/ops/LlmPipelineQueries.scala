@@ -1095,6 +1095,96 @@ object LlmPipelineQueries {
               GROUP BY t.doc_id)
       SELECT doc_id, n_grams, n_hit, CAST(n_hit AS DOUBLE) / n_grams AS score
       FROM tot JOIN hit USING (doc_id)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // Bigram LM quality score (CCNet/KenLM-family): per-doc total
+    // log-likelihood under the corpus's own MLE bigram model. Per-bigram
+    // log-probs integerize BEFORE the per-doc sum (exact long addition
+    // commutes; a double sum over unbounded terms would be
+    // shuffle-order-dependent — the q81 rule extended).
+    QueryDef("q89_bigram_lm", (s, dir) => {
+      import s.implicits._
+      TrainingPrep.bigramLmScore(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                 FROM documents),
+      b AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+            FROM w WHERE len(w) >= 2),
+      c12 AS (SELECT bg, COUNT(*) AS c FROM b GROUP BY 1),
+      c1 AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c) AS c FROM c12 GROUP BY 1),
+      lp AS (SELECT b.doc_id,
+                    CAST(floor(ln(CAST(c12.c AS DOUBLE) / c1.c) * 1e6) AS BIGINT) AS lp_u
+             FROM b JOIN c12 USING (bg)
+                    JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w1)
+      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+             CAST(SUM(lp_u) AS BIGINT) AS ll_u
+      FROM lp GROUP BY 1 ORDER BY doc_id""")),
+
+    // Sparse tf-idf cosine "more like this" (SparseCosine): lexical top-k
+    // similarity through the inverted index with the MAXDF vocabulary cap
+    // (candidates ≤ Σ df² — never all-pairs; the cap is part of the
+    // model, dropped terms are the lowest-idf ones). Planted term-group
+    // docs make the answer non-degenerate on the driver's tiny-vocab
+    // corpus at every sf: corpus words exceed the cap, group tokens are
+    // unique to their group, so each query's neighbors are exactly its
+    // group mates, ranked by genuinely different tf-idf cosines.
+    QueryDef("q90_more_like_this", (s, dir) => {
+      import s.implicits._
+      val planted = PLANTED_MLT_DOCS.toDF("doc_id", "text")
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        .unionByName(planted)
+      graft.similarity.SparseCosine.topK(docs, "text", "doc_id",
+        $"doc_id" >= 1000000L, k = 5, maxDf = 100)
+        .orderBy($"q_id", $"rk")
+    }, Some {
+      val values = PLANTED_MLT_DOCS
+        .map { case (id, text) => s"($id, '$text')" }.mkString(", ")
+      s"""
+      WITH alldocs AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT * FROM (VALUES $values) AS planted(doc_id, text)),
+      toks AS (SELECT doc_id AS d,
+                      unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+               FROM alldocs),
+      tf AS (SELECT d, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      n AS (SELECT COUNT(*) AS n FROM alldocs),
+      df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) <= 100),
+      w AS (SELECT d, tf.tok, tf.tf, ln(CAST(n.n AS DOUBLE) / df.df) AS lnidf
+            FROM tf JOIN df USING (tok) CROSS JOIN n),
+      norm AS (SELECT d,
+                      CAST(SUM(CAST(floor(tf * tf * lnidf * lnidf * 1e6) AS BIGINT)) AS BIGINT) AS n2_u
+               FROM w GROUP BY 1),
+      p AS (SELECT a.d AS q, b.d AS c,
+                   CAST(SUM(CAST(floor(a.tf * b.tf * a.lnidf * a.lnidf * 1e6) AS BIGINT)) AS BIGINT) AS num_u
+            FROM w a JOIN w b USING (tok)
+            WHERE a.d >= 1000000 AND a.d <> b.d GROUP BY 1, 2),
+      sc AS (SELECT q, c,
+                    CAST(floor(CAST(num_u AS DOUBLE) /
+                      (sqrt(CAST(na.n2_u AS DOUBLE)) * sqrt(CAST(nb.n2_u AS DOUBLE))) * 1e6) AS BIGINT) AS score_u
+             FROM p JOIN norm na ON na.d = p.q JOIN norm nb ON nb.d = p.c),
+      r AS (SELECT q, c, score_u,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY score_u DESC, c) AS INTEGER) AS rk
+            FROM sc)
+      SELECT q AS q_id, rk, c AS n_id, score_u FROM r WHERE rk <= 5
+      ORDER BY q_id, rk"""
+    })
   )
+
+  /** Planted term-group documents for q90: 8 groups × 4 docs on unique
+    * group vocabularies (df ≤ 4 ≤ maxDf, zero cross-group overlap). The
+    * j-th doc of a group repeats the 3-token core j+2 times and adds two
+    * unique tokens — distinct tf mixes, so within-group cosines differ
+    * and the top-k ranking is non-trivial. Plain lowercase ⇒ safe as SQL
+    * string literals. (lazy: declared below the `defs` val that captures
+    * it — the closure runs at query time, but the oracle-SQL branch
+    * interpolates it during `defs` initialization.) */
+  private lazy val PLANTED_MLT_DOCS: Seq[(Long, String)] =
+    (for { g <- 0 until 8; j <- 0 until 4 } yield {
+      val core = s"g${g}xa g${g}xb g${g}xc"
+      val text = (Seq.fill(j + 2)(core) :+ s"g${g}u$j g${g}v$j").mkString(" ")
+      (1000000L + g * 4 + j, text)
+    })
 }

@@ -158,6 +158,49 @@ object TrainingPrep {
     * 61-bit hashes, the corpus side is one explode + broadcast join +
     * per-doc count; collisions can only nudge a score up by ~1/n_grams
     * at 10⁻¹³ probability (same arithmetic as the decontaminate note). */
+  /** Bigram language-model quality score (the CCNet/KenLM-family signal):
+    * per document, the total log-likelihood of its word bigrams under the
+    * corpus's own MLE bigram model — P(w2|w1) = c(w1 w2) / c(w1 ·) with
+    * counts from the corpus being scored, so every observed bigram has
+    * positive probability and no smoothing constant enters the contract.
+    * Repetitive/templated text scores high (its transitions dominate the
+    * model), token-salad spam scores low — threshold `ll_u / n_bigrams`
+    * to filter.
+    *
+    * Cross-engine float discipline (the q81 rule, extended to unbounded
+    * term counts): a per-doc SUM of doubles is shuffle-order-dependent,
+    * so each bigram's log-prob is integerized FIRST — lp_u =
+    * floor(ln(c12/c1)·1e6), one correctly-rounded division + one ln +
+    * one floor — and the per-doc total is an exact long sum, which
+    * commutes. A last-ulp ln() disagreement shifts one lp_u only on a
+    * measure-zero floor boundary.
+    *
+    * Scale shape: bigram counts are corpus-sized (NOT broadcastable — a
+    * web corpus has billions of distinct bigrams), so both count joins
+    * are linear shuffle equi-joins on the bigram/prefix key; everything
+    * else is projections. Returns (id, n_bigrams, ll_u); docs with fewer
+    * than two tokens drop out. */
+  def bigramLmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), split(TextAnalysis.normalize(col(textCol)), " ", -1).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = toks.select(col(idCol),
+      explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val c12 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    bi.join(c12, "bg")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(c1, "w1")
+      .select(col(idCol),
+        floor(log(col("c12").cast("double") / col("c1")) * 1e6).cast("long").as("lp_u"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"), sum(col("lp_u")).as("ll_u"))
+  }
+
   def contaminationScore(docs: DataFrame, textCol: String, idCol: String,
       benchmark: DataFrame, benchTextCol: String, k: Int = 8): DataFrame = {
     def grams(c: Column) = graft.functions.HashFunctions.wordShingleHash(

@@ -444,6 +444,48 @@ class PipelineSpec extends SparkSpec {
     assert(nGrams == 7 && nHit == 1 && math.abs(score - 1.0 / 7) < 1e-12)
   }
 
+  test("TrainingPrep.bigramLmScore: MLE bigram log-likelihood, micro-unit exact") {
+    import graft.ops.TrainingPrep
+    // corpus: "a b c" and "a b d" -> c(a b)=2, c(b c)=1, c(b d)=1; c1(a)=2, c1(b)=2
+    // each doc: lp("a b") = ln(2/2) = 0; lp("b ·") = ln(1/2) -> floor(-693147.18..) = -693148
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val r = TrainingPrep.bigramLmScore(docs, "text", "doc_id")
+      .orderBy($"doc_id").as[(Long, Int, Long)].collect()
+    assert(r.toSeq == Seq((1L, 2, -693148L), (2L, 2, -693148L)))
+    // quality signal direction: a doc of corpus-typical transitions
+    // outscores token salad with the same length
+    val corpus = (1L to 40L).map(i => (i, "the quick fox jumps over the lazy dog")) :+
+      (100L, "dog the over quick lazy jumps fox the") :+
+      (101L, "the quick fox jumps over the lazy dog")
+    val sc = TrainingPrep.bigramLmScore(corpus.toDF("doc_id", "text"), "text", "doc_id")
+      .filter($"doc_id" >= 100L).orderBy($"doc_id")
+      .select(($"ll_u".cast("double") / $"n_bigrams").as("avg_u")).as[Double].collect()
+    assert(sc(0) < sc(1), s"salad ${sc(0)} should score below typical ${sc(1)}")
+  }
+
+  test("SparseCosine: group-local neighbors, parallel vectors rank first, maxDf audit") {
+    import graft.similarity.SparseCosine
+    // two disjoint term groups + a stop word in every doc (df 5 > maxDf 4)
+    val docs = Seq(
+      (10L, "the p q r p q r"), (11L, "the p q r"), (12L, "the p q r s"),
+      (20L, "the x y z"), (21L, "the x y z"))
+      .toDF("doc_id", "text")
+    val top = SparseCosine.topK(docs, "text", "doc_id", lit(true), k = 3, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // neighbors never cross groups (the stop word is capped out of the index)
+    top.foreach { case (q, _, n, _) => assert((q / 10) == (n / 10), s"$q -> $n") }
+    // doc 11 is parallel to doc 10 (same direction, 2x tf): cosine ~ 1 beats doc 12
+    val d11 = top.filter(_._1 == 11L).sortBy(_._2)
+    assert(d11.head._3 == 10L && d11.head._4 > 999000L, d11.mkString(","))
+    // symmetric identical docs score ~ 1 both ways
+    val b = top.filter(t => t._1 >= 20L && t._2 == 1)
+    assert(b.map(_._3).toSet == Set(20L, 21L) && b.forall(_._4 > 999000L))
+    // audit view surfaces exactly the capped term
+    val dropped = SparseCosine.droppedTerms(docs, "text", "doc_id", maxDf = 4)
+      .as[(String, Long)].collect().toMap
+    assert(dropped == Map("the" -> 5L))
+  }
+
   test("Quantize int8 roundtrip error is bounded by scale/254") {
     import graft.similarity.Quantize
     val emb = sources.Tables.load(spark, sfDir, "embeddings").limit(200)
