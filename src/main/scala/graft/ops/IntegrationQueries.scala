@@ -194,6 +194,30 @@ object IntegrationQueries {
              strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                       '%Y-%m-%d %H:%M:%S') AS valid_to,
              (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
-      FROM chg ORDER BY user_id, valid_from"""))
+      FROM chg ORDER BY user_id, valid_from""")),
+
+    // Incremental materialized-aggregate maintenance (IncrementalAgg):
+    // yesterday's snapshot aggregate + today's insert/delete changelog →
+    // refreshed report, O(delta + affected keys), never a history rescan.
+    // The oracle recomputes the same report from the final logical table:
+    // base = orders with key%10≠0, inserts = key%10=0, deletes = base
+    // rows with key%7=0 — so the live set is key%10=0 OR key%7≠0.
+    QueryDef("q91_incremental_agg", (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val base = orders.filter($"o_orderkey" % 10 =!= 0)
+      val baseAgg = IncrementalAgg.groupSum(base, Seq("o_orderstatus"), "o_totalprice")
+      val changelog = orders.filter($"o_orderkey" % 10 === 0).withColumn("op", lit(1))
+        .unionByName(base.filter($"o_orderkey" % 7 === 0).withColumn("op", lit(-1)))
+      IncrementalAgg.refresh(baseAgg, changelog, Seq("o_orderstatus"), "o_totalprice")
+        .select($"o_orderstatus", $"cnt",
+          $"sum_dec".cast("double").as("sum_price"))
+        .orderBy($"o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0
+      GROUP BY 1 ORDER BY 1"""))
   )
 }

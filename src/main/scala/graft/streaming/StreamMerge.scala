@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.Merge
+
+/** Streaming upsert sink: maintain a keyed parquet table from a stream of
+  * updates — the continuous form of the reference's keyed update
+  * (SQL_DATA_INTEGRATION_TOOL.py:282-312, one-shot UPDATE-join) for
+  * sources that never stop arriving (CDC feeds, dimension refreshes).
+  *
+  * Per micro-batch (`foreachBatch`): collapse the batch to one row per
+  * key (latest by `tsCol`, ties by deterministic column order), merge
+  * into the current table via [[Merge.upsert]], write the result with the
+  * same crash-safe swap protocol as `Layout.compact` (tmp → aside → into
+  * place; a reader never observes a missing table).
+  *
+  * Failure/replay semantics: after a crash, Structured Streaming replays
+  * the last uncommitted batch into `foreachBatch`. The merge is
+  * idempotent — replaying identical (key, value) pairs overwrites rows
+  * with themselves — so the table converges to exactly-once CONTENT even
+  * though the batch may execute twice (the standard foreachBatch
+  * contract: at-least-once invocation, idempotent effect).
+  *
+  * Scale shape: state lives in the table, not the stream (no unbounded
+  * streaming state); each refresh is one key-join of batch × table. For
+  * a 100 TB dimension this would write a lakehouse MERGE instead of the
+  * full-table rewrite — the rewrite is the honest plain-parquet stand-in,
+  * and batches arrive at trigger cadence, not row rate. */
+object StreamMerge {
+
+  /** Start the sink: one upserted parquet snapshot of `updates` per
+    * micro-batch at `targetDir`, resumable from `checkpointDir`. */
+  def upsertSink(updates: DataFrame, key: String, tsCol: String,
+      targetDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch, key, tsCol, targetDir)
+      }
+      .start()
+
+  /** One merge step — also the unit the tests drive directly. */
+  def applyBatch(batch: DataFrame, key: String, tsCol: String,
+      targetDir: String): Unit = {
+    val spark = batch.sparkSession
+    // latest row per key within the batch: max ts, ties broken by the
+    // remaining columns so the reduction is deterministic under replay
+    val ordered = batch.columns.filter(_ != key).sortBy(identity)
+      .map(c => col(c).desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+          .orderBy(col(tsCol).desc +: ordered: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+    if (latest.isEmpty) return
+    val p = new Path(targetDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(p)) Merge.upsert(spark.read.parquet(targetDir), latest, key)
+      else latest
+    val tmp = new Path(targetDir + ".merge.tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(p)) {
+      val old = new Path(targetDir + ".merge.old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(p, old))
+        throw new IllegalStateException(s"upsertSink: could not move $targetDir aside")
+      if (!fs.rename(tmp, p)) {
+        fs.rename(old, p)
+        throw new IllegalStateException(
+          s"upsertSink: rename of $tmp into place failed; previous table restored")
+      }
+      fs.delete(old, true)
+    } else if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"upsertSink: initial rename to $targetDir failed")
+  }
+}

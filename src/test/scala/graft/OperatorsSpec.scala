@@ -207,6 +207,27 @@ class OperatorsSpec extends SparkSpec {
     intercept[Exception] { Tables.registerAll(spark, dir) }
   }
 
+  test("IncrementalAgg.refresh equals full recompute; zero-count keys vanish; refreshes chain") {
+    import graft.ops.IncrementalAgg
+    import spark.implicits._
+    val base = Seq(("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 1.0)).toDF("k", "v")
+    val mat = IncrementalAgg.groupSum(base, Seq("k"), "v")
+    // delta: add to a, delete ALL of c, new key d
+    val log1 = Seq(("a", 30.0, 1), ("c", 1.0, -1), ("d", 7.0, 1)).toDF("k", "v", "op")
+    val r1 = IncrementalAgg.refresh(mat, log1, Seq("k"), "v")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k", $"cnt", $"sum_dec".cast("double"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(asMap(r1) == Map("a" -> ((3L, 60.0)), "b" -> ((1L, 5.0)), "d" -> ((1L, 7.0))))
+    // equals the full recompute over the logically-final table
+    val finalRows = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 5.0), ("d", 7.0)).toDF("k", "v")
+    assert(asMap(r1) == asMap(IncrementalAgg.groupSum(finalRows, Seq("k"), "v")))
+    // chains: a second refresh on the first one's output
+    val log2 = Seq(("b", 5.0, -1), ("d", 3.0, 1)).toDF("k", "v", "op")
+    val r2 = IncrementalAgg.refresh(r1, log2, Seq("k"), "v")
+    assert(asMap(r2) == Map("a" -> ((3L, 60.0)), "d" -> ((2L, 10.0))))
+  }
+
   test("SavedQueries persists and runs by name") {
     val f = java.nio.file.Files.createTempFile("sq", ".json").toString
     val sq = new graft.queries.SavedQueries(f)

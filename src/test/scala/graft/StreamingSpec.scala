@@ -274,4 +274,36 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stream == batch && batch.nonEmpty)
   }
+
+  test("StreamMerge upsert sink: latest-per-key table, idempotent under batch replay") {
+    import graft.streaming.StreamMerge
+    val dir = java.nio.file.Files.createTempDirectory("smerge").toString + "/table"
+    def table() = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // batch 1: two fresh keys
+    StreamMerge.applyBatch(
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ts"), "k", "ts", dir)
+    assert(table() == Set((1L, "a", 10L), (2L, "b", 10L)))
+
+    // batch 2: update k1 (latest of two in-batch rows wins), insert k3
+    val b2 = Seq((1L, "stale", 11L), (1L, "fresh", 12L), (3L, "c", 11L))
+      .toDF("k", "v", "ts")
+    StreamMerge.applyBatch(b2, "k", "ts", dir)
+    val after2 = table()
+    assert(after2 == Set((1L, "fresh", 12L), (2L, "b", 10L), (3L, "c", 11L)))
+
+    // replay of the same batch (the foreachBatch failure contract) is a no-op
+    StreamMerge.applyBatch(b2, "k", "ts", dir)
+    assert(table() == after2)
+
+    // end-to-end through a real streaming query
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.addData((2L, "b2", 20L), (4L, "d", 20L))
+    val ckpt = java.nio.file.Files.createTempDirectory("smergeck").toString
+    val q = StreamMerge.upsertSink(mem.toDF().toDF("k", "v", "ts"), "k", "ts", dir, ckpt)
+    q.awaitTermination(60000)
+    assert(table() == Set((1L, "fresh", 12L), (2L, "b2", 20L), (3L, "c", 11L), (4L, "d", 20L)))
+  }
 }
