@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     //   SELECT * FROM graft_jaccard_join('docs', 'text', 'doc_id', 0.7)
     //   SELECT * FROM graft_connected_components('pairs', 'id_a', 'id_b')
     //   SELECT * FROM graft_analyze_table('lineitem')
+    //   SELECT * FROM graft_stratified_sample('docs', 'doc_id', 'source', 10)
+    //   SELECT * FROM graft_contamination('docs', 'text', 'doc_id', 'bench', 'text', 8)
+    //   SELECT * FROM graft_bigram_lm('docs', 'text', 'doc_id')
+    //   SELECT * FROM graft_bloom_semi_join('lineitem', 'l_orderkey', 'hot', 'o_orderkey', 2000)
     // graft_jaccard_join expands to the operator's (lazy) plan;
     // connected-components and analyze are driver-coordinated algorithms
     // (an iterative loop / a one-pass profile), so those two EXECUTE
@@ -91,6 +95,64 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_analyze_table(table) takes 1 argument")
         graft.catalog.Catalog.analyzeTable(tableArg(args(0)))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_stratified_sample"),
+      info("graft_stratified_sample",
+        "graft_stratified_sample(table, idCol, strataCol, n) - exact-size stratified sample: the n rows per stratum with the smallest md5 rank, as (stratum, smp_rank, id)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_stratified_sample(table, idCol, strataCol, n) takes 4 arguments")
+        require(args(3).foldable, "n must be a literal")
+        graft.ops.TrainingPrep.stratifiedSample(tableArg(args(0)),
+          strArg(args(1), "idCol"), strArg(args(2), "strataCol"),
+          args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_contamination"),
+      info("graft_contamination",
+        "graft_contamination(table, textCol, idCol, benchTable, benchTextCol, k) - per-doc fraction of distinct word k-grams found in the benchmark table: (id, n_grams, n_hit, score), contaminated docs only"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "graft_contamination(table, textCol, idCol, benchTable, benchTextCol, k) takes 6 arguments")
+        require(args(5).foldable, "k must be a literal")
+        graft.ops.TrainingPrep.contaminationScore(tableArg(args(0)),
+          strArg(args(1), "textCol"), strArg(args(2), "idCol"),
+          tableArg(args(3)), strArg(args(4), "benchTextCol"),
+          args(5).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_bigram_lm"),
+      info("graft_bigram_lm",
+        "graft_bigram_lm(table, textCol, idCol) - bigram LM quality score under the corpus's own MLE model: (id, n_bigrams, ll_u) with ll_u in micro-log-prob units"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_bigram_lm(table, textCol, idCol) takes 3 arguments")
+        graft.ops.TrainingPrep.bigramLmScore(tableArg(args(0)),
+          strArg(args(1), "textCol"), strArg(args(2), "idCol"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_bloom_semi_join"),
+      info("graft_bloom_semi_join",
+        "graft_bloom_semi_join(factTable, factKey, keysTable, keyCol, expectedKeys) - fact rows whose key might be in the keys table (bloom sketch, ~1% false positives, no false negatives). Builds the sketch eagerly (one aggregate over the keys side)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_bloom_semi_join(factTable, factKey, keysTable, keyCol, expectedKeys) takes 5 arguments")
+        require(args(4).foldable, "expectedKeys must be a literal")
+        val fact = tableArg(args(0))
+        val keys = tableArg(args(2)) // bind col() to THIS instance
+        graft.ops.BloomPrune.semiPrune(fact,
+          fact.col(strArg(args(1), "factKey")),
+          keys, keys.col(strArg(args(3), "keyCol")),
+          args(4).eval().asInstanceOf[Number].longValue())
           .queryExecution.logical
       }))
 

@@ -66,6 +66,35 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT column_name, null_count FROM graft_analyze_table('tf_pairs')
            WHERE column_name = 'a'""").collect()
       assert(prof.length == 1 && prof(0).getLong(1) == 0L)
+
+      // r7 table functions
+      Seq((1L, "s0"), (2L, "s0"), (3L, "s0"), (4L, "s1"), (5L, "s1"))
+        .toDF("id", "src").createOrReplaceTempView("tf_strata")
+      val ss = spark.sql(
+        """SELECT src, count(*) AS n FROM graft_stratified_sample('tf_strata', 'id', 'src', 2)
+           GROUP BY src ORDER BY src""").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(ss.toSeq == Seq(("s0", 2L), ("s1", 2L)))
+
+      spark.sql("SELECT doc_id, text FROM tf_docs WHERE doc_id = 1")
+        .createOrReplaceTempView("tf_bench")
+      val cont = spark.sql(
+        """SELECT doc_id, score FROM graft_contamination(
+             'tf_docs', 'text', 'doc_id', 'tf_bench', 'text', 8)
+           ORDER BY doc_id""").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(cont.map(_._1).toSeq == Seq(1L, 2L) && cont.forall(_._2 == 1.0))
+
+      val lm = spark.sql(
+        """SELECT doc_id, n_bigrams FROM graft_bigram_lm('tf_docs', 'text', 'doc_id')
+           ORDER BY doc_id""").collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(lm.toSeq == Seq((1L, 9), (2L, 9), (3L, 7)))
+
+      Seq(1L, 2L).toDF("k").createOrReplaceTempView("tf_keys")
+      Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"))
+        .toDF("k", "v").createOrReplaceTempView("tf_fact")
+      val bsj = spark.sql(
+        """SELECT k FROM graft_bloom_semi_join('tf_fact', 'k', 'tf_keys', 'k', 10)
+           ORDER BY k""").collect().map(_.getLong(0))
+      assert(bsj.toSet.intersect(Set(1L, 2L)) == Set(1L, 2L) && bsj.length <= 4)
     } finally {
       // don't leak this untuned session (200 shuffle partitions) into the
       // suites that follow — TestSession rebuilds the tuned one on demand
