@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, shiftleft, when}
 
 /** Physical-layout maintenance for parquet directories — the two jobs every
   * 100 TB lake runs nightly and the reference's single-file world never
@@ -87,4 +88,58 @@ object Layout {
     df.repartitionByRange(nFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(outDir)
+
+  /** Write `df` z-order-clustered on two numeric columns: rows sort by the
+    * bit-interleaved rank of (a, b), so file/row-group min-max stats stay
+    * tight on BOTH columns at once — a point or range predicate on EITHER
+    * column skips most files. [[writeClustered]] on (a, b) only prunes on
+    * a (every file spans b's full range); z-order is the multi-column
+    * layout every lakehouse OPTIMIZE ZORDER runs, built here from three
+    * Spark primitives:
+    *
+    *  1. per-column rank quantization to 8 bits — 255 approx-quantile
+    *     boundaries per column (one answer-sized aggregate, broadcast
+    *     back; rank = boundaries-passed, the q80 bucketing shape), which
+    *     makes interleaving distribution-independent (skewed columns
+    *     still fill all 256 codes);
+    *  2. bit interleave (a7 b7 a6 b6 … a0 b0) as a codegen'd fold of
+    *     shift/mask/or — one 16-bit z-value column;
+    *  3. repartitionByRange + sortWithinPartitions on the z-value (the
+    *     [[writeClustered]] machinery, reused).
+    *
+    * The quantile pass is one extra scan; reads with predicates on either
+    * column save it back on every query. */
+  def writeZOrdered(df: DataFrame, outDir: String, nFiles: Int,
+      colA: String, colB: String): Unit = {
+    val z = zValue(df, colA, colB)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** The 16-bit interleaved z-value column for (colA, colB) of `df` —
+    * exposed for tests and for callers composing their own write. */
+  def zValue(df: DataFrame, colA: String, colB: String): Column = {
+    def rank8(c: String): Column = {
+      // 255 interior quantile boundaries -> rank in [0, 255]; one
+      // answer-sized row, broadcast into the projection as a literal array
+      val probs = (1 until 256).map(_ / 256.0)
+      val bounds = df.select(expr(
+        s"approx_percentile(CAST(`$c` AS DOUBLE), array(${probs.mkString(",")}), 10000)"))
+        .head.getSeq[Double](0)
+      val v = col(c).cast("double")
+      // rank = number of boundaries strictly below the value: a balanced
+      // comparison tree would be log-depth, but 255 adds codegen fine
+      bounds.map(b => when(v > lit(b), 1).otherwise(0)).reduce(_ + _)
+    }
+    val ra = rank8(colA)
+    val rb = rank8(colB)
+    // interleave: a's bit i -> position 2i+1, b's bit i -> position 2i
+    (0 until 8).map { i =>
+      (shiftleft(ra.bitwiseAND(lit(1 << i)), i + 1))
+        .bitwiseOR(shiftleft(rb.bitwiseAND(lit(1 << i)), i))
+    }.reduce(_.bitwiseOR(_))
+  }
 }

@@ -105,4 +105,35 @@ class SourcesSpec extends SparkSpec {
     }
     assert(spark.read.parquet(out).count() == docs.count())
   }
+
+  test("Layout.writeZOrdered keeps BOTH columns' per-file ranges tight (linear layout can't)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Layout
+    val base = Files.createTempDirectory("zord").toString
+    // independent uniform columns — the adversarial case for linear clustering
+    val df = spark.range(40000).select(
+      (pmod(hash(col("id")), lit(1000)) + 1000).cast("long").as("x"),
+      (pmod(hash(col("id") + 7), lit(1000)) + 1000).cast("long").as("y"))
+    Layout.writeZOrdered(df, s"$base/z.parquet", nFiles = 64, "x", "y")
+    Layout.writeClustered(df, s"$base/lin.parquet", 64, col("x"))
+
+    def hitFraction(dir: String, c: String): Double = {
+      val files = spark.read.parquet(dir).inputFiles
+      // point-ish predicate: a ~1/16-wide band of the value domain
+      val hit = files.count { f =>
+        val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+        r.getLong(0) <= 1531 && 1468 <= r.getLong(1) // band [1468, 1531]
+      }
+      hit.toDouble / files.length
+    }
+    // z-order: a band predicate on EITHER column skips most files
+    assert(hitFraction(s"$base/z.parquet", "x") <= 0.4, "z: x-band should skip files")
+    assert(hitFraction(s"$base/z.parquet", "y") <= 0.4, "z: y-band should skip files")
+    // linear on x prunes x but every file spans y's full range — no y pruning
+    assert(hitFraction(s"$base/lin.parquet", "x") <= 0.4)
+    assert(hitFraction(s"$base/lin.parquet", "y") >= 0.9,
+      "linear-on-x files should all intersect the y band (that's the problem z-order solves)")
+    // content survives the rewrite
+    assert(spark.read.parquet(s"$base/z.parquet").count() == 40000)
+  }
 }
