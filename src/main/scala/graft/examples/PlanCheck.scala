@@ -65,6 +65,17 @@ object PlanCheck {
         "no per-stratum window sort of the corpus" -> "Window")),
     Want("q87_contamination_score", Seq(
       "benchmark gram set broadcast" -> "BroadcastHashJoin")),
+    Want("q91_incremental_agg", Seq(
+      "delta aggregates with map-side combine" -> "partial_sum"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct")),
+    // (the trailing ORDER BY is the oracle protocol's determinism sort —
+    // the upsample itself is Generate over a projection, no hash shuffle)
+    Want("q86_epoch_upsample", Seq(
+      "copy explosion is a generator over a projection" -> "Generate"),
+      mustNotContain = Seq(
+        "no hash shuffle in the upsample path" -> "Exchange hashpartitioning",
+        "no per-doc window" -> "Window")),
     Want("q90_more_like_this", Seq(
       "query-side weights broadcast" -> "BroadcastHashJoin",
       "bounded-heap top-k" -> "scored_top_k"),
