@@ -1170,7 +1170,49 @@ object LlmPipelineQueries {
             FROM sc)
       SELECT q AS q_id, rk, c AS n_id, score_u FROM r WHERE rk <= 5
       ORDER BY q_id, rk"""
-    })
+    }),
+
+    // Embedding QC (EmbeddingQc): zero / non-finite vector detection +
+    // norm range per label — the hygiene pass before any index build.
+    // Planted bad vectors (zero, NaN, Inf, known-norm) under label 99
+    // make every flag column non-degenerate; per-component micro-unit
+    // integerization keeps the norm sums order-free exact (q89/q90 rule).
+    QueryDef("q92_embedding_qc", (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (2000001L, Array(0.0f, 0.0f, 0.0f, 0.0f), 99),
+        (2000002L, Array(Float.NaN, 1.0f, 2.0f, 3.0f), 99),
+        (2000003L, Array(Float.PositiveInfinity, 1.0f, 2.0f, 3.0f), 99),
+        (2000004L, Array(3.0f, 4.0f), 99))
+        .toDF("vec_id", "embedding", "label")
+      val embs = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"embedding", $"label")
+        .unionByName(planted)
+      graft.similarity.EmbeddingQc.qcReport(embs, "embedding", "label")
+        .orderBy($"label")
+    }, Some("""
+      WITH alle AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT * FROM (VALUES
+          (2000001, CAST([0.0, 0.0, 0.0, 0.0] AS FLOAT[]), 99),
+          (2000002, CAST(['nan'::FLOAT, 1.0, 2.0, 3.0] AS FLOAT[]), 99),
+          (2000003, CAST(['infinity'::FLOAT, 1.0, 2.0, 3.0] AS FLOAT[]), 99),
+          (2000004, CAST([3.0, 4.0] AS FLOAT[]), 99)) AS p(vec_id, embedding, label)),
+      v AS (
+        SELECT label,
+               len(list_filter(embedding,
+                 x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0 AS bad,
+               list_sum(list_transform(embedding,
+                 x -> CASE WHEN isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)) THEN 0
+                           ELSE CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6) AS BIGINT) END)) AS n2_u
+        FROM alle)
+      SELECT label, CAST(COUNT(*) AS INTEGER) AS n_vecs,
+             CAST(SUM(CASE WHEN NOT bad AND n2_u = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_zero,
+             CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS INTEGER) AS n_nonfinite,
+             CAST(MIN(CASE WHEN NOT bad THEN n2_u END) AS BIGINT) AS min_n2_u,
+             CAST(MAX(CASE WHEN NOT bad THEN n2_u END) AS BIGINT) AS max_n2_u
+      FROM v GROUP BY label ORDER BY label"""))
   )
 
   /** Planted term-group documents for q90: 8 groups × 4 docs on unique

@@ -486,6 +486,23 @@ class PipelineSpec extends SparkSpec {
     assert(dropped == Map("the" -> 5L))
   }
 
+  test("EmbeddingQc flags zero/non-finite vectors; norms are exact micro-units") {
+    import graft.similarity.EmbeddingQc
+    val embs = Seq(
+      (1L, Array(3.0f, 4.0f), "a"),          // norm2 = 25 exactly
+      (2L, Array(0.0f, 0.0f), "a"),          // zero
+      (3L, Array(Float.NaN, 1.0f), "a"),     // poisoned
+      (4L, Array(1.0f, Float.NegativeInfinity), "a"),
+      (5L, Array(1.0f, 1.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val r = EmbeddingQc.qcReport(embs, "embedding", "label")
+      .orderBy($"label")
+      .as[(String, Int, Int, Int, Long, Long)].collect()
+    assert(r.toSeq == Seq(
+      ("a", 4, 1, 2, 0L, 25000000L),
+      ("b", 1, 0, 0, 2000000L, 2000000L)))
+  }
+
   test("Quantize int8 roundtrip error is bounded by scale/254") {
     import graft.similarity.Quantize
     val emb = sources.Tables.load(spark, sfDir, "embeddings").limit(200)

@@ -126,11 +126,15 @@ class SourcesSpec extends SparkSpec {
       }
       hit.toDouble / files.length
     }
-    // z-order: a band predicate on EITHER column skips most files
-    assert(hitFraction(s"$base/z.parquet", "x") <= 0.4, "z: x-band should skip files")
-    assert(hitFraction(s"$base/z.parquet", "y") <= 0.4, "z: y-band should skip files")
+    // z-order: a band predicate on EITHER column skips most files. The
+    // 0.5 bound is deliberately slack: repartitionByRange SAMPLES its
+    // boundaries, so the z-block grid is ragged and the hit fraction
+    // varies run to run (observed 0.33-0.42 at 64 files) — the contrast
+    // with the linear layout's >=0.9 is the invariant under test
+    assert(hitFraction(s"$base/z.parquet", "x") <= 0.5, "z: x-band should skip files")
+    assert(hitFraction(s"$base/z.parquet", "y") <= 0.5, "z: y-band should skip files")
     // linear on x prunes x but every file spans y's full range — no y pruning
-    assert(hitFraction(s"$base/lin.parquet", "x") <= 0.4)
+    assert(hitFraction(s"$base/lin.parquet", "x") <= 0.5)
     assert(hitFraction(s"$base/lin.parquet", "y") >= 0.9,
       "linear-on-x files should all intersect the y band (that's the problem z-order solves)")
     // content survives the rewrite
