@@ -65,6 +65,11 @@ object PlanCheck {
         "no per-stratum window sort of the corpus" -> "Window")),
     Want("q87_contamination_score", Seq(
       "benchmark gram set broadcast" -> "BroadcastHashJoin")),
+    Want("q93_salted_join", Seq(
+      "join runs on the salted key" -> "__salt",
+      "build side replicated by a generator" -> "Generate"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct")),
     Want("q91_incremental_agg", Seq(
       "delta aggregates with map-side combine" -> "partial_sum"),
       mustNotContain = Seq(

@@ -664,6 +664,29 @@ object RelationalQueries {
       SELECT o_orderpriority, COUNT(*) AS n_items, ${dsql("l_extendedprice")} AS sum_price
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_totalprice > 450000
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Salted replicate join (Skew.saltedJoin) under the same
+    // optimization-transparency protocol as q88: the oracle is the plain
+    // join — salting must be invisible to the answer by construction
+    // (build side replicated per salt, probe salted uniformly, join on
+    // (key, salt)) — while PlanCheck pins the salted plan shape (the
+    // __salt join key + the Generate replication). The declarative tool
+    // for a hot probe key against a small-but-not-broadcastable build
+    // side, where AQE's skew splitting can't reach.
+    QueryDef("q93_salted_join", (s, dir) => {
+      import s.implicits._
+      val probe = t(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice")
+      val build = t(s, dir, "orders").filter($"o_totalprice" > 400000)
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+      Skew.saltedJoin(probe, build, "l_orderkey", saltBuckets = 8)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_items, ${dsql("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 400000
       GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -119,6 +119,43 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Recover from a crash mid-swap and clean swap debris for a table
+    * maintained by [[compact]] / [[graft.streaming.StreamMerge]] (both use
+    * the same tmp → aside → into-place rename protocol). Recovery rule,
+    * derived from the protocol's invariant (the aside rename happens ONLY
+    * after the tmp write is verified, and the old copy is deleted ONLY
+    * after the new table is in place):
+    *
+    *  - table missing + `.old` present → the crash hit between
+    *    rename-aside and rename-into-place: RESTORE `.old` to the table
+    *    path (the tmp may be complete, but the verified-original is the
+    *    safe restore — the maintenance op simply re-runs);
+    *  - table present → any `.tmp` / `.old` is debris from a completed or
+    *    abandoned swap: delete it.
+    *
+    * Returns a human-readable action log; empty = nothing to do. */
+  def vacuumSwapDebris(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val suffixes = Seq(".compact.tmp", ".compact.old", ".merge.tmp", ".merge.old")
+    val olds = suffixes.filter(_.endsWith(".old")).map(s => new Path(dir + s))
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    if (!fs.exists(p)) {
+      olds.find(fs.exists) match {
+        case Some(old) =>
+          if (!fs.rename(old, p))
+            throw new IllegalStateException(s"vacuum: restore of $old to $dir failed")
+          actions += s"restored $old -> $dir"
+        case None => // nothing to restore; fall through to debris cleanup
+      }
+    }
+    if (fs.exists(p)) suffixes.foreach { s =>
+      val d = new Path(dir + s)
+      if (fs.exists(d)) { fs.delete(d, true); actions += s"deleted $d" }
+    }
+    actions.toSeq
+  }
+
   /** The 16-bit interleaved z-value column for (colA, colB) of `df` —
     * exposed for tests and for callers composing their own write. */
   def zValue(df: DataFrame, colA: String, colB: String): Column = {

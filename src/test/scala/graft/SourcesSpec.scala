@@ -106,6 +106,31 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == docs.count())
   }
 
+  test("Layout.vacuumSwapDebris restores a mid-swap crash and clears completed-swap debris") {
+    import graft.sources.Layout
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val base = Files.createTempDirectory("vac").toString
+    val dir = s"$base/t.parquet"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(fsConf)
+
+    // state A: crash between rename-aside and rename-into-place — the
+    // table path is gone, the verified original sits at .compact.old
+    spark.range(100).write.parquet(s"$dir.compact.old")
+    spark.range(50).write.parquet(s"$dir.compact.tmp") // unverified rewrite
+    val log1 = Layout.vacuumSwapDebris(spark, dir)
+    assert(log1.exists(_.startsWith("restored")), log1.mkString(";"))
+    assert(spark.read.parquet(dir).count() == 100) // original restored
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.compact.tmp"))) // debris gone
+
+    // state B: healthy table + leftover merge debris — delete only debris
+    spark.range(10).write.parquet(s"$dir.merge.old")
+    val log2 = Layout.vacuumSwapDebris(spark, dir)
+    assert(log2.exists(_.contains("merge.old")) && spark.read.parquet(dir).count() == 100)
+
+    // state C: nothing to do
+    assert(Layout.vacuumSwapDebris(spark, dir).isEmpty)
+  }
+
   test("Layout.writeZOrdered keeps BOTH columns' per-file ranges tight (linear layout can't)") {
     import org.apache.spark.sql.functions._
     import graft.sources.Layout
