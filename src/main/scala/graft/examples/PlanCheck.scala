@@ -65,6 +65,11 @@ object PlanCheck {
         "no per-stratum window sort of the corpus" -> "Window")),
     Want("q87_contamination_score", Seq(
       "benchmark gram set broadcast" -> "BroadcastHashJoin")),
+    Want("q94_bucketed_join", Seq(
+      "co-located sort-merge join" -> "SortMergeJoin"),
+      mustNotContain = Seq(
+        "no join-key exchange (bucketing's whole point)" -> "Exchange hashpartitioning(o_orderkey",
+        "no cartesian" -> "CartesianProduct")),
     Want("q93_salted_join", Seq(
       "join runs on the salted key" -> "__salt",
       "build side replicated by a generator" -> "Generate"),

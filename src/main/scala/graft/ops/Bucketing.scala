@@ -19,10 +19,19 @@ object Bucketing {
       .format("parquet").saveAsTable(table) // managed, in spark.sql.warehouse.dir
 
   /** Join two bucketed tables on their bucket key (exchange-free when both
-    * were written with the same bucket count). */
+    * were written with the same bucket count). `forceSortMerge` requests
+    * the merge strategy even when one side is small enough to broadcast —
+    * the demonstration/audit mode: with matching bucket layouts the
+    * "shuffle"-merge join plans with NO exchange on either side, which is
+    * exactly the property to pin; production callers leave it false and
+    * let the planner broadcast genuinely small sides. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
-      key: String, joinType: String = "inner"): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+      key: String, joinType: String = "inner",
+      forceSortMerge: Boolean = false): DataFrame = {
+    val left = spark.table(leftTable)
+    val l = if (forceSortMerge) left.hint("merge") else left
+    l.join(spark.table(rightTable), Seq(key), joinType)
+  }
 
   /** True when the executed plan of `df` contains no shuffle Exchange —
     * the property bucketing buys. Walks the plan tree (through AQE's

@@ -687,6 +687,38 @@ object RelationalQueries {
       SELECT o_orderpriority, COUNT(*) AS n_items, ${dsql("l_extendedprice")} AS sum_price
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_totalprice > 400000
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Bucketed co-located join (Bucketing) — the fourth join strategy
+    // under the transparency oracle (broadcast q3, bloom-pruned q88,
+    // salted q93): both sides written bucketed+sorted on the join key
+    // ONCE (memoized per corpus dir via tableExists — the write-once
+    // shuffle that every later join amortizes), then the equi-join runs
+    // as a sort-merge join with NO exchange on either side. PlanCheck
+    // pins SortMergeJoin + the absence of a join-key hash exchange; the
+    // answer-sized report aggregation after the join still shuffles, as
+    // it should.
+    QueryDef("q94_bucketed_join", (s, dir) => {
+      import s.implicits._
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val lt = s"bkt_li_$tag"; val ot = s"bkt_ord_$tag"
+      if (!s.catalog.tableExists(lt))
+        Bucketing.writeBucketed(t(s, dir, "lineitem")
+          .select($"l_orderkey".as("o_orderkey"), $"l_extendedprice"),
+          lt, "o_orderkey", buckets = 16)
+      if (!s.catalog.tableExists(ot))
+        Bucketing.writeBucketed(t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice"),
+          ot, "o_orderkey", buckets = 16)
+      Bucketing.bucketedJoin(s, lt, ot, "o_orderkey", forceSortMerge = true)
+        .filter($"o_totalprice" > 300000)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_items, ${dsql("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 300000
       GROUP BY 1 ORDER BY 1"""))
   )
 }
