@@ -146,6 +146,62 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Rate/channels/frames/amplitude of a [[synthAudio]] asset as pure
+    * functions of doc_id — the q66 trick applied to audio: DuckDB
+    * predicts them arithmetically, Spark recovers them by actually
+    * parsing the RIFF container with the JRE codec. The waveform is a
+    * square wave at amplitude `synthAmp`, so Σ|sample| =
+    * amp · frames · channels exactly — an integer the oracle reproduces,
+    * and one that breaks on any endianness / interleave / header bug. */
+  def synthRate(id: Long): Int =
+    (id % 4) match { case 0 => 8000; case 1 => 16000; case 2 => 22050; case _ => 44100 }
+  def synthChannels(id: Long): Int = 1 + (id % 2).toInt
+  def synthAudioFrames(id: Long): Int = 50 + (id % 100).toInt
+  def synthAmp(id: Long): Int = 1000 + (id % 7).toInt * 1000
+
+  /** Generate REAL audio (decodable PCM16 WAV bytes) per document id. */
+  def synthAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (rate, ch, frames, amp) =
+            (synthRate(id), synthChannels(id), synthAudioFrames(id), synthAmp(id))
+          val samples = new Array[Short](frames * ch)
+          var i = 0
+          while (i < samples.length) {
+            // square wave per frame: |sample| = amp at every position
+            samples(i) = (if ((i / ch) % 2 == 0) amp else -amp).toShort
+            i += 1
+          }
+          Asset(id, AudioCodec.encodeWav(samples, rate, ch))
+        }
+      }.toDF()
+  }
+
+  /** Decoded audio metadata — every field recovered from the REAL parse. */
+  final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Int, sum_abs: Long)
+
+  /** Audio decode/feature stage: partition-batched JRE parse; undecodable
+    * payloads carry -1s (the opaque path, same contract as images). */
+  def extractAudioFeatures(spark: SparkSession, assets: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[Asset]
+      .mapPartitions { batch =>
+        batch.map { a =>
+          AudioCodec.decodeWav(a.payload) match {
+            case Some(pcm) =>
+              var s = 0L
+              pcm.samples.foreach(v => s += math.abs(v.toLong))
+              AudioMeta(a.doc_id, pcm.sampleRate, pcm.channels,
+                pcm.nFrames.toInt, s)
+            case None => AudioMeta(a.doc_id, -1, -1, -1, -1L)
+          }
+        }
+      }
+  }
+
   /** Magic-byte format sniff — pure expression, codegen'd. */
   def sniffFormat(df: DataFrame): DataFrame =
     df.withColumn("format",

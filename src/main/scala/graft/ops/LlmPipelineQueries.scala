@@ -1212,7 +1212,29 @@ object LlmPipelineQueries {
              CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS INTEGER) AS n_nonfinite,
              CAST(MIN(CASE WHEN NOT bad THEN n2_u END) AS BIGINT) AS min_n2_u,
              CAST(MAX(CASE WHEN NOT bad THEN n2_u END) AS BIGINT) AS max_n2_u
-      FROM v GROUP BY label ORDER BY label"""))
+      FROM v GROUP BY label ORDER BY label""")),
+
+    // REAL audio decode end-to-end (the q66 protocol for the second
+    // modality): synthAudio writes genuine RIFF/WAVE PCM16 containers
+    // (rate/channels/frames/amplitude pure functions of doc_id, square
+    // wave so Σ|sample| is an exact integer), extractAudioFeatures
+    // recovers every column by PARSING the container with the JRE codec
+    // (javax.sound.sampled) — DuckDB predicts the same values
+    // arithmetically, so the hash gates the codec: a header, endianness,
+    // or channel-interleave bug breaks it.
+    QueryDef("q95_audio_decode", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id")
+      Multimodal.extractAudioFeatures(s, Multimodal.synthAudio(s, docs)).toDF()
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+             CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             CAST(50 + doc_id % 100 AS INTEGER) AS n_frames,
+             CAST((1000 + (doc_id % 7) * 1000) * (50 + doc_id % 100) * (1 + doc_id % 2) AS BIGINT) AS sum_abs
+      FROM documents ORDER BY doc_id"""))
   )
 
   /** Planted term-group documents for q90: 8 groups × 4 docs on unique

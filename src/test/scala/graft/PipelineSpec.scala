@@ -486,6 +486,30 @@ class PipelineSpec extends SparkSpec {
     assert(dropped == Map("the" -> 5L))
   }
 
+  test("real audio codec: WAV roundtrip through the JRE parser; opaque bytes fall through") {
+    import graft.multimodal.{AudioCodec, Multimodal}
+    // stereo roundtrip: header fields and every sample survive
+    val samples = Array[Short](100, -100, 2000, -2000, 300, -300, 32767, -32768)
+    val wav = AudioCodec.encodeWav(samples, sampleRate = 22050, channels = 2)
+    val pcm = AudioCodec.decodeWav(wav).get
+    assert(pcm.sampleRate == 22050 && pcm.channels == 2 && pcm.nFrames == 4)
+    assert(pcm.samples.toSeq == samples.toSeq)
+    // non-audio bytes take the opaque path, no throw
+    assert(AudioCodec.decodeWav("not a wav at all".getBytes).isEmpty)
+    // the distributed stage recovers the planted arithmetic end-to-end
+    val docs = Seq(0L, 7L, 123L).toDF("doc_id")
+    val meta = Multimodal.extractAudioFeatures(spark, Multimodal.synthAudio(spark, docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    Seq(0L, 7L, 123L).foreach { id =>
+      val m = meta(id)
+      assert(m.sample_rate == Multimodal.synthRate(id) &&
+        m.channels == Multimodal.synthChannels(id) &&
+        m.n_frames == Multimodal.synthAudioFrames(id) &&
+        m.sum_abs == Multimodal.synthAmp(id).toLong *
+          Multimodal.synthAudioFrames(id) * Multimodal.synthChannels(id))
+    }
+  }
+
   test("EmbeddingQc flags zero/non-finite vectors; norms are exact micro-units") {
     import graft.similarity.EmbeddingQc
     val embs = Seq(
