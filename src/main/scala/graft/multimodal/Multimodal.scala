@@ -202,6 +202,50 @@ object Multimodal {
       }
   }
 
+  /** A transformed audio payload: real resampled WAV for decodable
+    * inputs, pass-through geometry for opaque ones. */
+  final case class ResampledAudio(doc_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Int, payload: Array[Byte])
+
+  /** Audio transform stage — the audio counterpart of [[resizeImages]]:
+    * decodable WAVs are REALLY transformed (JRE decode → mono downmix by
+    * integer-average of each frame's channels → ÷`decimate` frame
+    * decimation → re-encode at rate/decimate), so the output payload is
+    * itself a decodable WAV at the new geometry (roundtrip tested);
+    * opaque payloads pass through with -1 geometry, same contract as the
+    * image stage. Per-row CPU kernel, no shuffle. */
+  def resampleAudio(spark: SparkSession, assets: DataFrame,
+      decimate: Int = 2): Dataset[ResampledAudio] = {
+    import spark.implicits._
+    require(decimate >= 1, s"decimate must be >= 1: $decimate")
+    assets.select(col("doc_id"), col("payload")).as[Asset]
+      .mapPartitions { batch =>
+        batch.map { a =>
+          AudioCodec.decodeWav(a.payload) match {
+            case Some(pcm) =>
+              val inFrames = pcm.nFrames.toInt
+              val outFrames = (inFrames + decimate - 1) / decimate
+              val out = new Array[Short](outFrames)
+              var f = 0
+              while (f < outFrames) {
+                // mono downmix: integer mean of the source frame's channels
+                var sum = 0L
+                var c = 0
+                while (c < pcm.channels) {
+                  sum += pcm.samples(f * decimate * pcm.channels + c); c += 1
+                }
+                out(f) = (sum / pcm.channels).toShort
+                f += 1
+              }
+              val rate = math.max(1, pcm.sampleRate / decimate)
+              ResampledAudio(a.doc_id, rate, 1, outFrames,
+                AudioCodec.encodeWav(out, rate, 1))
+            case None => ResampledAudio(a.doc_id, -1, -1, -1, a.payload)
+          }
+        }
+      }
+  }
+
   /** Magic-byte format sniff — pure expression, codegen'd. */
   def sniffFormat(df: DataFrame): DataFrame =
     df.withColumn("format",

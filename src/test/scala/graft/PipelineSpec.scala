@@ -510,6 +510,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("resampleAudio really transforms: output decodes at downmixed/decimated geometry") {
+    import graft.multimodal.{AudioCodec, Multimodal}
+    val docs = Seq(1L, 6L, 13L).toDF("doc_id") // odd/even channel mixes
+    val out = Multimodal.resampleAudio(spark, Multimodal.synthAudio(spark, docs), decimate = 2)
+      .collect().map(r => r.doc_id -> r).toMap
+    Seq(1L, 6L, 13L).foreach { id =>
+      val r = out(id)
+      val inFrames = Multimodal.synthAudioFrames(id)
+      assert(r.channels == 1 && r.n_frames == (inFrames + 1) / 2)
+      assert(r.sample_rate == Multimodal.synthRate(id) / 2)
+      // the output payload is itself a REAL decodable WAV at that geometry
+      val pcm = AudioCodec.decodeWav(r.payload).get
+      assert(pcm.channels == 1 && pcm.nFrames == r.n_frames &&
+        pcm.sampleRate == r.sample_rate)
+      // square wave survives the downmix: every sample still +/-amp
+      assert(pcm.samples.forall(s => math.abs(s) == Multimodal.synthAmp(id)))
+    }
+    // opaque payloads pass through untransformed
+    val opaque = Seq((9L, "junk".getBytes)).toDF("doc_id", "payload")
+    val p = Multimodal.resampleAudio(spark, opaque).head()
+    assert(p.sample_rate == -1 && p.payload.toSeq == "junk".getBytes.toSeq)
+  }
+
   test("EmbeddingQc flags zero/non-finite vectors; norms are exact micro-units") {
     import graft.similarity.EmbeddingQc
     val embs = Seq(

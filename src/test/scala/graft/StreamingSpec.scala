@@ -275,6 +275,34 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch && batch.nonEmpty)
   }
 
+  test("TrendingTokens: windows finalize on watermark, top-k ranking matches hand count") {
+    import graft.streaming.TrendingTokens
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val counts = TrendingTokens.tokenCountsStream(
+      mem.toDF().toDF("ts", "text"), "text", "ts",
+      windowLen = "10 minutes", delay = "5 minutes")
+    val q = EventsStream.toMemorySink(counts, "trend", OutputMode.Append())
+    // window [0,10): "spam" dominates; window [10,20): "fox" does
+    mem.addData(
+      (ts(1), "spam spam spam fox"), (ts(2), "spam dog"),
+      (ts(11), "fox fox dog"), (ts(12), "fox cat"))
+    q.processAllAvailable()
+    // advance the watermark far enough to close both windows
+    mem.addData((ts(40), "later marker"))
+    q.processAllAvailable()
+    val landed = spark.sql("SELECT window, tok, n FROM trend")
+    val top = TrendingTokens.topTokens(landed, k = 2)
+      .selectExpr("CAST(window.start AS LONG) AS w", "rk", "tok", "n")
+      .collect().map(r => (r.getLong(0) / 60, r.getInt(1), r.getString(2), r.getLong(3)))
+    q.stop()
+    val w1 = top.filter(_._1 == 0).sortBy(_._2)
+    val w2 = top.filter(_._1 == 10).sortBy(_._2)
+    assert(w1.head._3 == "spam" && w1.head._4 == 4L, w1.mkString(","))
+    assert(w2.head._3 == "fox" && w2.head._4 == 3L, w2.mkString(","))
+    assert(w1.length == 2 && w2.length == 2)
+  }
+
   test("StreamMerge upsert sink: latest-per-key table, idempotent under batch replay") {
     import graft.streaming.StreamMerge
     val dir = java.nio.file.Files.createTempDirectory("smerge").toString + "/table"
