@@ -228,6 +228,30 @@ class OperatorsSpec extends SparkSpec {
     assert(asMap(r2) == Map("a" -> ((3L, 60.0)), "d" -> ((2L, 10.0))))
   }
 
+  test("IncrementalAgg: randomized chained changelogs equal full recompute (seeded)") {
+    import graft.ops.IncrementalAgg
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("a", "b", "c", "d")
+    var live = (1 to 60).map(i =>
+      (keys(rnd.nextInt(4)), math.round(rnd.nextDouble() * 1e4) / 100.0)).toVector
+    var mat = IncrementalAgg.groupSum(live.toDF("k", "v"), Seq("k"), "v")
+    // three chained refreshes of mixed inserts + deletes of live rows
+    (1 to 3).foreach { _ =>
+      val inserts = (1 to 15).map(_ =>
+        (keys(rnd.nextInt(4)), math.round(rnd.nextDouble() * 1e4) / 100.0, 1))
+      val (deleted, remaining) = rnd.shuffle(live).splitAt(10)
+      live = remaining ++ inserts.map(r => (r._1, r._2))
+      val log = (inserts ++ deleted.map(r => (r._1, r._2, -1))).toDF("k", "v", "op")
+      mat = IncrementalAgg.refresh(mat, log, Seq("k"), "v")
+      val expect = IncrementalAgg.groupSum(live.toDF("k", "v"), Seq("k"), "v")
+      def m(df: org.apache.spark.sql.DataFrame) = df
+        .select($"k", $"cnt", $"sum_dec".cast("string"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(m(mat) == m(expect), "incremental state diverged from full recompute")
+    }
+  }
+
   test("SavedQueries persists and runs by name") {
     val f = java.nio.file.Files.createTempFile("sq", ".json").toString
     val sq = new graft.queries.SavedQueries(f)
