@@ -13,6 +13,11 @@ object TextAnalysis {
   /** Whitespace-collapse + lowercase + trim — canonical text form. */
   def normalize(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Scala-side mirror of [[normalize]] for per-row kernels (codec
+    * batches, BPE segmentation) — must stay semantically identical. */
+  def normalizeString(s: String): String =
+    s.toLowerCase.replaceAll("\\s+", " ").trim
+
   /** Content fingerprint of the normalized text (exact-dedup key). */
   def fingerprint(c: Column): Column = md5(normalize(c))
 

@@ -510,6 +510,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Bpe: distributed training equals the driver reference; encode segments greedily") {
+    import graft.text.Bpe
+    // the classic Sennrich corpus shape: repeated word families
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+    val docs = corpus.grouped(4).map(_.mkString(" ")).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    // driver-side reference BPE over the same word-count table
+    def refTrain(words: Map[String, Long], n: Int): Seq[(String, String)] = {
+      var wt: Seq[(Seq[String], Long)] =
+        words.map { case (w, c) => (w.map(_.toString).toSeq :+ Bpe.EndOfWord, c) }.toSeq
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var cont = true
+      while (out.length < n && cont) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        wt.foreach { case (syms, c) =>
+          syms.sliding(2).foreach { case Seq(a, b) =>
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ => } }
+        val cands = counts.filter(_._2 >= 2)
+        if (cands.isEmpty) cont = false
+        else {
+          val best = cands.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          out += best
+          wt = wt.map { case (syms, c) =>
+            (Bpe.applyMerge(syms, Bpe.Merge(best._1, best._2)), c) }
+        }
+      }
+      out.toSeq
+    }
+    val wordCounts = corpus.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val expected = refTrain(wordCounts, 12)
+    val learned = Bpe.train(docs, "text", nMerges = 12)
+    assert(learned.map(m => (m.left, m.right)) == expected,
+      s"learned=$learned expected=$expected")
+
+    // the learned tokenizer segments a held-out word by shared subwords
+    val segs = Bpe.segmentWord("lowest", learned)
+    assert(segs.head.startsWith("lo") && segs.mkString == "lowest" + Bpe.EndOfWord, segs)
+    // distributed encode runs the same segmentation per doc
+    val enc = Bpe.encodeDocs(spark, Seq((7L, "low newest")).toDF("doc_id", "text"),
+      "text", "doc_id", learned).head()
+    assert(enc.getLong(0) == 7L &&
+      enc.getSeq[String](1).mkString == "low" + Bpe.EndOfWord + "newest" + Bpe.EndOfWord)
+  }
+
   test("resampleAudio really transforms: output decodes at downmixed/decimated geometry") {
     import graft.multimodal.{AudioCodec, Multimodal}
     val docs = Seq(1L, 6L, 13L).toDF("doc_id") // odd/even channel mixes
