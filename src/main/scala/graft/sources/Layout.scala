@@ -1,5 +1,6 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, lit, shiftleft, when}
@@ -154,6 +155,79 @@ object Layout {
       if (fs.exists(d)) { fs.delete(d, true); actions += s"deleted $d" }
     }
     actions.toSeq
+  }
+
+  /** Per-file zonemap manifest from parquet FOOTERS only — (file,
+    * n_rows, column, min, max as strings) for every top-level primitive
+    * column: the audit tool behind the writeClustered/writeZOrdered
+    * claims, and the scan-planning manifest a lakehouse keeps in its
+    * transaction log. Footers are KBs regardless of file size, so this
+    * reads metadata, not data — listing + footer parse distribute over
+    * the files (one task per batch of paths), nothing corpus-sized moves.
+    * Min/max render through parquet's own type-aware stringifier
+    * (numeric order for numerics, unsigned-lexicographic for strings). */
+  def fileStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listDataFiles(fs, p).map(_.getPath.toString)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(files).repartition(math.max(1, files.length / 32))
+      .mapPartitions { paths =>
+        val conf = confBc.value.value
+        paths.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(f), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val footer = reader.getFooter
+            val rows = footer.getBlocks.asScala.map(_.getRowCount).sum
+            // fold row-group column statistics per column path
+            val agg = scala.collection.mutable.LinkedHashMap[String,
+              org.apache.parquet.column.statistics.Statistics[_]]()
+            footer.getBlocks.asScala.foreach { block =>
+              block.getColumns.asScala.foreach { cc =>
+                val name = cc.getPath.toDotString
+                val st = cc.getStatistics
+                if (st != null && !st.isEmpty)
+                  agg.get(name) match {
+                    case Some(acc) => mergeStats(acc, st)
+                    case None => agg(name) = st.copy()
+                  }
+              }
+            }
+            agg.iterator.map { case (name, st) =>
+              (f, rows, name,
+                Option(st.minAsString()).getOrElse(""),
+                Option(st.maxAsString()).getOrElse(""))
+            }.toSeq
+          } finally reader.close()
+        }
+      }.toDF("file", "n_rows", "column", "min", "max")
+  }
+
+  // parquet's Statistics[T <: Comparable[T]] existential defeats direct
+  // Scala casts; both sides are the same concrete type per column by
+  // construction (same column path, same schema), so erase once here
+  private abstract class StatT extends Comparable[StatT]
+  private def mergeStats(acc: org.apache.parquet.column.statistics.Statistics[_],
+      st: org.apache.parquet.column.statistics.Statistics[_]): Unit = {
+    type S = org.apache.parquet.column.statistics.Statistics[StatT]
+    acc.asInstanceOf[S].mergeStatistics(st.asInstanceOf[S])
+  }
+
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && !n.startsWith("_") && !n.startsWith(".")) out += s
+    }
+    out.toSeq
   }
 
   /** The 16-bit interleaved z-value column for (colA, colB) of `df` —

@@ -106,6 +106,27 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == docs.count())
   }
 
+  test("Layout.fileStats reads the zonemap manifest from footers; clustered ranges disjoint") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Layout
+    val out = Files.createTempDirectory("fstat").toString + "/t.parquet"
+    Layout.writeClustered(spark.range(10000).select(
+      col("id").as("k"), (col("id") * 3).as("v")), out, nFiles = 4, col("k"))
+    val manifest = Layout.fileStats(spark, out)
+      .filter($"column" === "k")
+      .select($"file", $"n_rows", $"min".cast("long"), $"max".cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(manifest.length == 4 && manifest.map(_._2).sum == 10000L)
+    // the manifest proves the clustering: per-file [min,max] on k disjoint
+    val ranges = manifest.map(r => (r._3, r._4)).sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"manifest ranges overlap: ${ranges.toSeq}")
+    case _ => }
+    // both columns present for every file
+    assert(Layout.fileStats(spark, out).groupBy($"column").count()
+      .as[(String, Long)].collect().toMap == Map("k" -> 4L, "v" -> 4L))
+  }
+
   test("Layout.vacuumSwapDebris restores a mid-swap crash and clears completed-swap debris") {
     import graft.sources.Layout
     val fsConf = spark.sparkContext.hadoopConfiguration
