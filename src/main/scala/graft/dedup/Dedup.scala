@@ -297,7 +297,17 @@ object Dedup {
     * Returns (id_a, id_b, jaccard), id_a < id_b. */
   def jaccardJoin(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 3): DataFrame =
-    jaccardJoinOrdered(shingleProjection(df, textCol, idCol, k).persist(), threshold)
+    // localCheckpoint, not persist: the projection must be materialized
+    // once and shared by the prefix arrays and the verify sets, but this
+    // entry point has no unpersist hook (the result is a lazy plan), and
+    // a CacheManager persist here leaks one MEMORY_AND_DISK entry per
+    // call for the session lifetime — notably every graft_jaccard_join
+    // SQL invocation. localCheckpoint blocks are RDD-level and
+    // ContextCleaner-managed: freed when the returned plan is GC'd.
+    // Callers wanting a durable shared projection use
+    // [[shingleProjection]] + [[DedupCache]] (the q30/q69 path).
+    jaccardJoinOrdered(shingleProjection(df, textCol, idCol, k).localCheckpoint(),
+      threshold)
 
   /** The df-ordered shingle projection feeding [[jaccardJoinOrdered]]:
     * one row per doc with (id, toks, sz), toks sorted by ascending global

@@ -1185,9 +1185,18 @@ object LlmPipelineQueries {
         (2000003L, Array(Float.PositiveInfinity, 1.0f, 2.0f, 3.0f), 99),
         (2000004L, Array(3.0f, 4.0f), 99))
         .toDF("vec_id", "embedding", "label")
+      // NULL malformations (truncated writes): a NULL component and a
+      // NULL vector — Scala Array[Float] can't hold null, so build these
+      // two rows through SQL array literals
+      val plantedNulls = Seq((2000005L, 99), (2000006L, 99))
+        .toDF("vec_id", "label")
+        .withColumn("embedding", when($"vec_id" === 2000005L,
+            expr("array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT))"))
+          .otherwise(lit(null).cast("array<float>")))
+        .select($"vec_id", $"embedding", $"label")
       val embs = Tables.load(s, dir, "embeddings")
         .select($"vec_id", $"embedding", $"label")
-        .unionByName(planted)
+        .unionByName(planted).unionByName(plantedNulls)
       graft.similarity.EmbeddingQc.qcReport(embs, "embedding", "label")
         .orderBy($"label")
     }, Some("""
@@ -1198,11 +1207,13 @@ object LlmPipelineQueries {
           (2000001, CAST([0.0, 0.0, 0.0, 0.0] AS FLOAT[]), 99),
           (2000002, CAST(['nan'::FLOAT, 1.0, 2.0, 3.0] AS FLOAT[]), 99),
           (2000003, CAST(['infinity'::FLOAT, 1.0, 2.0, 3.0] AS FLOAT[]), 99),
-          (2000004, CAST([3.0, 4.0] AS FLOAT[]), 99)) AS p(vec_id, embedding, label)),
+          (2000004, CAST([3.0, 4.0] AS FLOAT[]), 99),
+          (2000005, CAST([1.0, NULL, 2.0] AS FLOAT[]), 99),
+          (2000006, CAST(NULL AS FLOAT[]), 99)) AS p(vec_id, embedding, label)),
       v AS (
         SELECT label,
-               len(list_filter(embedding,
-                 x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0 AS bad,
+               embedding IS NULL OR len(list_filter(embedding,
+                 x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0 AS bad,
                list_sum(list_transform(embedding,
                  x -> CASE WHEN isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)) THEN 0
                            ELSE CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6) AS BIGINT) END)) AS n2_u

@@ -26,6 +26,20 @@ object EmbeddingQc {
       isnan(xd) || abs(xd) === lit(Double.PositiveInfinity)
     })
 
+  /** True iff the vector is malformed: NULL vector, NULL component, or a
+    * non-finite component. NULLs need the explicit check — under
+    * three-valued logic a NULL component makes [[hasNonFinite]] and
+    * [[norm2MicroUnits]] evaluate to NULL, so the truncated-write vector
+    * this operator exists to catch would otherwise pass QC uncounted.
+    * The inner predicate tests IS NULL first and is therefore never NULL
+    * itself, so `exists` returns a real boolean; a NULL vector
+    * short-circuits through the OR. */
+  def malformed(vec: Column): Column =
+    vec.isNull || exists(vec, x => {
+      val xd = x.cast("double")
+      x.isNull || isnan(xd) || abs(xd) === lit(Double.PositiveInfinity)
+    })
+
   /** Exact micro-unit squared norm: Σ floor(x²·10⁶) over finite
     * components (non-finite contribute 0 — flagged separately). */
   def norm2MicroUnits(vec: Column): Column =
@@ -36,9 +50,10 @@ object EmbeddingQc {
     })
 
   /** Per-group QC report: (group, n_vecs, n_zero, n_nonfinite,
-    * min_n2_u, max_n2_u) — norm stats over clean vectors only. */
+    * min_n2_u, max_n2_u) — norm stats over clean vectors only. "Bad" is
+    * [[malformed]]: non-finite OR NULL (vector or component). */
   def qcReport(embs: DataFrame, vecCol: String, groupCol: String): DataFrame = {
-    val bad = hasNonFinite(col(vecCol))
+    val bad = malformed(col(vecCol))
     val n2u = norm2MicroUnits(col(vecCol))
     embs
       .select(col(groupCol), bad.as("bad"), n2u.as("n2_u"))

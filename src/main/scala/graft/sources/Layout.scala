@@ -43,7 +43,10 @@ object Layout {
     * would silently flatten `k=v/` dirs into unpartitioned files and lose
     * pruning — compact each leaf partition dir instead.
     *
-    * Swap protocol (crash-safe; a reader never observes a missing table):
+    * Swap protocol (crash-safe: the verified data always exists at the
+    * table path or `.old`; a concurrent reader may transiently fail
+    * inside the two-rename swap window — a two-path rename swap cannot
+    * be reader-atomic):
     * write to `dir.compact.tmp`, VERIFY its row count against the source,
     * rename the original aside to `dir.compact.old`, rename tmp into
     * place, delete the old copy last. Every rename's boolean return is
@@ -150,7 +153,11 @@ object Layout {
         case None => // nothing to restore; fall through to debris cleanup
       }
     }
-    if (fs.exists(p)) suffixes.foreach { s =>
+    // debris cleanup runs whether or not the table exists: a crash during
+    // an INITIAL write (tmp written, no table, no old — StreamMerge's
+    // first batch) leaves only a `.tmp`, and skipping it would report a
+    // clean log while debris sits on disk forever
+    suffixes.foreach { s =>
       val d = new Path(dir + s)
       if (fs.exists(d)) { fs.delete(d, true); actions += s"deleted $d" }
     }

@@ -13,9 +13,11 @@ import graft.ops.Merge
   *
   * Per micro-batch (`foreachBatch`): collapse the batch to one row per
   * key (latest by `tsCol`, ties by deterministic column order), merge
-  * into the current table via [[Merge.upsert]], write the result with the
-  * same crash-safe swap protocol as `Layout.compact` (tmp → aside → into
-  * place; a reader never observes a missing table).
+  * into the current table, write the result with the same crash-safe
+  * swap protocol as `Layout.compact` (tmp → aside → into place; the
+  * verified data always exists at the table path or `.old`, though a
+  * concurrent reader may transiently fail inside the two-rename swap
+  * window — a two-path rename swap cannot be reader-atomic).
   *
   * Failure/replay semantics: after a crash, Structured Streaming replays
   * the last uncommitted batch into `foreachBatch`. The merge is

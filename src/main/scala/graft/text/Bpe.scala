@@ -13,13 +13,21 @@ import org.apache.spark.sql.functions._
   * corpus collapses once into (word, count) — one linear shuffle, result
   * bounded by the VOCABULARY (Heaps-law sublinear in corpus size, ~10⁷
   * rows for a web corpus — a small Spark table, an impossible driver
-  * object). Each merge round is then (a) one pair-count aggregation over
-  * the word table (map-side combined, pair space bounded by Σ word
-  * lengths of the vocabulary), (b) a 1-ROW argmax pulled to the driver
-  * (the only thing that ever leaves the cluster), (c) a per-row merge
-  * map. The word table caches per round with periodic lineage
-  * truncation (the connectedComponents discipline; reliable
-  * `checkpointDir` option for cluster runs).
+  * object). The pair-count table is STATE, built once from the full word
+  * table and then delta-maintained per merge round (the
+  * [[graft.ops.IncrementalAgg]] retraction discipline): a merge touches
+  * only the words that CONTAIN the merged pair — a vanishing fraction of
+  * the vocabulary — so each round (a) filters the word table to those
+  * words (a scan, no shuffle), (b) emits count retractions for their old
+  * pair windows and insertions for the new ones (a delta-sized
+  * aggregation), (c) folds the delta into the pair state with one
+  * pair-keyed join, (d) pulls a 1-ROW argmax to the driver (the only
+  * thing that ever leaves the cluster), (e) rewrites the word table with
+  * a per-row merge map. Without the delta maintenance, a 10⁷-word
+  * vocabulary × 32k merges would re-aggregate ALL pairs 32k times; with
+  * it, round cost tracks pair rarity. Both iterating tables cache per
+  * round with periodic lineage truncation (the connectedComponents
+  * discipline; reliable `checkpointDir` option for cluster runs).
   *
   * Determinism: ties on pair count break lexicographically, so the
   * learned merge list is a pure function of the corpus on any engine —
@@ -34,10 +42,19 @@ object Bpe {
     * word-final "est&lt;/w&gt;" learn separate merges. */
   val EndOfWord = "</w>"
 
+  /** Per-round training telemetry: the merged pair, how many vocabulary
+    * words contained it (= the delta recount's input size), and the
+    * vocabulary size — lets tests and monitors verify the incremental
+    * claim (affected ≪ total after the table settles). */
+  final case class RoundStats(merge: Merge, affectedWords: Long, totalWords: Long)
+
   /** Learn `nMerges` merges from the corpus. Stops early when no pair
-    * occurs twice. */
+    * occurs twice. `onRound` (tests/monitoring) receives per-round stats
+    * — it costs one extra count job per round, so leave it None in
+    * production runs. */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
-      checkpointDir: Option[String] = None): Seq[Merge] = {
+      checkpointDir: Option[String] = None,
+      onRound: Option[RoundStats => Unit] = None): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
@@ -51,17 +68,37 @@ object Bpe {
     var wt: Dataset[(Seq[String], Long)] = words.as[(String, Long)]
       .map { case (w, c) => ((w.map(_.toString).toList :+ EndOfWord): Seq[String], c) }
       .persist()
-    wt.count() // materialize before the loop
+    val totalWords = wt.count() // materialize before the loop
+
+    // adjacent pair windows of a word-table slice, each weighted sign*cnt
+    def pairsOf(ds: Dataset[(Seq[String], Long)], sign: Long) =
+      ds.flatMap { case (syms, cnt) =>
+        syms.sliding(2).collect { case Seq(a, b) => ((a, b), sign * cnt) } }
+
+    // the pair-count STATE: one full aggregation here, deltas ever after
+    var pc: Dataset[((String, String), Long)] =
+      pairsOf(wt, 1L).groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .persist()
+    pc.count()
+
+    // leak-free cache rotation: persist the successor, materialize it,
+    // then drop the predecessor; on checkpoint rounds the pre-checkpoint
+    // CacheManager entry is unpersisted too (the checkpoint data lives in
+    // checkpoint files / RDD blocks, not in that cache entry)
+    def rotate[T](mapped: Dataset[T], doCheckpoint: Boolean): Dataset[T] =
+      if (doCheckpoint) {
+        val cp = if (checkpointDir.isDefined) mapped.checkpoint()
+          else mapped.localCheckpoint()
+        mapped.unpersist()
+        cp
+      } else { mapped.count(); mapped }
+
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var round = 0
     var done = false
     while (round < nMerges && !done) {
-      // (a) pair counts over the word table — map-side combined
-      val best = wt.flatMap { case (syms, cnt) =>
-          syms.sliding(2).collect { case Seq(a, b) => ((a, b), cnt) } }
-        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-        // (b) the 1-row argmax (count desc, then lexicographic pair)
-        .toDF("pair", "n").filter(col("n") >= 2)
+      // the 1-row argmax over the STATE (count desc, then lexicographic)
+      val best = pc.toDF("pair", "n").filter(col("n") >= 2)
         .orderBy(col("n").desc, col("pair._1"), col("pair._2"))
         .limit(1).collect()
       if (best.isEmpty) done = true
@@ -69,19 +106,51 @@ object Bpe {
         val p = best(0).getStruct(0)
         val m = Merge(p.getString(0), p.getString(1))
         merges += m
-        // (c) per-row merge map; re-cache, drop the old plan
-        val prev = wt
-        wt = prev.map { case (syms, cnt) => (applyMerge(syms, m): Seq[String], cnt) }.persist()
-        if ((round + 1) % 10 == 0) {
-          if (checkpointDir.isDefined) wt = wt.checkpoint()
-          else wt = wt.localCheckpoint()
-        } else wt.count()
-        prev.unpersist()
+        val ckpt = (round + 1) % 10 == 0
+        // delta recount: ONLY the words containing the merged pair —
+        // retract their old pair windows, insert their post-merge ones
+        val affected = wt.filter { case (syms, _) => containsPair(syms, m) }
+        onRound.foreach(f => f(RoundStats(m, affected.count(), totalWords)))
+        val delta = pairsOf(affected, -1L)
+          .union(pairsOf(
+            affected.map { case (s, c) => (applyMerge(s, m): Seq[String], c) }, 1L))
+          .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+          .filter(_._2 != 0L)
+        // fold the delta into the state: one pair-keyed outer join,
+        // delta-sized on one side; pairs whose count hits zero leave
+        val prevPc = pc
+        val nextPc = prevPc.toDF("pair", "n")
+          .join(delta.toDF("pair", "dn"), Seq("pair"), "full_outer")
+          .select(col("pair").as("_1"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("_2"))
+          .filter(col("_2") > 0)
+          .as[((String, String), Long)]
+          .persist()
+        pc = rotate(nextPc, ckpt)
+        prevPc.unpersist()
+        // per-row merge map over the word table (scan, no shuffle)
+        val prevWt = wt
+        val mappedWt = prevWt
+          .map { case (syms, cnt) => (applyMerge(syms, m): Seq[String], cnt) }
+          .persist()
+        wt = rotate(mappedWt, ckpt)
+        prevWt.unpersist()
       }
       round += 1
     }
     wt.unpersist()
+    pc.unpersist()
     merges.toSeq
+  }
+
+  /** Does the symbol sequence contain the pair adjacently? */
+  private def containsPair(syms: Seq[String], m: Merge): Boolean = {
+    var i = 0
+    while (i + 1 < syms.length) {
+      if (syms(i) == m.left && syms(i + 1) == m.right) return true
+      i += 1
+    }
+    false
   }
 
   /** One left-to-right pass replacing every non-overlapping adjacent

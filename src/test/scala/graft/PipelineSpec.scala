@@ -543,9 +543,16 @@ class PipelineSpec extends SparkSpec {
     }
     val wordCounts = corpus.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
     val expected = refTrain(wordCounts, 12)
-    val learned = Bpe.train(docs, "text", nMerges = 12)
+    val stats = scala.collection.mutable.ArrayBuffer[Bpe.RoundStats]()
+    val learned = Bpe.train(docs, "text", nMerges = 12, onRound = Some(stats += _))
     assert(learned.map(m => (m.left, m.right)) == expected,
       s"learned=$learned expected=$expected")
+    // the incremental claim: every merge round's delta recount reads only
+    // the words CONTAINING the merged pair — a strict subset of the
+    // vocabulary on this corpus (4 distinct words, no pair in all 4)
+    assert(stats.length == learned.length)
+    assert(stats.forall(s => s.affectedWords > 0 && s.affectedWords < s.totalWords),
+      stats.map(s => s"${s.merge}:${s.affectedWords}/${s.totalWords}").mkString(", "))
 
     // the learned tokenizer segments a held-out word by shared subwords
     val segs = Bpe.segmentWord("lowest", learned)
@@ -589,12 +596,25 @@ class PipelineSpec extends SparkSpec {
       (4L, Array(1.0f, Float.NegativeInfinity), "a"),
       (5L, Array(1.0f, 1.0f), "b"))
       .toDF("vec_id", "embedding", "label")
-    val r = EmbeddingQc.qcReport(embs, "embedding", "label")
+    // NULL malformations (truncated writes): a NULL component and a NULL
+    // vector must be COUNTED as bad, not vanish under three-valued logic
+    val withNulls = embs.unionByName(
+      Seq((6L, "c"), (7L, "c"), (8L, "c")).toDF("vec_id", "label")
+        .withColumn("embedding",
+          when($"vec_id" === 6L,
+            expr("array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT))"))
+          .when($"vec_id" === 8L, expr("array(CAST(2.0 AS FLOAT))"))
+          .otherwise(lit(null).cast("array<float>")))
+        .select($"vec_id", $"embedding", $"label"))
+    val r = EmbeddingQc.qcReport(withNulls, "embedding", "label")
       .orderBy($"label")
-      .as[(String, Int, Int, Int, Long, Long)].collect()
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getInt(2), x.getInt(3),
+        if (x.isNullAt(4)) -1L else x.getLong(4),
+        if (x.isNullAt(5)) -1L else x.getLong(5)))
     assert(r.toSeq == Seq(
       ("a", 4, 1, 2, 0L, 25000000L),
-      ("b", 1, 0, 0, 2000000L, 2000000L)))
+      ("b", 1, 0, 0, 2000000L, 2000000L),
+      ("c", 3, 0, 2, 4000000L, 4000000L)), r.toSeq)
   }
 
   test("Quantize int8 roundtrip error is bounded by scale/254") {

@@ -150,6 +150,16 @@ class SourcesSpec extends SparkSpec {
 
     // state C: nothing to do
     assert(Layout.vacuumSwapDebris(spark, dir).isEmpty)
+
+    // state D: crash during an INITIAL write (StreamMerge's first batch) —
+    // no table, no .old, only a .tmp: the debris must still be deleted and
+    // reported, never silently skipped
+    val dir2 = s"$base/t2.parquet"
+    spark.range(5).write.parquet(s"$dir2.merge.tmp")
+    val log4 = Layout.vacuumSwapDebris(spark, dir2)
+    assert(log4.exists(_.contains("merge.tmp")), log4.mkString(";"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir2.merge.tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir2))) // no table invented
   }
 
   test("Layout.writeZOrdered keeps BOTH columns' per-file ranges tight (linear layout can't)") {
