@@ -216,6 +216,84 @@ object EventQueries {
       FROM err e JOIN pur p
         ON e.user_id = p.user_id
        AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 2 HOUR
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Streaming CDC upsert, checked against a BATCH oracle (the q84
+    // protocol, promoted to the keyed-update family): the orders table
+    // is replayed as an update log — each order updates "the customer's
+    // latest order" — through a genuine file-source readStream into
+    // StreamMerge.upsertSink, deliberately split into ARBITRARY
+    // micro-batches (replayShuffled round-robins rows across 4 files,
+    // one file per trigger). The sink's max-ts merge makes the final
+    // table a pure function of the update SET, so DuckDB's
+    // latest-row-per-key over the same log must match exactly — hash
+    // equality here proves batch-split invariance, not just
+    // single-batch agreement. Continuous form of the reference's keyed
+    // update (SQL_DATA_INTEGRATION_TOOL.py:282-312).
+    QueryDef("q96_stream_upsert", (s, dir) => {
+      import s.implicits._
+      val log = Tables.load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderdate", $"o_orderkey", $"o_totalprice")
+      val updates = EventsStream.replayShuffled(log, nFiles = 4)
+      val target = java.nio.file.Files.createTempDirectory("q96_tgt").toString + "/table"
+      val ckpt = java.nio.file.Files.createTempDirectory("q96_ck").toString
+      val q = StreamMerge.upsertSink(updates, "o_custkey", "o_orderdate", target, ckpt)
+      q.awaitTermination() // AvailableNow: self-terminates after the last file
+      s.read.parquet(target)
+        .select($"o_custkey",
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+          $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey")
+    }, Some("""
+      SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+             o_orderkey, o_totalprice
+      FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC, o_totalprice DESC) AS rn
+        FROM orders) WHERE rn = 1 ORDER BY o_custkey""")),
+
+    // Streaming drift monitor vs a BATCH oracle: documents get synthetic
+    // event times (a pure function of doc_id both engines compute),
+    // replay through a watermarked windowed token count (append mode:
+    // each window emits once, when the watermark closes it), then the
+    // batch half ranks the landed windows top-5. The sentinel row's
+    // far-future event time closes every real window (its own window
+    // never emits); replayThenSentinel orders the two micro-batches so
+    // no real row arrives late. The oracle recomputes windowed counts +
+    // rank from scratch — hash equality proves the watermark lifecycle
+    // emitted every window exactly once with exact counts.
+    QueryDef("q97_trending_tokens", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text",
+          expr("timestampadd(MINUTE, CAST(doc_id % 180 AS INT), " +
+            "TIMESTAMP'2024-01-01 00:00:00')").as("ts"))
+      val sentinel = Seq((-1L, "zz")).toDF("doc_id", "text")
+        .select($"doc_id", $"text", expr("TIMESTAMP'2024-01-10 00:00:00'").as("ts"))
+      val stream = EventsStream.replayThenSentinel(docs, sentinel)
+      val counts = TrendingTokens.tokenCountsStream(stream, "text", "ts",
+        windowLen = "30 minutes", delay = "10 minutes")
+      s.catalog.dropTempView("q97_sink")
+      val q = EventsStream.toMemorySink(counts, "q97_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      try q.processAllAvailable() finally q.stop()
+      TrendingTokens.topTokens(s.table("q97_sink"), k = 5)
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          $"rk", $"tok", $"n")
+        .orderBy($"win_start", $"rk")
+    }, Some("""
+      WITH toks AS (
+        SELECT TIMESTAMP '2024-01-01 00:00:00'
+                 + to_minutes(CAST((doc_id % 180) // 30 * 30 AS BIGINT)) AS w,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents),
+      cnt AS (SELECT w, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+      rkd AS (SELECT w, tok, n,
+                ROW_NUMBER() OVER (PARTITION BY w ORDER BY n DESC, tok) AS rk
+              FROM cnt)
+      SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start,
+             CAST(rk AS INTEGER) AS rk, tok, n
+      FROM rkd WHERE rk <= 5 ORDER BY win_start, rk"""))
   )
 }

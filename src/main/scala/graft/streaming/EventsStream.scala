@@ -245,4 +245,46 @@ object EventsStream {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  /** Materialize `df` into a fresh temp dir as `nFiles` round-robin
+    * parquet files and replay it as a genuine file-source stream, ONE
+    * FILE PER MICRO-BATCH — the oracle-protocol bridge for operators
+    * whose result must be invariant to how the stream was batched
+    * (q96's upsert table): the split is deliberately arbitrary, so a
+    * batch-equivalence check over it proves order-independence, not
+    * just single-batch agreement. */
+  def replayShuffled(df: DataFrame, nFiles: Int): DataFrame = {
+    val spark = df.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    df.repartition(nFiles).write.mode("overwrite").parquet(dir)
+    spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+  }
+
+  /** Replay `df` as two ORDERED micro-batches: all of `df` first, then
+    * the single-row `sentinel` (same schema) — the watermark-flush shape
+    * for windowed aggregations in append mode: real data arrives before
+    * the watermark moves (nothing is dropped as late), then the
+    * sentinel's far-future event time advances the watermark past every
+    * real window so they all finalize and emit; the sentinel's own
+    * window stays open and never emits. File modification times are set
+    * explicitly so the file source's oldest-first order is deterministic
+    * (same-millisecond writes would otherwise tie). */
+  def replayThenSentinel(df: DataFrame, sentinel: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay2").toString
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles = fs.listStatus(p).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val firstBatch = dataFiles.map(_.getPath.getName).toSet
+    sentinel.coalesce(1).write.mode("append").parquet(dir)
+    dataFiles.foreach { s =>
+      val t = if (firstBatch(s.getPath.getName)) 1000000L else 2000000L
+      fs.setTimes(s.getPath, t, -1)
+    }
+    spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+  }
 }

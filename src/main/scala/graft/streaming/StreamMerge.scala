@@ -4,7 +4,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.ops.Merge
 
 /** Streaming upsert sink: maintain a keyed parquet table from a stream of
   * updates — the continuous form of the reference's keyed update
@@ -20,11 +19,13 @@ import graft.ops.Merge
   * window — a two-path rename swap cannot be reader-atomic).
   *
   * Failure/replay semantics: after a crash, Structured Streaming replays
-  * the last uncommitted batch into `foreachBatch`. The merge is
-  * idempotent — replaying identical (key, value) pairs overwrites rows
-  * with themselves — so the table converges to exactly-once CONTENT even
-  * though the batch may execute twice (the standard foreachBatch
-  * contract: at-least-once invocation, idempotent effect).
+  * the last uncommitted batch into `foreachBatch`. The merge keeps the
+  * MAX-`tsCol` row per key between the table and the batch (not
+  * last-writer-wins), so the final table is a pure function of the SET
+  * of updates ever seen — idempotent under replay AND invariant to how
+  * the stream was split into batches (out-of-order arrival included).
+  * That batch-split invariance is what lets a batch SQL oracle check the
+  * streamed table exactly (q96, the q84 protocol).
   *
   * Scale shape: state lives in the table, not the stream (no unbounded
   * streaming state); each refresh is one key-join of batch × table. For
@@ -47,24 +48,32 @@ object StreamMerge {
       }
       .start()
 
+  /** Latest row per key: max `tsCol`, ties broken by the remaining
+    * columns in deterministic (sorted-name) order — the one total order
+    * both the batch collapse and the table merge reduce under, and the
+    * order a SQL oracle can replicate exactly. */
+  private def latestPerKey(df: DataFrame, key: String, tsCol: String): DataFrame = {
+    val ordered = df.columns.filter(_ != key).sortBy(identity)
+      .map(c => col(c).desc)
+    df.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+          .orderBy(col(tsCol).desc +: ordered: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** One merge step — also the unit the tests drive directly. */
   def applyBatch(batch: DataFrame, key: String, tsCol: String,
       targetDir: String): Unit = {
     val spark = batch.sparkSession
-    // latest row per key within the batch: max ts, ties broken by the
-    // remaining columns so the reduction is deterministic under replay
-    val ordered = batch.columns.filter(_ != key).sortBy(identity)
-      .map(c => col(c).desc)
-    val latest = batch
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(key))
-          .orderBy(col(tsCol).desc +: ordered: _*)))
-      .filter(col("__rn") === 1).drop("__rn")
+    val latest = latestPerKey(batch, key, tsCol)
     if (latest.isEmpty) return
     val p = new Path(targetDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // max-ts merge (not blind overwrite): union table + batch, reduce
+    // under the same total order — see the class doc for why
     val merged =
-      if (fs.exists(p)) Merge.upsert(spark.read.parquet(targetDir), latest, key)
+      if (fs.exists(p))
+        latestPerKey(spark.read.parquet(targetDir).unionByName(latest), key, tsCol)
       else latest
     val tmp = new Path(targetDir + ".merge.tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
