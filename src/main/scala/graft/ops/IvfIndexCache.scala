@@ -17,9 +17,17 @@ object IvfIndexCache {
     * vectors), and every partition directory costs fixed
     * filesystem-metadata time on this sandbox's FS — fewer, fuller cells
     * are strictly better at this scale. */
+  /** Memo key: data dir + CONTENT fingerprint of the embeddings table —
+    * an in-process overwrite of the corpus must rebuild the index, never
+    * probe a stale one (the fingerprint is a driver-side listing,
+    * [[graft.sources.Layout.dirFingerprint]]). */
+  private def keyFor(spark: SparkSession, dir: String): String =
+    dir + "@" + graft.sources.Layout.dirFingerprint(
+      spark, graft.sources.Tables.path(dir, "embeddings"))
+
   def getOrBuild(spark: SparkSession, dir: String, dim: Int = 64,
       nCells: Int = 8)(corpus: => DataFrame): String =
-    built.getOrElseUpdate(dir, {
+    built.getOrElseUpdate(keyFor(spark, dir), {
       val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
       graft.similarity.Ivf.buildIndex(corpus, "embedding", "vec_id",
         dim = dim, nCells = nCells, path = path)
@@ -35,7 +43,7 @@ object IvfIndexCache {
     * codewords per subspace — 32× compression of a 64-float vector). */
   def getOrBuildPq(spark: SparkSession, dir: String, dim: Int = 64,
       nCells: Int = 8, m: Int = 8, kCodes: Int = 32)(corpus: => DataFrame): String =
-    builtPq.getOrElseUpdate(dir, {
+    builtPq.getOrElseUpdate(keyFor(spark, dir), {
       val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
       graft.similarity.IvfPq.buildIndex(corpus, "embedding", "vec_id",
         dim = dim, nCells = nCells, m = m, kCodes = kCodes, path = path)

@@ -151,12 +151,17 @@ object LlmPipelineQueries {
     * per query. At 100 TB both would be durable lake tables written by the
     * corpus-snapshot job; see the DedupCache scaladoc. */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    DedupCache.memo(s"$dir#jaccard3@0.7+planted17") {
-      val ordered = DedupCache.memo(s"$dir#shingleProjection3+planted17")(
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // memo keys carry the corpus CONTENT fingerprint, not just the dir:
+    // an in-process overwrite of documents.parquet must rebuild, never
+    // serve the previous corpus's pair set
+    val fp = graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "documents"))
+    DedupCache.memo(s"$dir@$fp#jaccard3@0.7+planted17") {
+      val ordered = DedupCache.memo(s"$dir@$fp#shingleProjection3+planted17")(
         Dedup.shingleProjection(nearDupDocs(s, dir), "text", "doc_id"))
       Dedup.jaccardJoinOrdered(ordered, threshold = 0.7)
     }
+  }
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -700,7 +700,12 @@ object RelationalQueries {
     // it should.
     QueryDef("q94_bucketed_join", (s, dir) => {
       import s.implicits._
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // the table tag carries the source CONTENT fingerprints: an
+      // in-process overwrite of lineitem/orders must re-bucket, never
+      // join stale bucketed copies behind the tableExists guard
+      val fp = graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "lineitem")).take(8) +
+        graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "orders")).take(8)
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + fp
       val lt = s"bkt_li_$tag"; val ot = s"bkt_ord_$tag"
       if (!s.catalog.tableExists(lt))
         Bucketing.writeBucketed(t(s, dir, "lineitem")

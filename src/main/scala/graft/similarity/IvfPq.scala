@@ -55,6 +55,33 @@ object IvfPq {
     (cents, cb)
   }
 
+  /** Incremental composed-index maintenance: assign + PQ-encode NEW
+    * vectors with the index's EXISTING coarse centroids and codebooks,
+    * dynamic-partition append into the cell layout — the daily-ingest
+    * path for the billion-scale index (quantizers retrain rarely;
+    * day-over-day data keeps the trained geometry), mirroring
+    * [[Ivf.appendToIndex]]. Only the cells the batch lands in gain
+    * files; existing data is untouched; probes see the union
+    * immediately (ADC tables derive from the persisted codebook, which
+    * is unchanged). Retrain + [[buildIndex]] when drift warrants it. */
+  def appendToIndex(newCorpus: DataFrame, vecCol: String, idCol: String,
+      path: String, writeTasks: Int = 0): Unit = {
+    val spark = newCorpus.sparkSession
+    import spark.implicits._
+    val (cents, dim) = Ivf.loadCentroids(spark, path)
+    val cb = loadCodebook(spark, path)
+    val tasks = if (writeTasks > 0) writeTasks else cents.length / dim
+    newCorpus.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"),
+        sqrt(dotF(col(vecCol), col(vecCol))).as("n_nrm"),
+        nearestCentroid(col(vecCol), cents, dim).as("cell"))
+      .as[(Long, Array[Float], Double, Int)]
+      .mapPartitions(rows => rows.map { case (id, v, nrm, cell) =>
+        (id, v, nrm, Pq.encodeOne(v, cb), cell) })
+      .toDF("n_id", "n_vec", "n_nrm", "codes", "cell")
+      .repartitionByRange(tasks, col("cell"), col("n_id"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/data")
+  }
+
   def loadCodebook(spark: SparkSession, path: String): Pq.Codebook = {
     val lines = readLines(spark, s"$path/codebook.txt")
     val Array(m, k, subDim) = lines.head.trim.split(" ").map(_.toInt)

@@ -140,6 +140,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("graft_bpe_encode"),
+      info("graft_bpe_encode",
+        "graft_bpe_encode(table, textCol, idCol, nMerges) - train a BPE subword tokenizer on the table's text (nMerges Sennrich merges over the vocabulary-sized word table) and encode every row as (id, subwords). Training executes eagerly (iterative algorithm — procedure semantics); the encode itself is a lazy per-row kernel over the broadcast merge list."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_bpe_encode(table, textCol, idCol, nMerges) takes 4 arguments")
+        require(args(3).foldable, "nMerges must be a literal")
+        val df = tableArg(args(0))
+        val textCol = strArg(args(1), "textCol")
+        val merges = graft.text.Bpe.train(df, textCol,
+          args(3).eval().asInstanceOf[Number].intValue())
+        graft.text.Bpe.encodeDocs(SparkSession.active, df, textCol,
+          strArg(args(2), "idCol"), merges)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("graft_bloom_semi_join"),
       info("graft_bloom_semi_join",
         "graft_bloom_semi_join(factTable, factKey, keysTable, keyCol, expectedKeys) - fact rows whose key might be in the keys table (bloom sketch, ~1% false positives, no false negatives). Builds the sketch eagerly (one aggregate over the keys side)."),

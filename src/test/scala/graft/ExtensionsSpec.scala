@@ -88,6 +88,27 @@ class ExtensionsSpec extends AnyFunSuite {
            ORDER BY doc_id""").collect().map(r => (r.getLong(0), r.getInt(1)))
       assert(lm.toSeq == Seq((1L, 9), (2L, 9), (3L, 7)))
 
+      // r8: BPE train + encode behind table-function syntax (training is
+      // the eager procedure half; encode a lazy kernel) — the learned
+      // segmentation must match the library API on the same corpus
+      Seq((1L, "low low low low low"), (2L, "lower lower"),
+        (3L, "newest newest newest newest newest newest"),
+        (4L, "widest widest widest"))
+        .toDF("doc_id", "text").createOrReplaceTempView("tf_bpe")
+      val bpe = spark.sql(
+        """SELECT doc_id, subwords FROM graft_bpe_encode('tf_bpe', 'text', 'doc_id', 8)
+           ORDER BY doc_id""").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1)))
+      val merges = graft.text.Bpe.train(
+        spark.table("tf_bpe"), "text", nMerges = 8)
+      val expected = graft.text.Bpe.encodeDocs(spark, spark.table("tf_bpe"),
+        "text", "doc_id", merges).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+      assert(bpe.length == 4 && bpe.toSeq == expected.toSeq, bpe.mkString(";"))
+      // and the merges actually compress: fewer subwords than characters
+      assert(bpe(0)._2 == Seq.fill(5)(graft.text.Bpe.segmentWord("low", merges)).flatten
+        && bpe(0)._2.length < "low low low low low".length)
+
       Seq(1L, 2L).toDF("k").createOrReplaceTempView("tf_keys")
       Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"))
         .toDF("k", "v").createOrReplaceTempView("tf_fact")

@@ -230,6 +230,20 @@ class PipelineSpec extends SparkSpec {
     val recall = brute.map { case (q, t) => (probed(q) & t).size.toDouble / t.size }
     val mean = recall.sum / recall.size
     assert(mean >= 0.9, s"IVF+PQ recall@5 $mean < 0.9 (per-query: $recall)")
+
+    // appendToIndex: a planted direction-identical neighbor (1.02× the
+    // query — same nearest centroid under max-dot, near-identical PQ
+    // codes, exact-rerank cosine 1.0) becomes the top hit through the
+    // EXISTING quantizers — the Ivf append test, ported to the composed
+    // index (daily ingest never retrains)
+    import org.apache.spark.sql.functions._
+    val q1 = emb.filter($"vec_id" === 1)
+    val newcomer = q1.select(($"vec_id" + 5000000).as("vec_id"),
+      transform($"embedding", x => (x * lit(1.02f)).cast("float")).as("embedding"))
+    IvfPq.appendToIndex(newcomer, "embedding", "vec_id", path)
+    val top = IvfPq.probeTopK(spark, path, q1, "embedding", "vec_id",
+      k = 1, nProbe = 1).select("n_id").as[Long].head()
+    assert(top == 5000001L, s"appended direction-identical vector must rank first, got $top")
   }
 
   test("jaccardJoin equals the all-pairs oracle, incl. a moderate-J/high-hamming pair") {

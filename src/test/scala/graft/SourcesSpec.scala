@@ -162,6 +162,99 @@ class SourcesSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir2))) // no table invented
   }
 
+  test("dirFingerprint detects overwrites; IvfIndexCache rebuilds for a changed corpus") {
+    import graft.sources.Layout
+    val base = Files.createTempDirectory("fpr").toString
+    val d = s"$base/t.parquet"
+    spark.range(100).write.mode("overwrite").parquet(d)
+    val fp1 = Layout.dirFingerprint(spark, d)
+    assert(fp1 == Layout.dirFingerprint(spark, d), "stable when nothing changed")
+    Thread.sleep(10) // ensure the rewrite is visible at mtime granularity
+    spark.range(200).write.mode("overwrite").parquet(d)
+    assert(Layout.dirFingerprint(spark, d) != fp1, "overwrite must change the fingerprint")
+    assert(Layout.dirFingerprint(spark, s"$base/nope") == "absent")
+
+    // the memo consequence: same data dir, overwritten embeddings ->
+    // a NEW index is built; unchanged -> the same index is served
+    val dir2 = Files.createTempDirectory("fpivf").toString
+    def emb() = graft.examples.GenData.clusteredEmbeddings(
+      spark, n = 200, dim = 64, nClusters = 4, noise = 0.3)
+    emb().write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    def corpus() = spark.read.parquet(s"$dir2/embeddings.parquet")
+    val p1 = graft.ops.IvfIndexCache.getOrBuild(spark, dir2)(corpus())
+    assert(graft.ops.IvfIndexCache.getOrBuild(spark, dir2)(corpus()) == p1)
+    Thread.sleep(10)
+    emb().write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val p2 = graft.ops.IvfIndexCache.getOrBuild(spark, dir2)(corpus())
+    assert(p2 != p1, "overwritten corpus must not be served the stale index")
+  }
+
+  test("Layout.readPrunedByRange scans exactly the manifest-predicted file subset") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Layout
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val base = Files.createTempDirectory("mprune").toString
+
+    // clustered on k: a narrow k-band must map to a strict file subset
+    val df = spark.range(20000).select(col("id").as("k"),
+      (col("id") % 97).as("v"))
+    val dir = s"$base/c.parquet"
+    Layout.writeClustered(df, dir, 16, col("k"))
+    val all = spark.read.parquet(dir).inputFiles.map(norm).toSet
+    val predicted = Layout.prunedFiles(spark, dir, "k", 5000, 6000).map(norm).toSet
+    assert(predicted.nonEmpty && predicted.size < all.size,
+      s"clustered table must prune: ${predicted.size} of ${all.size}")
+    val pruned = Layout.readPrunedByRange(spark, dir, "k", 5000, 6000)
+    // the scan's actual file set IS the manifest's prediction
+    assert(pruned.inputFiles.map(norm).toSet == predicted)
+    // and the result is exactly the full-table filter
+    val expect = df.filter(col("k").between(5000, 6000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+
+    // z-ordered on (x, y): pruning works on EITHER axis from the same manifest
+    val df2 = spark.range(20000).select(
+      (pmod(hash(col("id")), lit(1000)) + 1000).cast("long").as("x"),
+      (pmod(hash(col("id") + 7), lit(1000)) + 1000).cast("long").as("y"))
+    val zdir = s"$base/z.parquet"
+    Layout.writeZOrdered(df2, zdir, 32, "x", "y")
+    val zAll = spark.read.parquet(zdir).inputFiles.map(norm).toSet
+    Seq("x", "y").foreach { c =>
+      val zPred = Layout.prunedFiles(spark, zdir, c, 1400, 1450).map(norm).toSet
+      assert(zPred.size < zAll.size, s"z-order must prune on $c")
+      val zr = Layout.readPrunedByRange(spark, zdir, c, 1400, 1450)
+      assert(zr.inputFiles.map(norm).toSet == zPred)
+      assert(zr.count() ==
+        df2.filter(col(c).between(1400, 1450)).count())
+    }
+  }
+
+  test("Layout.zValue binary-search rank equals the linear strictly-below count") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Layout
+    // skewed + duplicated values: the adversarial case for a binary
+    // search over non-strictly-increasing quantile boundaries
+    val df = spark.range(4000).select(
+      (pmod(hash(col("id")), lit(50)) * pmod(hash(col("id")), lit(50))).cast("long").as("x"),
+      when(col("id") % 3 === 0, lit(7L)).otherwise(col("id") % 100).as("y"))
+    val got = df.withColumn("z", Layout.zValue(df, "x", "y"))
+      .select("x", "y", "z").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // reference: same approx_percentile boundaries, linear count + interleave
+    def boundsOf(c: String): Seq[Double] = {
+      val probs = (1 until 256).map(_ / 256.0)
+      df.select(expr(s"approx_percentile(CAST($c AS DOUBLE), array(${probs.mkString(",")}), 10000)"))
+        .head.getSeq[Double](0)
+    }
+    val (bx, by) = (boundsOf("x"), boundsOf("y"))
+    def interleave(ra: Int, rb: Int): Int =
+      (0 until 8).map(i => (((ra >> i) & 1) << (2 * i + 1)) | (((rb >> i) & 1) << (2 * i))).sum
+    got.foreach { case (x, y, z) =>
+      val expect = interleave(bx.count(_ < x.toDouble), by.count(_ < y.toDouble))
+      assert(z == expect, s"x=$x y=$y: z=$z expected=$expect")
+    }
+  }
+
   test("Layout.writeZOrdered keeps BOTH columns' per-file ranges tight (linear layout can't)") {
     import org.apache.spark.sql.functions._
     import graft.sources.Layout
