@@ -283,6 +283,37 @@ object PlanCheck {
       }
     }
 
+    // Manifest-pruned scan audit (q98): the scan Spark actually plans
+    // must read EXACTLY the file subset the footer zonemap manifest
+    // predicts for the key range — a strict subset of the clustered
+    // layout — and the residual range filter must still reach the scan.
+    if (args.isEmpty) {
+      import org.apache.spark.sql.functions.col
+      def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+      val cdir = graft.ops.RelationalQueries.clusteredLineitem(spark, dir)
+      val pruned = graft.sources.Layout.readPrunedByRange(
+        spark, cdir, "l_orderkey", 1000, 2000)
+      val plan = pruned.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== pruned_scan (q98) ==========")
+      println(plan.linesIterator.take(25).mkString("\n"))
+      val predicted = graft.sources.Layout.prunedFiles(
+        spark, cdir, "l_orderkey", 1000, 2000).map(norm).toSet
+      val actual = pruned.inputFiles.map(norm).toSet
+      val allFiles = spark.read.parquet(cdir).inputFiles.map(norm).toSet
+      val checks = Seq(
+        "scan file set equals the manifest prediction" -> (actual == predicted),
+        "manifest admits a strict subset of the layout" ->
+          (predicted.nonEmpty && predicted.size < allFiles.size),
+        "residual range filter pushed to the scan" ->
+          (plan.contains("GreaterThanOrEqual(l_orderkey") &&
+            plan.contains("LessThanOrEqual(l_orderkey")))
+      checks.foreach { case (label, ok) =>
+        if (!ok) failed += 1
+        println(s"[plancheck] pruned_scan :: $label -> ${if (ok) "OK" else "FAILED"}")
+      }
+    }
+
     println(s"\n[plancheck] ${if (failed == 0) "ALL OK" else s"$failed FAILED"}")
     spark.stop()
     if (failed > 0) sys.exit(1)

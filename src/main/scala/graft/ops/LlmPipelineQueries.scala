@@ -1250,7 +1250,36 @@ object LlmPipelineQueries {
              CAST(1 + doc_id % 2 AS INTEGER) AS channels,
              CAST(50 + doc_id % 100 AS INTEGER) AS n_frames,
              CAST((1000 + (doc_id % 7) * 1000) * (50 + doc_id % 100) * (1 + doc_id % 2) AS BIGINT) AS sum_abs
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // Exact corpus-vocabulary heavy hitters with BOUNDED task memory
+    // (HeavyHitters, r8): per-partition Misra–Gries summaries (capacity
+    // counters per task, invariant in corpus size) yield a candidate
+    // superset guaranteed to contain every token with count >
+    // n/(capacity+1); an exact broadcast-filtered recount ranks them.
+    // The runtime certificate (rank-m count must beat the MG floor)
+    // throws rather than silently truncating — on a Zipfian vocabulary
+    // the margin is wide at every sf. The oracle is the full GROUP BY
+    // the operator exists to avoid: agreement proves the bounded-memory
+    // path loses nothing. knownTotal comes from a COUNT projection (no
+    // second token explode).
+    QueryDef("q99_heavy_hitters", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(
+        explode(graft.text.TextAnalysis.wordTokens($"text")).as("tok"))
+      val nTokens = docs.select(
+        sum(graft.text.TextAnalysis.wordTokenCount($"text").cast("long")))
+        .head.getLong(0)
+      HeavyHitters.exactTopK(toks, "tok", m = 20, capacity = 1024,
+          knownTotal = Some(nTokens))
+        .select($"hh_key".as("tok"), $"n")
+    }, Some("""
+      SELECT tok, COUNT(*) AS n FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+                                  x -> len(x) > 0)) AS tok
+        FROM documents)
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""))
   )
 
   /** Planted term-group documents for q90: 8 groups × 4 docs on unique

@@ -724,6 +724,50 @@ object RelationalQueries {
       SELECT o_orderpriority, COUNT(*) AS n_items, ${dsql("l_extendedprice")} AS sum_price
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_totalprice > 300000
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Manifest-pruned scan (Layout.prunedFiles/readPrunedByRange) under
+    // the transparency oracle (the q94 shape for the scan-planning
+    // family): lineitem is written range-clustered on l_orderkey ONCE
+    // per corpus (memoized by content fingerprint — the write-once
+    // layout pass every later key-range query amortizes), then the
+    // range query reads ONLY the file subset the footer zonemap
+    // manifest admits, plus the residual row filter. The oracle is the
+    // plain full-table filter — hash equality proves the pruned scan
+    // loses no rows; PlanCheck pins that the scan's file set strictly
+    // shrinks AND equals the manifest's prediction. At 100 TB the
+    // manifest turns a million-file listing into the covering dozen.
+    QueryDef("q98_pruned_scan", (s, dir) => {
+      import s.implicits._
+      val cdir = clusteredLineitem(s, dir)
+      graft.sources.Layout.readPrunedByRange(s, cdir, "l_orderkey", 1000, 2000)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum($"l_extendedprice").as("sum_price"),
+          dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag")
+    }, Some(s"""
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+             ${dsql("l_extendedprice")} AS sum_price,
+             ${dsql("l_quantity")} AS sum_qty
+      FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
       GROUP BY 1 ORDER BY 1"""))
   )
+
+  /** The range-clustered lineitem copy behind q98 — written once per
+    * (corpus, content-fingerprint) per process, the stand-in for the
+    * clustered table a nightly OPTIMIZE pass maintains durably. */
+  def clusteredLineitem(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val fp = graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "lineitem"))
+    clustered.getOrElseUpdate(s"$dir@$fp", {
+      val path = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+      graft.sources.Layout.writeClustered(
+        t(s, dir, "lineitem").select($"l_orderkey", $"l_returnflag",
+          $"l_extendedprice", $"l_quantity"),
+        path, 16, $"l_orderkey")
+      path
+    })
+  }
+  private val clustered = scala.collection.concurrent.TrieMap.empty[String, String]
 }

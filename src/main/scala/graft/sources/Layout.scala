@@ -272,9 +272,22 @@ object Layout {
   def readPrunedByRange(spark: SparkSession, dir: String, column: String,
       lo: Double, hi: Double): DataFrame = {
     val keep = prunedFiles(spark, dir, column, lo, hi)
-    val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
-    if (keep.isEmpty) spark.read.parquet(dir).filter(residual).limit(0)
-    else spark.read.parquet(keep: _*).filter(residual)
+    val df = if (keep.isEmpty) spark.read.parquet(dir)
+      else spark.read.parquet(keep: _*)
+    // residual literals carry the COLUMN's type, never double: a double
+    // literal wraps the column in a cast Catalyst can't unwrap for
+    // long↔double, and a cast-wrapped column defeats parquet filter
+    // pushdown (the kept files' row-group stats would stop pruning). For
+    // integral columns the equivalent integral bounds are ceil(lo) and
+    // floor(hi) — truncation would wrongly widen a fractional bound.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val (loB, hiB) = df.schema(column).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (lit(math.ceil(lo).toLong), lit(math.floor(hi).toLong))
+      case dt => (lit(lo).cast(dt), lit(hi).cast(dt))
+    }
+    val residual = col(column) >= loB && col(column) <= hiB
+    if (keep.isEmpty) df.filter(residual).limit(0) else df.filter(residual)
   }
 
   // parquet's Statistics[T <: Comparable[T]] existential defeats direct

@@ -157,6 +157,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters",
+        "graft_heavy_hitters(table, keyCol, m, capacity) - exact top-m (hh_key, n) of keyCol via bounded-memory Misra-Gries candidates + exact broadcast-filtered recount; throws if the MG certificate cannot prove exactness (raise capacity). Executes eagerly (multi-pass algorithm - procedure semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_heavy_hitters(table, keyCol, m, capacity) takes 4 arguments")
+        require(args(2).foldable && args(3).foldable,
+          "m and capacity must be literals")
+        graft.ops.HeavyHitters.exactTopK(tableArg(args(0)),
+          strArg(args(1), "keyCol"),
+          args(2).eval().asInstanceOf[Number].intValue(),
+          args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("graft_bloom_semi_join"),
       info("graft_bloom_semi_join",
         "graft_bloom_semi_join(factTable, factKey, keysTable, keyCol, expectedKeys) - fact rows whose key might be in the keys table (bloom sketch, ~1% false positives, no false negatives). Builds the sketch eagerly (one aggregate over the keys side)."),

@@ -109,6 +109,15 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(bpe(0)._2 == Seq.fill(5)(graft.text.Bpe.segmentWord("low", merges)).flatten
         && bpe(0)._2.length < "low low low low low".length)
 
+      // r8: heavy hitters behind table-function syntax (eager procedure
+      // semantics) — exact counts and (n desc, key) order
+      (Seq.fill(9)("a") ++ Seq.fill(5)("b") ++ Seq.fill(5)("c") ++ Seq("d"))
+        .toDF("k").createOrReplaceTempView("tf_hh")
+      val hh = spark.sql(
+        """SELECT hh_key, n FROM graft_heavy_hitters('tf_hh', 'k', 3, 16)""")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(hh.toSeq == Seq(("a", 9L), ("b", 5L), ("c", 5L)), hh.mkString(";"))
+
       Seq(1L, 2L).toDF("k").createOrReplaceTempView("tf_keys")
       Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"))
         .toDF("k", "v").createOrReplaceTempView("tf_fact")

@@ -261,4 +261,42 @@ class OperatorsSpec extends SparkSpec {
     assert(reloaded.list == Seq("cnt"))
     assert(reloaded.run(spark, "cnt").head().getLong(0) == 1500L)
   }
+
+  test("HeavyHitters: MG candidates are a guaranteed superset; exactTopK equals brute groupBy") {
+    import spark.implicits._
+    import graft.ops.HeavyHitters
+    val rnd = new scala.util.Random(41)
+    // Zipf-ish hot keys over a wide uniform tail — the operator's home
+    // turf — spread across partitions so per-partition summaries must
+    // merge to see the global picture
+    val hot = (0 until 30).flatMap(i => Seq.fill(300 - 9 * i)(s"hot_$i"))
+    val tail = Seq.fill(8000)(s"t_${rnd.nextInt(3000)}")
+    val keys = rnd.shuffle(hot ++ tail)
+    val df = keys.toDF("k").repartition(7)
+    val n = keys.size
+    val capacity = 64
+
+    // superset guarantee: every key with true count > n/(capacity+1)
+    // appears among the candidates (Misra–Gries bound, merged summaries)
+    val cands = HeavyHitters.candidates(df.select($"k").as[String], capacity)
+      .collect().map(_.getString(0)).toSet
+    val truth = keys.groupBy(identity).view.mapValues(_.size).toMap
+    val mustKeep = truth.filter(_._2 > n.toDouble / (capacity + 1)).keySet
+    assert(mustKeep.nonEmpty && mustKeep.subsetOf(cands),
+      s"missing guaranteed keys: ${mustKeep -- cands}")
+
+    // exact recount equals the brute groupBy answer, order and counts
+    val got = HeavyHitters.exactTopK(df, "k", m = 10, capacity = capacity)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = truth.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+      .map { case (k, c) => (k, c.toLong) }
+    assert(got == expect, s"got=$got expect=$expect")
+
+    // the certificate is honest: a capacity far too small for the
+    // distribution must throw, not truncate silently
+    val uniform = (0 until 4000).map(i => s"u_$i").toDF("k")
+    intercept[IllegalArgumentException] {
+      HeavyHitters.exactTopK(uniform, "k", m = 5, capacity = 8)
+    }
+  }
 }
