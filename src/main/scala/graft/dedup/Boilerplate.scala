@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Sub-document boilerplate removal: drop the PASSAGES that repeat
+  * across the corpus, keep the documents (CCNet's per-shard duplicated-
+  * line removal, Wenzek et al. LREC'20, generalized to fixed-width
+  * token windows so it applies to corpora without line structure).
+  * Document-level dedup (Dedup.scala) can't catch this class: a page
+  * whose body is unique but whose header/footer/nav text appears on a
+  * million other pages survives every whole-document fingerprint, and
+  * the shared passage ends up memorized by the model.
+  *
+  * Pipeline (all relational, no driver state):
+  *   1. segment: consecutive non-overlapping k-token windows per doc —
+  *      one codegen projection (tokens → transform over a sequence of
+  *      window starts), then posexplode.
+  *   2. df-count: passages travel as md5 keys — fixed 32 bytes through
+  *      the shuffle regardless of k, and portable (the oracle re-derives
+  *      the same keys, unlike xxhash64). `countDistinct(doc)` per key is
+  *      the standard two-phase distinct aggregate; the shuffle is linear
+  *      in corpus tokens, the same class as the q79 inverted index.
+  *   3. drop: passages with df ≥ minDocs form the hot set — answer-sized
+  *      (bounded by corpus/minDocs, in practice the header/footer
+  *      vocabulary), so it BROADCASTS back as a left-anti join; the
+  *      corpus never shuffles for the filter.
+  *   4. reassemble: surviving (position, passage) pairs group once on
+  *      doc id — per-group state is bounded by one document — and
+  *      re-join in position order; docs that lose every passage come
+  *      back as empty text via the left join against the doc spine.
+  *
+  * Returns one row per input document:
+  *   (idCol, n_seg, n_kept, clean_md5) — counts of total/surviving
+  * passages and the md5 of the cleaned text (passages joined by a
+  * single space; empty string when nothing survives), so the full
+  * reconstruction is hash-audited without shipping corpus-sized text
+  * to the caller.
+  */
+object Boilerplate {
+
+  def dropDuplicatedPassages(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, "passage width k must be >= 1")
+    require(minDocs >= 2, "minDocs < 2 would drop every passage")
+    val toks = TextAnalysis.wordTokens(col(textCol))
+    // ceil(n/k) window starts; sequence() must be guarded — Spark's
+    // sequence(0, -1) counts DOWN, it does not return empty
+    val nSeg = ceil(size(toks) / lit(k.toDouble)).cast("int")
+    val segs = when(size(toks) > lit(0),
+      transform(sequence(lit(0), nSeg - 1),
+        i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+    val spine = docs.select(col(idCol), nSeg.cast("long").as("n_seg"), segs.as("segs"))
+    val seg = spine.select(col(idCol), posexplode(col("segs")).as(Seq("seg_i", "seg")))
+
+    val hot = seg.select(md5(col("seg")).as("h"), col(idCol))
+      .groupBy("h").agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= lit(minDocs))
+      .select("h")
+
+    val kept = seg.join(broadcast(hot), md5(seg("seg")) === hot("h"), "left_anti")
+    val cleaned = kept
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_i"), col("seg")))),
+          s => s.getField("seg"))).as("cleaned"))
+
+    spine.select(col(idCol), col("n_seg"))
+      .join(cleaned, Seq(idCol), "left")
+      .select(col(idCol), col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("cleaned"), lit(""))).as("clean_md5"))
+  }
+}

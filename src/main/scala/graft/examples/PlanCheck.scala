@@ -197,6 +197,17 @@ object PlanCheck {
       mustNotContain = Seq(
         "no window" -> "Window",
         "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // passage dedup: the corpus shuffles once for the df count (two-phase
+    // distinct aggregate) and once for the reassembly; the hot set comes
+    // BACK only as a broadcast anti-join — the corpus never re-shuffles
+    // to learn what to drop
+    Want("q101_passage_dedup", Seq(
+      "hot passage set broadcast back" -> "BroadcastHashJoin",
+      "boilerplate removed by anti-join" -> "LeftAnti",
+      "map-side partial df count" -> "partial_count"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
         "no nested-loop join" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {
@@ -311,6 +322,40 @@ object PlanCheck {
       checks.foreach { case (label, ok) =>
         if (!ok) failed += 1
         println(s"[plancheck] pruned_scan :: $label -> ${if (ok) "OK" else "FAILED"}")
+      }
+    }
+
+    // PageRank round audit (q100): run()'s per-round lineage truncation
+    // erases the join structure from the final query plan by design, so
+    // audit the un-truncated round-1 plan — rank messages must flow
+    // through an equi-join on src with map-side-combined contribution
+    // sums, never a nested-loop or cartesian.
+    if (args.isEmpty) {
+      import org.apache.spark.sql.functions._
+      val pairs = graft.sources.Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(graft.sources.Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("a"),
+          concat(lit("c"), col("o_custkey")).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val plan = graft.ops.PageRank.auditRound(edges).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== pagerank_round (q100) ==========")
+      println(plan.linesIterator.take(30).mkString("\n"))
+      val checks = Seq(
+        "rank messages via equi-join on src" ->
+          (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+            plan.contains("BroadcastHashJoin")),
+        "map-side partial contribution sums" -> plan.contains("partial_sum"),
+        "no cartesian" -> !plan.contains("CartesianProduct"),
+        "no nested-loop join" -> !plan.contains("BroadcastNestedLoopJoin"))
+      checks.foreach { case (label, ok) =>
+        if (!ok) failed += 1
+        println(s"[plancheck] pagerank_round :: $label -> ${if (ok) "OK" else "FAILED"}")
       }
     }
 

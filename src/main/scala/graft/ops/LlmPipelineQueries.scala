@@ -1279,7 +1279,47 @@ object LlmPipelineQueries {
         SELECT unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
                                   x -> len(x) > 0)) AS tok
         FROM documents)
-      GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""))
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
+
+    // Sub-document boilerplate removal (dedup/Boilerplate.scala): drop
+    // the 8-token PASSAGES that repeat across >= 2 documents, keep the
+    // documents — the CCNet duplicated-line filter generalized to token
+    // windows. The whole reconstruction is audited by hash: n_seg /
+    // n_kept plus md5 of the cleaned text per doc, so the oracle proves
+    // segmentation, df-counting, the drop set AND position-ordered
+    // reassembly all agree with an independent engine.
+    QueryDef("q101_passage_dedup", (s, dir) => {
+      import s.implicits._
+      graft.dedup.Boilerplate.dropDuplicatedPassages(
+          Tables.load(s, dir, "documents"), "text", "doc_id", k = 8, minDocs = 2)
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+                           x -> len(x) > 0) AS toks
+        FROM documents),
+      seg AS (
+        SELECT doc_id, u.i AS seg_i, u.seg AS seg FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1),
+                   i -> {'i': i,
+                         'seg': array_to_string(list_slice(toks, i*8+1, i*8+8), ' ')})) AS u
+          FROM tk WHERE len(toks) > 0)),
+      hot AS (SELECT md5(seg) AS h FROM seg
+              GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+      kept AS (SELECT * FROM seg WHERE md5(seg) NOT IN (SELECT h FROM hot)),
+      agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(seg, ' ' ORDER BY seg_i) AS cleaned
+              FROM kept GROUP BY 1)
+      SELECT t.doc_id,
+             CAST(CASE WHEN len(t.toks) = 0 THEN 0
+                       ELSE ceil(len(t.toks) / 8.0) END AS BIGINT) AS n_seg,
+             COALESCE(a.n_kept, 0) AS n_kept,
+             md5(COALESCE(a.cleaned, '')) AS clean_md5
+      FROM tk t LEFT JOIN agg a USING (doc_id)
+      ORDER BY t.doc_id"""))
   )
 
   /** Planted term-group documents for q90: 8 groups × 4 docs on unique

@@ -751,7 +751,57 @@ object RelationalQueries {
              ${dsql("l_extendedprice")} AS sum_price,
              ${dsql("l_quantity")} AS sum_qty
       FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Integer-exact PageRank (ops/PageRank.scala) over the supplier↔
+    // customer trade graph — iterative join-based message passing, the
+    // graph-analytics class beyond connected components. Both edge
+    // directions are added so the bipartite graph is strongly connected
+    // (no dangling sinks) and three rounds produce genuinely mixed
+    // ranks. The all-integer micro-unit recurrence (truncating div at
+    // the edge split and the damping step) is what makes an ITERATIVE
+    // fixpoint hash-comparable across engines — the oracle unrolls the
+    // same three rounds as chained CTEs.
+    QueryDef("q100_pagerank", (s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(concat(lit("s"), $"l_suppkey").as("a"),
+          concat(lit("c"), $"o_custkey").as("b"))
+        .distinct()
+      val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      PageRank.run(edges, nIters = 3)
+        .orderBy(desc("rank_mu"), $"node")
+        .limit(20)
+    }, Some("""
+      WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+                        'c' || CAST(o_custkey AS VARCHAR) AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      r1 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(c.s, 0)) // 100) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst, SUM(p.r // d.outdeg) AS s
+               FROM edges e JOIN deg d ON e.src = d.src JOIN r0 p ON p.node = e.src
+               GROUP BY e.dst) c ON c.dst = n.node),
+      r2 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(c.s, 0)) // 100) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst, SUM(p.r // d.outdeg) AS s
+               FROM edges e JOIN deg d ON e.src = d.src JOIN r1 p ON p.node = e.src
+               GROUP BY e.dst) c ON c.dst = n.node),
+      r3 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(c.s, 0)) // 100) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst, SUM(p.r // d.outdeg) AS s
+               FROM edges e JOIN deg d ON e.src = d.src JOIN r2 p ON p.node = e.src
+               GROUP BY e.dst) c ON c.dst = n.node)
+      SELECT node, r AS rank_mu FROM r3
+      ORDER BY rank_mu DESC, node LIMIT 20"""))
   )
 
   /** The range-clustered lineitem copy behind q98 — written once per

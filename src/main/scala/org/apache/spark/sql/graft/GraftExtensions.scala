@@ -157,6 +157,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("graft_pruned_scan"),
+      info("graft_pruned_scan",
+        "graft_pruned_scan(dir, column, lo, hi) - manifest-pruned parquet scan: reads only the files whose footer min/max admit column IN [lo, hi] (numeric columns), plus the residual row filter. The SQL surface of Layout.readPrunedByRange."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_pruned_scan(dir, column, lo, hi) takes 4 arguments")
+        require(args(2).foldable && args(3).foldable,
+          "lo and hi must be literals")
+        graft.sources.Layout.readPrunedByRange(SparkSession.active,
+          strArg(args(0), "the parquet dir"), strArg(args(1), "column"),
+          args(2).eval().asInstanceOf[Number].doubleValue(),
+          args(3).eval().asInstanceOf[Number].doubleValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("graft_heavy_hitters"),
       info("graft_heavy_hitters",
         "graft_heavy_hitters(table, keyCol, m, capacity) - exact top-m (hh_key, n) of keyCol via bounded-memory Misra-Gries candidates + exact broadcast-filtered recount; throws if the MG certificate cannot prove exactness (raise capacity). Executes eagerly (multi-pass algorithm - procedure semantics)."),

@@ -118,6 +118,19 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1)))
       assert(hh.toSeq == Seq(("a", 9L), ("b", 5L), ("c", 5L)), hh.mkString(";"))
 
+      // r8: manifest-pruned scan behind table-function syntax — result
+      // equals the plain filter, and the scan reads a strict file subset
+      val pdir = java.nio.file.Files.createTempDirectory("tf_pruned").toString
+      graft.sources.Layout.writeClustered(
+        spark.range(0, 4000).selectExpr("id AS k", "id * 2 AS v"),
+        pdir, 8, org.apache.spark.sql.functions.col("k"))
+      val ps = spark.sql(
+        s"""SELECT * FROM graft_pruned_scan('$pdir', 'k', 100, 300) ORDER BY k""")
+      assert(ps.collect().map(_.getLong(0)).toSeq == (100L to 300L),
+        "pruned scan result != plain range filter")
+      assert(ps.inputFiles.length < spark.read.parquet(pdir).inputFiles.length,
+        "pruned scan did not shrink the file set")
+
       Seq(1L, 2L).toDF("k").createOrReplaceTempView("tf_keys")
       Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"))
         .toDF("k", "v").createOrReplaceTempView("tf_fact")

@@ -299,4 +299,67 @@ class OperatorsSpec extends SparkSpec {
       HeavyHitters.exactTopK(uniform, "k", m = 5, capacity = 8)
     }
   }
+
+  test("PageRank: integer recurrence matches a driver-side reference; lineage-truncated long runs") {
+    import spark.implicits._
+    // random directed graph incl. a dangling node (no out-edges) and a
+    // self-loop — the damped-sink semantics must match the reference
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edgeList = (Seq.tabulate(150)(_ =>
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}")) :+ ("v5", "v5") :+
+        ("v1", "vdangling")).distinct
+    val edges = edgeList.toDF("src", "dst").repartition(5)
+
+    // driver-side reference: the exact same all-integer recurrence
+    def reference(iters: Int): Map[String, Long] = {
+      val outdeg = edgeList.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nodes = (edgeList.map(_._1) ++ edgeList.map(_._2)).distinct
+      var r = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val in = edgeList.groupBy(_._2).view.mapValues(
+          _.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+        r = nodes.map(v => v -> (150000L + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+      }
+      r
+    }
+
+    for (iters <- Seq(0, 3, 12)) { // 12 exercises the per-round truncation
+      val got = graft.ops.PageRank.run(edges, iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == reference(iters), s"iters=$iters")
+    }
+  }
+
+  test("Boilerplate: shared passages dropped, unique kept, reconstruction hash-exact") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"nav$i").mkString(" ")   // one exact window
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma delta eps zeta eta theta"),
+      (2L, s"$shared one two three four five six seven eight iota"),
+      (3L, "totally unique body text that matches nothing else here ok"),
+      (4L, shared),             // loses its only passage -> empty cleaned text
+      (5L, "")                  // no tokens at all -> 0 segments
+    ).toDF("doc_id", "text").repartition(3)
+
+    val got = graft.dedup.Boilerplate
+      .dropDuplicatedPassages(docs, "text", "doc_id", k = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1: 16 tokens = 2 windows, the shared first window dropped
+    assert(got(1L) == ((2L, 1L, md5hex("alpha beta gamma delta eps zeta eta theta"))))
+    // doc 2: 17 tokens = 3 windows (8+8+1), shared prefix dropped, the
+    // 8-token middle AND the 1-token remainder kept in position order
+    assert(got(2L) == ((3L, 2L, md5hex("one two three four five six seven eight iota"))))
+    // doc 3: both windows unique (8 + 3 tokens), fully kept in order
+    assert(got(3L) == ((2L, 2L,
+      md5hex("totally unique body text that matches nothing else here ok"))))
+    // doc 4: everything was boilerplate -> empty reconstruction
+    assert(got(4L) == ((1L, 0L, md5hex(""))))
+    // doc 5: empty text -> zero segments, not a crash or a phantom window
+    assert(got(5L) == ((0L, 0L, md5hex(""))))
+  }
 }
