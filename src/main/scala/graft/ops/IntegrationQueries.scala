@@ -218,6 +218,37 @@ object IntegrationQueries {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       FROM orders
       WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Fuzzy entity matching (graft.text.EditDistanceJoin — PassJoin):
+    // the record-linkage step the reference's exact-key import/update
+    // cannot do. Canonicalize the part-name vocabulary (distinct names
+    // with their part counts — ER runs over the vocabulary, never the
+    // raw corpus), then the partition-based similarity self-join finds
+    // every name pair within edit distance 2 — as a shuffled EQUI-join
+    // on (length, segment-ordinal, segment) with a codegen'd
+    // levenshtein verify, never the O(n²) cross join the oracle runs.
+    // The name doubles as the join id: ids are compared with `<`, and
+    // ASCII lexicographic order agrees between Spark and DuckDB, so the
+    // canonical orientation matches the oracle's `a.p_name < b.p_name`.
+    QueryDef("q102_fuzzy_match", (s, dir) => {
+      import s.implicits._
+      val names = Tables.load(s, dir, "part")
+        .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+      val pairs = graft.text.EditDistanceJoin.selfJoin(names, "p_name", "p_name", k = 2)
+      pairs
+        .join(broadcast(names.select($"p_name".as("id_a"), $"n_parts".as("n_a"))), "id_a")
+        .join(broadcast(names.select($"p_name".as("id_b"), $"n_parts".as("n_b"))), "id_b")
+        .select($"id_a".as("name_a"), $"id_b".as("name_b"), $"dist", $"n_a", $"n_b")
+        .orderBy($"name_a", $"name_b")
+    }, Some("""
+      WITH names AS (
+        SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+             a.n_parts AS n_a, b.n_parts AS n_b
+      FROM names a JOIN names b ON a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY name_a, name_b"""))
   )
 }

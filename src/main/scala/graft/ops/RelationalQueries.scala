@@ -801,7 +801,45 @@ object RelationalQueries {
                FROM edges e JOIN deg d ON e.src = d.src JOIN r2 p ON p.node = e.src
                GROUP BY e.dst) c ON c.dst = n.node)
       SELECT node, r AS rank_mu FROM r3
-      ORDER BY rank_mu DESC, node LIMIT 20"""))
+      ORDER BY rank_mu DESC, node LIMIT 20""")),
+
+    // Multi-source BFS (ops/Bfs.scala) over the q100 trade graph:
+    // exact minimum hop distance from nation 0's suppliers, bounded at
+    // 3 hops — the reachability class of graph analytics (blast radius
+    // through a link graph). The frontier algorithm expands each node
+    // once (per-round frontier⋈edges equi-join + anti-join against
+    // visited), while the oracle's recursive CTE may revisit — MIN(d)
+    // collapses it to the same answer because hop counts are integers
+    // and BFS min-distance is engine-order-free.
+    QueryDef("q104_bfs", (s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(concat(lit("s"), $"l_suppkey").as("a"),
+          concat(lit("c"), $"o_custkey").as("b"))
+        .distinct()
+      val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      val seeds = t(s, dir, "supplier").filter($"s_nationkey" === 0)
+        .select(concat(lit("s"), $"s_suppkey").as("node"))
+      Bfs.run(edges, seeds, maxHops = 3)
+        .orderBy($"dist", $"node")
+    }, Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+                        'c' || CAST(o_custkey AS VARCHAR) AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      walk(node, d) AS (
+        SELECT 's' || CAST(s_suppkey AS VARCHAR), 0
+        FROM supplier WHERE s_nationkey = 0
+        UNION
+        SELECT e.dst, w.d + 1
+        FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < 3)
+      SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk
+      GROUP BY node ORDER BY dist, node"""))
   )
 
   /** The range-clustered lineitem copy behind q98 — written once per

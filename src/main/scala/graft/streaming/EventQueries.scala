@@ -294,6 +294,102 @@ object EventQueries {
               FROM cnt)
       SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start,
              CAST(rk AS INTEGER) AS rk, tok, n
-      FROM rkd WHERE rk <= 5 ORDER BY win_start, rk"""))
+      FROM rkd WHERE rk <= 5 ORDER BY win_start, rk""")),
+
+    // Gaps-and-islands: per-user consecutive-activity-day streaks — the
+    // classic day-minus-row_number grouping, entirely window+groupBy
+    // declarative (both shuffles partition by user_id; streak rows are
+    // answer-sized). The longest streak and its start date come from one
+    // struct-max (len, then EARLIEST start via negated epoch-day) — the
+    // same pick as the oracle's ROW_NUMBER() OVER (len DESC, start ASC),
+    // with no second window pass.
+    QueryDef("q103_islands", (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"day")
+      val days = Tables.load(s, dir, "events")
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val streaks = days
+        .withColumn("grp",
+          datediff($"day", lit("1970-01-01").cast("date")) - row_number().over(w))
+        .groupBy($"user_id", $"grp")
+        .agg(count(lit(1)).as("len"), min($"day").as("start_day"))
+      streaks.groupBy($"user_id")
+        .agg(count(lit(1)).cast("long").as("n_streaks"),
+          sum($"len").as("n_active_days"),
+          max(struct($"len",
+            (lit(0) - datediff($"start_day", lit("1970-01-01").cast("date"))).as("negday")))
+            .as("best"))
+        .select($"user_id", $"n_streaks", $"n_active_days",
+          $"best.len".as("max_streak"),
+          date_format(date_add(lit("1970-01-01").cast("date"),
+            (lit(0) - $"best.negday").cast("int")), "yyyy-MM-dd").as("best_start"))
+        .orderBy($"user_id")
+    }, Some("""
+      WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      g AS (SELECT user_id, day,
+              (day - DATE '1970-01-01')
+                - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+            FROM days),
+      streaks AS (SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
+                  FROM g GROUP BY 1, 2),
+      ranked AS (SELECT user_id, len, start_day,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY len DESC, start_day) AS rk
+                 FROM streaks),
+      summary AS (SELECT user_id, COUNT(*) AS n_streaks,
+                         CAST(SUM(len) AS BIGINT) AS n_active_days
+                  FROM streaks GROUP BY 1)
+      SELECT s.user_id, s.n_streaks, s.n_active_days,
+             r.len AS max_streak, strftime(r.start_day, '%Y-%m-%d') AS best_start
+      FROM summary s JOIN ranked r ON s.user_id = r.user_id AND r.rk = 1
+      ORDER BY s.user_id""")),
+
+    // Time-series regularization: densify per-user daily activity onto
+    // the corpus-wide day grid (`sequence` + explode — the generate_series
+    // Spark-side), zero-fill counts, forward-fill the last observed
+    // daily value sum (LOCF). The grid is users × days (answer-sized;
+    // the one-row bounds aggregate broadcasts), the observed side
+    // arrives via a shuffled left join on (user, day), and the fill is
+    // one `last(ignoreNulls)` running window per user — no driver loop,
+    // no UDF. Carried values are exact decimal sums surfaced as doubles
+    // (the §5 protocol), and LOCF only copies them, so cross-engine
+    // equality is preserved bit-for-bit.
+    QueryDef("q105_gapfill", (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val daily = ev.groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,4)")).cast("double").as("vsum"))
+      val bounds = ev.agg(min(to_date($"ts")).as("lo"), max(to_date($"ts")).as("hi"))
+      val grid = ev.select($"user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"user_id", explode(sequence($"lo", $"hi")).as("day"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day", coalesce($"n", lit(0L)).as("n_events"),
+          last($"vsum", ignoreNulls = true).over(w).as("ffill_value"))
+        .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+          $"n_events", $"ffill_value")
+        .orderBy($"user_id", $"day")
+    }, Some("""
+      WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+                      FROM events),
+      grid AS (SELECT u.user_id, CAST(gs.g AS DATE) AS day
+               FROM (SELECT DISTINCT user_id FROM events) u, bounds,
+                    LATERAL (SELECT UNNEST(generate_series(bounds.lo, bounds.hi,
+                             INTERVAL 1 DAY)) AS g) gs),
+      daily AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS vsum
+                FROM events GROUP BY 1, 2)
+      SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+             COALESCE(d.n, 0) AS n_events,
+             LAST_VALUE(d.vsum IGNORE NULLS) OVER (PARTITION BY g.user_id
+               ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ffill_value
+      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+      ORDER BY g.user_id, day"""))
   )
 }
