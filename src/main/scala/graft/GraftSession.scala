@@ -26,6 +26,14 @@ object GraftSession {
       // — there is no per-read option for it, and mutating a shared session
       // per call is not acceptable (see Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet (another testdata
+      // flavor) would otherwise read as TIMESTAMP_NTZ: engine code
+      // (unix_micros, watermarks, interval arithmetic) wants the session-TZ
+      // TIMESTAMP type, and reading it natively (instead of casting after
+      // the scan) keeps comparison pushdown on timestamp columns reaching
+      // the parquet reader. Value-identical under the UTC session — the
+      // same instants DuckDB computes from the naive micros.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Streaming checkpoint checksum files (4.1 default on) double every
       // state-store file op and serialize commits through an awaitResult
       // (measured: 31/32 executor threads idle, the stream-stream join

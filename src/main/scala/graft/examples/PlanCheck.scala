@@ -16,7 +16,7 @@ object PlanCheck {
   private val audits = Seq(
     Want("q2_filter_project", Seq(
       "filter pushed to scan" -> "PushedFilters: [IsNotNull(l_shipdate)",
-      "column-pruned read" -> "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>")),
+      "column-pruned read" -> "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp>")),
     Want("q3_join", Seq(
       "dimension broadcast" -> "BroadcastHashJoin")),
     Want("q11_multi_join", Seq(
@@ -208,7 +208,39 @@ object PlanCheck {
       "map-side partial df count" -> "partial_count"),
       mustNotContain = Seq(
         "no cartesian" -> "CartesianProduct",
-        "no nested-loop join" -> "BroadcastNestedLoopJoin")))
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // PassJoin fuzzy match: candidates come from the (len, ordinal,
+    // segment) equi-join over generated segments — the whole point is
+    // that the O(n²) levenshtein cross join never appears
+    Want("q102_fuzzy_match", Seq(
+      "segments enumerated by generators" -> "Generate",
+      "exact verify via codegen levenshtein" -> "levenshtein"),
+      mustNotContain = Seq(
+        "no all-pairs cross join" -> "CartesianProduct",
+        "no nested-loop fuzzy join" -> "BroadcastNestedLoopJoin")),
+    // gaps-and-islands: one user-partitioned window for the island id,
+    // then groupBys with map-side combine — never a cross join, and the
+    // streak summary needs no second window pass (struct-max picks the
+    // best streak inside the aggregate)
+    Want("q103_islands", Seq(
+      "island ids via the user-partitioned window" -> "Window",
+      "map-side partial streak aggregation" -> "partial_count"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // gapfill: the 1-row day-bounds aggregate broadcast over the user
+    // list IS the intended tiny BNLJ (same convention as q80's bounds);
+    // the observed side arrives by a (user, day) equi-join and LOCF is
+    // one running window — assert the big-side shapes
+    // the observed side arrives by a (user, day) hash equi-join — which
+    // PHYSICAL hash join is a size call (broadcast at test SF, shuffled/SMJ
+    // under AQE at scale), so pin the equi-join family, not one member
+    Want("q105_gapfill", Seq(
+      "grid densified by a generator" -> "Generate",
+      "LOCF via the running window" -> "Window",
+      "observed side joined by hash equi-join" -> "HashJoin"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()
@@ -356,6 +388,35 @@ object PlanCheck {
       checks.foreach { case (label, ok) =>
         if (!ok) failed += 1
         println(s"[plancheck] pagerank_round :: $label -> ${if (ok) "OK" else "FAILED"}")
+      }
+    }
+
+    // BFS round audit (q104): run()'s per-round truncation erases the
+    // join structure (the PageRank convention), so audit one un-truncated
+    // expansion — frontier⋈edges must be an equi-join on src and the
+    // visited set must subtract via LeftAnti, never a nested loop.
+    if (args.isEmpty) {
+      import org.apache.spark.sql.functions._
+      val edges = graft.sources.Tables.load(spark, dir, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("o"), col("l_orderkey")).as("dst")).distinct()
+      val seeds = graft.sources.Tables.load(spark, dir, "supplier")
+        .filter(col("s_nationkey") === 0)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      val plan = graft.ops.Bfs.auditRound(edges, seeds).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== bfs_round (q104) ==========")
+      println(plan.linesIterator.take(30).mkString("\n"))
+      val checks = Seq(
+        "frontier expands via equi-join on src" ->
+          (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+            plan.contains("BroadcastHashJoin")),
+        "visited subtracted via anti-join" -> plan.contains("LeftAnti"),
+        "no cartesian" -> !plan.contains("CartesianProduct"),
+        "no nested-loop join" -> !plan.contains("BroadcastNestedLoopJoin"))
+      checks.foreach { case (label, ok) =>
+        if (!ok) failed += 1
+        println(s"[plancheck] bfs_round :: $label -> ${if (ok) "OK" else "FAILED"}")
       }
     }
 

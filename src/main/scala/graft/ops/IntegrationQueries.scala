@@ -84,7 +84,7 @@ object IntegrationQueries {
       SELECT column_name,
              CASE column_type WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
                   WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
-                  WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+                  WHEN 'TIMESTAMP' THEN 'timestamp'
                   ELSE lower(column_type) END AS data_type,
              ("null" = 'YES') AS is_nullable,
              CAST("default" AS VARCHAR) AS column_default

@@ -821,7 +821,9 @@ object RelationalQueries {
         .distinct()
       val edges = pairs.select($"a".as("src"), $"b".as("dst"))
         .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
-      val seeds = t(s, dir, "supplier").filter($"s_nationkey" === 0)
+      // seed by key, not nation: every SF has suppkeys 1..n, while a
+      // given nationkey can be absent from a tiny sample entirely
+      val seeds = t(s, dir, "supplier").filter($"s_suppkey" <= 3)
         .select(concat(lit("s"), $"s_suppkey").as("node"))
       Bfs.run(edges, seeds, maxHops = 3)
         .orderBy($"dist", $"node")
@@ -834,7 +836,7 @@ object RelationalQueries {
                 UNION ALL SELECT b, a FROM pairs),
       walk(node, d) AS (
         SELECT 's' || CAST(s_suppkey AS VARCHAR), 0
-        FROM supplier WHERE s_nationkey = 0
+        FROM supplier WHERE s_suppkey <= 3
         UNION
         SELECT e.dst, w.d + 1
         FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < 3)

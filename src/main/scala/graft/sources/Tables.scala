@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /** Table access layer over a directory of parquet files (one per table).
   *
@@ -21,18 +21,30 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    // rejects; with spark.sql.legacy.parquet.nanosAsLong=true it reads as
-    // long and is truncated to micros here (what DuckDB and most engines do
-    // on read). Integer `div` — doubles can't hold 1e18. The conf is
-    // session-construction-time (GraftSession sets it; there is no per-read
-    // option) — this method deliberately does NOT mutate a session it does
-    // not own. A foreign session without it fails the events read with
-    // Spark's PARQUET_TYPE_ILLEGAL, naming the fix.
+    // Timestamp normalization: the generated tables have carried parquet
+    // timestamps in two physical flavors across regenerations —
+    //   * TIMESTAMP(NANOS), which Spark's vectorized reader rejects; with
+    //     spark.sql.legacy.parquet.nanosAsLong=true (GraftSession sets it;
+    //     session-construction-time, no per-read option) it reads as long
+    //     and is truncated to micros here. Integer `div` — doubles can't
+    //     hold 1e18.
+    //   * TIMESTAMP(MICROS, isAdjustedToUTC=false): GraftSession reads it
+    //     natively as TIMESTAMP via inferTimestampNTZ=false (scan-level, so
+    //     timestamp comparison pushdown survives); the NTZ cast branch here
+    //     is the fallback for a foreign session without that conf — a
+    //     value-preserving cast under a UTC session.
+    // Both rewrites keep every downstream operator and oracle comparison
+    // physical-layout-independent.
     val df = spark.read.parquet(path(dir, name))
-    if (name == "events" && df.schema.exists(f => f.name == "ts" && f.dataType.typeName == "long"))
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType.typeName match {
+        case "long" if name == "events" && f.name == "ts" =>
+          acc.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+        case "timestamp_ntz" =>
+          acc.withColumn(f.name, col(f.name).cast("timestamp"))
+        case _ => acc
+      }
+    }
   }
 
   /** Load a table in any supported format (parquet/csv/json/orc). CSV gets

@@ -241,9 +241,14 @@ object EventsStream {
     val df =
       if (isDir) reader.parquet(path)
       else reader.option("pathGlobFilter", p.getName).parquet(p.getParent.toString)
-    if (schema.exists(f => f.name == "ts" && f.dataType.typeName == "long"))
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    schema.find(_.name == "ts").map(_.dataType.typeName) match {
+      case Some("long") => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP_NTZ parquet (regenerated testdata): watermarks demand the
+      // session-TZ TIMESTAMP type — value-preserving cast under UTC, the
+      // Tables.load convention
+      case Some("timestamp_ntz") => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Materialize `df` into a fresh temp dir as `nFiles` round-robin

@@ -362,4 +362,62 @@ class OperatorsSpec extends SparkSpec {
     // doc 5: empty text -> zero segments, not a crash or a phantom window
     assert(got(5L) == ((0L, 0L, md5hex(""))))
   }
+
+  test("Bfs: exact min hop distances, each node expanded once, hop bound honored") {
+    import spark.implicits._
+    // a->b->c->d chain; shortcut a->c (so c is dist 1, not 2); cycle
+    // d->a; isolated island x->y; z unreachable from the seeds
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "d", "a" -> "c", "d" -> "a",
+      "x" -> "y", "y" -> "z")
+      .toDF("src", "dst").repartition(3)
+    val seeds = Seq("a", "x", "ghost").toDF("node") // ghost: seed not in graph
+
+    val got = graft.ops.Bfs.run(edges, seeds, maxHops = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "x" -> 0L, "ghost" -> 0L,
+      "b" -> 1L, "c" -> 1L, "y" -> 1L, "d" -> 2L, "z" -> 2L))
+
+    // hop bound: radius-1 ball only; the cycle must not resurrect a at d>0
+    val bounded = graft.ops.Bfs.run(edges, Seq("a").toDF("node"), maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bounded == Map("a" -> 0L, "b" -> 1L, "c" -> 1L))
+
+    // maxHops = 0 is legal: just the seed set at distance 0
+    val zero = graft.ops.Bfs.run(edges, seeds, maxHops = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(zero == Map("a" -> 0L, "x" -> 0L, "ghost" -> 0L))
+  }
+
+  test("EditDistanceJoin: pairs equal the brute-force levenshtein join") {
+    import spark.implicits._
+    // clusters within distance 1-2 of each other, plus decoys at length
+    // offsets > k and at distance exactly k+1
+    val words = Seq("kitten", "sitten", "sitting", "mitten", "kittens",
+      "flaw", "flaws", "claw", "lawn", "completely_different",
+      "abcde", "abfde", "azcze", "a", "ab", "xyz")
+    val df = words.zipWithIndex.map { case (w, i) => (f"id$i%02d", w) }
+      .toDF("id", "str").repartition(5)
+
+    for (k <- Seq(1, 2)) {
+      val got = graft.text.EditDistanceJoin.selfJoin(df, "id", "str", k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      // brute-force reference: tiny-n cross join + codegen levenshtein
+      val a = df.select($"id".as("id_a"), $"str".as("sa"))
+      val b = df.select($"id".as("id_b"), $"str".as("sb"))
+      val want = a.crossJoin(b).filter($"id_a" < $"id_b")
+        .withColumn("dist", levenshtein($"sa", $"sb")).filter($"dist" <= k)
+        .select($"id_a", $"id_b", $"dist")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(want.nonEmpty, s"k=$k reference must find pairs")
+      assert(got == want, s"k=$k")
+    }
+
+    // NULL / empty strings are ignored, never matched or crashed on
+    val withNulls = df.unionByName(
+      Seq(("idn1", null: String), ("idn2", "")).toDF("id", "str"))
+    val got1 = graft.text.EditDistanceJoin.selfJoin(withNulls, "id", "str", 1)
+      .collect().map(_.getString(0)).toSet
+    assert(!got1.contains("idn1") && !got1.contains("idn2"))
+  }
 }
