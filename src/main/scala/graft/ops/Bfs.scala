@@ -42,8 +42,14 @@ object Bfs {
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
 
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst"))
+    // materialize the edge list ONCE — every round joins against it, and
+    // without truncation each join would re-run the caller's upstream
+    // edge derivation (often itself a join+distinct) per hop. Hash-
+    // partitioned by src first: checkpointed Datasets keep their
+    // outputPartitioning, so each round's frontier⋈edges join shuffles
+    // only the frontier side — the big edge table never moves again
+    val e = truncate(edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).repartition(col("src")))
     var visited = truncate(
       seeds.select(col("node").cast("string").as("node")).distinct()
         .withColumn("dist", lit(0L)))

@@ -52,12 +52,19 @@ object PageRank {
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
 
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst"))
+    // materialize the normalized edge list ONCE — deg, eDeg, and the node
+    // spine all consume it (4 plan references), and without truncation
+    // each would re-run the caller's upstream edge derivation
+    val e = truncate(edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // edge list annotated with its source's degree — built once, reused
-    // every round (at lake scale this is the materialized edge table)
-    val eDeg = truncate(e.join(deg, "src"))
+    // every round (at lake scale this is the materialized edge table).
+    // Hash-partitioned by src BEFORE materializing: checkpointed Datasets
+    // keep their outputPartitioning, so every round's edges⋈ranks join
+    // shuffles only the node-sized ranks side — the big edge table never
+    // moves again (the q94 write-once amortization, in-memory form)
+    val eDeg = truncate(e.join(deg, "src").repartition(col("src")))
     val nodes = truncate(
       e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
         .distinct())
