@@ -240,7 +240,23 @@ object PlanCheck {
       "LOCF via the running window" -> "Window",
       "observed side joined by hash equi-join" -> "HashJoin"),
       mustNotContain = Seq(
-        "no cartesian" -> "CartesianProduct")))
+        "no cartesian" -> "CartesianProduct")),
+    // snapshot diff: ONE full-outer key join then a codegen projection —
+    // the changelog is produced without any per-row driver logic
+    Want("q106_snapshot_diff", Seq(
+      "full-outer key join" -> "FullOuter"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // triangles: per-node attribution explodes the (u,v,w) triples and
+    // partial-aggregates; the closure joins are audited un-truncated in
+    // the custom section below (checkpoints erase them here by design)
+    Want("q107_triangles", Seq(
+      "per-node attribution via explode" -> "Generate",
+      "map-side partial triangle count" -> "partial_count"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()
@@ -417,6 +433,31 @@ object PlanCheck {
       checks.foreach { case (label, ok) =>
         if (!ok) failed += 1
         println(s"[plancheck] bfs_round :: $label -> ${if (ok) "OK" else "FAILED"}")
+      }
+    }
+
+    // Triangle-closure audit (q107): orient()'s checkpoints erase the
+    // join structure from the query's final plan, so audit the closure
+    // joins over a raw oriented edge list — wedge join + closing join
+    // must be equi-joins, never a nested loop.
+    if (args.isEmpty) {
+      import org.apache.spark.sql.functions._
+      val oriented = graft.sources.Tables.load(spark, dir, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("o"), col("l_orderkey")).as("dst")).distinct()
+      val plan = graft.ops.Triangles.triangleTriples(oriented).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== triangle_closure (q107) ==========")
+      println(plan.linesIterator.take(30).mkString("\n"))
+      val checks = Seq(
+        "closure via equi-joins" ->
+          (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+            plan.contains("BroadcastHashJoin")),
+        "no cartesian" -> !plan.contains("CartesianProduct"),
+        "no nested-loop join" -> !plan.contains("BroadcastNestedLoopJoin"))
+      checks.foreach { case (label, ok) =>
+        if (!ok) failed += 1
+        println(s"[plancheck] triangle_closure :: $label -> ${if (ok) "OK" else "FAILED"}")
       }
     }
 

@@ -249,6 +249,57 @@ object IntegrationQueries {
              a.n_parts AS n_a, b.n_parts AS n_b
       FROM names a JOIN names b ON a.p_name < b.p_name
       WHERE levenshtein(a.p_name, b.p_name) <= 2
-      ORDER BY name_a, name_b"""))
+      ORDER BY name_a, name_b""")),
+
+    // Snapshot diff (Merge.snapshotDiff): derive a v1 of orders by a
+    // deterministic recipe both engines state identically (drop keys
+    // %97==0, bump price on %13==0, append fresh keys for %101==0),
+    // then the OPERATOR reconstructs exactly that I/U/D changelog from
+    // the two snapshots alone — one full-outer key join, delta-sized
+    // output. The oracle runs the textbook FULL OUTER JOIN + IS
+    // DISTINCT FROM formulation.
+    QueryDef("q106_snapshot_diff", (s, dir) => {
+      import s.implicits._
+      val v0 = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      val v1 = v0.filter($"o_orderkey" % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 13 === 0, $"o_totalprice" + 10.0)
+            .otherwise($"o_totalprice"))
+        .unionByName(v0.filter($"o_orderkey" % 101 === 0)
+          .select(($"o_orderkey" + 100000000L).as("o_orderkey"),
+            $"o_custkey", $"o_totalprice", $"o_orderpriority"))
+      Merge.snapshotDiff(v0, v1, Seq("o_orderkey"))
+        .orderBy($"o_orderkey")
+    }, Some("""
+      WITH v0 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders),
+      v1 AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM v0 WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderpriority
+        FROM v0 WHERE o_orderkey % 101 = 0)
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'I'
+                  WHEN b.o_orderkey IS NULL THEN 'D'
+                  WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+                    OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                    OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+                    THEN 'U' END AS op,
+             CASE WHEN b.o_orderkey IS NULL THEN a.o_custkey ELSE b.o_custkey END AS o_custkey,
+             CASE WHEN b.o_orderkey IS NULL THEN a.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+             CASE WHEN b.o_orderkey IS NULL THEN a.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+      FROM v0 a FULL OUTER JOIN v1 b ON a.o_orderkey = b.o_orderkey
+      WHERE CASE WHEN a.o_orderkey IS NULL THEN 'I'
+                 WHEN b.o_orderkey IS NULL THEN 'D'
+                 WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+                   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                   OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+                   THEN 'U' END IS NOT NULL
+      ORDER BY o_orderkey"""))
   )
 }

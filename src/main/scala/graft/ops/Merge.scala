@@ -84,4 +84,44 @@ object Merge {
         col(tsCol).as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Snapshot diff — the CDC *producer*: given two versions of a keyed
+    * table, emit the insert/update/delete changelog that turns `old` into
+    * `neu`. The complement of the repo's changelog *consumers*
+    * ([[IncrementalAgg]] refreshes aggregates from one, StreamMerge applies
+    * one continuously); together they close the loop a lakehouse
+    * transaction log provides: diff yesterday's snapshot against today's
+    * landing, feed the delta downstream — at 100 TB the changelog is
+    * delta-sized while the naive alternative (recompute everything from
+    * the new snapshot) is corpus-sized.
+    *
+    * Output: key columns, `op` ('I'|'U'|'D'), and the data columns —
+    * new-side values for I/U (what a consumer applies), old-side values
+    * for D (what a consumer retracts; the retraction discipline
+    * IncrementalAgg.refresh expects). Unchanged rows emit nothing.
+    * Comparison is null-safe per column (`<=>`), so NULL→value and
+    * value→NULL transitions surface as updates.
+    *
+    * Scale shape: ONE full-outer equi-join on the key — both sides
+    * shuffle once, co-partitioned, then the diff is a codegen projection;
+    * no row-by-row iteration, no driver state. Schemas must match. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, key: Seq[String]): DataFrame = {
+    require(old.columns.sameElements(neu.columns),
+      s"snapshotDiff: schemas differ (${old.columns.mkString(",")} vs ${neu.columns.mkString(",")})")
+    val dataCols = old.columns.filterNot(key.contains).toSeq
+    val o = dataCols.foldLeft(old)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+      .withColumn("__o_present", lit(true))
+    val n = dataCols.foldLeft(neu)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
+      .withColumn("__n_present", lit(true))
+    val changed = dataCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val op = when(col("__o_present").isNull, lit("I"))
+      .when(col("__n_present").isNull, lit("D"))
+      .when(changed, lit("U"))
+    val vals = dataCols.map(c =>
+      when(op === "D", col(s"__o_$c")).otherwise(col(s"__n_$c")).as(c))
+    o.join(n, key, "full_outer")
+      .select((key.map(col) :+ op.as("op")) ++ vals: _*)
+      .filter(col("op").isNotNull)
+  }
 }

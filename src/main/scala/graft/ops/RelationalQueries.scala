@@ -841,7 +841,57 @@ object RelationalQueries {
         SELECT e.dst, w.d + 1
         FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < 3)
       SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk
-      GROUP BY node ORDER BY dist, node"""))
+      GROUP BY node ORDER BY dist, node""")),
+
+    // Triangle counting (ops/Triangles.scala) over the co-purchase
+    // graph — parts appearing in the same order are linked; a triangle
+    // is three parts pairwise co-ordered (the clique/cohesion signal;
+    // on a link graph this is the local-clustering numerator). The
+    // degree-ordered orientation makes each triangle appear exactly
+    // once as two joined DAG paths plus a closing edge; the oracle runs
+    // the identical orientation in SQL. Part keys travel as VARCHAR in
+    // BOTH engines so the orientation's id tie-break is bytewise-
+    // identical lexicographic order.
+    QueryDef("q107_triangles", (s, dir) => {
+      import s.implicits._
+      // deterministic 10% order sample: the co-purchase graph's triangle
+      // structure is what's under test, not the full graph's density —
+      // wedge work scales ~quadratically in edge density, so the sample
+      // keeps the bench answer-shaped while the operator stays identical
+      val li = t(s, dir, "lineitem")
+        .filter($"l_orderkey" % 10 === 0)
+        .select($"l_orderkey".as("ok"), $"l_partkey".cast("string").as("pk"))
+        .distinct()
+      val pairs = li.select($"ok", $"pk".as("a"))
+        .join(li.select($"ok", $"pk".as("b")), "ok")
+        .filter($"a" =!= $"b").select("a", "b")
+      Triangles.countPerNode(pairs).orderBy($"node")
+    }, Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS VARCHAR) AS pk
+        FROM lineitem WHERE l_orderkey % 10 = 0),
+      canon AS (
+        SELECT DISTINCT LEAST(x.pk, y.pk) AS a, GREATEST(x.pk, y.pk) AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk),
+      deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+          SELECT a AS n FROM canon UNION ALL SELECT b FROM canon)
+        GROUP BY n),
+      o AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+                    THEN c.a ELSE c.b END AS src,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+                    THEN c.b ELSE c.a END AS dst
+        FROM canon c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b),
+      tri AS (
+        SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        FROM o e1 JOIN o e2 ON e1.dst = e2.src
+                  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+      SELECT node, COUNT(*) AS n_tri FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+      GROUP BY node ORDER BY node"""))
   )
 
   /** The range-clustered lineitem copy behind q98 — written once per

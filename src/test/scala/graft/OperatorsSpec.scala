@@ -389,6 +389,66 @@ class OperatorsSpec extends SparkSpec {
     assert(zero == Map("a" -> 0L, "x" -> 0L, "ghost" -> 0L))
   }
 
+  test("Triangles: exact per-node counts under dupes/reversals/self-loops") {
+    import spark.implicits._
+    // K4 on {a,b,c,d}: 4 triangles, every node in 3. Square {p,q,r,s}
+    // with diagonal p-r: 2 triangles, p and r in both, q and s in one.
+    // Star hub h->1..5: 0 triangles. Edges arrive duplicated, reversed,
+    // and with a self-loop — all must be canonicalized away.
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d")
+    val sq = Seq("p" -> "q", "q" -> "r", "r" -> "s", "s" -> "p", "p" -> "r")
+    val star = (1 to 5).map(i => "h" -> s"n$i")
+    val noise = Seq("b" -> "a", "c" -> "a", "a" -> "a", "q" -> "p") // dupes/reverse/loop
+    val edges = (k4 ++ sq ++ star ++ noise).toDF("a", "b").repartition(4)
+
+    val got = graft.ops.Triangles.countPerNode(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "p" -> 2L, "r" -> 2L, "q" -> 1L, "s" -> 1L))
+
+    val total = graft.ops.Triangles.countTotal(edges).head.getLong(0)
+    assert(total == 6L) // 4 in K4 + 2 in the split square
+
+    // a hub under degree orientation keeps no out-edges beyond its rank:
+    // the pure star yields zero rows, not a wedge explosion
+    assert(graft.ops.Triangles.countPerNode(star.toDF("a", "b")).isEmpty)
+  }
+
+  test("Merge.snapshotDiff: exact I/U/D delta, NULL transitions, roundtrip") {
+    import spark.implicits._
+    val v0 = Seq(
+      (1L, Option("a"), Option(1.0)),  // unchanged
+      (2L, None: Option[String], Option(2.0)),  // NULL -> value (U)
+      (3L, Option("c"), Option(3.0)),  // value -> NULL (U)
+      (4L, Option("d"), Option(4.0)),  // deleted
+      (5L, Option("e"), None: Option[Double]))  // unchanged, with a NULL
+      .toDF("k", "s", "v").repartition(3)
+    val v1 = Seq(
+      (1L, Option("a"), Option(1.0)),
+      (2L, Option("x"), Option(2.0)),
+      (3L, None: Option[String], Option(3.0)),
+      (5L, Option("e"), None: Option[Double]),
+      (6L, Option("f"), Option(6.0)))  // inserted
+      .toDF("k", "s", "v").repartition(2)
+
+    val diff = graft.ops.Merge.snapshotDiff(v0, v1, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.toString).orNull,
+        Option(r.get(3)).map(_.toString).orNull)).toSet
+    assert(diff == Set(
+      (2L, "U", "x", "2.0"),
+      (3L, "U", null, "3.0"),
+      (4L, "D", "d", "4.0"),   // D carries the OLD row (the retraction)
+      (6L, "I", "f", "6.0")))
+
+    // roundtrip: old minus (U/D keys) union (I/U rows) == new
+    val d = graft.ops.Merge.snapshotDiff(v0, v1, Seq("k"))
+    val applied = v0.join(d.filter($"op".isin("U", "D")).select("k"), Seq("k"), "left_anti")
+      .unionByName(d.filter($"op".isin("I", "U")).drop("op"))
+    assert(applied.collect().map(_.toString).sorted.toSeq ==
+      v1.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("EditDistanceJoin: pairs equal the brute-force levenshtein join") {
     import spark.implicits._
     // clusters within distance 1-2 of each other, plus decoys at length
