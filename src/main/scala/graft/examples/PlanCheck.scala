@@ -256,6 +256,17 @@ object PlanCheck {
       "map-side partial triangle count" -> "partial_count"),
       mustNotContain = Seq(
         "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // k-means final plan: assignment is a PROJECTION over the quantized
+    // corpus (centroids are literals inside the argmin expression — no
+    // join touches the corpus), contingency is a map-side-combined
+    // aggregate, and only the k-row norms table joins — broadcast
+    Want("q108_kmeans", Seq(
+      "map-side partial contingency count" -> "partial_count",
+      "k-row norms joined by broadcast" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no corpus-side shuffle join" -> "SortMergeJoin",
+        "no cartesian" -> "CartesianProduct",
         "no nested-loop join" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {

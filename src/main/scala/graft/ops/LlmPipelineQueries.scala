@@ -1319,8 +1319,70 @@ object LlmPipelineQueries {
              COALESCE(a.n_kept, 0) AS n_kept,
              md5(COALESCE(a.cleaned, '')) AS clean_md5
       FROM tk t LEFT JOIN agg a USING (doc_id)
-      ORDER BY t.doc_id"""))
+      ORDER BY t.doc_id""")),
+
+    // Integer-exact distributed k-means (similarity/KMeansInt.scala):
+    // Lloyd's iterations over the embeddings table — the iterative
+    // refinement sibling of Ivf's one-shot sampled training. Components
+    // quantized to milli-units, distances integer sums of squares,
+    // centroid update integer mean (div truncates toward zero in Spark,
+    // DuckDB, and the JVM alike), ties to the smaller centroid index —
+    // so the DuckDB oracle, unrolling the SAME three assign→update
+    // rounds as chained CTEs (the q100 protocol for iterative
+    // fixpoints), reproduces assignments and centroids bit-for-bit.
+    // Output: cluster × label contingency + final centroid L1 norms.
+    QueryDef("q108_kmeans", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val (assigned, centroids) =
+        graft.similarity.KMeansInt.fit(embs, "vec_id", "embedding", k = 5, iters = 3)
+      val norms = centroids.zipWithIndex
+        .map { case (c, j) => (j, c.map(math.abs).sum) }.toSeq
+        .toDF("cluster", "c_norm1")
+      assigned.groupBy($"cluster", $"label").agg(count(lit(1)).as("n"))
+        .join(broadcast(norms), "cluster")
+        .select($"cluster", $"label", $"n", $"c_norm1")
+        .orderBy($"cluster", $"label")
+    }, Some(kmeansOracleSql(k = 5, iters = 3)))
   )
+
+  /** The q108 oracle: k-means unrolled as chained CTEs — one (a_r, c_r)
+    * pair per round; assignment = per-id argmin with the (dist, j)
+    * tie-break, update = integer mean with COALESCE-from-previous for
+    * empty clusters (KMeansInt's keep-old semantics). */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""      a$r AS (
+        SELECT id, j FROM (
+          SELECT p.id, c.j, ROW_NUMBER() OVER (PARTITION BY p.id
+              ORDER BY SUM((p.q - c.c)*(p.q - c.c)), c.j) AS rk
+          FROM pts p JOIN c${r - 1} c ON p.pos = c.pos
+          GROUP BY p.id, c.j) WHERE rk = 1),
+      c$r AS (
+        SELECT prev.j, prev.pos, COALESCE(n.c, prev.c) AS c
+        FROM c${r - 1} prev LEFT JOIN (
+          SELECT a.j, p.pos, SUM(p.q) // COUNT(*) AS c
+          FROM a$r a JOIN pts p ON p.id = a.id
+          GROUP BY a.j, p.pos) n
+        ON n.j = prev.j AND n.pos = prev.pos)"""
+    }.mkString(",\n")
+    s"""
+      WITH pts AS (
+        SELECT vec_id AS id, u.i - 1 AS pos, u.q FROM (
+          SELECT vec_id, unnest(list_transform(embedding,
+            (x, i) -> {'i': i,
+                       'q': CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)})) AS u
+          FROM embeddings)),
+      c0 AS (
+        SELECT CAST(id AS INTEGER) AS j, pos, q AS c FROM pts WHERE id < $k),
+$rounds
+      SELECT CAST(a.j AS INTEGER) AS cluster, e.label, COUNT(*) AS n, nrm.c_norm1
+      FROM a$iters a
+      JOIN embeddings e ON e.vec_id = a.id
+      JOIN (SELECT j, CAST(SUM(ABS(c)) AS BIGINT) AS c_norm1
+            FROM c$iters GROUP BY j) nrm ON nrm.j = a.j
+      GROUP BY 1, 2, 4 ORDER BY 1, 2"""
+  }
 
   /** Planted term-group documents for q90: 8 groups × 4 docs on unique
     * group vocabularies (df ≤ 4 ≤ maxDf, zero cross-group overlap). The

@@ -389,6 +389,55 @@ class OperatorsSpec extends SparkSpec {
     assert(zero == Map("a" -> 0L, "x" -> 0L, "ghost" -> 0L))
   }
 
+  test("KMeansInt: matches a driver-side reference; empty cluster keeps centroid") {
+    import spark.implicits._
+    // two tight groups + one point equidistant between seeds (tie must
+    // break to the smaller cluster index)
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(0.1f, -0.1f)), (3L, Array(9.9f, 10.1f)),
+      (4L, Array(0.2f, 0.0f)), (5L, Array(10.2f, 9.8f)),
+      (6L, Array(5.0f, 5.0f))) // exactly between the two seeds
+      .toDF("id", "v").repartition(3)
+
+    val (assigned, cs) = graft.similarity.KMeansInt.fit(pts, "id", "v", k = 2, iters = 3)
+    val got = assigned.select("id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // driver-side reference: same integer recurrence
+    var ref = Array(Array(0L, 0L), Array(10000L, 10000L))
+    val q = Map(0L -> Array(0L, 0L), 1L -> Array(10000L, 10000L),
+      2L -> Array(100L, -100L), 3L -> Array(9900L, 10100L),
+      4L -> Array(200L, 0L), 5L -> Array(10200L, 9800L), 6L -> Array(5000L, 5000L))
+    var refAssign = Map.empty[Long, Int]
+    for (_ <- 1 to 3) {
+      refAssign = q.map { case (id, p) =>
+        val d = ref.map(c => c.zip(p).map { case (a, b) => (b - a) * (b - a) }.sum)
+        id -> d.indexOf(d.min) // indexOf = first minimum = smaller index on tie
+      }
+      ref = ref.zipWithIndex.map { case (old, j) =>
+        val members = q.filter { case (id, _) => refAssign(id) == j }.values
+        if (members.isEmpty) old
+        else old.indices.map(i => members.map(_(i)).sum / members.size).toArray
+      }
+    }
+    assert(got == refAssign)
+    assert(cs.map(_.toSeq).toSeq == ref.map(_.toSeq).toSeq)
+    assert(got(6L) == 0) // the tie broke to cluster 0
+
+    // empty cluster: seed 1 sits so far out it attracts nothing — its
+    // centroid must survive unchanged (keep-old), not NaN/vanish
+    val far = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1000.0f, 1000.0f)),
+      (2L, Array(0.5f, 0.5f)), (3L, Array(1.0f, 0.0f)))
+      .toDF("id", "v")
+    // seeds are ids 0 and 1; all of 2,3 join cluster 0, then round 2's
+    // update moves centroid 0 while centroid 1 keeps losing: it holds
+    // its seed position throughout
+    val (a2, cs2) = graft.similarity.KMeansInt.fit(far, "id", "v", k = 2, iters = 2)
+    assert(cs2(1).toSeq == Seq(1000000L, 1000000L))
+    assert(a2.filter($"cluster" === 1).count() == 1) // only the far point itself
+  }
+
   test("Triangles: exact per-node counts under dupes/reversals/self-loops") {
     import spark.implicits._
     // K4 on {a,b,c,d}: 4 triangles, every node in 3. Square {p,q,r,s}
