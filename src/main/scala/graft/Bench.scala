@@ -92,13 +92,19 @@ object Bench {
     // for the full three-object JSON.
     def cs(x: Double): Long = math.round(x * 100)
     def r2(x: Double): Double = math.round(x * 100) / 100.0
-    def shortName(n: String): String = n.takeWhile(_ != '_')
+    // Bare query NUMBER as the key and the tightest metadata that still
+    // self-describes: the driver keeps only the LAST 2000 chars of this
+    // line, and at 110 queries every byte of per-entry overhead decides
+    // whether the leading triples survive the tail cut (queries printed
+    // last so a cut eats metadata first).
+    def shortName(n: String): String = n.takeWhile(_ != '_').dropWhile(!_.isDigit)
     val total = results.map(_._2).sum
     val totalCpu = results.map(_._4).sum
+    val sfShort = sfDir.split('/').last
     val compact = results
       .map(r => "\"" + shortName(r._1) + "\":[" + cs(r._2) + "," + cs(r._3) + "," + cs(r._4) + "]")
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","total_cpu":${r2(totalCpu)},"repeats":3,"sf":"$sfDir","enc":"queries: qNN -> [median,min,cpu] wall/wall/process-cpu centiseconds","queries":$compact}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu":${r2(totalCpu)},"sf":"$sfShort","enc":"N:[med,min,cpu]cs","queries":$compact}""")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       def obj(f: ((String, Double, Double, Double)) => Double): String =
         results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")

@@ -267,6 +267,24 @@ object PlanCheck {
       mustNotContain = Seq(
         "no corpus-side shuffle join" -> "SortMergeJoin",
         "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // IQR outliers: the ranking window is the one corpus shuffle; the
+    // group-sized quartile table comes back by broadcast — the corpus
+    // is never shuffle-joined
+    Want("q109_outliers", Seq(
+      "rank window on the group key" -> "Window",
+      "quartile table joined by broadcast" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no corpus-side shuffle join" -> "SortMergeJoin",
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // phrase search: the index build's Generate+Window live behind the
+    // memoizing checkpoint (audited un-truncated in the custom section);
+    // the query plan shows the broadcast top-phrase probe
+    Want("q110_phrase_search", Seq(
+      "top phrase joined by broadcast" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
         "no nested-loop join" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {
@@ -444,6 +462,27 @@ object PlanCheck {
       checks.foreach { case (label, ok) =>
         if (!ok) failed += 1
         println(s"[plancheck] bfs_round :: $label -> ${if (ok) "OK" else "FAILED"}")
+      }
+    }
+
+    // Phrase-index build audit (q110): topPhraseDocs checkpoints the
+    // postings (consumed twice), erasing the build from the query plan —
+    // audit phraseCounts un-truncated: postings come from a generator,
+    // adjacency from ONE per-doc lead window, and nothing joins.
+    if (args.isEmpty) {
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+      val plan = graft.text.PhraseIndex.phraseCounts(docs, "text", "doc_id", 3)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== phrase_index_build (q110) ==========")
+      println(plan.linesIterator.take(25).mkString("\n"))
+      val checks = Seq(
+        "postings from a generator" -> plan.contains("Generate"),
+        "adjacency via the per-doc window" -> plan.contains("Window"),
+        "no join in the build" -> !plan.contains("Join"),
+        "no cartesian" -> !plan.contains("CartesianProduct"))
+      checks.foreach { case (label, ok) =>
+        if (!ok) failed += 1
+        println(s"[plancheck] phrase_index_build :: $label -> ${if (ok) "OK" else "FAILED"}")
       }
     }
 

@@ -1343,7 +1343,36 @@ object LlmPipelineQueries {
         .join(broadcast(norms), "cluster")
         .select($"cluster", $"label", $"n", $"c_norm1")
         .orderBy($"cluster", $"label")
-    }, Some(kmeansOracleSql(k = 5, iters = 3)))
+    }, Some(kmeansOracleSql(k = 5, iters = 3))),
+
+    // Positional phrase search (text/PhraseIndex.scala): the corpus's
+    // most frequent verbatim trigram and every document containing it —
+    // boilerplate/template discovery via the positional-postings
+    // construction (per-doc lead windows, one doc-id shuffle, no join),
+    // where a LIKE scan would re-read the whole corpus per query. The
+    // oracle builds the same trigrams by list comprehension, picks the
+    // same (count DESC, phrase) winner, and counts the same docs.
+    QueryDef("q110_phrase_search", (s, dir) => {
+      import s.implicits._
+      graft.text.PhraseIndex.topPhraseDocs(
+        Tables.load(s, dir, "documents"), "text", "doc_id", n = 3)
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       FOR i IN range(1, len(w) - 1)]) AS phrase
+        FROM w WHERE len(w) >= 3),
+      pc AS (SELECT doc_id, phrase, COUNT(*) AS n_occ FROM g GROUP BY 1, 2),
+      top AS (SELECT phrase FROM pc GROUP BY phrase
+              ORDER BY SUM(n_occ) DESC, phrase LIMIT 1)
+      SELECT pc.phrase, pc.doc_id, pc.n_occ
+      FROM pc JOIN top USING (phrase)
+      ORDER BY pc.doc_id"""))
   )
 
   /** The q108 oracle: k-means unrolled as chained CTEs — one (a_r, c_r)

@@ -891,7 +891,39 @@ object RelationalQueries {
         SELECT u AS node FROM tri
         UNION ALL SELECT v FROM tri
         UNION ALL SELECT w FROM tri)
-      GROUP BY node ORDER BY node"""))
+      GROUP BY node ORDER BY node""")),
+
+    // Exact group-wise IQR outlier screen (ops/Outliers.scala): Tukey
+    // fences from ORDER-STATISTIC quartiles — rank ⌊(n−1)q⌋ picks an
+    // actual data value by integer arithmetic (interpolated percentiles
+    // disagree across engines in the last ulp), fences are DECIMAL
+    // expressions, so both engines flag the identical rows.
+    QueryDef("q109_outliers", (s, dir) => {
+      import s.implicits._
+      Outliers.iqrByGroup(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice", "o_orderkey")
+        .orderBy($"o_orderpriority")
+    }, Some("""
+      WITH r AS (
+        SELECT o_orderpriority AS g, CAST(o_totalprice AS DECIMAL(18,4)) AS v,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders),
+      q AS (
+        SELECT g, MAX(n) AS n,
+               MAX(CASE WHEN rn = CAST(FLOOR((n-1)*0.25) AS BIGINT) + 1 THEN v END) AS q1,
+               MAX(CASE WHEN rn = CAST(FLOOR((n-1)*0.75) AS BIGINT) + 1 THEN v END) AS q3
+        FROM r GROUP BY g),
+      f AS (
+        SELECT g, n, q1, q3,
+               q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi FROM q)
+      SELECT r.g AS o_orderpriority, f.n,
+             CAST(f.q1 AS DOUBLE) AS q1, CAST(f.q3 AS DOUBLE) AS q3,
+             CAST(SUM(CASE WHEN r.v < f.lo OR r.v > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             CAST(COALESCE(SUM(CASE WHEN r.v < f.lo OR r.v > f.hi THEN r.v END), 0) AS DOUBLE) AS sum_outliers
+      FROM r JOIN f ON r.g = f.g
+      GROUP BY 1, 2, 3, 4 ORDER BY 1"""))
   )
 
   /** The range-clustered lineitem copy behind q98 — written once per

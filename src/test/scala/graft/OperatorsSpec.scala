@@ -389,6 +389,54 @@ class OperatorsSpec extends SparkSpec {
     assert(zero == Map("a" -> 0L, "x" -> 0L, "ghost" -> 0L))
   }
 
+  test("PhraseIndex: overlapping occurrences, short docs, deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c"),      // "a b c" twice (overlapping window walk)
+      (2L, "a b c"),            // once
+      (3L, "z z z z"),          // "z z z" twice — same total as "a b c" (3)... no: 2
+      (4L, "x y"),              // too short for a trigram
+      (5L, ""))                 // empty
+      .toDF("doc_id", "text").repartition(3)
+
+    val pc = graft.text.PhraseIndex.phraseCounts(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pc((1L, "a b c")) == 2L)
+    assert(pc((1L, "b c a")) == 1L)
+    assert(pc((2L, "a b c")) == 1L)
+    assert(pc((3L, "z z z")) == 2L)
+    assert(!pc.keys.exists(_._1 == 4L) && !pc.keys.exists(_._1 == 5L))
+
+    // totals: "a b c" = 3 beats "z z z" = 2 → top phrase, docs 1 and 2
+    val top = graft.text.PhraseIndex.topPhraseDocs(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(top == Set(("a b c", 1L, 2L), ("a b c", 2L, 1L)))
+
+    // exact tie on totals → lexicographically smaller phrase wins
+    val tied = Seq((1L, "m n o"), (2L, "k l m")).toDF("doc_id", "text")
+    val t2 = graft.text.PhraseIndex.topPhraseDocs(tied, "text", "doc_id", 3)
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(t2 == Seq("k l m"))
+  }
+
+  test("Outliers.iqrByGroup: hand-computed fences, no-outlier group, NULLs dropped") {
+    import spark.implicits._
+    // group A: 1..11 plus 100 → n=12, 0-based q1 rank ⌊11·.25⌋=2 → value 3,
+    // q3 rank ⌊11·.75⌋=8 → value 9, IQR 6, fences [-6, 18] → one outlier (100)
+    // group B: five equal values → IQR 0, fences collapse to the value,
+    // zero outliers, sum 0
+    val a = (Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 100)).map(v => ("A", v.toDouble))
+    val b = Seq.fill(5)(("B", 7.0))
+    val rows = (a ++ b).zipWithIndex.map { case ((g, v), i) => (g, Option(v), i.toLong) } :+
+      (("A", None: Option[Double], 99L)) // NULL value: dropped, not ranked
+    val got = graft.ops.Outliers.iqrByGroup(
+      rows.toDF("g", "v", "id").repartition(3), "g", "v", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got("A") == ((12L, 3.0, 9.0, 1L, 100.0)))
+    assert(got("B") == ((5L, 7.0, 7.0, 0L, 0.0)))
+  }
+
   test("KMeansInt: matches a driver-side reference; empty cluster keeps centroid") {
     import spark.implicits._
     // two tight groups + one point equidistant between seeds (tie must
