@@ -47,11 +47,13 @@ object Bfs {
     // edge derivation (often itself a join+distinct) per hop. Hash-
     // partitioned by src first: checkpointed Datasets keep their
     // outputPartitioning, so each round's frontier⋈edges join shuffles
-    // only the frontier side — the big edge table never moves again
-    val e = truncate(edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")).repartition(col("src")))
+    // only the frontier side — the big edge table never moves again.
+    // Node ids keep the caller's type: integral ids halve the shuffle
+    // bytes vs strings; the caller aligns seed and edge key types.
+    val e = truncate(edges.select(col("src"), col("dst"))
+      .repartition(col("src")))
     var visited = truncate(
-      seeds.select(col("node").cast("string").as("node")).distinct()
+      seeds.select(col("node")).distinct()
         .withColumn("dist", lit(0L)))
     var frontier = visited.select("node")
     var r = 0
@@ -71,9 +73,8 @@ object Bfs {
     * audits for the equi-join + anti-join shape (run()'s per-round
     * checkpoints erase join structure from the final plan by design). */
   private[graft] def auditRound(edges: DataFrame, seeds: DataFrame): DataFrame = {
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst"))
-    val v = seeds.select(col("node").cast("string").as("node")).distinct()
+    val e = edges.select(col("src"), col("dst"))
+    val v = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
     v.select("node").join(e, col("node") === e("src"))
       .select(e("dst").as("node")).distinct()

@@ -52,22 +52,26 @@ object PageRank {
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
 
-    // materialize the normalized edge list ONCE — deg, eDeg, and the node
-    // spine all consume it (4 plan references), and without truncation
-    // each would re-run the caller's upstream edge derivation
-    val e = truncate(edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // edge list annotated with its source's degree — built once, reused
-    // every round (at lake scale this is the materialized edge table).
-    // Hash-partitioned by src BEFORE materializing: checkpointed Datasets
-    // keep their outputPartitioning, so every round's edges⋈ranks join
-    // shuffles only the node-sized ranks side — the big edge table never
-    // moves again (the q94 write-once amortization, in-memory form)
-    val eDeg = truncate(e.join(deg, "src").repartition(col("src")))
+    // The edge table is the big thing in this algorithm; it is stored
+    // EXACTLY ONCE. Node ids keep the caller's type (integral ids halve
+    // the shuffle bytes vs strings — encode composite identities
+    // numerically at scale). Build: hash-partition by src FIRST, cache,
+    // then derive outdeg and the degree-annotated edge list WITHOUT
+    // further shuffles (groupBy src and join on src both reuse the
+    // partitioning); checkpointed Datasets keep their outputPartitioning,
+    // so every round's edges⋈ranks join shuffles only the node-sized
+    // ranks side — the edge table never moves again (the q94 write-once
+    // amortization, in-memory form). The scratch copy is unpersisted as
+    // soon as eDeg/nodes materialize, so peak storage is one edge table.
+    val e0 = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = truncate(e0.join(deg, "src"))
     val nodes = truncate(
-      e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
+      e0.select(col("src").as("node")).unionByName(e0.select(col("dst").as("node")))
         .distinct())
+    e0.unpersist(false)
 
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to nIters)
@@ -92,8 +96,7 @@ object PageRank {
     * audits (run()'s per-round checkpoints erase the join structure
     * from the final query plan by design). */
   private[graft] def auditRound(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst"))
+    val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()

@@ -767,8 +767,8 @@ object RelationalQueries {
       val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
         .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
           $"l_orderkey" === $"o_orderkey")
-        .select(concat(lit("s"), $"l_suppkey").as("a"),
-          concat(lit("c"), $"o_custkey").as("b"))
+        .select(($"l_suppkey" * 2).as("a"),
+          ($"o_custkey" * 2 + 1).as("b"))
         .distinct()
       val edges = pairs.select($"a".as("src"), $"b".as("dst"))
         .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
@@ -777,8 +777,7 @@ object RelationalQueries {
         .limit(20)
     }, Some("""
       WITH pairs AS (
-        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
-                        'c' || CAST(o_custkey AS VARCHAR) AS b
+        SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       edges AS (SELECT a AS src, b AS dst FROM pairs
                 UNION ALL SELECT b, a FROM pairs),
@@ -816,26 +815,25 @@ object RelationalQueries {
       val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
         .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
           $"l_orderkey" === $"o_orderkey")
-        .select(concat(lit("s"), $"l_suppkey").as("a"),
-          concat(lit("c"), $"o_custkey").as("b"))
+        .select(($"l_suppkey" * 2).as("a"),
+          ($"o_custkey" * 2 + 1).as("b"))
         .distinct()
       val edges = pairs.select($"a".as("src"), $"b".as("dst"))
         .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
       // seed by key, not nation: every SF has suppkeys 1..n, while a
       // given nationkey can be absent from a tiny sample entirely
       val seeds = t(s, dir, "supplier").filter($"s_suppkey" <= 3)
-        .select(concat(lit("s"), $"s_suppkey").as("node"))
+        .select(($"s_suppkey" * 2).as("node"))
       Bfs.run(edges, seeds, maxHops = 3)
         .orderBy($"dist", $"node")
     }, Some("""
       WITH RECURSIVE pairs AS (
-        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
-                        'c' || CAST(o_custkey AS VARCHAR) AS b
+        SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       edges AS (SELECT a AS src, b AS dst FROM pairs
                 UNION ALL SELECT b, a FROM pairs),
       walk(node, d) AS (
-        SELECT 's' || CAST(s_suppkey AS VARCHAR), 0
+        SELECT s_suppkey * 2, 0
         FROM supplier WHERE s_suppkey <= 3
         UNION
         SELECT e.dst, w.d + 1
@@ -849,9 +847,9 @@ object RelationalQueries {
     // on a link graph this is the local-clustering numerator). The
     // degree-ordered orientation makes each triangle appear exactly
     // once as two joined DAG paths plus a closing edge; the oracle runs
-    // the identical orientation in SQL. Part keys travel as VARCHAR in
-    // BOTH engines so the orientation's id tie-break is bytewise-
-    // identical lexicographic order.
+    // the identical orientation in SQL. Part keys stay BIGINT in both
+    // engines (integral ids halve shuffle bytes vs strings; the numeric
+    // id tie-break is engine-identical).
     QueryDef("q107_triangles", (s, dir) => {
       import s.implicits._
       // deterministic 10% order sample: the co-purchase graph's triangle
@@ -860,7 +858,7 @@ object RelationalQueries {
       // keeps the bench answer-shaped while the operator stays identical
       val li = t(s, dir, "lineitem")
         .filter($"l_orderkey" % 10 === 0)
-        .select($"l_orderkey".as("ok"), $"l_partkey".cast("string").as("pk"))
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
         .distinct()
       val pairs = li.select($"ok", $"pk".as("a"))
         .join(li.select($"ok", $"pk".as("b")), "ok")
@@ -868,7 +866,7 @@ object RelationalQueries {
       Triangles.countPerNode(pairs).orderBy($"node")
     }, Some("""
       WITH li AS (
-        SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS VARCHAR) AS pk
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         FROM lineitem WHERE l_orderkey % 10 = 0),
       canon AS (
         SELECT DISTINCT LEAST(x.pk, y.pk) AS a, GREATEST(x.pk, y.pk) AS b

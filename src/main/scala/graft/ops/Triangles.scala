@@ -56,7 +56,7 @@ object Triangles {
     * (often itself a join+distinct) would re-plan up to nine times. */
   private[graft] def orient(edges: DataFrame): DataFrame = {
     val canon = edges
-      .select(col("a").cast("string").as("a"), col("b").cast("string").as("b"))
+      .select(col("a"), col("b"))
       .filter(col("a") =!= col("b")) // self-loops close no triangle
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
