@@ -205,6 +205,108 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_pagerank"),
+      info("graft_pagerank",
+        "graft_pagerank(table, srcCol, dstCol, iters) - integer-exact PageRank over the edge table: (node, rank_mu) in micro-units. Executes eagerly (iterative algorithm - procedure semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_pagerank(table, srcCol, dstCol, iters) takes 4 arguments")
+        require(args(3).foldable, "iters must be a literal")
+        val t = tableArg(args(0))
+        graft.ops.PageRank.run(
+          t.select(t.col(strArg(args(1), "srcCol")).as("src"),
+            t.col(strArg(args(2), "dstCol")).as("dst")),
+          args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_bfs"),
+      info("graft_bfs",
+        "graft_bfs(edgeTable, srcCol, dstCol, seedTable, seedCol, maxHops) - multi-source BFS: (node, dist) = exact minimum hop distance from the seed set, bounded by maxHops. Executes eagerly (iterative algorithm - procedure semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "graft_bfs(edgeTable, srcCol, dstCol, seedTable, seedCol, maxHops) takes 6 arguments")
+        require(args(5).foldable, "maxHops must be a literal")
+        val e = tableArg(args(0))
+        val sd = tableArg(args(3))
+        graft.ops.Bfs.run(
+          e.select(e.col(strArg(args(1), "srcCol")).as("src"),
+            e.col(strArg(args(2), "dstCol")).as("dst")),
+          sd.select(sd.col(strArg(args(4), "seedCol")).as("node")),
+          args(5).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_triangles"),
+      info("graft_triangles",
+        "graft_triangles(table, aCol, bCol) - per-node triangle counts over the undirected pair table: (node, n_tri), nodes in >= 1 triangle. Executes eagerly (the degree-ordered orientation is materialized)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_triangles(table, aCol, bCol) takes 3 arguments")
+        val t = tableArg(args(0))
+        graft.ops.Triangles.countPerNode(
+          t.select(t.col(strArg(args(1), "aCol")).as("a"),
+            t.col(strArg(args(2), "bCol")).as("b")))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_snapshot_diff"),
+      info("graft_snapshot_diff",
+        "graft_snapshot_diff(oldTable, newTable, keyCol) - the I/U/D changelog turning oldTable into newTable: key, op, and the data columns (new values for I/U, old values for D). One full-outer key join - a lazy plan."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_snapshot_diff(oldTable, newTable, keyCol) takes 3 arguments")
+        graft.ops.Merge.snapshotDiff(tableArg(args(0)), tableArg(args(1)),
+          Seq(strArg(args(2), "keyCol")))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_outliers"),
+      info("graft_outliers",
+        "graft_outliers(table, groupCol, valCol, tieCol) - exact group-wise IQR outlier screen: (group, n, q1, q3, n_outliers, sum_outliers) with order-statistic quartiles and Tukey fences. A lazy plan."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_outliers(table, groupCol, valCol, tieCol) takes 4 arguments")
+        graft.ops.Outliers.iqrByGroup(tableArg(args(0)),
+          strArg(args(1), "groupCol"), strArg(args(2), "valCol"),
+          strArg(args(3), "tieCol"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_kmeans"),
+      info("graft_kmeans",
+        "graft_kmeans(table, idCol, vecCol, k, iters) - integer-exact k-means over the float-array column: the input rows + a cluster column. Executes eagerly (iterative algorithm - procedure semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_kmeans(table, idCol, vecCol, k, iters) takes 5 arguments")
+        require(args(3).foldable && args(4).foldable, "k and iters must be literals")
+        graft.similarity.KMeansInt.fit(tableArg(args(0)),
+          strArg(args(1), "idCol"), strArg(args(2), "vecCol"),
+          args(3).eval().asInstanceOf[Number].intValue(),
+          args(4).eval().asInstanceOf[Number].intValue())._1
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_phrase_search"),
+      info("graft_phrase_search",
+        "graft_phrase_search(table, textCol, idCol, n) - the corpus's most frequent n-token phrase and every row containing it: (phrase, id, n_occ). Builds the positional index eagerly."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_phrase_search(table, textCol, idCol, n) takes 4 arguments")
+        require(args(3).foldable, "n must be a literal")
+        graft.text.PhraseIndex.topPhraseDocs(tableArg(args(0)),
+          strArg(args(1), "textCol"), strArg(args(2), "idCol"),
+          args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

@@ -138,6 +138,69 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT k FROM graft_bloom_semi_join('tf_fact', 'k', 'tf_keys', 'k', 10)
            ORDER BY k""").collect().map(_.getLong(0))
       assert(bsj.toSet.intersect(Set(1L, 2L)) == Set(1L, 2L) && bsj.length <= 4)
+
+      // r8 (cont.): the graph family behind table-function syntax.
+      // 4-cycle 1->2->3->4->1: symmetric, every outdeg 1 — ranks stay at
+      // the fixpoint 150000 + 850000 = 1000000 every round
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+        .toDF("s", "d").createOrReplaceTempView("tf_edges")
+      val pr = spark.sql(
+        """SELECT node, rank_mu FROM graft_pagerank('tf_edges', 's', 'd', 2)
+           ORDER BY node""").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pr.toSeq == Seq((1L, 1000000L), (2L, 1000000L),
+        (3L, 1000000L), (4L, 1000000L)), pr.mkString(";"))
+
+      Seq(Tuple1(1L)).toDF("n").createOrReplaceTempView("tf_seeds")
+      val bfs = spark.sql(
+        """SELECT node, dist FROM graft_bfs('tf_edges', 's', 'd', 'tf_seeds', 'n', 2)
+           ORDER BY dist, node""").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(bfs.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L)), bfs.mkString(";"))
+
+      // K3 + a pendant edge: one triangle, all three members counted once
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+        .toDF("x", "y").createOrReplaceTempView("tf_tri")
+      val tri = spark.sql(
+        """SELECT node, n_tri FROM graft_triangles('tf_tri', 'x', 'y')
+           ORDER BY node""").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(tri.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)), tri.mkString(";"))
+
+      // snapshot diff: U on key 2, D on key 3, I on key 4
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+        .createOrReplaceTempView("tf_v0")
+      Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+        .createOrReplaceTempView("tf_v1")
+      val sd = spark.sql(
+        """SELECT k, op, v FROM graft_snapshot_diff('tf_v0', 'tf_v1', 'k')
+           ORDER BY k""").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(sd.toSeq == Seq((2L, "U", "B"), (3L, "D", "c"), (4L, "I", "d")),
+        sd.mkString(";"))
+
+      // outliers: group A of 1..11 + 100 -> q1 3, q3 9, one outlier
+      ((1 to 11).map(v => ("A", v.toDouble)) :+ ("A", 100.0))
+        .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "id").createOrReplaceTempView("tf_out")
+      val out = spark.sql(
+        """SELECT g, n, q1, q3, n_outliers FROM graft_outliers('tf_out', 'g', 'v', 'id')""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4)))
+      assert(out.toSeq == Seq(("A", 12L, 3.0, 9.0, 1L)), out.mkString(";"))
+
+      // k-means: two obvious groups, seeds = two smallest ids (one per group)
+      Seq((0L, Array(0f, 0f)), (1L, Array(10f, 10f)),
+        (2L, Array(0.2f, 0f)), (3L, Array(9.8f, 10f)))
+        .toDF("id", "vec").createOrReplaceTempView("tf_km")
+      val km = spark.sql(
+        """SELECT id, cluster FROM graft_kmeans('tf_km', 'id', 'vec', 2, 2)
+           ORDER BY id""").collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(km.toSeq == Seq((0L, 0), (1L, 1), (2L, 0), (3L, 1)), km.mkString(";"))
+
+      // phrase search: "a b c" (3 occurrences) beats everything
+      Seq((1L, "a b c a b c"), (2L, "a b c x"), (3L, "q r"))
+        .toDF("doc_id", "text").createOrReplaceTempView("tf_ph")
+      val ph = spark.sql(
+        """SELECT phrase, doc_id, n_occ FROM graft_phrase_search('tf_ph', 'text', 'doc_id', 3)
+           ORDER BY doc_id""").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(ph.toSeq == Seq(("a b c", 1L, 2L), ("a b c", 2L, 1L)), ph.mkString(";"))
     } finally {
       // don't leak this untuned session (200 shuffle partitions) into the
       // suites that follow — TestSession rebuilds the tuned one on demand
