@@ -285,6 +285,14 @@ object PlanCheck {
       "top phrase joined by broadcast" -> "BroadcastHashJoin"),
       mustNotContain = Seq(
         "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // image near-dup: candidates come from the banded (j, v) equi-join
+    // over generated band rows — never an all-pairs image compare
+    Want("q111_image_neardup", Seq(
+      "bands enumerated by a generator" -> "Generate",
+      "hamming verify via bit_count" -> "bit_count"),
+      mustNotContain = Seq(
+        "no all-pairs image compare" -> "CartesianProduct",
         "no nested-loop join" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {

@@ -146,6 +146,113 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Twin images for near-dup detection: `nPairs` pairs (base+2k,
+    * base+2k+1), the twin pixel-identical to its base except ONE pixel
+    * (0,0) with its color xor'd by 0x808080 — a perceptual near-dup the
+    * aHash must catch. Colors follow the [[synthImages]] formula keyed
+    * by the BASE id, so the q66 arithmetic-oracle trick extends to
+    * PIXELS: every gray value, the mean, and the hash bits are pure
+    * integer functions of (baseId, x, y) an oracle reproduces, while
+    * Spark recovers them by genuinely decoding the PNG. */
+  def synthTwinImages(spark: SparkSession, nPairs: Int, base: Long): DataFrame = {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    spark.range(0, nPairs * 2L).as[Long].mapPartitions { idxs =>
+      idxs.map { i =>
+        val id = base + i
+        val baseId = base + (i / 2) * 2
+        val twin = i % 2 == 1
+        val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val m = baseId * 1103515245L + x * 12345L + y * 2654435761L
+            var rgb = (m & 0xFFFFFF).toInt
+            if (twin && x == 0 && y == 0) rgb ^= 0x808080
+            img.setRGB(x, y, rgb | 0xFF000000)
+            x += 1
+          }
+          y += 1
+        }
+        Asset(id, ImageCodec.encode(img, "png"))
+      }
+    }.toDF()
+  }
+
+  /** Perceptual average-hash of the top-left 8×8 crop of each DECODED
+    * image, as four 16-bit bands (wide row, never a 64-bit value — no
+    * sign games anywhere): integer luma (r·299+g·587+b·114)/1000 per
+    * pixel, integer mean, bit (y·8+x) set iff gray > mean, band j =
+    * bits [16j, 16j+16). Lossless formats only make sense here (JPEG
+    * decode perturbs pixels); images narrower than 8×8 are skipped.
+    * Partition-batched real decode — the codec never touches the
+    * driver. */
+  def aHashBands(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          ImageCodec.decode(bytes)
+            .filter(img => img.getWidth >= 8 && img.getHeight >= 8)
+            .map { img =>
+              val gray = new Array[Int](64)
+              var s = 0L
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val rgb = img.getRGB(x, y)
+                  val g = (((rgb >> 16) & 255) * 299 +
+                    ((rgb >> 8) & 255) * 587 + (rgb & 255) * 114) / 1000
+                  gray(y * 8 + x) = g; s += g
+                  x += 1
+                }
+                y += 1
+              }
+              val mean = s / 64
+              val bands = new Array[Int](4)
+              var p = 0
+              while (p < 64) {
+                if (gray(p) > mean) bands(p / 16) |= 1 << (p % 16)
+                p += 1
+              }
+              (id, bands(0), bands(1), bands(2), bands(3))
+            }
+        }
+      }.toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Near-duplicate image pairs by banded hamming join: candidates
+    * share ≥ 1 of the 4 bands — for maxHamming ≤ 3 the pigeonhole makes
+    * the banded join EXACT (≤ 3 flipped bits touch ≤ 3 bands, one band
+    * survives verbatim), the SimHash recall argument applied to pixels.
+    * Never an all-pairs compare: candidate volume is Σ bucket², and at
+    * corpus scale the 16-bit bands widen with n (the documented
+    * bandBits-vs-n law of the embedding LSH). */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole guarantees recall only for maxHamming <= 3")
+    val bands = hashes.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("j", "v")))
+    val cand = bands.select(col("j"), col("v"), col("doc_id").as("id_a"))
+      .join(bands.select(col("j"), col("v"), col("doc_id").as("id_b")), Seq("j", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ha = hashes.select(col("doc_id").as("id_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = hashes.select(col("doc_id").as("id_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .withColumn("hamming", (
+        bit_count(col("a0").bitwiseXOR(col("c0"))) +
+        bit_count(col("a1").bitwiseXOR(col("c1"))) +
+        bit_count(col("a2").bitwiseXOR(col("c2"))) +
+        bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Rate/channels/frames/amplitude of a [[synthAudio]] asset as pure
     * functions of doc_id — the q66 trick applied to audio: DuckDB
     * predicts them arithmetically, Spark recovers them by actually

@@ -1372,7 +1372,65 @@ object LlmPipelineQueries {
               ORDER BY SUM(n_occ) DESC, phrase LIMIT 1)
       SELECT pc.phrase, pc.doc_id, pc.n_occ
       FROM pc JOIN top USING (phrase)
-      ORDER BY pc.doc_id"""))
+      ORDER BY pc.doc_id""")),
+
+    // Perceptual image near-dup (Multimodal.aHashBands +
+    // imageNearDupPairs): average-hash of the 8×8 crop of REAL decoded
+    // pixels, banded hamming join — exact recall for hamming ≤ 3 by the
+    // 4-band pigeonhole. The q66 arithmetic-oracle trick extended to
+    // PIXELS: colors are pure integer functions of (id, x, y) and the
+    // formats are lossless (PNG/BMP; JPEG excluded), so DuckDB derives
+    // every gray value, mean, hash bit, band, candidate, and hamming
+    // arithmetically while Spark actually encodes and decodes images —
+    // a header, channel-order, or alpha bug breaks the hash equality.
+    // Planted twins (one pixel xor'd) make the answer non-degenerate.
+    QueryDef("q111_image_neardup", (s, dir) => {
+      import s.implicits._
+      val organic = Tables.load(s, dir, "documents")
+        .select($"doc_id").filter($"doc_id" % 3 =!= 1)
+      val assets = Multimodal.synthImages(s, organic)
+        .unionByName(Multimodal.synthTwinImages(s, nPairs = 8, base = 3000000L))
+      Multimodal.imageNearDupPairs(Multimodal.aHashBands(s, assets), maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }, Some("""
+      WITH ids AS (
+        SELECT doc_id AS id, doc_id AS base, FALSE AS twin
+        FROM documents WHERE doc_id % 3 <> 1
+        UNION ALL
+        SELECT 3000000 + 2*i, 3000000 + 2*i, FALSE FROM range(8) t(i)
+        UNION ALL
+        SELECT 3000000 + 2*i + 1, 3000000 + 2*i, TRUE FROM range(8) t(i)),
+      px AS (
+        SELECT id, x, y,
+          CASE WHEN twin AND x = 0 AND y = 0
+               THEN xor((base * CAST(1103515245 AS BIGINT) + x*12345
+                         + y*CAST(2654435761 AS BIGINT)) & 16777215, 8421504)
+               ELSE (base * CAST(1103515245 AS BIGINT) + x*12345
+                     + y*CAST(2654435761 AS BIGINT)) & 16777215
+          END AS rgb
+        FROM ids, range(8) xs(x), range(8) ys(y)),
+      g AS (
+        SELECT id, (y*8 + x) AS pos,
+               (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587
+                + (rgb & 255) * 114) // 1000 AS gray
+        FROM px),
+      mn AS (SELECT id, SUM(gray) // 64 AS mean FROM g GROUP BY id),
+      bits AS (
+        SELECT g.id, pos // 16 AS j,
+               CASE WHEN gray > mean THEN (1 << (pos % 16)) ELSE 0 END AS bv
+        FROM g JOIN mn ON mn.id = g.id),
+      bands AS (SELECT id, j, CAST(SUM(bv) AS BIGINT) AS v FROM bits GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.j = b.j AND a.v = b.v AND a.id < b.id),
+      ham AS (
+        SELECT c.id_a, c.id_b, SUM(bit_count(xor(ba.v, bb.v))) AS hamming
+        FROM cand c
+        JOIN bands ba ON ba.id = c.id_a
+        JOIN bands bb ON bb.id = c.id_b AND bb.j = ba.j
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""))
   )
 
   /** The q108 oracle: k-means unrolled as chained CTEs — one (a_r, c_r)

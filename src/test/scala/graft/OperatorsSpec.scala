@@ -389,6 +389,45 @@ class OperatorsSpec extends SparkSpec {
     assert(zero == Map("a" -> 0L, "x" -> 0L, "ghost" -> 0L))
   }
 
+  test("Image aHash: decoded pixels equal the arithmetic formula; twins pair up") {
+    import spark.implicits._
+    val ids = Seq(12L, 30L, 42L).toDF("doc_id") // %3==0: png (incl. alpha at 12/30/42? 12%6==0,30%6==0,42%6==0 -> alpha)
+    val assets = graft.multimodal.Multimodal.synthImages(spark, ids)
+      .unionByName(graft.multimodal.Multimodal.synthTwinImages(spark, nPairs = 2, base = 9000L))
+    val got = graft.multimodal.Multimodal.aHashBands(spark, assets)
+      .collect().map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+
+    // arithmetic reference: the aHash the oracle predicts, from the
+    // color formula alone — proves the REAL encode→decode roundtrip is
+    // pixel-exact (channel order, alpha, headers all on the line)
+    def refBands(baseId: Long, twin: Boolean): Seq[Int] = {
+      val gray = (0 until 64).map { p =>
+        val (x, y) = (p % 8, p / 8)
+        var rgb = ((baseId * 1103515245L + x * 12345L + y * 2654435761L) & 0xFFFFFF).toInt
+        if (twin && x == 0 && y == 0) rgb ^= 0x808080
+        (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587 + (rgb & 255) * 114) / 1000
+      }
+      val mean = gray.map(_.toLong).sum / 64
+      val bands = Array.fill(4)(0)
+      for (p <- 0 until 64 if gray(p) > mean) bands(p / 16) |= 1 << (p % 16)
+      bands.toSeq
+    }
+    for (id <- Seq(12L, 30L, 42L)) assert(got(id) == refBands(id, twin = false), s"organic $id")
+    assert(got(9000L) == refBands(9000L, twin = false))
+    assert(got(9001L) == refBands(9000L, twin = true))
+    assert(got(9002L) == refBands(9002L, twin = false))
+    assert(got(9003L) == refBands(9002L, twin = true))
+
+    // the twin pairs surface in the banded join with small hamming; the
+    // unrelated organic images (random-ish hashes) do not pair with them
+    val pairs = graft.multimodal.Multimodal.imageNearDupPairs(
+      graft.multimodal.Multimodal.aHashBands(spark, assets), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val twinPairs = pairs.filter(p => p._1 >= 9000L && p._2 == p._1 + 1)
+    assert(twinPairs.map(_._1).toSet.subsetOf(Set(9000L, 9002L)))
+    twinPairs.foreach(p => assert(p._3 >= 1 && p._3 <= 3, s"twin hamming ${p._3}"))
+  }
+
   test("PhraseIndex: overlapping occurrences, short docs, deterministic tie-break") {
     import spark.implicits._
     val docs = Seq(
