@@ -293,6 +293,15 @@ object PlanCheck {
       "hamming verify via bit_count" -> "bit_count"),
       mustNotContain = Seq(
         "no all-pairs image compare" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // incremental join refresh: the standing view is touched only by
+    // broadcast joins (delete-key anti-join, dimension); nothing
+    // re-shuffles the view
+    Want("q112_incremental_join", Seq(
+      "delete retraction via broadcast anti-join" -> "BroadcastHashJoin LeftAnti"),
+      mustNotContain = Seq(
+        "no view-side shuffle join" -> "SortMergeJoin",
+        "no cartesian" -> "CartesianProduct",
         "no nested-loop join" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {

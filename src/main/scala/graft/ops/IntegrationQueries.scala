@@ -300,6 +300,42 @@ object IntegrationQueries {
                    OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
                    OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
                    THEN 'U' END IS NOT NULL
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // Incremental join maintenance (IncrementalJoin): the denormalized
+    // orders⋈customer view refreshed by a fact-side changelog — deletes
+    // (base keys %50==0) retract their view rows via a broadcast
+    // anti-join, inserts (a later date window) join ONLY the delta
+    // against the dimension. The oracle recomputes the same final view
+    // from scratch — hash equality proves the delta path loses and
+    // invents nothing. Delta-sized join work; the standing view never
+    // re-joins.
+    QueryDef("q112_incremental_join", (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+      val dim = Tables.load(s, dir, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_name", $"c_mktsegment")
+      val base = orders.filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      val view0 = IncrementalJoin.materialize(base, broadcast(dim), "o_custkey")
+      val log = base.filter($"o_orderkey" % 50 === 0).withColumn("op", lit(-1))
+        .unionByName(orders
+          .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+          .withColumn("op", lit(1)))
+      IncrementalJoin.refresh(view0, log, broadcast(dim), "o_custkey", "o_orderkey")
+        .select($"o_orderkey", $"o_custkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+          $"o_totalprice", $"c_name", $"c_mktsegment")
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o.o_orderkey, o.o_custkey,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o.o_totalprice, c.c_name, c.c_mktsegment
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE (o.o_orderdate < TIMESTAMP '1998-01-01' AND o.o_orderkey % 50 <> 0)
+         OR (o.o_orderdate >= TIMESTAMP '1998-01-01'
+             AND o.o_orderdate < TIMESTAMP '1999-01-01')
+      ORDER BY o.o_orderkey"""))
   )
 }

@@ -389,6 +389,33 @@ class OperatorsSpec extends SparkSpec {
     assert(zero == Map("a" -> 0L, "x" -> 0L, "ghost" -> 0L))
   }
 
+  test("IncrementalJoin: chained refreshes equal full recompute; update = del+ins") {
+    import spark.implicits._
+    val dim = Seq(("a", "Alpha"), ("b", "Beta")).toDF("k", "name")
+    def fact(rows: (Long, String, Double)*) =
+      rows.toSeq.toDF("id", "k", "v").repartition(2)
+    def recompute(f: org.apache.spark.sql.DataFrame) =
+      graft.ops.IncrementalJoin.materialize(f, dim, "k")
+        .collect().map(_.toString).sorted.toSeq
+
+    val f0 = fact((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+    val v0 = graft.ops.IncrementalJoin.materialize(f0, dim, "k")
+
+    // delete 2, update 3 (retraction pair: del old + ins new), insert 4,
+    // and a delete of an id that was never in the view (no-op)
+    val log1 = Seq((2L, "b", 2.0, -1), (3L, "a", 3.0, -1), (3L, "b", 30.0, 1),
+      (4L, "b", 4.0, 1), (99L, "a", 9.0, -1)).toDF("id", "k", "v", "op")
+    val v1 = graft.ops.IncrementalJoin.refresh(v0, log1, dim, "k", "id")
+    val f1 = fact((1L, "a", 1.0), (3L, "b", 30.0), (4L, "b", 4.0))
+    assert(v1.collect().map(_.toString).sorted.toSeq == recompute(f1))
+
+    // chain: v1 is a valid base for the next refresh
+    val log2 = Seq((1L, "a", 1.0, -1), (5L, "a", 5.0, 1)).toDF("id", "k", "v", "op")
+    val v2 = graft.ops.IncrementalJoin.refresh(v1, log2, dim, "k", "id")
+    val f2 = fact((3L, "b", 30.0), (4L, "b", 4.0), (5L, "a", 5.0))
+    assert(v2.collect().map(_.toString).sorted.toSeq == recompute(f2))
+  }
+
   test("Image aHash: decoded pixels equal the arithmetic formula; twins pair up") {
     import spark.implicits._
     val ids = Seq(12L, 30L, 42L).toDF("doc_id") // %3==0: png (incl. alpha at 12/30/42? 12%6==0,30%6==0,42%6==0 -> alpha)
