@@ -302,7 +302,14 @@ object PlanCheck {
       mustNotContain = Seq(
         "no view-side shuffle join" -> "SortMergeJoin",
         "no cartesian" -> "CartesianProduct",
-        "no nested-loop join" -> "BroadcastNestedLoopJoin")))
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // temporal join: SCD2 versions + as-of both ride key-partitioned
+    // windows — one exchange family, never a range/nested-loop join
+    Want("q113_temporal_join", Seq(
+      "as-of via the key-partitioned window" -> "Window"),
+      mustNotContain = Seq(
+        "no range-join nested loop" -> "BroadcastNestedLoopJoin",
+        "no cartesian" -> "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()

@@ -390,6 +390,61 @@ object EventQueries {
                ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS ffill_value
       FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
-      ORDER BY g.user_id, day"""))
+      ORDER BY g.user_id, day""")),
+
+    // Temporal (SCD2 as-of) join — the composition that makes q78's
+    // version history USEFUL: purchases joined to the engagement tier
+    // (floor of the last 'view' value) VALID AT purchase time. SCD2
+    // tiles time per key (valid_to = next valid_from), so "the version
+    // valid at ts" IS the as-of backward match on valid_from — the
+    // single-shuffle AsofJoin formulation, no range join, no
+    // BroadcastNestedLoopJoin. The oracle replays the same version
+    // derivation and uses DuckDB's native ASOF LEFT JOIN.
+    QueryDef("q113_temporal_join", (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+      // one tier observation per (user, instant): ties collapse to the
+      // max event_id so version starts are unique per key — the
+      // uniqueness AsofJoin's contract asks for
+      val chg = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", $"event_id",
+          floor($"value").cast("int").as("tier"))
+        .withColumn("__rn", row_number().over(pw)).filter($"__rn" === 1).drop("__rn")
+      val versions = graft.ops.Merge
+        .scd2FromChangelog(chg, "user_id", "tier", "ts", "event_id")
+        .select($"user_id", $"valid_from".as("ts"), $"tier")
+      val purch = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      graft.ops.AsofJoin.asofJoin(purch, versions, "user_id", "ts",
+        payload = Seq("tier"))
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          $"asof_tier".as("tier_at_purchase"),
+          date_format($"asof_ts", "yyyy-MM-dd HH:mm:ss").as("tier_since"))
+        .orderBy($"event_id")
+    }, Some("""
+      WITH chg0 AS (
+        SELECT user_id, ts, event_id, CAST(FLOOR(value) AS INTEGER) AS tier FROM (
+          SELECT user_id, ts, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'view') WHERE rn = 1),
+      chg AS (
+        SELECT user_id, ts AS valid_from, tier FROM (
+          SELECT user_id, ts, tier,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 LAG(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM chg0) WHERE rn = 1 OR tier IS DISTINCT FROM prev),
+      purch AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             c.tier AS tier_at_purchase,
+             strftime(c.valid_from, '%Y-%m-%d %H:%M:%S') AS tier_since
+      FROM purch p ASOF LEFT JOIN chg c
+        ON p.user_id = c.user_id AND c.valid_from <= p.ts
+      ORDER BY p.event_id"""))
   )
 }
