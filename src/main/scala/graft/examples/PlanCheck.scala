@@ -309,7 +309,14 @@ object PlanCheck {
       "as-of via the key-partitioned window" -> "Window"),
       mustNotContain = Seq(
         "no range-join nested loop" -> "BroadcastNestedLoopJoin",
-        "no cartesian" -> "CartesianProduct")))
+        "no cartesian" -> "CartesianProduct")),
+    // negative sampling: the tiny anchor broadcast IS the intended
+    // nested-loop (the q32/q80 convention); the corpus streams through
+    // the bounded heap — no per-anchor window sort
+    Want("q114_negative_sampling", Seq(
+      "per-anchor draw via the bounded heap" -> "scored_top_k"),
+      mustNotContain = Seq(
+        "no per-anchor corpus window sort" -> "RunningWindowFunction")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()

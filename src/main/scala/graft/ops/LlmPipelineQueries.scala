@@ -1430,7 +1430,35 @@ object LlmPipelineQueries {
         JOIN bands bb ON bb.id = c.id_b AND bb.j = ba.j
         GROUP BY 1, 2)
       SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
-      FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""))
+      FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""")),
+
+    // Deterministic hard-negative sampling (TrainingPrep.negativeSample):
+    // per anchor, the 5 md5-drawn negatives from OTHER sources — the
+    // contrastive-pairs step of a training pipeline, reproducible
+    // row-by-row on any engine (the shard discipline). Anchors
+    // broadcast; candidates stream through one scored_top_k heap — no
+    // per-anchor window sort of the corpus.
+    QueryDef("q114_negative_sampling", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val anchors = docs.filter($"doc_id" < 10)
+        .select($"doc_id".as("a_id"), $"source".as("a_source"))
+      TrainingPrep.negativeSample(docs, "doc_id", "source", anchors, k = 5)
+        .orderBy($"a_id", $"neg_rank")
+    }, Some("""
+      WITH anchors AS (
+        SELECT doc_id AS a_id, source AS a_source FROM documents WHERE doc_id < 10),
+      cand AS (
+        SELECT a.a_id, d.doc_id,
+               (CAST(('0x' || substr(md5('neg:' || CAST(a.a_id AS VARCHAR)
+                  || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 1000000000) * 65536 + d.doc_id % 65536 AS sc
+        FROM documents d, anchors a WHERE d.source <> a.a_source)
+      SELECT a_id, CAST(rn AS INTEGER) AS neg_rank, doc_id AS neg_id FROM (
+        SELECT a_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sc) AS rn
+        FROM cand)
+      WHERE rn <= 5 ORDER BY a_id, neg_rank"""))
   )
 
   /** The q108 oracle: k-means unrolled as chained CTEs — one (a_r, c_r)

@@ -126,6 +126,35 @@ object TrainingPrep {
         col("col.id").as(idCol))
   }
 
+  /** Deterministic hard-negative sampling for contrastive training: for
+    * each anchor, the k pseudo-random negatives among candidates from a
+    * DIFFERENT source (the standard guard against in-batch negatives
+    * that are secretly near-duplicates of the anchor — same-source
+    * documents share templates/boilerplate). The draw is the md5 shard
+    * discipline ([[Sampling.shard]]): rank = md5('neg:'a':'cand) mod 1e9,
+    * disambiguated by candidate id into a single exact-in-double score,
+    * so the sample is reproducible row-by-row on any engine — the same
+    * property the epoch/stratified samplers guarantee.
+    *
+    * Scale shape: anchors broadcast (anchor sets are small — a probe
+    * batch, not a corpus), candidates stream through ONE map-side
+    * bounded-heap aggregate (`scored_top_k`) — no per-anchor window sort
+    * of the corpus, shuffle is |anchors| × k heaps. */
+  def negativeSample(docs: DataFrame, idCol: String, sourceCol: String,
+      anchors: DataFrame, k: Int, salt: String = "neg"): DataFrame = {
+    val rank = conv(substring(md5(concat_ws(":", lit(salt), col("a_id"),
+      col(idCol))), 1, 15), 16, 10).cast("long") % 1000000000L
+    val score = (rank * 65536L + pmod(col(idCol), lit(65536L))).cast("double")
+    docs.select(col(idCol), col(sourceCol))
+      .crossJoin(broadcast(anchors.select(col("a_id"), col("a_source"))))
+      .filter(col(sourceCol) =!= col("a_source"))
+      .groupBy(col("a_id"))
+      .agg(graft.functions.AggFunctions.scoredTopK(-score, col(idCol), k).as("tk"))
+      .select(col("a_id"), posexplode(col("tk")))
+      .select(col("a_id"), (col("pos") + 1).cast("int").as("neg_rank"),
+        col("col.id").as("neg_id"))
+  }
+
   /** Fractional-epoch upsampling: emit `weightPermille/1000` copies of
     * each document, with the fractional remainder resolved per-document by
     * the same md5 shard draw as [[sampleByDomain]] (weight 2500‰ = every

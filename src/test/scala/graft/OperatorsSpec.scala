@@ -389,6 +389,30 @@ class OperatorsSpec extends SparkSpec {
     assert(zero == Map("a" -> 0L, "x" -> 0L, "ghost" -> 0L))
   }
 
+  test("negativeSample: matches a driver md5 reference; never same-source") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val anchors = Seq((0L, "src0"), (1L, "src1"))
+      .toDF("a_id", "a_source")
+    val got = graft.ops.TrainingPrep.negativeSample(
+      docs.repartition(5), "doc_id", "source", anchors, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+    // driver reference: same md5 draw, same composite score
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def score(a: Long, d: Long) =
+      (java.lang.Long.parseLong(md5hex(s"neg:$a:$d").take(15), 16) % 1000000000L) * 65536L + d % 65536L
+    val want = Seq((0L, "src0"), (1L, "src1")).flatMap { case (a, asrc) =>
+      (0L until 40L).filter(d => s"src${d % 4}" != asrc)
+        .sortBy(d => score(a, d)).take(3).zipWithIndex
+        .map { case (d, i) => (a, i + 1, d) }
+    }
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == want)
+    // exclusion holds: no negative shares its anchor's source
+    got.foreach { case (a, _, d) => assert(d % 4 != a % 4) }
+  }
+
   test("IncrementalJoin: chained refreshes equal full recompute; update = del+ins") {
     import spark.implicits._
     val dim = Seq(("a", "Alpha"), ("b", "Beta")).toDF("k", "name")
