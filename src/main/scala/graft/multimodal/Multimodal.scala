@@ -223,34 +223,49 @@ object Multimodal {
       }.toDF("doc_id", "b0", "b1", "b2", "b3")
   }
 
-  /** Near-duplicate image pairs by banded hamming join: candidates
-    * share ≥ 1 of the 4 bands — for maxHamming ≤ 3 the pigeonhole makes
-    * the banded join EXACT (≤ 3 flipped bits touch ≤ 3 bands, one band
-    * survives verbatim), the SimHash recall argument applied to pixels.
-    * Never an all-pairs compare: candidate volume is Σ bucket², and at
-    * corpus scale the 16-bit bands widen with n (the documented
-    * bandBits-vs-n law of the embedding LSH). */
+  /** Near-duplicate image CLASSES by banded hamming join, with the
+    * exact-collapse discipline every banding path in the repo applies
+    * (the q28 MinHash convention): identical hashes collapse to ONE
+    * class row (rep = min id, n = members) BEFORE any pairing, so a
+    * template-heavy corpus — where thousands of images share a hash —
+    * yields one class row instead of n² pairs. Output:
+    *   (id_a = id_b = rep, hamming 0, n ≥ 2)   — an identical-hash class
+    *   (rep_a, rep_b, hamming 1..max, n_a, n_b) — distinct-class near-dups
+    * Candidates share ≥ 1 of the 4 bands — for maxHamming ≤ 3 the
+    * pigeonhole makes the banded join EXACT (≤ 3 flipped bits touch ≤ 3
+    * bands, one survives verbatim), the SimHash recall argument applied
+    * to pixels; classes, not rows, enter the join, so candidate volume
+    * is Σ distinct-bucket² — never an all-pairs and never hot-bucket
+    * quadratic in duplicate count. */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole guarantees recall only for maxHamming <= 3")
-    val bands = hashes.select(col("doc_id"),
+    val classes = hashes.groupBy("b0", "b1", "b2", "b3")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      .localCheckpoint(true) // consumed three times below
+    val zero = classes.filter(col("n") >= 2)
+      .select(col("rep").as("id_a"), col("rep").as("id_b"),
+        lit(0).as("hamming"), col("n").as("n_a"), col("n").as("n_b"))
+    val bands = classes.select(col("rep"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("j", "v")))
-    val cand = bands.select(col("j"), col("v"), col("doc_id").as("id_a"))
-      .join(bands.select(col("j"), col("v"), col("doc_id").as("id_b")), Seq("j", "v"))
+    val cand = bands.select(col("j"), col("v"), col("rep").as("id_a"))
+      .join(bands.select(col("j"), col("v"), col("rep").as("id_b")), Seq("j", "v"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val ha = hashes.select(col("doc_id").as("id_a"), col("b0").as("a0"),
-      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-    val hb = hashes.select(col("doc_id").as("id_b"), col("b0").as("c0"),
-      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
-    cand.join(ha, "id_a").join(hb, "id_b")
+    val ca = classes.select(col("rep").as("id_a"), col("n").as("n_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val cb = classes.select(col("rep").as("id_b"), col("n").as("n_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val near = cand.join(ca, "id_a").join(cb, "id_b")
       .withColumn("hamming", (
         bit_count(col("a0").bitwiseXOR(col("c0"))) +
         bit_count(col("a1").bitwiseXOR(col("c1"))) +
         bit_count(col("a2").bitwiseXOR(col("c2"))) +
         bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"), col("n_a"), col("n_b"))
+    zero.select(col("id_a"), col("id_b"), col("hamming").cast("int"),
+      col("n_a"), col("n_b")).unionByName(near)
   }
 
   /** Rate/channels/frames/amplitude of a [[synthAudio]] asset as pure

@@ -1420,17 +1420,38 @@ object LlmPipelineQueries {
                CASE WHEN gray > mean THEN (1 << (pos % 16)) ELSE 0 END AS bv
         FROM g JOIN mn ON mn.id = g.id),
       bands AS (SELECT id, j, CAST(SUM(bv) AS BIGINT) AS v FROM bits GROUP BY 1, 2),
+      wide AS (
+        SELECT id,
+               MAX(CASE WHEN j = 0 THEN v END) AS b0,
+               MAX(CASE WHEN j = 1 THEN v END) AS b1,
+               MAX(CASE WHEN j = 2 THEN v END) AS b2,
+               MAX(CASE WHEN j = 3 THEN v END) AS b3
+        FROM bands GROUP BY id),
+      classes AS (
+        SELECT MIN(id) AS rep, COUNT(*) AS n, b0, b1, b2, b3
+        FROM wide GROUP BY b0, b1, b2, b3),
+      zero AS (
+        SELECT rep AS id_a, rep AS id_b, 0 AS hamming, n AS n_a, n AS n_b
+        FROM classes WHERE n >= 2),
+      cb AS (
+        SELECT rep, 0 AS j, b0 AS v FROM classes
+        UNION ALL SELECT rep, 1, b1 FROM classes
+        UNION ALL SELECT rep, 2, b2 FROM classes
+        UNION ALL SELECT rep, 3, b3 FROM classes),
       cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM bands a JOIN bands b ON a.j = b.j AND a.v = b.v AND a.id < b.id),
-      ham AS (
-        SELECT c.id_a, c.id_b, SUM(bit_count(xor(ba.v, bb.v))) AS hamming
-        FROM cand c
-        JOIN bands ba ON ba.id = c.id_a
-        JOIN bands bb ON bb.id = c.id_b AND bb.j = ba.j
-        GROUP BY 1, 2)
-      SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
-      FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""")),
+        SELECT DISTINCT a.rep AS ra, b.rep AS rb
+        FROM cb a JOIN cb b ON a.j = b.j AND a.v = b.v AND a.rep < b.rep),
+      near AS (
+        SELECT ra, rb,
+               bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming,
+               x.n AS n_a, y.n AS n_b
+        FROM cand JOIN classes x ON x.rep = ra JOIN classes y ON y.rep = rb)
+      SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming, n_a, n_b FROM (
+        SELECT * FROM zero
+        UNION ALL
+        SELECT ra, rb, hamming, n_a, n_b FROM near WHERE hamming BETWEEN 1 AND 3)
+      ORDER BY id_a, id_b""")),
 
     // Deterministic hard-negative sampling (TrainingPrep.negativeSample):
     // per anchor, the 5 md5-drawn negatives from OTHER sources — the
