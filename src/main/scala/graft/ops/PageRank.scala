@@ -38,10 +38,12 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** `edges`: directed (src, dst) string columns, self-loops allowed,
-    * duplicates meaningful (a doubled edge carries double weight — pass
-    * `.distinct()` input for simple-graph semantics). Returns one row
-    * per node appearing anywhere in `edges`: (node, rank_mu). */
+  /** `edges`: directed (src, dst) columns of any equatable type
+    * (integral ids at scale — half the shuffle width of strings);
+    * self-loops allowed, duplicates meaningful (a doubled edge carries
+    * double weight — pass `.distinct()` input for simple-graph
+    * semantics). Returns one row per node appearing anywhere in
+    * `edges`: (node, rank_mu). */
   def run(edges: DataFrame, nIters: Int,
       checkpointDir: Option[String] = None): DataFrame = {
     require(nIters >= 0, "nIters must be non-negative")
