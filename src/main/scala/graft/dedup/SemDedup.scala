@@ -1,0 +1,75 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic (embedding-cluster) deduplication — the SemDeDup family
+  * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+  * through semantic deduplication", 2023): remove documents that are
+  * *paraphrases* of each other, not near-copies. Every other dedup
+  * operator in this package keys on SURFACE overlap (shingles, hashes,
+  * LSH of the raw embedding); two documents saying the same thing in
+  * different words share none of it, but their embeddings point the
+  * same way — this operator catches exactly that class.
+  *
+  * Shape: k-means clusters the embedding corpus
+  * ([[graft.similarity.KMeansInt]] — integer-exact, so the clustering
+  * is reproducible on any engine), then WITHIN each cluster an exact
+  * cosine pair join above `threshold` marks every vector dominated by a
+  * smaller-id vector of its cluster; one representative (the cluster-
+  * local id minimum of each similarity group) survives. The dominance
+  * rule — drop b iff some a < b in the same cluster has cos(a,b) >
+  * threshold — is deterministic and engine-portable (no transitive
+  * closure needed for the drop decision; [[Dedup.connectedComponents]]
+  * is the tool when full semantic GROUPS are wanted).
+  *
+  * Scale shape — why this survives 100 TB where an all-pairs cosine
+  * join cannot: the pair join is an EQUI-join on the cluster id, so
+  * candidate volume is Σ|C_i|² — with k sized to the corpus (callers
+  * pass k ≈ n/targetClusterSize, the SemDeDup recipe), that is
+  * O(n · targetClusterSize), linear in the corpus. Cluster partitioning
+  * bounds pairs exactly like IVF cells bound ANN probes. Byte-identical
+  * vectors collapse to their min-id representative BEFORE pairing (the
+  * q28/q111 exact-collapse discipline — a template-heavy corpus costs
+  * class rows, never n² pairs); non-representatives are dominated by
+  * their rep (cosine 1) by construction, and a rep is dominated by a
+  * smaller id iff it is dominated by a smaller REP (every exact group's
+  * minimum is its rep), so the collapse is answer-preserving.
+  */
+object SemDedup {
+
+  /** Returns one row per input vector: (id, cluster, kept) — `kept` =
+    * false iff a smaller-id same-cluster vector sits above `threshold`
+    * cosine. `k`/`iters` parameterize the clustering; size k so
+    * clusters average the pair-join budget (n/k ≈ a few hundred). */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    require(threshold > 0.0 && threshold < 1.0, s"threshold=$threshold outside (0,1)")
+    val (assigned, _) =
+      graft.similarity.KMeansInt.fit(vecs, idCol, vecCol, k, iters)
+    // exact-collapse: byte-identical vectors pair through one rep each
+    val groups = Dedup.exactVectorGroups(vecs, vecCol, idCol) // (id, rep)
+    val reps = groups.filter(col("id") === col("rep"))
+      .select(col("id").as("__rep_id"))
+    val base = assigned.join(reps, assigned(idCol) === col("__rep_id"))
+      .select(col(idCol).as("rid"), col("cluster").as("cl"), col(vecCol).as("v"),
+        sqrt(dotF(col(vecCol), col(vecCol))).as("nrm"))
+    val a = base.select(col("cl"), col("rid").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"))
+    val b = base.select(col("cl"), col("rid").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"))
+    // within-cluster dominance: candidates meet ONLY through the cluster
+    // equi-join (PlanCheck pins the absence of any cross-cluster pairing)
+    val dominatedReps = a.join(b, "cl")
+      .filter(col("id_a") < col("id_b"))
+      .filter(dotF(col("v_a"), col("v_b")) / col("n_a") / col("n_b") > threshold)
+      .select(col("id_b").as("id")).distinct()
+    val dropped = groups.filter(col("id") =!= col("rep")).select("id")
+      .unionByName(dominatedReps).distinct()
+      .select(col("id").as("__drop_id"), lit(true).as("__drop"))
+    assigned.join(dropped, assigned(idCol) === col("__drop_id"), "left")
+      .select(assigned(idCol).as("id"), col("cluster"),
+        col("__drop").isNull.as("kept"))
+  }
+}

@@ -1479,15 +1479,47 @@ object LlmPipelineQueries {
         SELECT a_id, doc_id,
                ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sc) AS rn
         FROM cand)
-      WHERE rn <= 5 ORDER BY a_id, neg_rank"""))
+      WHERE rn <= 5 ORDER BY a_id, neg_rank""")),
+
+    // Semantic (SemDeDup-class) dedup (dedup/SemDedup.scala): catch
+    // PARAPHRASES — documents whose embeddings point the same way with
+    // no surface overlap, the one dedup class q27–q31 (all
+    // surface-keyed) cannot. KMeansInt clusters the corpus (k sized to
+    // the corpus: n/200, min 5 — the SemDeDup recipe that keeps the
+    // within-cluster pair join linear overall), then each cluster's
+    // exact cosine pair join drops every vector dominated by a
+    // smaller-id clustermate above 0.95. Planted paraphrase pairs:
+    // ×1.015625 copies — the multiplier is exact in float AND double,
+    // so Spark's float multiply and DuckDB's double-then-cast produce
+    // identical bytes (same direction, different surface; cosine ≈ 1).
+    // Cluster assignment is the integer-exact q108 protocol (the oracle
+    // unrolls the same 2 rounds with rank-based seeding); the cosine
+    // threshold compare rides the corpus's measured similarity gap
+    // (naturals ≤ ~0.6, planted ≈ 1 — the q31 argument).
+    QueryDef("q115_semantic_dedup", (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val planted = emb.filter($"vec_id" % 9 === 0)
+        .select(($"vec_id" + 1000000).as("vec_id"),
+          transform($"embedding", x => (x * lit(1.015625f)).cast("float"))
+            .as("embedding"))
+      val src = emb.unionByName(planted)
+      val k = math.max(5L, src.count() / 200).toInt
+      graft.dedup.SemDedup.semanticDedup(src, "vec_id", "embedding", k,
+        iters = 2, threshold = 0.95)
+        .orderBy($"id")
+    }, Some(semanticDedupOracleSql))
   )
 
-  /** The q108 oracle: k-means unrolled as chained CTEs — one (a_r, c_r)
-    * pair per round; assignment = per-id argmin with the (dist, j)
-    * tie-break, update = integer mean with COALESCE-from-previous for
-    * empty clusters (KMeansInt's keep-old semantics). */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
-    val rounds = (1 to iters).map { r =>
+  /** The unrolled k-means round CTEs (shared by the q108 and q115
+    * oracles) — one (a_r, c_r) pair per round over a `pts`(id, pos, q) /
+    * `c0`(j, pos, c) prologue the caller supplies; assignment = per-id
+    * argmin with the (dist, j) tie-break, update = integer mean with
+    * COALESCE-from-previous for empty clusters (KMeansInt's keep-old
+    * semantics). Round shape is independent of k — k enters only through
+    * the caller's c0. */
+  private[ops] def kmeansRoundCtes(iters: Int): String = {
+    (1 to iters).map { r =>
       s"""      a$r AS (
         SELECT id, j FROM (
           SELECT p.id, c.j, ROW_NUMBER() OVER (PARTITION BY p.id
@@ -1502,22 +1534,66 @@ object LlmPipelineQueries {
           GROUP BY a.j, p.pos) n
         ON n.j = prev.j AND n.pos = prev.pos)"""
     }.mkString(",\n")
-    s"""
-      WITH pts AS (
-        SELECT vec_id AS id, u.i - 1 AS pos, u.q FROM (
-          SELECT vec_id, unnest(list_transform(embedding,
+  }
+
+  /** The pts + c0 prologue for a k-means oracle over `srcSql` (a relation
+    * with (vec_id, embedding)). Seeds = the k smallest ids BY RANK (the
+    * operator's actual rule: `orderBy(id).limit(k)` mapped to indexes by
+    * sort rank) — NOT `id < k`, which only coincides when ids are
+    * contiguous from 0; `kExpr` may be any scalar SQL expression. */
+  private[ops] def kmeansPrologCtes(srcSql: String, kExpr: String): String =
+    s"""pts AS (
+        SELECT id, u.i - 1 AS pos, u.q FROM (
+          SELECT vec_id AS id, unnest(list_transform(embedding,
             (x, i) -> {'i': i,
                        'q': CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)})) AS u
-          FROM embeddings)),
+          FROM ($srcSql))),
       c0 AS (
-        SELECT CAST(id AS INTEGER) AS j, pos, q AS c FROM pts WHERE id < $k),
-$rounds
+        SELECT CAST(rk - 1 AS INTEGER) AS j, pos, q AS c FROM (
+          SELECT id, pos, q, DENSE_RANK() OVER (ORDER BY id) AS rk FROM pts)
+        WHERE rk <= ($kExpr))"""
+
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    s"""
+      WITH ${kmeansPrologCtes("SELECT vec_id, embedding FROM embeddings", k.toString)},
+${kmeansRoundCtes(iters)}
       SELECT CAST(a.j AS INTEGER) AS cluster, e.label, COUNT(*) AS n, nrm.c_norm1
       FROM a$iters a
       JOIN embeddings e ON e.vec_id = a.id
       JOIN (SELECT j, CAST(SUM(ABS(c)) AS BIGINT) AS c_norm1
             FROM c$iters GROUP BY j) nrm ON nrm.j = a.j
       GROUP BY 1, 2, 4 ORDER BY 1, 2"""
+  }
+
+  /** The q115 oracle: the same planted-paraphrase union, the same
+    * integer k-means rounds (k = GREATEST(5, n // 200) as a scalar
+    * subquery — the oracle only runs at sf0.01, but the formula keeps it
+    * valid at any sf), then the within-cluster smaller-id dominance rule
+    * as a pair join + NOT IN. Equivalent to the operator's exact-collapse
+    * form: every byte-identical group's minimum is its representative, so
+    * "dominated by a smaller id" and "non-rep, or rep dominated by a
+    * smaller rep" decide identically. */
+  private def semanticDedupOracleSql: String = {
+    val src = """SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding,
+                 x -> CAST(x * CAST(1.015625 AS DOUBLE) AS FLOAT))
+        FROM embeddings WHERE vec_id % 9 = 0"""
+    s"""
+      WITH ${kmeansPrologCtes(src, "SELECT GREATEST(5, COUNT(DISTINCT id) // 200) FROM pts")},
+${kmeansRoundCtes(2)},
+      src AS ($src),
+      v AS (
+        SELECT s.vec_id AS id, s.embedding AS emb, a.j AS cluster
+        FROM src s JOIN a2 a ON a.id = s.vec_id),
+      dom AS (
+        SELECT DISTINCT y.id
+        FROM v x JOIN v y ON x.cluster = y.cluster AND x.id < y.id
+        WHERE list_cosine_similarity(x.emb, y.emb) > 0.95)
+      SELECT v.id, CAST(v.cluster AS INTEGER) AS cluster,
+             v.id NOT IN (SELECT id FROM dom) AS kept
+      FROM v ORDER BY v.id"""
   }
 
   /** Planted term-group documents for q90: 8 groups × 4 docs on unique

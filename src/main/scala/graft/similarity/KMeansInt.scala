@@ -21,14 +21,25 @@ import org.apache.spark.sql.functions._
   * break to the smaller centroid index in both formulations.
   *
   * Scale shape per iteration: assignment is a pure projection —
-  * centroids travel as ARRAY LITERALS inside the expression (the
-  * broadcast of a k×d table, without even a broadcast exchange), so no
-  * join and no shuffle touches the corpus; the update is one
-  * posexplode → groupBy(cluster, pos) with map-side partial sums, so
-  * the only thing that crosses the wire is k×d partial aggregates per
-  * partition. The per-round driver collect is k×d rows — bounded by
-  * construction, not by data. Empty clusters keep their previous
-  * centroid (matched by the oracle's COALESCE-from-previous-round).
+  * centroids travel as ONE k×d ARRAY-OF-ARRAYS LITERAL inside the
+  * expression (the broadcast of a k×d table, without even a broadcast
+  * exchange), so no join and no shuffle touches the corpus; the update
+  * is one posexplode → groupBy(cluster, pos) with map-side partial
+  * sums, so the only thing that crosses the wire is k×d partial
+  * aggregates per partition. The per-round driver collect is k×d rows
+  * — bounded by construction, not by data. Empty clusters keep their
+  * previous centroid (matched by the oracle's
+  * COALESCE-from-previous-round).
+  *
+  * Parameter scale: the argmin is a fixed-shape expression — one
+  * Literal holding the k×d table plus a constant number of
+  * higher-order-function nodes — so plan/codegen size is O(1) in k
+  * (the literal's DATA is k×d, but data is not expression tree). The
+  * earlier formulation (a fold of per-centroid `when` chains, each
+  * embedding its own d-element literal) grew the tree ~2^k with
+  * per-row distance recomputation — fine at report-scale k, hostile to
+  * Catalyst past k ≈ 15; this form takes k = 512+ without stressing
+  * analysis or codegen (asserted in KMeansSpec).
   */
 object KMeansInt {
 
@@ -36,20 +47,19 @@ object KMeansInt {
   def quantize(vec: Column, scale: Long): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Squared integer distance from quantized vector `q` to literal centroid. */
-  private def dist2(q: Column, centroid: Array[Long]): Column =
-    aggregate(
-      zip_with(q, typedlit(centroid.toSeq), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-
   /** Argmin cluster index over literal centroids; ties break to the
-    * smaller index (strict < keeps the earlier winner). */
+    * smaller index (`array_position` returns the FIRST occurrence of the
+    * minimum). The k×d centroid table is ONE nested-array literal and the
+    * distance array is built by a single `transform` — expression-tree
+    * size is constant in k, with each distance computed exactly once. */
   def assignExpr(q: Column, centroids: Array[Array[Long]]): Column = {
-    val dists = centroids.map(c => dist2(q, c))
-    dists.zipWithIndex.tail
-      .foldLeft((lit(0), dists(0))) { case ((cl, best), (d, j)) =>
-        (when(d < best, lit(j)).otherwise(cl), when(d < best, d).otherwise(best))
-      }._1
+    require(centroids.nonEmpty, "need at least one centroid")
+    val cents = typedlit(centroids.map(_.toSeq).toSeq)
+    val dists = transform(sequence(lit(0), lit(centroids.length - 1)),
+      j => aggregate(
+        zip_with(q, element_at(cents, j + 1), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** `iters` rounds of (assign → update) from seeds = the quantized

@@ -576,6 +576,55 @@ class OperatorsSpec extends SparkSpec {
     assert(a2.filter($"cluster" === 1).count() == 1) // only the far point itself
   }
 
+  test("KMeansInt: assignExpr tree size is O(1) in k; k=512 fit completes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the k×d table is ONE literal, so the expression TREE must not grow
+    // with k — the property that keeps Catalyst analysis/codegen flat at
+    // large k (the old fold-of-whens grew ~2^k)
+    def treeSize(c: org.apache.spark.sql.Column): Int =
+      org.apache.spark.sql.graft.bridge.expression(c).collect { case e => e }.size
+    val small = Array.tabulate(2, 8)((j, p) => (j * 100 + p).toLong)
+    val big = Array.tabulate(512, 8)((j, p) => (j * 1000 + p).toLong)
+    assert(treeSize(graft.similarity.KMeansInt.assignExpr(col("q"), big)) ==
+      treeSize(graft.similarity.KMeansInt.assignExpr(col("q"), small)))
+
+    // a real fit at k=512 — parameter scale the fold form could not analyze
+    val pts = (0 until 1024)
+      .map(i => (i.toLong, Array.tabulate(4)(p => ((i * 37) % 997).toFloat + p)))
+      .toDF("id", "v").repartition(8)
+    val (assigned, cents) =
+      graft.similarity.KMeansInt.fit(pts, "id", "v", k = 512, iters = 1)
+    assert(cents.length == 512)
+    assert(assigned.count() == 1024)
+    assert(assigned.agg(org.apache.spark.sql.functions.countDistinct($"cluster"))
+      .head.getLong(0) > 256) // most seed cells attract their own seed
+  }
+
+  test("SemDedup: paraphrases and exact copies drop, in-cluster distinct stays") {
+    import spark.implicits._
+    // two clusters (seeds 0 and 1). In-cluster semantics: 0↔2 distinct
+    // directions (cos ≈ 0.835 < 0.95 — both kept), 1↔3 near-identical
+    // direction (cos ≈ 1 — 3 dominated), 4 = scaled paraphrase of 0
+    // (dominated), 5 = byte-identical copy of 0 (exact-collapse drop).
+    val vecs = Seq(
+      (0L, Array(100.0f, 30.0f)), (1L, Array(-100.0f, 0.0f)),
+      (2L, Array(100.0f, -30.0f)), (3L, Array(-100.0f, 1.0f)),
+      (4L, Array(100.0f * 1.015625f, 30.0f * 1.015625f)),
+      (5L, Array(100.0f, 30.0f)))
+      .toDF("id", "v").repartition(3)
+    val got = graft.dedup.SemDedup.semanticDedup(vecs, "id", "v",
+      k = 2, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got.view.mapValues(_._2).toMap ==
+      Map(0L -> true, 1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> false))
+    // cluster sanity: the positive-x family shares a cluster, as does the
+    // negative-x family, and they differ
+    assert(Set(0L, 2L, 4L, 5L).map(got(_)._1).size == 1)
+    assert(Set(1L, 3L).map(got(_)._1).size == 1)
+    assert(got(0L)._1 != got(1L)._1)
+  }
+
   test("Triangles: exact per-node counts under dupes/reversals/self-loops") {
     import spark.implicits._
     // K4 on {a,b,c,d}: 4 triangles, every node in 3. Square {p,q,r,s}
