@@ -101,14 +101,18 @@ object Bench {
     val total = results.map(_._2).sum
     val totalCpu = results.map(_._4).sum
     val sfShort = sfDir.split('/').last
-    // wall med/min in centiseconds, cpu in DECIseconds (cpu spans the
-    // widest range, so it pays the digit; 0.1 s resolution is enough for
-    // the cross-round >2x regression checks the judge runs)
+    // MIN wall in centiseconds + cpu in DECIseconds. min and cpu are the
+    // two §6-robust statistics (min-wall is the cross-window number when
+    // medians disagree; cpu is the throttle-invariant one) — med stays on
+    // stderr and in the SPARK_GRAFT_BENCH_OUT full file. Two fields keep
+    // the line ~1400 chars at 118 queries, inside the driver's 2000-char
+    // tail window with room for future rounds (three fields overflowed
+    // it at 114, eating the leading metadata).
     def ds(x: Double): Long = math.round(x * 10)
     val compact = results
-      .map(r => "\"" + shortName(r._1) + "\":[" + cs(r._2) + "," + cs(r._3) + "," + ds(r._4) + "]")
+      .map(r => "\"" + shortName(r._1) + "\":[" + cs(r._3) + "," + ds(r._4) + "]")
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu":${r2(totalCpu)},"sf":"$sfShort","enc":"N:[medcs,mincs,cpuds]","queries":$compact}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu":${r2(totalCpu)},"sf":"$sfShort","enc":"N:[mincs,cpuds]","queries":$compact}""")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       def obj(f: ((String, Double, Double, Double)) => Double): String =
         results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")

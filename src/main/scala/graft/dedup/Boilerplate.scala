@@ -42,6 +42,29 @@ object Boilerplate {
 
   def dropDuplicatedPassages(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val r = reassemble(docs, textCol, idCol, k, minDocs)
+    r.select(col(idCol), col("n_seg"), col("n_kept"),
+      md5(coalesce(col("__cleaned"), lit(""))).as("clean_md5"))
+  }
+
+  /** The cleaned TEXT itself — the pipeline-stage form of
+    * [[dropDuplicatedPassages]] (which hash-audits the reconstruction
+    * instead of shipping corpus-sized text back to a caller): one row
+    * per input doc, `textCol` = surviving passages joined by a single
+    * space (token-normalized — the CCNet convention: dedup decisions
+    * and the onward pipeline both operate on the normalized token
+    * stream), empty when nothing survives. `CorpusPipeline` inserts
+    * this between exact dedup and the quality gates, where a doc
+    * reduced to boilerplate-only falls out via the min-length gate. */
+  def cleanDocs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame =
+    reassemble(docs, textCol, idCol, k, minDocs)
+      .select(col(idCol), coalesce(col("__cleaned"), lit("")).as(textCol))
+
+  /** Shared segmentation → hot-set drop → position-order reassembly:
+    * (idCol, n_seg, n_kept, __cleaned nullable). */
+  private def reassemble(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minDocs: Int): DataFrame = {
     require(k >= 1, "passage width k must be >= 1")
     require(minDocs >= 2, "minDocs < 2 would drop every passage")
     val toks = TextAnalysis.wordTokens(col(textCol))
@@ -73,6 +96,6 @@ object Boilerplate {
       .join(cleaned, Seq(idCol), "left")
       .select(col(idCol), col("n_seg"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        md5(coalesce(col("cleaned"), lit(""))).as("clean_md5"))
+        col("cleaned").as("__cleaned"))
   }
 }

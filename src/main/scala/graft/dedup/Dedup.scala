@@ -301,11 +301,13 @@ object Dedup {
     // once and shared by the prefix arrays and the verify sets, but this
     // entry point has no unpersist hook (the result is a lazy plan), and
     // a CacheManager persist here leaks one MEMORY_AND_DISK entry per
-    // call for the session lifetime — notably every graft_jaccard_join
-    // SQL invocation. localCheckpoint blocks are RDD-level and
-    // ContextCleaner-managed: freed when the returned plan is GC'd.
-    // Callers wanting a durable shared projection use
-    // [[shingleProjection]] + [[DedupCache]] (the q30/q69 path).
+    // call for the session lifetime. localCheckpoint blocks are
+    // RDD-level and ContextCleaner-managed: freed when the returned plan
+    // is GC'd. Callers wanting a durable shared projection use
+    // [[shingleProjection]] + [[DedupCache]] — the q30/q69 path, and
+    // what graft_jaccard_join does (memo keyed by the table's
+    // file-manifest fingerprint, so repeated SQL invocations share one
+    // persisted projection).
     jaccardJoinOrdered(shingleProjection(df, textCol, idCol, k).localCheckpoint(),
       threshold)
 

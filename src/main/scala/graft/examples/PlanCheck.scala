@@ -316,7 +316,23 @@ object PlanCheck {
     Want("q114_negative_sampling", Seq(
       "per-anchor draw via the bounded heap" -> "scored_top_k"),
       mustNotContain = Seq(
-        "no per-anchor corpus window sort" -> "RunningWindowFunction")))
+        "no per-anchor corpus window sort" -> "RunningWindowFunction")),
+    // semantic dedup: candidate pairs meet ONLY through the cluster-id
+    // equi-join (the SemDeDup cell bound) and verify through the codegen
+    // dot kernel — never a cross-cluster/all-pairs product
+    Want("q115_semantic_dedup", Seq(
+      "exact cosine verify via the codegen dot kernel" -> "float_vec_dot"),
+      mustNotContain = Seq(
+        "no all-pairs candidate generation" -> "CartesianProduct",
+        "no cross-cluster nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // dim-side incremental join: key-level retraction rides a broadcast
+    // anti-join on the JOIN KEY; the standing view never re-shuffles
+    Want("q118_incremental_join_dim", Seq(
+      "key retraction via broadcast anti-join" -> "BroadcastHashJoin LeftAnti"),
+      mustNotContain = Seq(
+        "no view-side shuffle join" -> "SortMergeJoin",
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()

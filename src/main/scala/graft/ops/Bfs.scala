@@ -35,6 +35,14 @@ object Bfs {
   def run(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
+    // mismatched key types would ride implicit cross-type coercion,
+    // which can silently null the frontier join and return an
+    // empty/partial traversal — misuse fails loudly instead
+    PageRank.requireSameKeyType(edges)
+    val seedT = seeds.schema("node").dataType
+    val edgeT = edges.schema("src").dataType
+    require(seedT == edgeT,
+      s"seed node type $seedT must equal the edge key type $edgeT (cast explicitly)")
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach { d =>
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)

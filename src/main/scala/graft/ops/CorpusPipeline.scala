@@ -9,9 +9,10 @@ import graft.text.TextAnalysis
   * crawl in, trainer shards out" chain every stage in this library exists
   * to serve:
   *
-  *   exact dedup → quality filter → repetition filter → benchmark
-  *   decontamination → near-dup cluster removal (MinHash + connected
-  *   components) → context-window packing
+  *   exact dedup → shared-passage (boilerplate) removal → quality
+  *   filter → repetition filter → benchmark decontamination → near-dup
+  *   cluster removal (MinHash + connected components) → context-window
+  *   packing
   *
   * Each stage is the already-tested operator; the value here is the
   * composition being ONE lazy DataFrame plan: Catalyst sees the whole
@@ -27,7 +28,8 @@ object CorpusPipeline {
       textCol: String = "text", idCol: String = "doc_id",
       minChars: Int = 50, minAlpha: Double = 0.5,
       maxRepetition: Double = 0.5, jaccardThreshold: Double = 0.8,
-      ctxTokens: Int = 512, shards: Int = 64): DataFrame = {
+      ctxTokens: Int = 512, shards: Int = 64,
+      passageMinDocs: Int = 4): DataFrame = {
     // exact dedup: one representative (min id) per normalized fingerprint.
     // min_by, not first(): group members share normalized text but can
     // differ in raw whitespace, and the quality gates below measure RAW
@@ -37,8 +39,19 @@ object CorpusPipeline {
       .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol), min_by(col(textCol), col(idCol)).as(textCol))
       .drop("fp")
+    // shared-passage (boilerplate) removal BEFORE the gates: the
+    // million-page header vanishes while each unique body survives, and
+    // a doc reduced to boilerplate-only falls out at the min-length
+    // gate. passageMinDocs defaults ABOVE pair-level (4): a passage
+    // repeated across a mere pair of docs is document duplication — the
+    // near-dup cluster stage's job, which keys on exactly that shared
+    // surface — while true template boilerplate repeats across many
+    // docs. (Text is token-normalized from here on — the CCNet
+    // convention; the quality gates measure the reconstructed stream.)
+    val depassaged = graft.dedup.Boilerplate.cleanDocs(
+      deduped, textCol, idCol, k = 8, minDocs = passageMinDocs)
     // quality + repetition gates (pure codegen predicates)
-    val quality = deduped.filter(
+    val quality = depassaged.filter(
       TextAnalysis.nChars(col(textCol)) >= minChars &&
         TextAnalysis.alphaRatio(col(textCol)) >= minAlpha &&
         TrainingPrep.repetitionScore(col(textCol)) <= maxRepetition)

@@ -336,6 +336,43 @@ object IntegrationQueries {
       WHERE (o.o_orderdate < TIMESTAMP '1998-01-01' AND o.o_orderkey % 50 <> 0)
          OR (o.o_orderdate >= TIMESTAMP '1998-01-01'
              AND o.o_orderdate < TIMESTAMP '1999-01-01')
+      ORDER BY o.o_orderkey""")),
+
+    // Dimension-side incremental join maintenance (the symmetric leg
+    // q112 leaves to IncrementalJoin.refreshDim): the orders⋈customer
+    // view refreshed by a CUSTOMER changelog — deletes (custkey %30==0)
+    // retract every order of the key via one broadcast anti-join ON THE
+    // JOIN KEY (not the fact id — the dim-side difference), updates
+    // (%7==0, as del+ins retraction pairs) bring the key's orders back
+    // from the fact side with the new attributes. The oracle recomputes
+    // the final view from the post-changelog dimension — hash equality
+    // proves key-level retraction loses exactly the retracted keys'
+    // rows and the re-join restores the updated ones.
+    QueryDef("q118_incremental_join_dim", (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val dim = Tables.load(s, dir, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_name", $"c_mktsegment")
+      val view0 = IncrementalJoin.materialize(orders, broadcast(dim), "o_custkey")
+      val dlog = dim.filter($"o_custkey" % 30 === 0 || $"o_custkey" % 7 === 0)
+        .withColumn("op", lit(-1))
+        .unionByName(dim
+          .filter($"o_custkey" % 7 === 0 && $"o_custkey" % 30 =!= 0)
+          .withColumn("c_mktsegment", concat(lit("X-"), $"c_mktsegment"))
+          .withColumn("op", lit(1)))
+      IncrementalJoin.refreshDim(view0, dlog, orders, "o_custkey")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          $"c_name", $"c_mktsegment")
+        .orderBy($"o_orderkey")
+    }, Some("""
+      WITH d1 AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 7 = 0 THEN 'X-' || c_mktsegment
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 30 <> 0)
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, d.c_name, d.c_mktsegment
+      FROM orders o JOIN d1 d ON o.o_custkey = d.c_custkey
       ORDER BY o.o_orderkey"""))
   )
 }

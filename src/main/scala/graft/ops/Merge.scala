@@ -104,22 +104,35 @@ object Merge {
     *
     * Scale shape: ONE full-outer equi-join on the key — both sides
     * shuffle once, co-partitioned, then the diff is a codegen projection;
-    * no row-by-row iteration, no driver state. Schemas must match. */
+    * no row-by-row iteration, no driver state. Column SETS must match
+    * (order-insensitive: `neu` is aligned to `old`'s order); output
+    * columns follow `old`'s order. */
   def snapshotDiff(old: DataFrame, neu: DataFrame, key: Seq[String]): DataFrame = {
-    require(old.columns.sameElements(neu.columns),
-      s"snapshotDiff: schemas differ (${old.columns.mkString(",")} vs ${neu.columns.mkString(",")})")
+    require(old.columns.toSet == neu.columns.toSet,
+      s"snapshotDiff: column sets differ (${old.columns.mkString(",")} vs ${neu.columns.mkString(",")})")
+    require(key.forall(old.columns.contains),
+      s"snapshotDiff: key ${key.mkString(",")} not in columns")
+    // collision-proof internal prefixes: grow until no user column
+    // carries them (a user column literally named __o_x would otherwise
+    // collide with the rename and make the join ambiguous)
+    var p = "__"
+    while (old.columns.exists(c => c.startsWith(s"${p}o_") ||
+        c.startsWith(s"${p}n_") || c == s"${p}o_present" || c == s"${p}n_present"))
+      p += "_"
+    val (po, pn) = (s"${p}o_", s"${p}n_")
+    val aligned = neu.select(old.columns.map(col).toSeq: _*)
     val dataCols = old.columns.filterNot(key.contains).toSeq
-    val o = dataCols.foldLeft(old)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
-      .withColumn("__o_present", lit(true))
-    val n = dataCols.foldLeft(neu)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
-      .withColumn("__n_present", lit(true))
-    val changed = dataCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+    val o = dataCols.foldLeft(old)((d, c) => d.withColumnRenamed(c, s"$po$c"))
+      .withColumn(s"${po}present", lit(true))
+    val n = dataCols.foldLeft(aligned)((d, c) => d.withColumnRenamed(c, s"$pn$c"))
+      .withColumn(s"${pn}present", lit(true))
+    val changed = dataCols.map(c => !(col(s"$po$c") <=> col(s"$pn$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val op = when(col("__o_present").isNull, lit("I"))
-      .when(col("__n_present").isNull, lit("D"))
+    val op = when(col(s"${po}present").isNull, lit("I"))
+      .when(col(s"${pn}present").isNull, lit("D"))
       .when(changed, lit("U"))
     val vals = dataCols.map(c =>
-      when(op === "D", col(s"__o_$c")).otherwise(col(s"__n_$c")).as(c))
+      when(op === "D", col(s"$po$c")).otherwise(col(s"$pn$c")).as(c))
     o.join(n, key, "full_outer")
       .select((key.map(col) :+ op.as("op")) ++ vals: _*)
       .filter(col("op").isNotNull)

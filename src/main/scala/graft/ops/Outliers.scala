@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * approx_percentile when 1-ulp portability doesn't matter), a group-
   * sized quartile table broadcast back, then a map-side-combined
   * summary aggregate. Nothing corpus-sized crosses the wire twice.
+  *
+  * The broadcast bounds GROUP CARDINALITY, not data: the quartile table
+  * is one row per group, right for report-shaped group keys (status,
+  * segment, day). For a high-cardinality group key (10⁸ users) pass
+  * `broadcastQuartiles = false` — the join degrades to a shuffled join
+  * on the group key (which the ranked side is already partitioned by)
+  * instead of a driver OOM building the broadcast.
   */
 object Outliers {
 
@@ -31,7 +38,7 @@ object Outliers {
     * `tieBreak` totalizes the sort so ranks are engine-portable even
     * though equal values make the pick value-identical either way. */
   def iqrByGroup(df: DataFrame, groupCol: String, valCol: String,
-      tieBreak: String): DataFrame = {
+      tieBreak: String, broadcastQuartiles: Boolean = true): DataFrame = {
     val v = col(valCol).cast("decimal(18,4)")
     val w = Window.partitionBy(col(groupCol))
     // NULL values carry no rank and can't cross a fence — dropped up
@@ -49,7 +56,7 @@ object Outliers {
       .agg(pick(0.25), pick(0.75), max(col("__n")).as("n"))
       .withColumn("__lo", col("__q25") - lit(1.5).cast("decimal(18,4)") * (col("__q75") - col("__q25")))
       .withColumn("__hi", col("__q75") + lit(1.5).cast("decimal(18,4)") * (col("__q75") - col("__q25")))
-    ranked.join(broadcast(quart), groupCol)
+    ranked.join(if (broadcastQuartiles) broadcast(quart) else quart, groupCol)
       .groupBy(col(groupCol), col("n"), col("__q25"), col("__q75"))
       .agg(
         sum(when(col("__v") < col("__lo") || col("__v") > col("__hi"), 1L)

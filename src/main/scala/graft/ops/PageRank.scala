@@ -47,6 +47,7 @@ object PageRank {
   def run(edges: DataFrame, nIters: Int,
       checkpointDir: Option[String] = None): DataFrame = {
     require(nIters >= 0, "nIters must be non-negative")
+    requireSameKeyType(edges)
     val sc = edges.sparkSession.sparkContext
     checkpointDir.foreach { d =>
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
@@ -79,6 +80,60 @@ object PageRank {
     for (_ <- 1 to nIters)
       ranks = truncate(round(eDeg, nodes, ranks))
     ranks.select(col("node"), col("r").as("rank_mu"))
+  }
+
+  /** [[run]] with convergence termination: integer ranks make the
+    * between-round L1 delta EXACTLY computable (Σ|rₜ₊₁ − rₜ|, a
+    * node-sized join + sum — cheap next to the round itself), so the
+    * loop stops at the first round whose delta ≤ `tolMu` instead of
+    * always burning `maxIters`. At tolMu = 0 that is a TRUE fixpoint —
+    * every further round reproduces the same ranks bit-for-bit, so
+    * early stop is answer-invariant (regular graphs converge in one
+    * round; the damped recurrence contracts geometrically elsewhere).
+    * Returns (ranks, roundsRun). */
+  def runToFixpoint(edges: DataFrame, maxIters: Int, tolMu: Long = 0L,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    require(maxIters >= 0 && tolMu >= 0, "maxIters and tolMu must be non-negative")
+    requireSameKeyType(edges)
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach { d =>
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val e0 = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = truncate(e0.join(deg, "src"))
+    val nodes = truncate(
+      e0.select(col("src").as("node")).unionByName(e0.select(col("dst").as("node")))
+        .distinct())
+    e0.unpersist(false)
+
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      it += 1
+      val next = truncate(round(eDeg, nodes, ranks))
+      val delta = next.as("n").join(ranks.as("p"), col("n.node") === col("p.node"))
+        .agg(coalesce(sum(abs(col("n.r") - col("p.r"))), lit(0L)).as("d"))
+        .head.getLong(0)
+      ranks = next
+      converged = delta <= tolMu
+    }
+    (ranks.select(col("node"), col("r").as("rank_mu")), it)
+  }
+
+  /** Mismatched src/dst types would make the union'd node spine (and the
+    * per-round joins) lean on implicit cross-type coercion — which can
+    * silently null a join instead of failing. Misuse fails loudly. */
+  private[graft] def requireSameKeyType(edges: DataFrame): Unit = {
+    val st = edges.schema("src").dataType
+    val dt = edges.schema("dst").dataType
+    require(st == dt, s"edge key types must match: src is $st, dst is $dt " +
+      "(cast one side explicitly — integral ids halve shuffle width vs strings)")
   }
 
   /** One power-iteration round as a declarative plan: the edges⋈ranks

@@ -249,6 +249,22 @@ object Layout {
     * served a stale pair set / index / bucketed table. Driver-side
     * listing only — no data read, no Spark job (the same metadata
     * [[fileStats]] reads, minus the footers). */
+  /** [[dirFingerprint]] for an explicit file list (e.g. a catalog
+    * table's `inputFiles`): md5 over the sorted (path, length, mtime)
+    * manifest — same memo-correctness property, driver-side metadata
+    * reads only. */
+  def filesFingerprint(spark: SparkSession, paths: Seq[String]): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manifest = paths.map { f =>
+      val p = new Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }.sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
   def dirFingerprint(spark: SparkSession, dir: String): String = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -6,6 +6,24 @@ import graft.sources.Tables
 
 object EventQueries {
 
+  /** The batch gap-sessionization oracle — shared by q26 (the batch
+    * operator) and q117 (the streaming evicting sessionizer, whose
+    * batch-equivalence contract is exactly this answer). */
+  private val SESSIONIZE_ORACLE_SQL = """
+      WITH lagged AS (
+        SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events),
+      flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM lagged),
+      sess AS (
+        SELECT user_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+      SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id ORDER BY user_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q25_events_window", (s, dir) => {
@@ -20,20 +38,7 @@ object EventQueries {
 
     QueryDef("q26_sessionize", (s, dir) => {
       EventsOps.sessionStats(Tables.load(s, dir, "events"))
-    }, Some("""
-      WITH lagged AS (
-        SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        FROM events),
-      flagged AS (
-        SELECT user_id, ts,
-               CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS new_s
-        FROM lagged),
-      sess AS (
-        SELECT user_id,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM flagged)
-      SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
-      FROM sess GROUP BY user_id ORDER BY user_id""")),
+    }, Some(SESSIONIZE_ORACLE_SQL)),
 
     // AS-OF join (graft.ops.AsofJoin — the time-series join Spark lacks):
     // each click gets the user's latest purchase at or before the click.
@@ -445,6 +450,96 @@ object EventQueries {
              strftime(c.valid_from, '%Y-%m-%d %H:%M:%S') AS tier_since
       FROM purch p ASOF LEFT JOIN chg c
         ON p.user_id = c.user_id AND c.valid_from <= p.ts
-      ORDER BY p.event_id"""))
+      ORDER BY p.event_id""")),
+
+    // Streaming ingest dedup under the ORACLE protocol (the q96/q97
+    // replay-vs-batch-oracle shape, applied to the last tested-only
+    // ingest component): documents arrive as an ordered two-batch
+    // stream — all originals first, then planted duplicate arrivals
+    // (same text behind different whitespace, later event time, ids
+    // +1000000) — through dropDuplicatesWithinWatermark on the
+    // normalized-text fingerprint. First-arrival semantics are only
+    // well-defined ACROSS batches (within a micro-batch, equal-fp row
+    // order is engine-arbitrary), so the replay puts every planted
+    // collision across the batch boundary, and the corpus's natural
+    // fingerprints are unique (verified at the gate sf); the oracle is
+    // first-arrival-per-fingerprint by (ts, doc_id). Hash equality
+    // gates the fingerprint normalization, the state carry across
+    // batches, and the non-expiry of in-horizon state at once.
+    QueryDef("q116_stream_dedup", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text",
+          expr("timestampadd(MINUTE, CAST(doc_id % 180 AS INT), " +
+            "TIMESTAMP'2024-01-01 00:00:00')").as("ts"))
+      val dups = Tables.load(s, dir, "documents").filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat(lit("  "), $"text").as("text"),
+          expr("timestampadd(MINUTE, CAST(doc_id % 180 AS INT), " +
+            "TIMESTAMP'2024-01-01 12:00:00')").as("ts"))
+      val stream = EventsStream.replayOrdered(Seq(docs, dups))
+      val deduped = StreamingDedup.dedupStream(stream, "text", "ts",
+        watermarkDelay = "48 hours")
+      s.catalog.dropTempView("q116_sink")
+      val q = EventsStream.toMemorySink(deduped.select($"doc_id", $"fp"),
+        "q116_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+      try q.processAllAvailable() finally q.stop()
+      s.table("q116_sink").orderBy($"doc_id")
+    }, Some("""
+      WITH src AS (
+        SELECT doc_id, text,
+               TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id % 180) AS ts
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, '  ' || text,
+               TIMESTAMP '2024-01-01 12:00:00' + to_minutes(doc_id % 180)
+        FROM documents WHERE doc_id % 5 = 0),
+      fps AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp, ts
+        FROM src)
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY ts, doc_id) AS rn
+        FROM fps) WHERE rn = 1
+      ORDER BY doc_id""")),
+
+    // The evicting streaming sessionizer under the ORACLE protocol —
+    // the streaming family's last protocol gap: events replay as THREE
+    // event-time-ordered micro-batches (arrival order = event-time
+    // order, so the watermark-buffered fold is a growing in-order
+    // prefix and every emitted aggregate is monotone — max() over the
+    // update stream IS the final answer) plus a far-future sentinel
+    // that advances the watermark past every user's idle horizon: the
+    // EventTimeTimeout eviction path fires for every real user,
+    // finalizing and REMOVING state (the path that bounds state for a
+    // year of firehose). idleEvictSec spans the corpus's one-month ts
+    // range so no user evicts mid-stream (an eviction epoch split is
+    // the one deliberate divergence from batch semantics; the component
+    // test covers it). Oracle = the q26 batch sessionization answer —
+    // the streaming engine's batch-equivalence contract.
+    QueryDef("q117_stream_sessionize", (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      def upTo(a: String, b: String) =
+        ev.filter($"ts" >= lit(a).cast("timestamp") && $"ts" < lit(b).cast("timestamp"))
+      val sentinel = Seq((-1L,
+        java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), -1L, "view", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val stream = EventsStream.replayOrdered(Seq(
+        upTo("1970-01-01", "2024-01-11"), upTo("2024-01-11", "2024-01-21"),
+        upTo("2024-01-21", "2030-01-01"), sentinel))
+      val sess = EventsStream.sessionizeStreamEvicting(s, stream.as[Event],
+        gapSec = 1800, watermarkDelay = "1 hour",
+        idleEvictSec = 45L * 24 * 3600)
+      s.catalog.dropTempView("q117_sink")
+      val q = EventsStream.toMemorySink(sess.toDF(), "q117_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      try q.processAllAvailable() finally q.stop()
+      s.table("q117_sink").filter($"user_id" >= 0)
+        .groupBy($"user_id")
+        .agg(max($"n_sessions").as("n_sessions"), max($"n_events").as("n_events"))
+        .orderBy($"user_id")
+    }, Some(SESSIONIZE_ORACLE_SQL))
   )
 }

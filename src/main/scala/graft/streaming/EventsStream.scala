@@ -266,30 +266,44 @@ object EventsStream {
       .option("maxFilesPerTrigger", 1).parquet(dir)
   }
 
+  /** Replay `batches` as ORDERED micro-batches — batch i's rows all
+    * arrive strictly before batch i+1's (each batch lands as one file;
+    * `maxFilesPerTrigger 1` feeds the file source one file per trigger
+    * in oldest-first mtime order, and the mtimes are set explicitly so
+    * same-millisecond writes can't tie). This is the arrival-order
+    * control the replay-vs-batch-oracle protocol needs when the
+    * operator's answer depends on arrival order (first-arrival dedup,
+    * in-order sessionization) — within one batch, arrival order of
+    * equal-key rows is whatever the engine does, so callers arrange
+    * batches such that order-sensitive collisions always span a batch
+    * boundary. */
+  def replayOrdered(batches: Seq[DataFrame]): DataFrame = {
+    require(batches.nonEmpty, "need at least one batch")
+    val spark = batches.head.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay2").toString
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles = fs.listStatus(p).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    var seen = Set.empty[String]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.mode("append").parquet(dir)
+      dataFiles.filterNot(s => seen(s.getPath.getName)).foreach { s =>
+        fs.setTimes(s.getPath, 1000000L * (i + 1), -1)
+        seen += s.getPath.getName
+      }
+    }
+    spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+  }
+
   /** Replay `df` as two ORDERED micro-batches: all of `df` first, then
     * the single-row `sentinel` (same schema) — the watermark-flush shape
     * for windowed aggregations in append mode: real data arrives before
     * the watermark moves (nothing is dropped as late), then the
     * sentinel's far-future event time advances the watermark past every
     * real window so they all finalize and emit; the sentinel's own
-    * window stays open and never emits. File modification times are set
-    * explicitly so the file source's oldest-first order is deterministic
-    * (same-millisecond writes would otherwise tie). */
-  def replayThenSentinel(df: DataFrame, sentinel: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_replay2").toString
-    df.coalesce(1).write.mode("overwrite").parquet(dir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles = fs.listStatus(p).filter(s => s.isFile &&
-      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-    val firstBatch = dataFiles.map(_.getPath.getName).toSet
-    sentinel.coalesce(1).write.mode("append").parquet(dir)
-    dataFiles.foreach { s =>
-      val t = if (firstBatch(s.getPath.getName)) 1000000L else 2000000L
-      fs.setTimes(s.getPath, t, -1)
-    }
-    spark.readStream.schema(spark.read.parquet(dir).schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-  }
+    * window stays open and never emits. */
+  def replayThenSentinel(df: DataFrame, sentinel: DataFrame): DataFrame =
+    replayOrdered(Seq(df, sentinel))
 }

@@ -70,9 +70,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 4,
           "graft_jaccard_join(table, textCol, idCol, threshold) takes 4 arguments")
         require(args(3).foldable, "threshold must be a literal")
-        graft.dedup.Dedup.jaccardJoin(tableArg(args(0)),
-          strArg(args(1), "textCol"), strArg(args(2), "idCol"),
-          args(3).eval().asInstanceOf[Number].doubleValue())
+        val df = tableArg(args(0))
+        val textCol = strArg(args(1), "textCol")
+        val idCol = strArg(args(2), "idCol")
+        val t = args(3).eval().asInstanceOf[Number].doubleValue()
+        // the expensive df-ordered shingle projection is memoized per
+        // table CONTENT (file-manifest fingerprint — overwrite-safe),
+        // so repeated SQL invocations share ONE persisted projection
+        // instead of leaking one block-manager entry per call; a
+        // file-less relation (temp view over literals) falls back to a
+        // ContextCleaner-managed localCheckpoint
+        val files = df.inputFiles
+        val ordered =
+          if (files.nonEmpty) {
+            val fp = graft.sources.Layout
+              .filesFingerprint(SparkSession.active, files.toSeq)
+            graft.dedup.DedupCache.memo(s"sql:$fp#$textCol#$idCol#shingleProjection3")(
+              graft.dedup.Dedup.shingleProjection(df, textCol, idCol, 3))
+          } else
+            graft.dedup.Dedup.shingleProjection(df, textCol, idCol, 3)
+              .localCheckpoint()
+        graft.dedup.Dedup.jaccardJoinOrdered(ordered, t)
           .queryExecution.logical
       }))
 

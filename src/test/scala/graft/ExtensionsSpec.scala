@@ -54,6 +54,22 @@ class ExtensionsSpec extends AnyFunSuite {
            ORDER BY id_a, id_b""").collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(jj.toSeq == Seq((1L, 2L)))
 
+      // repeated invocations over a FILE-backed table share ONE memoized
+      // shingle projection (DedupCache keyed by the file-manifest
+      // fingerprint) — block-manager storage must NOT grow per call
+      val tdir = java.nio.file.Files.createTempDirectory("tf_docs_pq").toString
+      spark.table("tf_docs").write.mode("overwrite").parquet(tdir)
+      spark.read.parquet(tdir).createOrReplaceTempView("tf_docs_pq")
+      def runJJ() = spark.sql(
+        """SELECT id_a, id_b FROM graft_jaccard_join('tf_docs_pq', 'text', 'doc_id', 0.7D)
+           ORDER BY id_a, id_b""").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(runJJ() == Seq((1L, 2L)))
+      val persistedAfterFirst = spark.sparkContext.getPersistentRDDs.size
+      assert(runJJ() == Seq((1L, 2L)))
+      assert(runJJ() == Seq((1L, 2L)))
+      assert(spark.sparkContext.getPersistentRDDs.size == persistedAfterFirst,
+        "repeated graft_jaccard_join invocations must not grow block-manager storage")
+
       Seq((1L, 2L), (2L, 3L), (10L, 11L))
         .toDF("a", "b").createOrReplaceTempView("tf_pairs")
       val cc = spark.sql(

@@ -331,6 +331,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PageRank.runToFixpoint: early stop at the integer fixpoint, ranks identical") {
+    import spark.implicits._
+    // directed ring: outdeg 1 and indeg 1 everywhere, so round 1 maps
+    // every rank 10⁶ -> 150000 + 850000 = 10⁶ — the exact fixpoint is
+    // reached immediately and the L1 delta is 0
+    val ring = (0 until 12).map(i => (i.toLong, ((i + 1) % 12).toLong))
+      .toDF("src", "dst").repartition(3)
+    val (ranks, rounds) = graft.ops.PageRank.runToFixpoint(ring, maxIters = 25)
+    assert(rounds == 1) // stopped at the fixpoint, not at maxIters
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until 12).map(i => i.toLong -> 1000000L).toMap)
+    // answer-invariance: same ranks as the fixed-iteration run
+    val full = graft.ops.PageRank.run(ring, 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+
+    // a non-regular graph does NOT stop in one round
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L)).toDF("src", "dst")
+    val (_, r2) = graft.ops.PageRank.runToFixpoint(chain, maxIters = 50)
+    assert(r2 > 1)
+  }
+
+  test("graph key-type mismatches fail loudly instead of nulling joins") {
+    import spark.implicits._
+    val edgesStr = Seq("a" -> "b").toDF("src", "dst")
+    val seedsInt = Seq(1L).toDF("node")
+    intercept[IllegalArgumentException] {
+      graft.ops.Bfs.run(edgesStr, seedsInt, maxHops = 2)
+    }
+    val mixed = Seq(("a", 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] { graft.ops.PageRank.run(mixed, 1) }
+  }
+
   test("Boilerplate: shared passages dropped, unique kept, reconstruction hash-exact") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"nav$i").mkString(" ")   // one exact window
@@ -438,6 +471,47 @@ class OperatorsSpec extends SparkSpec {
     val v2 = graft.ops.IncrementalJoin.refresh(v1, log2, dim, "k", "id")
     val f2 = fact((3L, "b", 30.0), (4L, "b", 4.0), (5L, "a", 5.0))
     assert(v2.collect().map(_.toString).sorted.toSeq == recompute(f2))
+
+    // debug mode: duplicate factId in the insert half fails loudly
+    val dupLog = Seq((7L, "a", 7.0, 1), (7L, "a", 7.5, 1)).toDF("id", "k", "v", "op")
+    intercept[IllegalArgumentException] {
+      graft.ops.IncrementalJoin.refresh(v2, dupLog, dim, "k", "id",
+        assertUniqueInserts = true)
+    }
+  }
+
+  test("IncrementalJoin.refreshDim: dim deltas touch view rows by join key; legs chain") {
+    import spark.implicits._
+    val fact0 = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, "c", 4.0))
+      .toDF("id", "k", "v").repartition(2)
+    def dimOf(rows: (String, String)*) = rows.toSeq.toDF("k", "name")
+    val dim0 = dimOf("a" -> "Alpha", "b" -> "Beta", "c" -> "Gamma")
+    def recompute(f: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =
+      graft.ops.IncrementalJoin.materialize(f, d, "k")
+        .collect().map(_.toString).sorted.toSeq
+    val v0 = graft.ops.IncrementalJoin.materialize(fact0, dim0, "k")
+
+    // dim update of 'a' (del+ins pair), dim delete of 'c' (all its fact
+    // rows leave the view), delete of an absent key (no-op)
+    val dlog = Seq(("a", "Alpha", -1), ("a", "ALPHA2", 1), ("c", "Gamma", -1),
+      ("zz", "None", -1)).toDF("k", "name", "op")
+    val v1 = graft.ops.IncrementalJoin.refreshDim(v0, dlog, fact0, "k")
+    val dim1 = dimOf("a" -> "ALPHA2", "b" -> "Beta")
+    assert(v1.collect().map(_.toString).sorted.toSeq == recompute(fact0, dim1))
+
+    // the legs CHAIN: a fact-side refresh on the dim-refreshed view
+    val flog = Seq((2L, "b", 2.0, -1), (5L, "b", 5.0, 1)).toDF("id", "k", "v", "op")
+    val v2 = graft.ops.IncrementalJoin.refresh(v1, flog, dim1, "k", "id")
+    val fact1 = Seq((1L, "a", 1.0), (3L, "a", 3.0), (4L, "c", 4.0), (5L, "b", 5.0))
+      .toDF("id", "k", "v")
+    assert(v2.collect().map(_.toString).sorted.toSeq == recompute(fact1, dim1))
+
+    // ... and a second dim-side refresh on top of both (fact must be the
+    // current fact side — fact1)
+    val dlog2 = Seq(("b", "Beta", -1), ("b", "BETA3", 1)).toDF("k", "name", "op")
+    val v3 = graft.ops.IncrementalJoin.refreshDim(v2, dlog2, fact1, "k")
+    assert(v3.collect().map(_.toString).sorted.toSeq ==
+      recompute(fact1, dimOf("a" -> "ALPHA2", "b" -> "BETA3")))
   }
 
   test("Image aHash: decoded pixels equal the arithmetic formula; twins pair up") {
@@ -525,6 +599,24 @@ class OperatorsSpec extends SparkSpec {
         ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
     assert(got("A") == ((12L, 3.0, 9.0, 1L, 100.0)))
     assert(got("B") == ((5L, 7.0, 7.0, 0L, 0.0)))
+  }
+
+  test("Outliers: high-cardinality group keys run unbroadcast (shuffled join)") {
+    import spark.implicits._
+    // 20k groups × 3 values — the group-cardinality regime where a
+    // forced quartile broadcast is the wrong plan; the unbroadcast path
+    // must produce the identical per-group summary
+    val rows = (0 until 20000).flatMap(g =>
+      Seq((g, 1.0, g * 3L), (g, 2.0, g * 3L + 1), (g, 100.0 + g % 7, g * 3L + 2)))
+      .toDF("g", "v", "id").repartition(16)
+    val got = graft.ops.Outliers.iqrByGroup(rows, "g", "v", "id",
+      broadcastQuartiles = false)
+    assert(got.count() == 20000)
+    val g0 = got.filter($"g" === 0).head
+    // n=3: q1 = rank floor(2*.25)=0 -> 1.0, q3 = rank floor(2*.75)=1 -> 2.0,
+    // IQR=1, fences [-0.5, 3.5] -> the 100.0 value is the one outlier
+    assert((g0.getLong(1), g0.getDouble(2), g0.getDouble(3), g0.getLong(4)) ==
+      ((3L, 1.0, 2.0, 1L)))
   }
 
   test("KMeansInt: matches a driver-side reference; empty cluster keeps centroid") {
@@ -683,6 +775,25 @@ class OperatorsSpec extends SparkSpec {
       .unionByName(d.filter($"op".isin("I", "U")).drop("op"))
     assert(applied.collect().map(_.toString).sorted.toSeq ==
       v1.collect().map(_.toString).sorted.toSeq)
+
+    // order-insensitive schemas: v1 arrives with columns permuted — the
+    // diff must align by NAME, not position
+    val v1p = v1.select($"v", $"k", $"s")
+    val dp = graft.ops.Merge.snapshotDiff(v0, v1p, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(dp == Set((2L, "U"), (3L, "U"), (4L, "D"), (6L, "I")))
+
+    // user columns carrying the internal prefix must not collide
+    val w0 = Seq((1L, "a"), (2L, "b")).toDF("k", "__o_s")
+    val w1 = Seq((1L, "a"), (2L, "B")).toDF("k", "__o_s")
+    val dw = graft.ops.Merge.snapshotDiff(w0, w1, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(dw == Set((2L, "U", "B")))
+
+    // mismatched column sets fail loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.Merge.snapshotDiff(v0, v1.drop("v"), Seq("k"))
+    }
   }
 
   test("EditDistanceJoin: pairs equal the brute-force levenshtein join") {

@@ -657,10 +657,18 @@ class PipelineSpec extends SparkSpec {
     import graft.ops.{CorpusPipeline, TrainingPrep}
     val docs = sources.Tables.load(spark, sfDir, "documents").select($"doc_id", $"text")
     // plant: an exact dup, a near-dup, and a benchmark-contaminated doc
-    val planted = Seq(
+    // ... and a 6-doc family sharing an exact 8-token header (template
+    // boilerplate) over unique 12-token bodies — the passage stage must
+    // strip the header from every one while the bodies survive packing
+    val header = "common site header navigation menu login search contact"
+    val shared = (1 to 6).map { i =>
+      (910000L + i, header + " " +
+        (1 to 12).map(j => s"bodyword$i$j").mkString(" "))
+    }
+    val planted = (Seq(
       (900001L, docs.filter($"doc_id" === 3).head().getString(1)),          // exact dup of 3
       (900002L, docs.filter($"doc_id" === 5).head().getString(1) + " tail") // near-dup of 5
-    ).toDF("doc_id", "text")
+    ) ++ shared).toDF("doc_id", "text")
     val corpus = docs.unionByName(planted)
     val benchmark = docs.filter($"doc_id" % 101 === 0).limit(5)
     val out = CorpusPipeline.prepare(corpus, benchmark, ctxTokens = 256, shards = 4)
@@ -675,6 +683,14 @@ class PipelineSpec extends SparkSpec {
     // packed output carries a valid (shard, seq) assignment
     val bad = out.filter($"seq_id" < 0 || $"shard" < 0 || $"shard" >= 4).count()
     assert(bad == 0)
+    // the shared header vanished (each family doc packs only its 12-token
+    // body) while every body survived to the trainer assignment
+    val fam = out.filter($"doc_id" >= 910001L && $"doc_id" <= 910006L)
+      .select("doc_id", "n_tok").as[(Long, Int)].collect().toMap
+    assert(fam.keySet == (1 to 6).map(910000L + _).toSet,
+      "every unique body must survive the passage stage")
+    assert(fam.values.forall(_ == 12),
+      s"header tokens must be stripped from the packed token counts: $fam")
 
     // landed trainer-ready: clustered write gives files with disjoint
     // shard ranges, so a one-shard read touches a file subset
