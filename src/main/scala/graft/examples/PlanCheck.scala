@@ -332,6 +332,28 @@ object PlanCheck {
       mustNotContain = Seq(
         "no view-side shuffle join" -> "SortMergeJoin",
         "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // collocations: linear explodes into partial-aggregated counts; the
+    // 1-row total broadcast IS the intended nested-loop (q80 convention),
+    // so only the cartesian negative is pinned
+    Want("q119_collocations", Seq(
+      "bigrams enumerated by a generator" -> "Generate",
+      "map-side partial counts" -> "partial_count"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct")),
+    // trend: one partial-aggregated moment shuffle; dim broadcast
+    Want("q120_trend", Seq(
+      "map-side partial moment sums" -> "partial_sum",
+      "dimension broadcast" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // anomaly: the trailing RANGE window is the one group shuffle
+    Want("q121_anomaly", Seq(
+      "trailing window over the day index" -> "Window",
+      "map-side partial daily counts" -> "partial_count"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
         "no nested-loop join" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {

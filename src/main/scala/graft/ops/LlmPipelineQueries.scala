@@ -1508,7 +1508,35 @@ object LlmPipelineQueries {
       graft.dedup.SemDedup.semanticDedup(src, "vec_id", "embedding", k,
         iters = 2, threshold = 0.95)
         .orderBy($"id")
-    }, Some(semanticDedupOracleSql))
+    }, Some(semanticDedupOracleSql)),
+
+    // Collocation mining (text/Collocations.scala): top-50 adjacent
+    // bigrams by PMI — the "which token pairs belong together" signal
+    // (Church & Hanks CL'90), complementing Bpe (raw pair frequency)
+    // and q110 (most FREQUENT phrase) with most ASSOCIATED. The score
+    // ships as the LIFT ratio c_xy·B/(c_x·c_y) — ln is monotone, so
+    // ranking by lift IS ranking by PMI, and the lift is a fixed-order
+    // double chain over exact integer counts (bit-identical cross-
+    // engine; ln itself differs in the last ulp between engines and
+    // never gets computed). minCount=5 is the standard hapax guard.
+    QueryDef("q119_collocations", (s, dir) => {
+      graft.text.Collocations.pmiTopK(
+        Tables.load(s, dir, "documents"), "text", minCount = 5L, k = 50)
+    }, Some("""
+      WITH w AS (
+        SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      uni AS (SELECT unnest(w) AS tok FROM w),
+      cu AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1),
+      b AS (SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+            FROM w WHERE len(w) >= 2),
+      cb AS (SELECT bg, COUNT(*) AS n_xy FROM b GROUP BY 1 HAVING COUNT(*) >= 5),
+      tot AS (SELECT COUNT(*) AS nb FROM b)
+      SELECT cb.bg AS bigram, cb.n_xy, x.c AS n_x, y.c AS n_y,
+             CAST(cb.n_xy AS DOUBLE) * (SELECT nb FROM tot) / x.c / y.c AS lift
+      FROM cb JOIN cu x ON string_split(cb.bg, ' ')[1] = x.tok
+              JOIN cu y ON string_split(cb.bg, ' ')[2] = y.tok
+      ORDER BY lift DESC, bigram LIMIT 50"""))
   )
 
   /** The unrolled k-means round CTEs (shared by the q108 and q115

@@ -921,7 +921,46 @@ object RelationalQueries {
              CAST(SUM(CASE WHEN r.v < f.lo OR r.v > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
              CAST(COALESCE(SUM(CASE WHEN r.v < f.lo OR r.v > f.hi THEN r.v END), 0) AS DOUBLE) AS sum_outliers
       FROM r JOIN f ON r.g = f.g
-      GROUP BY 1, 2, 3, 4 ORDER BY 1"""))
+      GROUP BY 1, 2, 3, 4 ORDER BY 1""")),
+
+    // Per-group least-squares trend (ops/Trend.scala): the slope of
+    // daily order volume per market segment — the report-analytics step
+    // behind every "is this segment growing?" chart the reference's
+    // report tab draws. Exact long moment sums in ONE partial-aggregated
+    // shuffle (the q82 moment discipline applied to regression), then
+    // slope AND intercept are each a single IEEE division of exact
+    // operands — closed forms, no chaining, bit-identical cross-engine.
+    QueryDef("q120_trend", (s, dir) => {
+      import s.implicits._
+      val dim = t(s, dir, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+      val daily = t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderdate")
+        .join(broadcast(dim), "o_custkey")
+        .groupBy($"c_mktsegment",
+          datediff(to_date($"o_orderdate"), lit("1992-01-01").cast("date")).as("x"))
+        .agg(count(lit(1)).as("y"))
+      Trend.linearTrend(daily, "c_mktsegment", "x", "y")
+        .orderBy($"c_mktsegment")
+    }, Some("""
+      WITH daily AS (
+        SELECT c.c_mktsegment,
+               CAST(CAST(o.o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x,
+               COUNT(*) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+      m AS (
+        SELECT c_mktsegment, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+        FROM daily GROUP BY 1)
+      SELECT c_mktsegment, n AS n_pts,
+             CASE WHEN n*sxx - sx*sx <> 0
+                  THEN CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             END AS slope,
+             CASE WHEN n*sxx - sx*sx <> 0
+                  THEN CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             END AS intercept
+      FROM m ORDER BY c_mktsegment"""))
   )
 
   /** The range-clustered lineitem copy behind q98 — written once per

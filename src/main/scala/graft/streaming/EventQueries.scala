@@ -540,6 +540,46 @@ object EventQueries {
         .groupBy($"user_id")
         .agg(max($"n_sessions").as("n_sessions"), max($"n_events").as("n_events"))
         .orderBy($"user_id")
-    }, Some(SESSIONIZE_ORACLE_SQL))
+    }, Some(SESSIONIZE_ORACLE_SQL)),
+
+    // Windowed anomaly screen (ops/Trend.anomalyFlags): per-event-type
+    // daily volumes against their own 7-day trailing window, flagged by
+    // the 2σ z-test multiplied through to the INTEGER inequality
+    // (w·y − S)² > 4(w·Q − S²) — no float ever exists, so the flags are
+    // engine-portable by construction (stronger than the §5 decimal
+    // protocol). A deterministic ×3 spike planted on day 15 keeps the
+    // flag column non-degenerate at every sf. One event_type shuffle;
+    // RANGE window over the day index is time-based (q68 convention).
+    QueryDef("q121_anomaly", (s, dir) => {
+      import s.implicits._
+      val daily = Tables.load(s, dir, "events")
+        .groupBy($"event_type",
+          datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+            .cast("long").as("d"))
+        .agg(count(lit(1)).as("n0"))
+        .select($"event_type", $"d",
+          when($"d" === 15, $"n0" * 3).otherwise($"n0").as("n"))
+      graft.ops.Trend.anomalyFlags(daily, "event_type", "d", "n", window = 7)
+        .orderBy($"event_type", $"d")
+    }, Some("""
+      WITH daily0 AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               COUNT(*) AS n0
+        FROM events GROUP BY 1, 2),
+      daily AS (
+        SELECT event_type, d,
+               CASE WHEN d = 15 THEN n0 * 3 ELSE n0 END AS n FROM daily0),
+      win AS (
+        SELECT event_type, d, n,
+               COUNT(*) OVER wdw AS w,
+               SUM(n)   OVER wdw AS s,
+               SUM(n*n) OVER wdw AS q
+        FROM daily
+        WINDOW wdw AS (PARTITION BY event_type ORDER BY d
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT event_type, d, n, CAST(w AS BIGINT) AS n_win,
+             (w*n - s)*(w*n - s) > 4*(w*q - s*s) AS flag
+      FROM win ORDER BY event_type, d"""))
   )
 }

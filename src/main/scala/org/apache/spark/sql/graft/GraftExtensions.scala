@@ -325,6 +325,66 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_semantic_dedup"),
+      info("graft_semantic_dedup",
+        "graft_semantic_dedup(table, idCol, vecCol, k, iters, threshold) - SemDeDup-class semantic dedup over the float-array embedding column: (id, cluster, kept). Executes the k-means clustering eagerly (procedure semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "graft_semantic_dedup(table, idCol, vecCol, k, iters, threshold) takes 6 arguments")
+        require(args(3).foldable && args(4).foldable && args(5).foldable,
+          "k, iters and threshold must be literals")
+        graft.dedup.SemDedup.semanticDedup(tableArg(args(0)),
+          strArg(args(1), "idCol"), strArg(args(2), "vecCol"),
+          args(3).eval().asInstanceOf[Number].intValue(),
+          args(4).eval().asInstanceOf[Number].intValue(),
+          args(5).eval().asInstanceOf[Number].doubleValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_collocations"),
+      info("graft_collocations",
+        "graft_collocations(table, textCol, minCount, k) - top-k adjacent-bigram collocations by PMI (shipped as the lift ratio): (bigram, n_xy, n_x, n_y, lift)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_collocations(table, textCol, minCount, k) takes 4 arguments")
+        require(args(2).foldable && args(3).foldable, "minCount and k must be literals")
+        graft.text.Collocations.pmiTopK(tableArg(args(0)),
+          strArg(args(1), "textCol"),
+          args(2).eval().asInstanceOf[Number].longValue(),
+          args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_anomaly"),
+      info("graft_anomaly",
+        "graft_anomaly(table, groupCol, xCol, yCol, window) - integer-exact trailing-window 2-sigma anomaly flags over an integer series: the series + (n_win, flag)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_anomaly(table, groupCol, xCol, yCol, window) takes 5 arguments")
+        require(args(4).foldable, "window must be a literal")
+        graft.ops.Trend.anomalyFlags(tableArg(args(0)),
+          strArg(args(1), "groupCol"), strArg(args(2), "xCol"),
+          strArg(args(3), "yCol"),
+          args(4).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_trend"),
+      info("graft_trend",
+        "graft_trend(table, groupCol, xCol, yCol) - per-group least-squares line over integer points: (group, n_pts, slope, intercept)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_trend(table, groupCol, xCol, yCol) takes 4 arguments")
+        graft.ops.Trend.linearTrend(tableArg(args(0)),
+          strArg(args(1), "groupCol"), strArg(args(2), "xCol"),
+          strArg(args(3), "yCol"))
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

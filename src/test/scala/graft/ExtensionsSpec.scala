@@ -217,6 +217,42 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT phrase, doc_id, n_occ FROM graft_phrase_search('tf_ph', 'text', 'doc_id', 3)
            ORDER BY doc_id""").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       assert(ph.toSeq == Seq(("a b c", 1L, 2L), ("a b c", 2L, 1L)), ph.mkString(";"))
+
+      // r9 table functions
+      // semantic dedup: id 2 = scaled paraphrase of id 0 (same direction)
+      Seq((0L, Array(10f, 3f)), (1L, Array(-10f, 0f)), (2L, Array(10.15625f, 3.046875f)))
+        .toDF("id", "vec").createOrReplaceTempView("tf_sd")
+      val sdd = spark.sql(
+        """SELECT id, kept FROM graft_semantic_dedup('tf_sd', 'id', 'vec', 2, 2, 0.95D)
+           ORDER BY id""").collect().map(r => (r.getLong(0), r.getBoolean(1)))
+      assert(sdd.toSeq == Seq((0L, true), (1L, true), (2L, false)), sdd.mkString(";"))
+
+      // collocations: "aa bb" x6 beats minCount, lift = 6*15/9/8
+      ((1 to 6).map(_ => "aa bb") ++ (1 to 4).map(_ => "cc dd") ++
+        (1 to 3).map(_ => "aa xx") ++ (1 to 2).map(_ => "yy bb"))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text").createOrReplaceTempView("tf_col")
+      val co = spark.sql(
+        """SELECT bigram, n_xy, lift FROM graft_collocations('tf_col', 'text', 5, 10)""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(co.toSeq == Seq(("aa bb", 6L, 6.0 * 15 / 9 / 8)), co.mkString(";"))
+
+      // anomaly: the spike among six steady points flags
+      (Seq(10L, 11L, 9L, 10L, 10L, 11L, 100L, 10L).zipWithIndex.map {
+        case (y, x) => ("a", x.toLong, y)
+      }).toDF("g", "x", "y").createOrReplaceTempView("tf_an")
+      val an = spark.sql(
+        """SELECT x, flag FROM graft_anomaly('tf_an', 'g', 'x', 'y', 7)
+           WHERE flag ORDER BY x""").collect().map(_.getLong(0))
+      assert(an.toSeq == Seq(6L), an.mkString(";"))
+
+      // trend: exact line y = 3x + 2
+      (0L to 5L).map(x => ("g", x, 3 * x + 2)).toDF("g", "x", "y")
+        .createOrReplaceTempView("tf_tr")
+      val tr = spark.sql(
+        """SELECT n_pts, slope, intercept FROM graft_trend('tf_tr', 'g', 'x', 'y')""")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(tr.toSeq == Seq((6L, 3.0, 2.0)), tr.mkString(";"))
     } finally {
       // don't leak this untuned session (200 shuffle partitions) into the
       // suites that follow — TestSession rebuilds the tuned one on demand

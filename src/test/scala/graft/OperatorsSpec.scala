@@ -717,6 +717,56 @@ class OperatorsSpec extends SparkSpec {
     assert(got(0L)._1 != got(1L)._1)
   }
 
+  test("Trend.linearTrend: exact line recovered; degenerate group yields NULLs") {
+    import spark.implicits._
+    // g1 lies exactly on y = 3x + 2; g2 has one point (den = 0)
+    val pts = (0L to 10L).map(x => ("g1", x, 3 * x + 2)) :+ (("g2", 5L, 7L))
+    val got = graft.ops.Trend.linearTrend(
+      pts.toDF("g", "x", "y").repartition(3), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got("g1") == ((11L, Some(3.0), Some(2.0))))
+    assert(got("g2") == ((1L, None, None)))
+  }
+
+  test("Trend.anomalyFlags: integer 2-sigma test flags the spike, spares the noise") {
+    import spark.implicits._
+    // steady ~10s with one 100 spike. NOTE the self-inclusion bound: a
+    // lone outlier among w-1 near-constant points scores z ≈ √(w−1), so
+    // the 2σ test needs window ≥ 6 to catch it — window 7 here (and in
+    // q121), which is the honest reason the default window isn't tiny.
+    val ys = Seq(10L, 11L, 9L, 10L, 10L, 11L, 100L, 10L, 9L)
+    val series = ys.zipWithIndex.map { case (y, x) => ("a", x.toLong, y) }
+      .toDF("g", "x", "y").repartition(2)
+    val got = graft.ops.Trend.anomalyFlags(series, "g", "x", "y", window = 7)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    assert(got(6L), "the spike must flag")
+    assert(!got(0L), "a single-point window has sigma 0 and never flags")
+    assert(!got(1L) && !got(2L) && !got(3L), "steady prefix must not flag")
+    // driver-side reference for EVERY point: the same integer inequality
+    ys.indices.foreach { i =>
+      val win = ys.slice(math.max(0, i - 6), i + 1)
+      val (w, s, q) = (win.size.toLong, win.sum, win.map(v => v * v).sum)
+      val want = (w * ys(i) - s) * (w * ys(i) - s) > 4 * (w * q - s * s)
+      assert(got(i.toLong) == want, s"x=$i")
+    }
+  }
+
+  test("Collocations.pmiTopK: lift matches hand counts; hapax guarded; ties break on bigram") {
+    import spark.implicits._
+    // "aa bb" appears 6x (planted collocation), fillers pad the counts;
+    // "cc dd" appears 4x — under minCount 5, must not surface
+    val docs = (Seq.fill(6)("aa bb") ++ Seq.fill(4)("cc dd") ++
+      Seq.fill(3)("aa xx") ++ Seq.fill(2)("yy bb"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val top = graft.text.Collocations.pmiTopK(docs, "text", minCount = 5L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(top.length == 1 && top(0)._1 == "aa bb")
+    // hand arithmetic: B = 15 bigrams, c_aa=9, c_bb=8, c_xy=6
+    assert(top(0)._2 == 6L && top(0)._3 == 9L && top(0)._4 == 8L)
+    assert(top(0)._5 == 6.0 * 15 / 9 / 8)
+  }
+
   test("Triangles: exact per-node counts under dupes/reversals/self-loops") {
     import spark.implicits._
     // K4 on {a,b,c,d}: 4 triangles, every node in 3. Square {p,q,r,s}
