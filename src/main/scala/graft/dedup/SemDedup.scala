@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape — why this survives 100 TB where an all-pairs cosine
   * join cannot: the pair join is an EQUI-join on the cluster id, so
-  * candidate volume is Σ|C_i|² — with k sized to the corpus (callers
-  * pass k ≈ n/targetClusterSize, the SemDeDup recipe), that is
-  * O(n · targetClusterSize), linear in the corpus. Cluster partitioning
-  * bounds pairs exactly like IVF cells bound ANN probes. Byte-identical
+  * candidate volume is Σ|C_i|² ≈ n²/k — with k grown with the corpus it
+  * stays sub-quadratic, and since ASSIGNMENT costs O(n·k·d), the
+  * balanced choice is k ≈ √n (both terms n^1.5·d — what q115 uses; any
+  * fixed cluster-size recipe pushes one term quadratic). Cluster
+  * partitioning bounds pairs exactly like IVF cells bound ANN probes,
+  * and the assignment rides the codegen NearestCentroidL kernel. Byte-identical
   * vectors collapse to their min-id representative BEFORE pairing (the
   * q28/q111 exact-collapse discipline — a template-heavy corpus costs
   * class rows, never n² pairs); non-representatives are dominated by
@@ -40,8 +42,8 @@ object SemDedup {
 
   /** Returns one row per input vector: (id, cluster, kept) — `kept` =
     * false iff a smaller-id same-cluster vector sits above `threshold`
-    * cosine. `k`/`iters` parameterize the clustering; size k so
-    * clusters average the pair-join budget (n/k ≈ a few hundred). */
+    * cosine. `k`/`iters` parameterize the clustering; k ≈ √n balances
+    * assignment against the within-cluster pair join (see above). */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.dotF

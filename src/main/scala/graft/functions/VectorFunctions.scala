@@ -13,4 +13,6 @@ object VectorFunctions {
     org.apache.spark.sql.graft.VectorFunctions.hyperplaneSig(vec, planes, dim)
   def nearestCentroid(vec: Column, centroids: Array[Double], dim: Int): Column =
     org.apache.spark.sql.graft.VectorFunctions.nearestCentroid(vec, centroids, dim)
+  def nearestCentroidL(vec: Column, centroids: Array[Long], dim: Int): Column =
+    org.apache.spark.sql.graft.VectorFunctions.nearestCentroidL(vec, centroids, dim)
 }

@@ -1484,9 +1484,9 @@ object LlmPipelineQueries {
     // Semantic (SemDeDup-class) dedup (dedup/SemDedup.scala): catch
     // PARAPHRASES — documents whose embeddings point the same way with
     // no surface overlap, the one dedup class q27–q31 (all
-    // surface-keyed) cannot. KMeansInt clusters the corpus (k sized to
-    // the corpus: n/200, min 5 — the SemDeDup recipe that keeps the
-    // within-cluster pair join linear overall), then each cluster's
+    // surface-keyed) cannot. KMeansInt clusters the corpus (k = ⌊√n⌋,
+    // min 5 — balancing assignment O(n·k·d) against the within-cluster
+    // pair join O(n²·d/k) at n^1.5·d total), then each cluster's
     // exact cosine pair join drops every vector dominated by a
     // smaller-id clustermate above 0.95. Planted paraphrase pairs:
     // ×1.015625 copies — the multiplier is exact in float AND double,
@@ -1504,7 +1504,12 @@ object LlmPipelineQueries {
           transform($"embedding", x => (x * lit(1.015625f)).cast("float"))
             .as("embedding"))
       val src = emb.unionByName(planted)
-      val k = math.max(5L, src.count() / 200).toInt
+      // k = ⌊√n⌋ balances the two corpus-scale costs — assignment
+      // O(n·k·d) vs within-cluster pairs O(n²·d/k) — at n^1.5·d (the
+      // measured 23× sf3 blowup of the first k = n/200 choice was the
+      // assignment term). IEEE sqrt is correctly rounded, so both
+      // engines compute the identical k.
+      val k = math.max(5L, math.sqrt(src.count().toDouble).toLong).toInt
       graft.dedup.SemDedup.semanticDedup(src, "vec_id", "embedding", k,
         iters = 2, threshold = 0.95)
         .orderBy($"id")
@@ -1594,9 +1599,10 @@ ${kmeansRoundCtes(iters)}
   }
 
   /** The q115 oracle: the same planted-paraphrase union, the same
-    * integer k-means rounds (k = GREATEST(5, n // 200) as a scalar
-    * subquery — the oracle only runs at sf0.01, but the formula keeps it
-    * valid at any sf), then the within-cluster smaller-id dominance rule
+    * integer k-means rounds (k = GREATEST(5, ⌊√n⌋) as a scalar
+    * subquery — IEEE sqrt is correctly rounded, so both engines compute
+    * the identical k at any sf), then the within-cluster smaller-id
+    * dominance rule
     * as a pair join + NOT IN. Equivalent to the operator's exact-collapse
     * form: every byte-identical group's minimum is its representative, so
     * "dominated by a smaller id" and "non-rep, or rep dominated by a
@@ -1609,7 +1615,8 @@ ${kmeansRoundCtes(iters)}
                  x -> CAST(x * CAST(1.015625 AS DOUBLE) AS FLOAT))
         FROM embeddings WHERE vec_id % 9 = 0"""
     s"""
-      WITH ${kmeansPrologCtes(src, "SELECT GREATEST(5, COUNT(DISTINCT id) // 200) FROM pts")},
+      WITH ${kmeansPrologCtes(src,
+        "SELECT GREATEST(5, CAST(FLOOR(SQRT(COUNT(DISTINCT id))) AS BIGINT)) FROM pts")},
 ${kmeansRoundCtes(2)},
       src AS ($src),
       v AS (

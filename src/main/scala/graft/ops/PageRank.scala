@@ -76,9 +76,59 @@ object PageRank {
         .distinct())
     e0.unpersist(false)
 
+    val spine = nodes.withColumn("tele", lit(150000L))
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to nIters)
-      ranks = truncate(round(eDeg, nodes, ranks))
+      ranks = truncate(round(eDeg, spine, ranks))
+    ranks.select(col("node"), col("r").as("rank_mu"))
+  }
+
+  /** Personalized PageRank — relevance TO a seed set rather than global
+    * authority (crawl-seed expansion: "which domains matter from these
+    * trusted starting points?"): the teleport mass returns ONLY to the
+    * seeds —
+    *
+    *   r₀(v)   = seed(v) ? 1_000_000 : 0
+    *   rₜ₊₁(v) = (seed(v) ? 150_000 : 0)
+    *             + (85 · Σ_{u→v} (rₜ(u) div outdeg(u))) div 100
+    *
+    * — the same all-integer recurrence as [[run]] with a seed-indicator
+    * teleport, so it stays oracle-checkable (q122 unrolls it in SQL).
+    * Same per-round scale shape and lineage truncation. */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame, nIters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(nIters >= 0, "nIters must be non-negative")
+    requireSameKeyType(edges)
+    val seedT = seeds.schema("node").dataType
+    require(seedT == edges.schema("src").dataType,
+      s"seed node type $seedT must equal the edge key type (cast explicitly)")
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach { d =>
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val e0 = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = truncate(e0.join(deg, "src"))
+    // seed membership rides the node spine as the per-node teleport —
+    // one broadcast-small join at build time, zero per-round cost
+    val sd = seeds.select(col("node")).distinct()
+      .withColumn("__isSeed", lit(true))
+    val spine = truncate(
+      e0.select(col("src").as("node")).unionByName(e0.select(col("dst").as("node")))
+        .distinct()
+        .join(sd, Seq("node"), "left")
+        .select(col("node"),
+          when(col("__isSeed"), lit(150000L)).otherwise(lit(0L)).as("tele")))
+    e0.unpersist(false)
+
+    var ranks = spine.select(col("node"),
+      when(col("tele") > 0L, lit(1000000L)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to nIters)
+      ranks = truncate(round(eDeg, spine, ranks))
     ranks.select(col("node"), col("r").as("rank_mu"))
   }
 
@@ -111,12 +161,13 @@ object PageRank {
         .distinct())
     e0.unpersist(false)
 
+    val spine = nodes.withColumn("tele", lit(150000L))
     var ranks = nodes.withColumn("r", lit(1000000L))
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
       it += 1
-      val next = truncate(round(eDeg, nodes, ranks))
+      val next = truncate(round(eDeg, spine, ranks))
       val delta = next.as("n").join(ranks.as("p"), col("n.node") === col("p.node"))
         .agg(coalesce(sum(abs(col("n.r") - col("p.r"))), lit(0L)).as("d"))
         .head.getLong(0)
@@ -138,7 +189,9 @@ object PageRank {
 
   /** One power-iteration round as a declarative plan: the edges⋈ranks
     * equi-join on src, the map-side-combined contribution sum on dst,
-    * and the node-spine left join applying teleport + damping. */
+    * and the node-spine left join applying the spine's per-node
+    * teleport (`tele` column — constant 150000 for [[run]], the seed
+    * indicator for [[runPersonalized]]) + damping. */
   private[graft] def round(eDeg: DataFrame, nodes: DataFrame,
       ranks: DataFrame): DataFrame = {
     val sums = eDeg.join(ranks, eDeg("src") === ranks("node"))
@@ -146,7 +199,7 @@ object PageRank {
       .groupBy("dst").agg(sum("c").as("s"))
     nodes.join(sums, nodes("node") === sums("dst"), "left")
       .select(nodes("node"),
-        (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        (nodes("tele") + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
   }
 
   /** The un-truncated round-1 plan over raw `edges` — what PlanCheck
@@ -157,6 +210,7 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-    round(e.join(deg, "src"), nodes, nodes.withColumn("r", lit(1000000L)))
+    round(e.join(deg, "src"), nodes.withColumn("tele", lit(150000L)),
+      nodes.withColumn("r", lit(1000000L)))
   }
 }

@@ -960,7 +960,70 @@ object RelationalQueries {
              CASE WHEN n*sxx - sx*sx <> 0
                   THEN CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
              END AS intercept
-      FROM m ORDER BY c_mktsegment"""))
+      FROM m ORDER BY c_mktsegment""")),
+
+    // Personalized PageRank (PageRank.runPersonalized) over the q100
+    // trade graph: relevance TO a seed set (suppliers 1–3) instead of
+    // global authority — crawl-seed expansion ("which customers matter
+    // from these trusted suppliers?"). Same all-integer recurrence
+    // with a seed-indicator teleport, so the oracle unrolls the same
+    // three rounds; seeds derive from the supplier table in BOTH
+    // engines. Seeds absent from the graph are ignored identically
+    // (the spine is built from edges on both sides).
+    QueryDef("q122_ppr", (s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"l_suppkey" * 2).as("a"),
+          ($"o_custkey" * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      val seeds = t(s, dir, "supplier").filter($"s_suppkey" <= 3)
+        .select(($"s_suppkey" * 2).as("node"))
+      PageRank.runPersonalized(edges, seeds, nIters = 3)
+        .orderBy(desc("rank_mu"), $"node")
+        .limit(20)
+    }, Some("""
+      WITH pairs AS (
+        SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      seeds AS (SELECT s_suppkey * 2 AS node FROM supplier WHERE s_suppkey <= 3),
+      r0 AS (SELECT node,
+               CAST(CASE WHEN node IN (SELECT node FROM seeds)
+                         THEN 1000000 ELSE 0 END AS BIGINT) AS r
+             FROM nodes),
+      r1 AS (SELECT n.node,
+               CAST(CASE WHEN n.node IN (SELECT node FROM seeds)
+                         THEN 150000 ELSE 0 END
+                    + ((85 * COALESCE(c.s, 0)) // 100) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst, SUM(p.r // d.outdeg) AS s
+               FROM edges e JOIN deg d ON e.src = d.src JOIN r0 p ON p.node = e.src
+               GROUP BY e.dst) c ON c.dst = n.node),
+      r2 AS (SELECT n.node,
+               CAST(CASE WHEN n.node IN (SELECT node FROM seeds)
+                         THEN 150000 ELSE 0 END
+                    + ((85 * COALESCE(c.s, 0)) // 100) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst, SUM(p.r // d.outdeg) AS s
+               FROM edges e JOIN deg d ON e.src = d.src JOIN r1 p ON p.node = e.src
+               GROUP BY e.dst) c ON c.dst = n.node),
+      r3 AS (SELECT n.node,
+               CAST(CASE WHEN n.node IN (SELECT node FROM seeds)
+                         THEN 150000 ELSE 0 END
+                    + ((85 * COALESCE(c.s, 0)) // 100) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst, SUM(p.r // d.outdeg) AS s
+               FROM edges e JOIN deg d ON e.src = d.src JOIN r2 p ON p.node = e.src
+               GROUP BY e.dst) c ON c.dst = n.node)
+      SELECT node, r AS rank_mu FROM r3
+      ORDER BY rank_mu DESC, node LIMIT 20"""))
   )
 
   /** The range-clustered lineitem copy behind q98 — written once per

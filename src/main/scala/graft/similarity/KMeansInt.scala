@@ -31,15 +31,16 @@ import org.apache.spark.sql.functions._
   * previous centroid (matched by the oracle's
   * COALESCE-from-previous-round).
   *
-  * Parameter scale: the argmin is a fixed-shape expression — one
-  * Literal holding the k×d table plus a constant number of
-  * higher-order-function nodes — so plan/codegen size is O(1) in k
-  * (the literal's DATA is k×d, but data is not expression tree). The
-  * earlier formulation (a fold of per-centroid `when` chains, each
-  * embedding its own d-element literal) grew the tree ~2^k with
-  * per-row distance recomputation — fine at report-scale k, hostile to
-  * Catalyst past k ≈ 15; this form takes k = 512+ without stressing
-  * analysis or codegen (asserted in KMeansSpec).
+  * Parameter scale: the argmin is ONE codegen expression
+  * (`NearestCentroidL`) whose k×d table travels as a reference object —
+  * plan/codegen size O(1) in k, and the per-row cost is a tight
+  * generated long loop. The history matters at scale: the original fold
+  * of per-centroid `when` chains grew the expression tree ~2^k (hostile
+  * to Catalyst past k ≈ 15), and the intermediate higher-order-function
+  * rewrite was tree-flat but interpreted (HOFs never whole-stage-
+  * codegen), which dominated wall time once SemDeDup-style callers grew
+  * k with the corpus — assignment is O(n·k·d). KMeansSpec asserts the
+  * tree-size flatness at k = 512 plus a real k = 512 fit.
   */
 object KMeansInt {
 
@@ -47,19 +48,19 @@ object KMeansInt {
   def quantize(vec: Column, scale: Long): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Argmin cluster index over literal centroids; ties break to the
-    * smaller index (`array_position` returns the FIRST occurrence of the
-    * minimum). The k×d centroid table is ONE nested-array literal and the
-    * distance array is built by a single `transform` — expression-tree
-    * size is constant in k, with each distance computed exactly once. */
+  /** Argmin cluster index over the centroid table; ties break to the
+    * smaller index (strict `<` keeps the earlier winner). Backed by the
+    * codegen `NearestCentroidL` kernel: the k×d table ships once per
+    * task as a reference object (expression-tree size O(1) in k), the
+    * argmin is a tight generated long loop — ~100× the throughput of
+    * the interpreted higher-order-function formulation, which matters
+    * because assignment is O(n·k·d) and SemDeDup-style callers grow k
+    * with the corpus. */
   def assignExpr(q: Column, centroids: Array[Array[Long]]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val cents = typedlit(centroids.map(_.toSeq).toSeq)
-    val dists = transform(sequence(lit(0), lit(centroids.length - 1)),
-      j => aggregate(
-        zip_with(q, element_at(cents, j + 1), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    val dim = centroids(0).length
+    graft.functions.VectorFunctions.nearestCentroidL(
+      q, centroids.flatten, dim)
   }
 
   /** `iters` rounds of (assign → update) from seeds = the quantized

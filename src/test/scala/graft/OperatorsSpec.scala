@@ -331,6 +331,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PageRank.runPersonalized: seed-restricted teleport matches a driver reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 30
+    val edgeList = Seq.tabulate(120)(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+    val edges = edgeList.toDF("src", "dst").repartition(4)
+    val seedSet = Set(0L, 3L, 7L)
+    val seeds = seedSet.toSeq.toDF("node")
+
+    def reference(iters: Int): Map[Long, Long] = {
+      val outdeg = edgeList.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nodes = (edgeList.map(_._1) ++ edgeList.map(_._2)).distinct
+      var r = nodes.map(v => v -> (if (seedSet(v)) 1000000L else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val in = edgeList.groupBy(_._2).view.mapValues(
+          _.map { case (s0, _) => r(s0) / outdeg(s0) }.sum).toMap
+        r = nodes.map(v => v ->
+          ((if (seedSet(v)) 150000L else 0L) + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+      }
+      r
+    }
+    for (iters <- Seq(0, 3)) {
+      val got = graft.ops.PageRank.runPersonalized(edges, seeds, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == reference(iters), s"iters=$iters")
+    }
+    // a seed absent from the graph contributes nothing and doesn't appear
+    val withGhost = graft.ops.PageRank
+      .runPersonalized(edges, (seedSet + 999L).toSeq.toDF("node"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!withGhost.contains(999L))
+    assert(withGhost == reference(2))
+  }
+
   test("PageRank.runToFixpoint: early stop at the integer fixpoint, ranks identical") {
     import spark.implicits._
     // directed ring: outdeg 1 and indeg 1 everywhere, so round 1 maps
