@@ -354,7 +354,14 @@ object PlanCheck {
       "map-side partial daily counts" -> "partial_count"),
       mustNotContain = Seq(
         "no cartesian" -> "CartesianProduct",
-        "no nested-loop join" -> "BroadcastNestedLoopJoin")))
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // hybrid RRF: the lexical leg's corpus scoring goes through the
+    // bounded heap (the broadcast query cross IS the q32 convention;
+    // the fuse window is answer-sized by construction)
+    Want("q123_hybrid_rrf", Seq(
+      "lexical leg through the bounded heap" -> "scored_top_k"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()

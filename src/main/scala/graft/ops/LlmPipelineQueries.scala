@@ -1541,7 +1541,60 @@ object LlmPipelineQueries {
              CAST(cb.n_xy AS DOUBLE) * (SELECT nb FROM tot) / x.c / y.c AS lift
       FROM cb JOIN cu x ON string_split(cb.bg, ' ')[1] = x.tok
               JOIN cu y ON string_split(cb.bg, ' ')[2] = y.tok
-      ORDER BY lift DESC, bigram LIMIT 50"""))
+      ORDER BY lift DESC, bigram LIMIT 50""")),
+
+    // Hybrid retrieval via reciprocal-rank fusion (similarity/
+    // HybridSearch.scala — Cormack et al. SIGIR'09): the standard RAG
+    // search composition. Lexical leg = exact 3-gram Jaccard top-10
+    // per query doc (queries broadcast, corpus streams once through
+    // the ScoredTopK heap); dense leg = exact cosine top-10 over the
+    // embeddings (the q32 ranking at k=10 — its oracle agreement IS
+    // the dense leg's rank gate); fusion = Σ 1/(60+rk), absent legs
+    // contribute exact 0.0 — every fused score is a fixed-order sum of
+    // single exact-integer divisions, bit-identical cross-engine, ties
+    // on the candidate id. Fusion inputs are queries×k rows, so the
+    // fuse join + rank window are answer-sized at any corpus scale.
+    QueryDef("q123_hybrid_rrf", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val lex = graft.similarity.HybridSearch.jaccardTopK(
+        docs, "text", "doc_id", $"doc_id" < 3, k = 10)
+      val emb = Tables.load(s, dir, "embeddings")
+      val dense = Ann.bruteTopK(emb, emb.filter($"vec_id" < 3),
+        "embedding", "vec_id", k = 10)
+      graft.similarity.HybridSearch.rrfFuse(lex, dense, c = 60, k = 5)
+        .orderBy($"q_id", $"rk")
+    }, Some(s"""
+      WITH sh AS (${shingleSetsSqlFrom("documents")}),
+      lexs AS (
+        SELECT q.doc_id AS q_id, d.doc_id AS n_id,
+               CAST(len(list_intersect(d.s, q.s)) AS DOUBLE)
+                 / len(list_distinct(d.s || q.s)) AS j
+        FROM sh d JOIN sh q ON q.doc_id < 3 AND d.doc_id <> q.doc_id),
+      lex AS (
+        SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY j DESC, n_id) AS rk
+        FROM lexs),
+      dens AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                          e.vec_id) AS rk
+        FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+        WHERE q.vec_id < 3),
+      fused AS (
+        SELECT COALESCE(l.q_id, d.q_id) AS q_id,
+               COALESCE(l.n_id, d.n_id) AS n_id,
+               COALESCE(1.0 / (60.0 + l.rk), 0.0)
+                 + COALESCE(1.0 / (60.0 + d.rk), 0.0) AS rrf
+        FROM (SELECT * FROM lex WHERE rk <= 10) l
+        FULL OUTER JOIN (SELECT * FROM dens WHERE rk <= 10) d
+          ON l.q_id = d.q_id AND l.n_id = d.n_id)
+      SELECT q_id, CAST(rk AS INTEGER) AS rk, n_id, rrf FROM (
+        SELECT q_id, n_id, rrf,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rk
+        FROM fused)
+      WHERE rk <= 5 ORDER BY q_id, rk"""))
   )
 
   /** The unrolled k-means round CTEs (shared by the q108 and q115

@@ -752,6 +752,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got(0L)._1 != got(1L)._1)
   }
 
+  test("HybridSearch.rrfFuse: overlap sums, single legs rank, cross-leg ties break on id") {
+    import spark.implicits._
+    // doc 100 in BOTH legs (lex rk2 + dense rk2 -> 2/62, the top);
+    // 101 lex-only rk1 and 103 dense-only rk1 TIE at 1/61 -> id order;
+    // 102 lex-only rk3 trails at 1/63.
+    val lex = Seq((1L, 1, 101L), (1L, 2, 100L), (1L, 3, 102L))
+      .toDF("q_id", "rk", "n_id")
+    val dense = Seq((1L, 1, 103L), (1L, 2, 100L))
+      .toDF("q_id", "rk", "n_id")
+    val got = graft.similarity.HybridSearch.rrfFuse(lex, dense, c = 60, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1, 100L, 1.0 / 62 + 1.0 / 62),
+      (1L, 2, 101L, 1.0 / 61),
+      (1L, 3, 103L, 1.0 / 61),
+      (1L, 4, 102L, 1.0 / 63)), got.mkString(";"))
+  }
+
+  test("HybridSearch.jaccardTopK: heap ranking equals the sort order, self excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon eta"),   // closest to 0
+      (2L, "alpha beta gamma theta iota kappa"),    // medium
+      (3L, "completely different words here now ok"),
+      (4L, "alpha beta gamma delta epsilon zeta")   // identical to 0 (J = 1)
+    ).toDF("doc_id", "text").repartition(3)
+    val got = graft.similarity.HybridSearch.jaccardTopK(
+      docs, "text", "doc_id", $"doc_id" === 0, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sorted
+    // rank 1 = the identical doc 4, rank 2 = near-identical 1, rank 3 =
+    // medium 2; the query itself never appears
+    assert(got.toSeq == Seq((1, 4L), (2, 1L), (3, 2L)), got.mkString(";"))
+  }
+
   test("Trend.linearTrend: exact line recovered; degenerate group yields NULLs") {
     import spark.implicits._
     // g1 lies exactly on y = 3x + 2; g2 has one point (den = 0)
