@@ -1594,7 +1594,43 @@ object LlmPipelineQueries {
         SELECT q_id, n_id, rrf,
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rk
         FROM fused)
-      WHERE rk <= 5 ORDER BY q_id, rk"""))
+      WHERE rk <= 5 ORDER BY q_id, rk""")),
+
+    // Chunk->document embedding pooling (similarity/Pooling.meanPool):
+    // the aggregation between chunk-wise encoding (q49 chunks what the
+    // encoder's window bounds) and every doc-granularity consumer
+    // (semantic dedup, coarse routing, diversity sampling). Integer-
+    // exact: micro-unit quantization + Σ div n truncating mean (the
+    // q108 convention), so the pooled vector is bit-identical cross-
+    // engine; the output audits EVERY component via the position-
+    // weighted checksum Σ (pos+1)·mean_pos and the L1 norm — a single
+    // flipped component breaks the hash. Five consecutive vec_ids pose
+    // as one document's chunks.
+    QueryDef("q124_embedding_pool", (s, dir) => {
+      import s.implicits._
+      val chunks = Tables.load(s, dir, "embeddings")
+        .select(expr("vec_id div 5").as("doc"), $"embedding")
+      graft.similarity.Pooling.meanPool(chunks, "doc", "embedding")
+        .select($"doc", $"n_chunks",
+          aggregate($"pooled", lit(0L), (a, x) => a + abs(x)).as("l1_u"),
+          aggregate(zip_with($"pooled", sequence(lit(1), size($"pooled")),
+            (m, i) => m * i), lit(0L), (a, x) => a + x).as("chk_u"))
+        .orderBy($"doc")
+    }, Some("""
+      WITH q AS (
+        SELECT vec_id // 5 AS doc, u.i AS pos,
+               CAST(round(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS q
+        FROM (SELECT vec_id,
+                unnest(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) AS u
+              FROM embeddings)),
+      m AS (SELECT doc, pos, SUM(q) // COUNT(*) AS m, COUNT(*) AS n
+            FROM q GROUP BY 1, 2),
+      nc AS (SELECT doc, CAST(MAX(n) AS BIGINT) AS n_chunks FROM m GROUP BY 1)
+      SELECT m.doc, nc.n_chunks,
+             CAST(SUM(ABS(m.m)) AS BIGINT) AS l1_u,
+             CAST(SUM(m.pos * m.m) AS BIGINT) AS chk_u
+      FROM m JOIN nc ON nc.doc = m.doc
+      GROUP BY 1, 2 ORDER BY m.doc"""))
   )
 
   /** The unrolled k-means round CTEs (shared by the q108 and q115

@@ -137,4 +137,18 @@ object Merge {
       .select((key.map(col) :+ op.as("op")) ++ vals: _*)
       .filter(col("op").isNotNull)
   }
+
+  /** Apply a [[snapshotDiff]] changelog to `old`, reproducing the new
+    * snapshot — the consumer side of the CDC loop in one call
+    * (apply(v0, snapshotDiff(v0, v1, k), k) == v1, the roundtrip
+    * property OperatorsSpec asserts). Delta-sized work: touched keys
+    * (U/D) leave via one anti-join, I/U rows append — the standing
+    * table never shuffles. */
+  def applyDiff(old: DataFrame, diff: DataFrame, key: Seq[String]): DataFrame = {
+    val touched = diff.filter(col("op").isin("U", "D"))
+      .select(key.map(col): _*).distinct()
+    old.join(touched, key, "left_anti")
+      .unionByName(diff.filter(col("op").isin("I", "U")).drop("op"))
+      .select(old.columns.map(col).toSeq: _*)
+  }
 }

@@ -787,6 +787,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 4L), (2, 1L), (3, 2L)), got.mkString(";"))
   }
 
+  test("Pooling.meanPool: integer mean with toward-zero truncation on negatives") {
+    import spark.implicits._
+    val chunks = Seq(
+      ("a", Array(1.0f, -0.5f)), ("a", Array(2.0f, -0.6f)), ("a", Array(0.5f, 0.1f)),
+      ("b", Array(4.0f, 4.0f)))
+      .toDF("doc", "v").repartition(3)
+    val got = graft.similarity.Pooling.meanPool(chunks, "doc", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    // pos0: 3500000 div 3 = 1166666; pos1: -1000000 div 3 = -333333
+    // (toward zero — floor division would give -333334)
+    assert(got("a") == ((3L, Seq(1166666L, -333333L))))
+    assert(got("b") == ((1L, Seq(4000000L, 4000000L))))
+  }
+
   test("Trend.linearTrend: exact line recovered; degenerate group yields NULLs") {
     import spark.implicits._
     // g1 lies exactly on y = 3x + 2; g2 has one point (den = 0)
@@ -889,10 +903,9 @@ class OperatorsSpec extends SparkSpec {
       (4L, "D", "d", "4.0"),   // D carries the OLD row (the retraction)
       (6L, "I", "f", "6.0")))
 
-    // roundtrip: old minus (U/D keys) union (I/U rows) == new
+    // roundtrip through the public consumer: applyDiff(v0, diff) == v1
     val d = graft.ops.Merge.snapshotDiff(v0, v1, Seq("k"))
-    val applied = v0.join(d.filter($"op".isin("U", "D")).select("k"), Seq("k"), "left_anti")
-      .unionByName(d.filter($"op".isin("I", "U")).drop("op"))
+    val applied = graft.ops.Merge.applyDiff(v0, d, Seq("k"))
     assert(applied.collect().map(_.toString).sorted.toSeq ==
       v1.collect().map(_.toString).sorted.toSeq)
 
