@@ -1554,18 +1554,34 @@ object LlmPipelineQueries {
     // single exact-integer divisions, bit-identical cross-engine, ties
     // on the candidate id. Fusion inputs are queries×k rows, so the
     // fuse join + rank window are answer-sized at any corpus scale.
+    // Planted two-leg candidates keep the FUSION non-degenerate at
+    // every sf: id 5000000+q carries an exact COPY of query q's text
+    // (lexical rank 1, J = 1) AND a ×1.015625 scaled copy of query q's
+    // embedding (dense rank 1, cosine ≈ 1 — the float/double-exact
+    // multiplier), so each query's fused top hit sums BOTH legs (2/61)
+    // — on the synthetic corpus the text and embedding tables are
+    // independent, so natural two-leg overlap is rare.
     QueryDef("q123_hybrid_rrf", (s, dir) => {
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val docs0 = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val docs = docs0.unionByName(docs0.filter($"doc_id" < 3)
+        .select(($"doc_id" + 5000000).as("doc_id"), $"text"))
       val lex = graft.similarity.HybridSearch.jaccardTopK(
         docs, "text", "doc_id", $"doc_id" < 3, k = 10)
-      val emb = Tables.load(s, dir, "embeddings")
+      val emb0 = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val emb = emb0.unionByName(emb0.filter($"vec_id" < 3)
+        .select(($"vec_id" + 5000000).as("vec_id"),
+          transform($"embedding", x => (x * lit(1.015625f)).cast("float"))
+            .as("embedding")))
       val dense = Ann.bruteTopK(emb, emb.filter($"vec_id" < 3),
         "embedding", "vec_id", k = 10)
       graft.similarity.HybridSearch.rrfFuse(lex, dense, c = 60, k = 5)
         .orderBy($"q_id", $"rk")
     }, Some(s"""
-      WITH sh AS (${shingleSetsSqlFrom("documents")}),
+      WITH sh AS (${shingleSetsSqlFrom(
+        """(SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 5000000, text FROM documents WHERE doc_id < 3)""")}),
       lexs AS (
         SELECT q.doc_id AS q_id, d.doc_id AS n_id,
                CAST(len(list_intersect(d.s, q.s)) AS DOUBLE)
@@ -1575,12 +1591,19 @@ object LlmPipelineQueries {
         SELECT q_id, n_id,
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY j DESC, n_id) AS rk
         FROM lexs),
+      eu AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 5000000,
+               list_transform(embedding,
+                 x -> CAST(x * CAST(1.015625 AS DOUBLE) AS FLOAT))
+        FROM embeddings WHERE vec_id < 3),
       dens AS (
         SELECT q.vec_id AS q_id, e.vec_id AS n_id,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                  ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
                           e.vec_id) AS rk
-        FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+        FROM eu q JOIN eu e ON q.vec_id <> e.vec_id
         WHERE q.vec_id < 3),
       fused AS (
         SELECT COALESCE(l.q_id, d.q_id) AS q_id,
