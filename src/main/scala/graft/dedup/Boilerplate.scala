@@ -1,8 +1,7 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.text.TextAnalysis
 
 /** Sub-document boilerplate removal: drop the PASSAGES that repeat
   * across the corpus, keep the documents (CCNet's per-shard duplicated-
@@ -13,21 +12,31 @@ import graft.text.TextAnalysis
   * million other pages survives every whole-document fingerprint, and
   * the shared passage ends up memorized by the model.
   *
+  * CCNet discipline — normalize the KEYS, emit the TEXT: segmentation
+  * is over WHITESPACE chunks of the raw text (whitespace collapsed,
+  * punctuation and case intact), the duplicate-detection key is the
+  * case-folded md5 of each window, and reassembly re-joins the RAW
+  * chunks — so passage removal never strips punctuation from the
+  * surviving text (downstream quality gates and packed shards see real
+  * prose, not an alnum token stream), while case variants of the same
+  * boilerplate still collapse to one key.
+  *
   * Pipeline (all relational, no driver state):
-  *   1. segment: consecutive non-overlapping k-token windows per doc —
-  *      one codegen projection (tokens → transform over a sequence of
+  *   1. segment: consecutive non-overlapping k-chunk windows per doc —
+  *      one codegen projection (chunks → transform over a sequence of
   *      window starts), then posexplode.
-  *   2. df-count: passages travel as md5 keys — fixed 32 bytes through
-  *      the shuffle regardless of k, and portable (the oracle re-derives
-  *      the same keys, unlike xxhash64). `countDistinct(doc)` per key is
-  *      the standard two-phase distinct aggregate; the shuffle is linear
-  *      in corpus tokens, the same class as the q79 inverted index.
+  *   2. df-count: passages travel as md5(lower(window)) keys — fixed
+  *      32 bytes through the shuffle regardless of k, and portable (the
+  *      oracle re-derives the same keys, unlike xxhash64).
+  *      `countDistinct(doc)` per key is the standard two-phase distinct
+  *      aggregate; the shuffle is linear in corpus tokens, the same
+  *      class as the q79 inverted index.
   *   3. drop: passages with df ≥ minDocs form the hot set — answer-sized
   *      (bounded by corpus/minDocs, in practice the header/footer
   *      vocabulary), so it BROADCASTS back as a left-anti join; the
   *      corpus never shuffles for the filter.
-  *   4. reassemble: surviving (position, passage) pairs group once on
-  *      doc id — per-group state is bounded by one document — and
+  *   4. reassemble: surviving (position, raw passage) pairs group once
+  *      on doc id — per-group state is bounded by one document — and
   *      re-join in position order; docs that lose every passage come
   *      back as empty text via the left join against the doc spine.
   *
@@ -50,16 +59,26 @@ object Boilerplate {
   /** The cleaned TEXT itself — the pipeline-stage form of
     * [[dropDuplicatedPassages]] (which hash-audits the reconstruction
     * instead of shipping corpus-sized text back to a caller): one row
-    * per input doc, `textCol` = surviving passages joined by a single
-    * space (token-normalized — the CCNet convention: dedup decisions
-    * and the onward pipeline both operate on the normalized token
-    * stream), empty when nothing survives. `CorpusPipeline` inserts
-    * this between exact dedup and the quality gates, where a doc
-    * reduced to boilerplate-only falls out via the min-length gate. */
+    * per input doc, `textCol` = surviving raw passages joined by a
+    * single space (whitespace-normalized ONLY — punctuation and case
+    * survive; dedup KEYS are case-folded, per the CCNet normalize-keys
+    * / emit-text convention), empty when nothing survives.
+    * `CorpusPipeline` inserts this between exact dedup and the quality
+    * gates, where a doc reduced to boilerplate-only falls out via the
+    * min-length gate. */
   def cleanDocs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, minDocs: Int = 2): DataFrame =
     reassemble(docs, textCol, idCol, k, minDocs)
       .select(col(idCol), coalesce(col("__cleaned"), lit("")).as(textCol))
+
+  /** Whitespace chunks of the raw text: collapse runs, trim, split on
+    * the single space — punctuation and case intact, empty text → empty
+    * array (split of "" would yield [""], a phantom chunk). */
+  private def wsChunks(c: Column): Column = {
+    val collapsed = trim(regexp_replace(c, "\\s+", " "))
+    when(length(collapsed) > 0, split(collapsed, " ", -1))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** Shared segmentation → hot-set drop → position-order reassembly:
     * (idCol, n_seg, n_kept, __cleaned nullable). */
@@ -67,7 +86,7 @@ object Boilerplate {
       k: Int, minDocs: Int): DataFrame = {
     require(k >= 1, "passage width k must be >= 1")
     require(minDocs >= 2, "minDocs < 2 would drop every passage")
-    val toks = TextAnalysis.wordTokens(col(textCol))
+    val toks = wsChunks(col(textCol))
     // ceil(n/k) window starts; sequence() must be guarded — Spark's
     // sequence(0, -1) counts DOWN, it does not return empty
     val nSeg = ceil(size(toks) / lit(k.toDouble)).cast("int")
@@ -79,12 +98,12 @@ object Boilerplate {
     val spine = docs.select(col(idCol), nSeg.cast("long").as("n_seg"), segs.as("segs"))
     val seg = spine.select(col(idCol), posexplode(col("segs")).as(Seq("seg_i", "seg")))
 
-    val hot = seg.select(md5(col("seg")).as("h"), col(idCol))
+    val hot = seg.select(md5(lower(col("seg"))).as("h"), col(idCol))
       .groupBy("h").agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= lit(minDocs))
       .select("h")
 
-    val kept = seg.join(broadcast(hot), md5(seg("seg")) === hot("h"), "left_anti")
+    val kept = seg.join(broadcast(hot), md5(lower(seg("seg"))) === hot("h"), "left_anti")
     val cleaned = kept
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),

@@ -30,9 +30,38 @@ object DedupCache {
   def memo(key: String)(build: => DataFrame): DataFrame =
     cache.getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
 
+  // identity (path set / table name) → the fingerprint currently memoized
+  // for it, so supersession can evict
+  private val liveVersion = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** [[memo]] keyed by (table identity, content version): one live entry
+    * per IDENTITY. When `version` changes (a daily overwrite lands new
+    * files under the same paths), the superseded version's persisted
+    * blocks are UNPERSISTED and evicted — without this, every rewrite of
+    * a memoized table would strand the previous version's
+    * MEMORY_AND_DISK projection in the block manager for the session
+    * lifetime (the per-version variant of the per-call persist leak the
+    * plain-key memo exists to prevent). Stale readers are safe: an
+    * unpersisted DataFrame recomputes from lineage, it does not error. */
+  def memoVersioned(identity: String, version: String)(build: => DataFrame): DataFrame = {
+    val vKey = s"$identity@@$version"
+    liveVersion.put(identity, version) match {
+      case Some(prev) if prev != version =>
+        cache.remove(s"$identity@@$prev").foreach { df =>
+          try df.unpersist() catch { case _: Throwable => () }
+        }
+      case _ => ()
+    }
+    memo(vKey)(build)
+  }
+
+  /** Number of live memo entries (tests assert flatness across rewrites). */
+  def size: Int = cache.size
+
   /** Drop all cached entries (and their storage). */
   def clear(): Unit = {
     cache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     cache.clear()
+    liveVersion.clear()
   }
 }

@@ -31,10 +31,11 @@ object CorpusPipeline {
       ctxTokens: Int = 512, shards: Int = 64,
       passageMinDocs: Int = 4): DataFrame = {
     // exact dedup: one representative (min id) per normalized fingerprint.
-    // min_by, not first(): group members share normalized text but can
-    // differ in raw whitespace, and the quality gates below measure RAW
-    // text — the representative must be deterministic or a marginal doc
-    // could flip across runs.
+    // min_by, not first(): group members share NORMALIZED text (case-
+    // folded, whitespace-collapsed) but can differ in raw casing and
+    // spacing, and both the quality gates and the shipped shards measure
+    // the raw-reconstructed stream — the representative must be
+    // deterministic or a marginal doc could flip across runs.
     val deduped = docs
       .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol), min_by(col(textCol), col(idCol)).as(textCol))
@@ -46,8 +47,11 @@ object CorpusPipeline {
     // repeated across a mere pair of docs is document duplication — the
     // near-dup cluster stage's job, which keys on exactly that shared
     // surface — while true template boilerplate repeats across many
-    // docs. (Text is token-normalized from here on — the CCNet
-    // convention; the quality gates measure the reconstructed stream.)
+    // docs. (Reassembly is from RAW whitespace chunks — punctuation and
+    // case survive; only the dedup KEYS are case-folded, the CCNet
+    // normalize-keys/emit-text convention — so the quality gates below
+    // and the packed shards measure real prose, not an alnum token
+    // stream.)
     val depassaged = graft.dedup.Boilerplate.cleanDocs(
       deduped, textCol, idCol, k = 8, minDocs = passageMinDocs)
     // quality + repetition gates (pure codegen predicates)

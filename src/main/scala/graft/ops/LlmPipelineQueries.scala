@@ -1282,12 +1282,13 @@ object LlmPipelineQueries {
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
 
     // Sub-document boilerplate removal (dedup/Boilerplate.scala): drop
-    // the 8-token PASSAGES that repeat across >= 2 documents, keep the
-    // documents — the CCNet duplicated-line filter generalized to token
-    // windows. The whole reconstruction is audited by hash: n_seg /
-    // n_kept plus md5 of the cleaned text per doc, so the oracle proves
-    // segmentation, df-counting, the drop set AND position-ordered
-    // reassembly all agree with an independent engine.
+    // the 8-chunk PASSAGES that repeat across >= 2 documents, keep the
+    // documents — the CCNet duplicated-line filter generalized to
+    // whitespace-chunk windows (raw text reassembled, punctuation/case
+    // intact; keys case-folded). The whole reconstruction is audited by
+    // hash: n_seg / n_kept plus md5 of the cleaned text per doc, so the
+    // oracle proves segmentation, df-counting, the drop set AND
+    // position-ordered reassembly all agree with an independent engine.
     QueryDef("q101_passage_dedup", (s, dir) => {
       import s.implicits._
       graft.dedup.Boilerplate.dropDuplicatedPassages(
@@ -1296,7 +1297,7 @@ object LlmPipelineQueries {
     }, Some("""
       WITH tk AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+               list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
                            x -> len(x) > 0) AS toks
         FROM documents),
       seg AS (
@@ -1307,9 +1308,9 @@ object LlmPipelineQueries {
                    i -> {'i': i,
                          'seg': array_to_string(list_slice(toks, i*8+1, i*8+8), ' ')})) AS u
           FROM tk WHERE len(toks) > 0)),
-      hot AS (SELECT md5(seg) AS h FROM seg
+      hot AS (SELECT md5(lower(seg)) AS h FROM seg
               GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
-      kept AS (SELECT * FROM seg WHERE md5(seg) NOT IN (SELECT h FROM hot)),
+      kept AS (SELECT * FROM seg WHERE md5(lower(seg)) NOT IN (SELECT h FROM hot)),
       agg AS (SELECT doc_id, COUNT(*) AS n_kept,
                      string_agg(seg, ' ' ORDER BY seg_i) AS cleaned
               FROM kept GROUP BY 1)

@@ -75,17 +75,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val idCol = strArg(args(2), "idCol")
         val t = args(3).eval().asInstanceOf[Number].doubleValue()
         // the expensive df-ordered shingle projection is memoized per
-        // table CONTENT (file-manifest fingerprint — overwrite-safe),
-        // so repeated SQL invocations share ONE persisted projection
-        // instead of leaking one block-manager entry per call; a
-        // file-less relation (temp view over literals) falls back to a
-        // ContextCleaner-managed localCheckpoint
+        // table IDENTITY (sorted path set) + CONTENT version (file-
+        // manifest fingerprint): repeated SQL invocations share ONE
+        // persisted projection instead of leaking one block-manager
+        // entry per call, and when the table is OVERWRITTEN in place
+        // (same paths, new fingerprint) the superseded version's blocks
+        // are unpersisted instead of stranding for the session lifetime
+        // (memoVersioned). A file-less relation (temp view over
+        // literals) falls back to a ContextCleaner-managed
+        // localCheckpoint
         val files = df.inputFiles
         val ordered =
           if (files.nonEmpty) {
             val fp = graft.sources.Layout
               .filesFingerprint(SparkSession.active, files.toSeq)
-            graft.dedup.DedupCache.memo(s"sql:$fp#$textCol#$idCol#shingleProjection3")(
+            // identity = the table's DIRECTORY set, not the part-file
+            // names (an overwrite writes fresh part-file names into the
+            // same location — the identity must survive that, only the
+            // fingerprint changes)
+            val identity = files.toSeq
+              .map(f => f.substring(0, math.max(f.lastIndexOf('/'), 0)))
+              .distinct.sorted.mkString(",")
+            graft.dedup.DedupCache.memoVersioned(
+              s"sql:$identity#$textCol#$idCol#shingleProjection3", fp)(
               graft.dedup.Dedup.shingleProjection(df, textCol, idCol, 3))
           } else
             graft.dedup.Dedup.shingleProjection(df, textCol, idCol, 3)

@@ -70,6 +70,24 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(spark.sparkContext.getPersistentRDDs.size == persistedAfterFirst,
         "repeated graft_jaccard_join invocations must not grow block-manager storage")
 
+      // an in-place OVERWRITE of the table (same dir, new files) must
+      // (a) serve the NEW content — the fingerprint changes — and
+      // (b) EVICT the superseded version's persisted projection
+      // (memoVersioned keys by directory identity): without eviction a
+      // daily-overwritten table strands one block-manager entry per
+      // version for the session lifetime
+      Seq((1L, "the quick brown fox jumps over the lazy dog end"),
+          (2L, "the quick brown fox jumps over the lazy dog end"),
+          (4L, "the quick brown fox jumps over the lazy dog end"),
+          (3L, "completely different words in every single position here"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(tdir)
+      spark.read.parquet(tdir).createOrReplaceTempView("tf_docs_pq")
+      assert(runJJ() == Seq((1L, 2L), (1L, 4L), (2L, 4L)),
+        "overwritten table must serve the new corpus, not the memoized old one")
+      assert(runJJ() == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+      assert(spark.sparkContext.getPersistentRDDs.size == persistedAfterFirst,
+        "superseding a table version must unpersist the old projection, not strand it")
+
       Seq((1L, 2L), (2L, 3L), (10L, 11L))
         .toDF("a", "b").createOrReplaceTempView("tf_pairs")
       val cc = spark.sql(

@@ -836,6 +836,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Trend: moments past long range are exact (decimal), never wrapped") {
+    import spark.implicits._
+    // y = 9e17·x + 5 exactly: Σx·y = 9e17·385 + 5·55 ≈ 3.5e20 — far past
+    // 2^63, where the old long moments silently wrapped to a plausible
+    // wrong slope. Decimal(38,0) sums recover the line bit-exactly.
+    val m = 900000000000000000L // 9e17, double-exact
+    val pts = (0L to 10L).map(x => ("g", x, m * x + 5))
+    val got = graft.ops.Trend.linearTrend(
+      pts.toDF("g", "x", "y").repartition(3), "g", "x", "y").head()
+    assert(got.getLong(1) == 11L)
+    assert(got.getDouble(2) == 9.0e17, s"slope ${got.getDouble(2)}")
+    assert(got.getDouble(3) == 5.0, s"intercept ${got.getDouble(3)}")
+
+    // anomalyFlags at micro-unit scale: baseline 1e9 with a 1e12 spike —
+    // (w·y − S)² ≈ 3.6e25, past 2^63 (the ADVICE wrap scenario). The
+    // decimal inequality must match a BigInt reference at every point.
+    val ys = Seq(1000000000L, 1000000001L, 999999999L, 1000000000L,
+      1000000000L, 1000000002L, 1000000000000L, 1000000000L, 999999998L)
+    val series = ys.zipWithIndex.map { case (y, x) => ("a", x.toLong, y) }
+      .toDF("g", "x", "y").repartition(2)
+    val flags = graft.ops.Trend.anomalyFlags(series, "g", "x", "y", window = 7)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    ys.indices.foreach { i =>
+      val win = ys.slice(math.max(0, i - 6), i + 1).map(BigInt(_))
+      val (w, s, q) = (BigInt(win.size), win.sum, win.map(v => v * v).sum)
+      val want = (w * ys(i) - s).pow(2) > 4 * (w * q - s * s)
+      assert(flags(i.toLong) == want, s"x=$i")
+    }
+    assert(flags(6L), "the 1e12 spike must flag")
+    assert(!flags(7L) && !flags(8L),
+      "post-spike points sit inside the spike-inflated sigma")
+  }
+
   test("Collocations.pmiTopK: lift matches hand counts; hapax guarded; ties break on bigram") {
     import spark.implicits._
     // "aa bb" appears 6x (planted collocation), fillers pad the counts;
