@@ -356,10 +356,14 @@ object PlanCheck {
         "no cartesian" -> "CartesianProduct",
         "no nested-loop join" -> "BroadcastNestedLoopJoin")),
     // hybrid RRF: the lexical leg's corpus scoring goes through the
-    // bounded heap (the broadcast query cross IS the q32 convention;
-    // the fuse window is answer-sized by construction)
+    // bounded heap, and the broadcast query cross is the suite's ONE
+    // sanctioned nested loop — pinned POSITIVELY (it must plan as a
+    // broadcast-query-side BNLJ, guarded in-plan by maxQueries; the
+    // fuse window is answer-sized by construction)
     Want("q123_hybrid_rrf", Seq(
-      "lexical leg through the bounded heap" -> "scored_top_k"),
+      "lexical leg through the bounded heap" -> "scored_top_k",
+      "sanctioned probe-batch nested loop, query side broadcast" ->
+        "BroadcastNestedLoopJoin"),
       mustNotContain = Seq(
         "no cartesian" -> "CartesianProduct")))
 

@@ -15,4 +15,6 @@ object VectorFunctions {
     org.apache.spark.sql.graft.VectorFunctions.nearestCentroid(vec, centroids, dim)
   def nearestCentroidL(vec: Column, centroids: Array[Long], dim: Int): Column =
     org.apache.spark.sql.graft.VectorFunctions.nearestCentroidL(vec, centroids, dim)
+  def centroidSqDistL(vec: Column, centroids: Array[Long], dim: Int): Column =
+    org.apache.spark.sql.graft.VectorFunctions.centroidSqDistL(vec, centroids, dim)
 }

@@ -79,6 +79,13 @@ class QueryLogListener(maxBuffer: Int = QueryLog.DefaultMaxBuffer)
       offer(QueryLogEvent(System.currentTimeMillis(), funcName, "error",
         -1L, -1L, String.valueOf(error.getMessage)))
 
+  /** Operator-emitted structured note (status "note"): facts the
+    * listener callbacks can't see — e.g. how many rounds an iterative
+    * fixpoint actually ran before converging (q100 notes `roundsRun`).
+    * Same buffer, same flush path, same drop-oldest cap. */
+  def note(op: String, rows: Long): Unit =
+    offer(QueryLogEvent(System.currentTimeMillis(), op, "note", rows, -1L, null))
+
   /** Number of buffered, unflushed events. */
   def pending: Int = buf.size()
 
@@ -120,9 +127,21 @@ object QueryLog {
   def install(spark: SparkSession, maxBuffer: Int = DefaultMaxBuffer): QueryLogListener = {
     val l = new QueryLogListener(maxBuffer)
     spark.listenerManager.register(l)
+    active.add(l)
     l
   }
 
-  def uninstall(spark: SparkSession, l: QueryLogListener): Unit =
+  def uninstall(spark: SparkSession, l: QueryLogListener): Unit = {
     spark.listenerManager.unregister(l)
+    active.remove(l)
+  }
+
+  // installed listeners, so operators can emit notes without a handle
+  private val active =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[QueryLogListener]()
+
+  /** Broadcast an operator note to every installed listener (no-op when
+    * none is installed — operators never need a listener handle). */
+  def note(op: String, rows: Long): Unit =
+    active.forEach(l => l.note(op, rows))
 }

@@ -29,13 +29,34 @@ object HybridSearch {
     * the corpus streams ONCE through per-query Jaccard + one map-side
     * ScoredTopK bounded heap (tasks×queries×k rows shuffle — no window
     * sort of scored rows; ties prefer the smaller id, matching
-    * ORDER BY j DESC, id). Returns (q_id, rk, n_id, jaccard). */
+    * ORDER BY j DESC, id). Returns (q_id, rk, n_id, jaccard).
+    *
+    * This is the suite's ONE sanctioned broadcast-nested-loop: the
+    * crossJoin is correct ONLY while the query side is a probe batch,
+    * so `maxQueries` enforces that in-plan (the IntervalJoin maxCells
+    * convention, made loud instead of lossy): a count over the query
+    * batch rides its broadcast evaluation — no extra corpus scan — and
+    * raises past the bound, where a silently-huge batch would turn the
+    * leg into an all-pairs corpus product. PlanCheck pins the intended
+    * BroadcastNestedLoopJoin shape explicitly. */
   def jaccardTopK(docs: DataFrame, textCol: String, idCol: String,
-      queryPred: Column, k: Int, gram: Int = 3): DataFrame = {
+      queryPred: Column, k: Int, gram: Int = 3,
+      maxQueries: Int = 4096): DataFrame = {
+    require(maxQueries >= 1, "maxQueries must be positive")
     val sh = graft.dedup.Dedup.hashedShingleSets(docs, textCol, idCol, gram)
-    val q = broadcast(
-      graft.dedup.Dedup.hashedShingleSets(docs.filter(queryPred), textCol, idCol, gram)
-        .select(col("id").as("q_id"), col("sh").as("q_sh")))
+    val qRaw = graft.dedup.Dedup
+      .hashedShingleSets(docs.filter(queryPred), textCol, idCol, gram)
+      .select(col("id").as("q_id"), col("sh").as("q_sh"))
+    val nq = count(lit(1)).over(Window.partitionBy())
+    val q = broadcast(qRaw
+      .withColumn("__nq", nq)
+      .select(
+        when(col("__nq") > maxQueries,
+          raise_error(lit(s"jaccardTopK: query batch exceeds maxQueries=" +
+            s"$maxQueries — the query side is broadcast into a deliberate " +
+            "probe-batch nested loop; split the batch or raise the bound")))
+          .otherwise(col("q_id")).as("q_id"),
+        col("q_sh")))
     sh.crossJoin(q).filter(col("id") =!= col("q_id"))
       .select(col("q_id"), col("id"),
         (size(array_intersect(col("sh"), col("q_sh"))).cast("double") /

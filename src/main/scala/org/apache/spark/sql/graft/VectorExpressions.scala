@@ -180,6 +180,67 @@ case class NearestCentroid(child: Expression, centroids: Array[Double], dim: Int
   * higher-order-function formulation at large k (HOFs never codegen).
   * Centroids row-major k×dim, shipped once per task as a reference
   * object — expression tree size O(1) in k. */
+/** Sibling of [[NearestCentroidL]] returning the MIN squared L2 distance
+  * itself (long) instead of the argmin index — the integer-exact
+  * "distance to the assigned centroid" SemDeDup's diversity-preserving
+  * keep policy orders on. Same generated loop, same tie semantics (the
+  * distance is identical whichever tied centroid wins), same O(1)-in-k
+  * expression tree (the k×d table rides as a task reference object). */
+case class CentroidSqDistL(child: Expression, centroids: Array[Long], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "centroid_sq_dist_l"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val k = centroids.length / dim
+    var bestDist = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      var d = 0L
+      var i = 0
+      val off = c * dim
+      while (i < n) {
+        val t = v.getLong(i) - centroids(off + i); d += t * t; i += 1
+      }
+      if (d < bestDist) bestDist = d
+      c += 1
+    }
+    bestDist
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val (n, k, bestDist, c, d, i, off, t) = (ctx.freshName("n"),
+        ctx.freshName("k"), ctx.freshName("bestDist"),
+        ctx.freshName("c"), ctx.freshName("d"), ctx.freshName("i"),
+        ctx.freshName("off"), ctx.freshName("t"))
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |int $k = $cRef.length / $dim;
+         |long $bestDist = Long.MAX_VALUE;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  long $d = 0L;
+         |  int $off = $c * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $t = $v.getLong($i) - $cRef[$off + $i];
+         |    $d += $t * $t;
+         |  }
+         |  if ($d < $bestDist) { $bestDist = $d; }
+         |}
+         |${ev.value} = $bestDist;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class NearestCentroidL(child: Expression, centroids: Array[Long], dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
 
@@ -261,4 +322,9 @@ object VectorFunctions {
     * centroids row-major k×dim, ties to the smaller index. */
   def nearestCentroidL(vec: Column, centroids: Array[Long], dim: Int): Column =
     bridge.column(NearestCentroidL(bridge.expression(vec), centroids, dim))
+
+  /** Integer squared-L2 distance to the NEAREST centroid (codegen) —
+    * the min itself, where [[nearestCentroidL]] is the argmin. */
+  def centroidSqDistL(vec: Column, centroids: Array[Long], dim: Int): Column =
+    bridge.column(CentroidSqDistL(bridge.expression(vec), centroids, dim))
 }

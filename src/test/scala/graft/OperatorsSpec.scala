@@ -785,6 +785,42 @@ class OperatorsSpec extends SparkSpec {
     // rank 1 = the identical doc 4, rank 2 = near-identical 1, rank 3 =
     // medium 2; the query itself never appears
     assert(got.toSeq == Seq((1, 4L), (2, 1L), (3, 2L)), got.mkString(";"))
+
+    // the sanctioned nested loop is BOUNDED: a query batch past
+    // maxQueries must raise in-plan, not silently run an all-pairs
+    // corpus product
+    val ex = intercept[Exception] {
+      graft.similarity.HybridSearch.jaccardTopK(
+        docs, "text", "doc_id", $"doc_id" < 3, k = 2, maxQueries = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxQueries"), ex.getMessage)
+    // at the bound it still answers
+    assert(graft.similarity.HybridSearch.jaccardTopK(
+      docs, "text", "doc_id", $"doc_id" < 3, k = 2, maxQueries = 3).count() > 0)
+  }
+
+  test("SemDedup keep policy: far_from_centroid changes the survivor, never the count") {
+    import spark.implicits._
+    // one cluster of three PARALLEL vectors (pairwise cosine exactly 1 —
+    // a clean similarity clique) at distinct distances from the centroid
+    // (mean ≈ 11666 milli-units): id 1 nearest is NOT the min id, id 3
+    // farthest. min_id keeps the smallest id; far_from_centroid keeps
+    // the farthest member (the paper's diversity-preserving choice).
+    // Exactly ONE member survives under either order.
+    val vecs = Seq(
+      (1L, Array(10.0f, 0.0f)), (2L, Array(11.0f, 0.0f)), (3L, Array(14.0f, 0.0f)))
+      .toDF("id", "v").repartition(2)
+    def keptSet(keep: String) = graft.dedup.SemDedup
+      .semanticDedup(vecs, "id", "v", k = 1, iters = 1, threshold = 0.9, keep = keep)
+      .filter($"kept").select("id").as[Long].collect().toSet
+    val minId = keptSet("min_id")
+    val far = keptSet("far_from_centroid")
+    assert(minId == Set(1L), s"min_id kept $minId")
+    assert(far == Set(3L), s"far_from_centroid kept $far")
+    assert(minId.size == far.size, "the policy must change WHO survives, not how many")
+    intercept[IllegalArgumentException] {
+      graft.dedup.SemDedup.semanticDedup(vecs, "id", "v", 1, 1, 0.9, keep = "bogus")
+    }
   }
 
   test("Pooling.meanPool: integer mean with toward-zero truncation on negatives") {

@@ -51,6 +51,26 @@ class QueryLogSpec extends SparkSpec {
     } finally QueryLog.uninstall(spark, l)
   }
 
+  test("operator notes reach every installed listener and flush as status=note rows") {
+    val dir = Files.createTempDirectory("qlog_note").toString + "/log"
+    val l = QueryLog.install(spark)
+    try {
+      // synchronous path — no listener-bus wait needed
+      QueryLog.note("q100_pagerank.roundsRun", 2L)
+      assert(l.pending >= 1)
+      assert(l.flush(spark, dir) >= 1)
+      val row = spark.read.parquet(dir)
+        .filter($"op" === "q100_pagerank.roundsRun").head()
+      assert(row.getAs[String]("status") == "note" && row.getAs[Long]("rows") == 2L)
+    } finally QueryLog.uninstall(spark, l)
+    // after uninstall a note is a silent no-op, not a strand into the
+    // dead listener (compare pending DELTA — the async listener bus may
+    // still deliver this test's own read-action events)
+    val p0 = l.pending
+    QueryLog.note("orphan", 1L)
+    assert(l.pending == p0)
+  }
+
   test("maxBuffer bounds listener state: oldest drop, loss surfaces as a dropped_events row") {
     val dir = Files.createTempDirectory("qlog3").toString + "/log"
     val l = QueryLog.install(spark, maxBuffer = 3)
