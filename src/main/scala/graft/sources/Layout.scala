@@ -241,6 +241,87 @@ object Layout {
     } finally { stats.unpersist(); () }
   }
 
+  /** [[prunedFiles]] for STRING keys (URLs, domains — the corpus keys a
+    * numeric zonemap refuses): conservative truncated-prefix zonemaps.
+    * Parquet stringifies binary min/max in UNSIGNED-lexicographic byte
+    * order while JVM string comparison is UTF-16 code-unit order — the
+    * two agree only where every compared character is ASCII, so raw
+    * string comparisons against footer stats can prune WRONGLY on
+    * non-ASCII keys (the reason the numeric path excludes strings
+    * entirely). This variant compares only through provably-safe
+    * bounds, each widened conservatively (Iceberg's truncate-transform
+    * discipline):
+    *   - lower bound of a file's min = its ASCII-safe prefix (truncate
+    *     at `prefixLen` chars or the first non-ASCII char) — a prefix
+    *     precedes its extensions in BOTH orders, and an all-ASCII
+    *     prefix compares consistently against ANY string in both
+    *     orders (the first differing position is ASCII on one side);
+    *   - upper bound of a file's max = the exact max when it is pure
+    *     ASCII and untruncated, else its ASCII-safe prefix with the
+    *     last character incremented (every extension of p sorts below
+    *     p[:-1]+(p[-1]+1)); when no ASCII increment exists the file is
+    *     simply kept.
+    * A file is dropped ONLY when maxUB < lo or minLB > hi — both
+    * implications hold for the true values in either ordering, so
+    * pruning can never lose a row; missing/empty stats land in the
+    * keep-branch exactly like the numeric path. Truncation also makes
+    * the decision robust to parquet's OWN binary-stats truncation
+    * (which widens the same way: stored min ≤ true min, stored max
+    * incremented past the true max). */
+  def prunedFilesString(spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String, prefixLen: Int = 16): Seq[String] = {
+    require(prefixLen >= 1, "prefixLen must be positive")
+    require(lo <= hi, s"empty range: lo '$lo' > hi '$hi'")
+    import spark.implicits._
+    val stats = fileStats(spark, dir).persist()
+    try {
+      val rows = stats.filter(col("column") === column)
+        .select("file", "min", "max").as[(String, String, String)].collect()
+      def asciiPrefix(s: String): String = {
+        val upTo = math.min(s.length, prefixLen)
+        var i = 0
+        while (i < upTo && s.charAt(i) < 0x80) i += 1
+        s.substring(0, i)
+      }
+      // smallest all-ASCII string strictly above every extension of p;
+      // None when p is empty or ends at the ASCII ceiling
+      def incremented(p: String): Option[String] = {
+        var i = p.length - 1
+        while (i >= 0 && p.charAt(i) >= 0x7f) i -= 1
+        if (i < 0) None
+        else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+      }
+      val droppable = rows.filter { case (_, mn, mx) =>
+        if (mn == null || mx == null || mn.isEmpty || mx.isEmpty) false
+        else {
+          val minLB = asciiPrefix(mn)
+          val exactMax = mx.length <= prefixLen && mx.forall(_ < 0x80)
+          val below = // whole file < lo?
+            if (exactMax) mx < lo
+            else incremented(asciiPrefix(mx)).exists(_ <= lo)
+          val above = minLB > hi // whole file > hi?
+          below || above
+        }
+      }.map(_._1).toSet
+      stats.select("file").distinct().as[String].collect()
+        .filterNot(droppable).sorted.toSeq
+    } finally { stats.unpersist(); () }
+  }
+
+  /** [[readPrunedByRange]] for string keys: scan only the files
+    * [[prunedFilesString]] admits, with the residual inclusive-range
+    * filter pushed to the scan (string literals push down cleanly —
+    * row-group stats inside the kept files keep pruning). */
+  def readPrunedByRangeString(spark: SparkSession, dir: String,
+      column: String, lo: String, hi: String,
+      prefixLen: Int = 16): DataFrame = {
+    val keep = prunedFilesString(spark, dir, column, lo, hi, prefixLen)
+    val df = if (keep.isEmpty) spark.read.parquet(dir)
+      else spark.read.parquet(keep: _*)
+    val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (keep.isEmpty) df.filter(residual).limit(0) else df.filter(residual)
+  }
+
   /** Content fingerprint of a parquet dir (or single file): md5 over the
     * sorted (relative path, length, mtime) manifest — the cheap identity
     * that lets per-process memos (DedupCache, IvfIndexCache, the q94

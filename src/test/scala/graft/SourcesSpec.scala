@@ -229,6 +229,62 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("Layout string zonemaps: URL-keyed range scan reads a strict file subset, result exact") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Layout
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val base = Files.createTempDirectory("sprune").toString
+
+    // URL-keyed corpus (the string keys the numeric zonemap refuses),
+    // clustered on the key — a domain band must prune files
+    val df = spark.range(8000).select(
+      concat(lit("https://site"), lpad(col("id").cast("string"), 5, "0"),
+        lit(".example.com/page")).as("url"),
+      (col("id") % 97).as("v"))
+    val dir = s"$base/u.parquet"
+    Layout.writeClustered(df, dir, 16, col("url"))
+    val all = spark.read.parquet(dir).inputFiles.map(norm).toSet
+    val (lo, hi) = ("https://site02000", "https://site02999.zzzz")
+    val predicted = Layout.prunedFilesString(spark, dir, "url", lo, hi).map(norm).toSet
+    assert(predicted.nonEmpty && predicted.size < all.size,
+      s"string-clustered table must prune: ${predicted.size} of ${all.size}")
+    val pruned = Layout.readPrunedByRangeString(spark, dir, "url", lo, hi)
+    assert(pruned.inputFiles.map(norm).toSet == predicted)
+    val expect = df.filter(col("url") >= lo && col("url") <= hi)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(expect.nonEmpty)
+    assert(pruned.collect().map(r => (r.getString(0), r.getLong(1))).toSet == expect)
+
+    // keys LONGER than prefixLen prune via the incremented upper bound
+    // (truncated-prefix widening, not exact-max compares): 14 chars =
+    // "https://site0N" — past the shared scheme prefix, so thousand-id
+    // bands discriminate. At prefixLen 8 (inside the shared "https://")
+    // NOTHING can prune — and nothing may be lost either.
+    val p2 = Layout.prunedFilesString(spark, dir, "url", lo, hi, prefixLen = 14)
+    assert(p2.nonEmpty && p2.size < all.size, "truncated prefixes must still prune")
+    val r2 = Layout.readPrunedByRangeString(spark, dir, "url", lo, hi, prefixLen = 14)
+    assert(r2.collect().map(r => (r.getString(0), r.getLong(1))).toSet == expect)
+    val r3 = Layout.readPrunedByRangeString(spark, dir, "url", lo, hi, prefixLen = 8)
+    assert(r3.collect().map(r => (r.getString(0), r.getLong(1))).toSet == expect,
+      "an undiscriminating prefix must degrade to keep-all, never lose rows")
+
+    // non-ASCII keys: unsigned-lex vs UTF-16 order can disagree, so the
+    // zonemap must retreat to keep (never prune wrongly) — result
+    // equality is the contract, subset size is not asserted
+    val dfU = spark.range(2000).select(
+      concat(lit("Ω"), lpad(col("id").cast("string"), 4, "0"), lit("✓")).as("url"),
+      col("id").as("v"))
+    val dirU = s"$base/unicode.parquet"
+    Layout.writeClustered(dfU, dirU, 8, col("url"))
+    val (ulo, uhi) = ("Ω0100", "Ω0200✓")
+    val got = Layout.readPrunedByRangeString(spark, dirU, "url", ulo, uhi)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = dfU.filter(col("url") >= ulo && col("url") <= uhi)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want,
+      "non-ASCII stats must land in the keep-branch, never prune a matching row")
+  }
+
   test("Layout.zValue binary-search rank equals the linear strictly-below count") {
     import org.apache.spark.sql.functions._
     import graft.sources.Layout
