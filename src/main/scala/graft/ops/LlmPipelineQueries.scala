@@ -1654,8 +1654,100 @@ object LlmPipelineQueries {
              CAST(SUM(ABS(m.m)) AS BIGINT) AS l1_u,
              CAST(SUM(m.pos * m.m) AS BIGINT) AS chk_u
       FROM m JOIN nc ON nc.doc = m.doc
-      GROUP BY 1, 2 ORDER BY m.doc"""))
+      GROUP BY 1, 2 ORDER BY m.doc""")),
+
+    // BPE tokenizer training under the oracle (text/Bpe.scala — Sennrich
+    // ACL'16): the q108/q100 unrolling protocol applied to the last big
+    // tested-only component. Three merge rounds as chained CTEs over the
+    // (word, count) table: adjacent pair counts (weighted by word count,
+    // HAVING >= 2 — the trainer's min-pair rule), a 1-row argmax with
+    // the (count DESC, left, right) lexicographic tie-break, and the
+    // per-word merge application. Merge application is EXACT in SQL via
+    // the double-delimiter string encoding: symbols ride as
+    // "||s1||s2||...||" and one native replace('|a||b|' -> '|ab|') per
+    // round IS Bpe.applyMerge — each match consumes only the INNER
+    // delimiters, so consecutive matches all land in one left-to-right
+    // pass, and equal-symbol runs pair leftmost exactly like the Scala
+    // kernel ("aaaaa" -> [aa, aa, a], not [aa, a, aa]). The corpus is
+    // pre-restricted to [a-z0-9 ] in BOTH engines so '|' cannot occur
+    // in a symbol. Output: the learned merge list + the corpus's top-5
+    // words segmented by it (the greedy encoder applied in training
+    // order) — merge SELECTION, tie-breaks, non-overlap application AND
+    // the downstream encoder all driver-checked.
+    QueryDef("q127_bpe", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(regexp_replace(lower($"text"), "[^a-z0-9 ]", " ").as("text"))
+      val merges = graft.text.Bpe.train(docs, "text", nMerges = 3)
+      val sample = docs
+        .select(explode(split(graft.text.TextAnalysis.normalize($"text"), " ", -1)).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"w").limit(5)
+        .select("w").as[String].collect()
+      val mergeRows = merges.zipWithIndex.map { case (m, i) =>
+        (s"merge:${i + 1}", m.left + "+" + m.right) }
+      val segRows = sample.toSeq.map(w =>
+        (s"seg:$w", graft.text.Bpe.segmentWord(w, merges).mkString(" ")))
+      (mergeRows ++ segRows).toDF("item", "value").orderBy($"item")
+    }, Some(bpeOracleSql(3)))
   )
+
+  /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences
+    * travel as double-delimited strings ("||" + join(syms, "||") + "||");
+    * `replace(s, '\|L\|\|R\|', '\|LR\|')` (native, non-regex) applies one
+    * merge with EXACT Bpe.applyMerge semantics — see the q127 comment. */
+  private def bpeOracleSql(nMerges: Int): String = {
+    def applyCte(src: String, dst: String, m: Int) = s"""
+      $dst AS (
+        SELECT w, cnt,
+               replace(syms,
+                 '|' || (SELECT a FROM m$m) || '||' || (SELECT b FROM m$m) || '|',
+                 '|' || (SELECT a FROM m$m) || (SELECT b FROM m$m) || '|') AS syms
+        FROM $src)"""
+    val rounds = (1 to nMerges).map { r =>
+      s"""
+      p$r AS (
+        SELECT p.a, p.b, SUM(cnt) AS n FROM (
+          SELECT cnt, unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS p
+          FROM (SELECT cnt,
+                  list_filter(string_split(syms, '||'), x -> x <> '') AS s
+                FROM w${r - 1})) t
+        GROUP BY 1, 2 HAVING SUM(cnt) >= 2),
+      m$r AS (SELECT a, b FROM p$r ORDER BY n DESC, a, b LIMIT 1),${applyCte(s"w${r - 1}", s"w$r", r)}"""
+    }.mkString(",")
+    val holdRounds = (1 to nMerges)
+      .map(r => "," + applyCte(s"h${r - 1}", s"h$r", r)).mkString
+    s"""
+      WITH docs AS (
+        SELECT regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g') AS text
+        FROM documents),
+      words AS (
+        SELECT w, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w
+          FROM docs) t
+        WHERE len(w) > 0 GROUP BY 1),
+      w0 AS (
+        SELECT w, cnt,
+               '||' || array_to_string(
+                 list_append([substr(w, i, 1) FOR i IN range(1, len(w) + 1)], '</w>'),
+                 '||') || '||' AS syms
+        FROM words),$rounds,
+      hold AS (SELECT w, cnt FROM words ORDER BY cnt DESC, w LIMIT 5),
+      h0 AS (
+        SELECT w, cnt, '||' || array_to_string(
+                 list_append([substr(w, i, 1) FOR i IN range(1, len(w) + 1)], '</w>'),
+                 '||') || '||' AS syms
+        FROM hold)$holdRounds
+      SELECT item, value FROM (
+        ${(1 to nMerges).map(r =>
+          s"SELECT 'merge:$r' AS item, (SELECT a || '+' || b FROM m$r) AS value").mkString("\n        UNION ALL ")}
+        UNION ALL
+        SELECT 'seg:' || w AS item,
+               array_to_string(list_filter(string_split(syms, '||'), x -> x <> ''), ' ') AS value
+        FROM h$nMerges) t
+      ORDER BY item"""
+  }
 
   /** The unrolled k-means round CTEs (shared by the q108 and q115
     * oracles) — one (a_r, c_r) pair per round over a `pts`(id, pos, q) /
