@@ -365,7 +365,31 @@ object PlanCheck {
       "sanctioned probe-batch nested loop, query side broadcast" ->
         "BroadcastNestedLoopJoin"),
       mustNotContain = Seq(
-        "no cartesian" -> "CartesianProduct")))
+        "no cartesian" -> "CartesianProduct")),
+    // end-to-end corpus pipeline: the whole chain is one lazy plan —
+    // hot-passage drop, decontamination, and dup-cluster removal each
+    // come back only as broadcast anti-joins over answer-sized sets;
+    // the corpus never re-shuffles to learn what to drop (the MinHash
+    // pair join + component closure live behind the answer-sized
+    // checkpointed edge list, audited by q28/q69's own entries)
+    Want("q125_corpus_pipeline", Seq(
+      "drop sets come back by broadcast" -> "BroadcastHashJoin",
+      "removal via anti-join" -> "LeftAnti",
+      "one per-shard packing window" -> "Window"),
+      mustNotContain = Seq(
+        "no cartesian anywhere in the chain" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // indexed hybrid retrieval: the dense leg must keep q83's
+    // partition-pruned probe shape and both legs their bounded-heap
+    // rerank — and unlike q123's sanctioned probe-batch cross, the
+    // indexed composition has NO nested loop at all
+    Want("q126_hybrid_indexed", Seq(
+      "dense probe scan partition-pruned on cell" -> "PartitionFilters: [cell",
+      "bounded-heap rerank in both legs" -> "scored_top_k",
+      "lexical query weights broadcast" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no corpus-sized cross join" -> "CartesianProduct",
+        "no nested-loop fallback" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()

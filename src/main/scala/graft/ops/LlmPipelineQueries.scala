@@ -28,15 +28,18 @@ object LlmPipelineQueries {
 
   private val SHINGLE_SETS_SQL = shingleSetsSqlFrom("documents")
 
-  /** [[SHINGLE_SETS_SQL]] generalized to word k-grams (same normalize +
-    * short-text whole-text fallback as [[graft.text.Shingling.wordShingles]]). */
-  private def shingleSetsSqlK(k: Int): String = s"""
+  /** [[SHINGLE_SETS_SQL]] generalized to word k-grams over any source
+    * relation with (doc_id, text) (same normalize + short-text whole-text
+    * fallback as [[graft.text.Shingling.wordShingles]]). */
+  private def shingleSetsSqlKFrom(k: Int, src: String): String = s"""
     SELECT doc_id, list_distinct(
       CASE WHEN len(w) < $k THEN [array_to_string(w, ' ')]
            ELSE [array_to_string(w[i:i+${k - 1}], ' ') FOR i IN range(1, len(w)-${k - 2})] END) AS s
     FROM (SELECT doc_id,
             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-          FROM documents)"""
+          FROM $src)"""
+
+  private def shingleSetsSqlK(k: Int): String = shingleSetsSqlKFrom(k, "documents")
 
   /** DuckDB language-ID expression generated from TextAnalysis.langProfiles
     * — the heuristic and its tie-break (earliest profile wins) can't drift
@@ -142,6 +145,42 @@ object LlmPipelineQueries {
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate copy tag' AS text
       FROM documents WHERE doc_id % 17 = 0"""
+
+  /** The q125 template header: exactly 16 words = two full 8-token
+    * passages, so prepending it keeps the carrier body's chunk
+    * segmentation ALIGNED with the original document's (a carrier body
+    * therefore shares each full segment with at most the original + its
+    * near-dup copy — df ≤ 3, under the minDocs=4 hot bound — while the
+    * header's own two segments repeat across every carrier and drop).
+    * Words are outside the corpus vocabulary and lowercase-alpha (safe as
+    * a SQL literal on both engines). */
+  private val PIPELINE_HEADER =
+    "graft shared nav home search login help terms " +
+      "privacy contact about careers press faq news archive"
+
+  /** Planted lexical groups for q126: per query q ∈ [0,5), a QUERY doc
+    * (id 6000000+q) of 8 group-unique tokens and five CANDIDATE docs at
+    * ids m·1000000+q (m=1..5) — the SAME ids the q46/q83 IVF corpus
+    * plants as scaled embedding copies of query vector q, so the two
+    * retrieval legs rank the SAME candidate ids and the fusion is
+    * two-legged for every hit. Candidate m appends (m-1)·2 unique filler
+    * tokens: its tf-idf cosine to the query falls strictly with m, so
+    * the lexical rank of candidate m is m — matching its dense rank
+    * (scaled copies all sit at cosine 1 and tie-break by ascending id).
+    * Group tokens have df = 6 and fillers df = 1, both under the
+    * maxDf=100 cap, while every natural corpus token is capped away —
+    * naturals share no surviving term with a query, so the planted
+    * ranking is exact at any sf (the q90 construction). */
+  private val PLANTED_HYBRID_DOCS: Seq[(Long, String)] =
+    (0 until 5).flatMap { q =>
+      val group = (0 until 8).map(j => s"h${q}w$j").mkString(" ")
+      val query = (6000000L + q, group)
+      val cands = (1 to 5).map { m =>
+        val filler = (0 until (m - 1) * 2).map(j => s"h${q}m${m}f$j").mkString(" ")
+        (m * 1000000L + q, (group + " " + filler).trim)
+      }
+      query +: cands
+    }
 
   /** ONE verified near-dup pair set shared by q30 (the pairs themselves)
     * and q69 (their transitive closure): the df-ordered shingle projection
@@ -1690,7 +1729,82 @@ object LlmPipelineQueries {
       val segRows = sample.toSeq.map(w =>
         (s"seg:$w", graft.text.Bpe.segmentWord(w, merges).mkString(" ")))
       (mergeRows ++ segRows).toDF("item", "value").orderBy($"item")
-    }, Some(bpeOracleSql(3)))
+    }, Some(bpeOracleSql(3))),
+
+    // The END-TO-END corpus pipeline (ops/CorpusPipeline.scala) under ONE
+    // driver-checked row: exact dedup → shared-passage removal → quality
+    // + repetition gates → benchmark decontamination → near-dup cluster
+    // removal (MinHash + connected components) → context-window packing,
+    // composed exactly as a trainer would call it. Every stage is
+    // individually oracle-gated (q27/q101/q48/q59/q58/q30+q69/q60); this
+    // row closes the one correctness class per-stage oracles cannot see —
+    // integration drift (stage order, column contracts, text mutations
+    // between stages). The input plants one specimen per removal class:
+    // whitespace-variant exact dups (%7, the q27 arithmetic), suffix
+    // near-dups (%17, the q30 arithmetic: J ≥ 0.76 — above the 0.7
+    // threshold, where 21×3 banding misses w.p. ~5e-6), 16-word-header
+    // boilerplate carriers (%13 — see PIPELINE_HEADER; header passages go
+    // hot at minDocs=4, and the cleaned carrier becomes BYTE-IDENTICAL to
+    // its original, so it reaches the near-dup stage as a deterministic
+    // exact-group pair — banding never sees it), and the %97 slice as the
+    // benchmark (contamination by construction). The oracle recomposes
+    // all six stages from the proven per-stage SQL fragments; the DuckDB
+    // all-pairs Jaccard stays exact for the cluster stage by the q28 gap
+    // argument (naturals < 0.25, planted ≥ 0.76 on the cleaned corpus —
+    // passage removal only strips the carriers' header, so it creates no
+    // new cross-doc similarity below the planted band).
+    QueryDef("q125_corpus_pipeline", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val exactDups = docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat($"text", lit("  ")).as("text"))
+      val nearDups = docs.filter($"doc_id" % 17 === 0)
+        .select(($"doc_id" + 1200000).as("doc_id"),
+          concat($"text", lit(" near duplicate copy tag")).as("text"))
+      val carriers = docs.filter($"doc_id" % 13 === 0)
+        .select(($"doc_id" + 1400000).as("doc_id"),
+          concat(lit(PIPELINE_HEADER + " "), $"text").as("text"))
+      val corpus = docs.unionByName(exactDups).unionByName(nearDups)
+        .unionByName(carriers)
+      val benchmark = docs.filter($"doc_id" % 97 === 0)
+      graft.ops.CorpusPipeline.prepare(corpus, benchmark,
+        minChars = 50, minAlpha = 0.5, maxRepetition = 0.5,
+        jaccardThreshold = 0.7, ctxTokens = 512, shards = 8,
+        passageMinDocs = 4)
+        .orderBy($"doc_id")
+    }, Some(corpusPipelineOracleSql)),
+
+    // Indexed hybrid retrieval — q123's RRF fusion over the PRODUCTION
+    // legs a large corpus would run: dense = the q83 prebuilt IVF+PQ
+    // index (coarse cells prune which files a probe reads, PQ codes
+    // shrink in-cell scoring, exact rerank on the shortlist), lexical =
+    // the q90 MAXDF-capped sparse tf-idf inverted index. The oracle is
+    // the EXACT-leg fusion (brute cosine + exact tf-idf), so the hash
+    // match doubles as a recall gate on BOTH indexes at once (the q33/
+    // q83 framing: a future mismatch means shortlist recall regressed,
+    // not a wrong join). PLANTED_HYBRID_DOCS aligns the two id spaces:
+    // candidate ids m·1000000+q are simultaneously the IVF corpus's
+    // scaled embedding copies (dense rank m — cosine 1, id tie-break)
+    // and the lexical group's filler-graded members (lexical rank m),
+    // so every fused hit sums both legs: rrf = 2/(60+m), exact integer
+    // divisions in fixed order, bit-identical cross-engine.
+    QueryDef("q126_hybrid_indexed", (s, dir) => {
+      import s.implicits._
+      val dense = IvfPq.probeTopK(s, ivfPqIndexFor(s, dir),
+        Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"embedding").filter($"vec_id" < 5),
+        "embedding", "vec_id", k = 5, nProbe = 3, shortlist = 100)
+        .select($"q_id", $"rk", $"n_id")
+      val planted = PLANTED_HYBRID_DOCS.toDF("doc_id", "text")
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        .unionByName(planted)
+      val lex = graft.similarity.SparseCosine.topK(docs, "text", "doc_id",
+          $"doc_id" >= 6000000L, k = 5, maxDf = 100)
+        .withColumn("q_id", $"q_id" - 6000000L)
+      graft.similarity.HybridSearch.rrfFuse(lex, dense, c = 60, k = 5)
+        .orderBy($"q_id", $"rk")
+    }, Some(hybridIndexedOracleSql))
   )
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences
@@ -1747,6 +1861,161 @@ object LlmPipelineQueries {
                array_to_string(list_filter(string_split(syms, '||'), x -> x <> ''), ' ') AS value
         FROM h$nMerges) t
       ORDER BY item"""
+  }
+
+  /** The q125 oracle: the whole corpus-preparation chain recomposed in
+    * DuckDB from the proven per-stage fragments — q27's fingerprint
+    * dedup, q101's segmentation/hot-set/reassembly (minDocs=4), q48/q59's
+    * gates on the CLEANED text, q58's gram semi-join against the %97
+    * benchmark, q30+q69's exact-Jaccard pairs + recursive-CTE closure,
+    * and q60's packing arithmetic. A drift in any stage's column
+    * contract, ordering, or text handling breaks the hash. */
+  private def corpusPipelineOracleSql: String = s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || '  ' FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1200000, text || ' near duplicate copy tag'
+        FROM documents WHERE doc_id % 17 = 0
+        UNION ALL
+        SELECT doc_id + 1400000, '$PIPELINE_HEADER' || ' ' || text
+        FROM documents WHERE doc_id % 13 = 0),
+      ded AS (
+        SELECT MIN(doc_id) AS doc_id, min_by(text, doc_id) AS text
+        FROM corpus
+        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+      tk AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                           x -> len(x) > 0) AS toks
+        FROM ded),
+      seg AS (
+        SELECT doc_id, u.i AS seg_i, u.seg AS seg FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1),
+                   i -> {'i': i,
+                         'seg': array_to_string(list_slice(toks, i*8+1, i*8+8), ' ')})) AS u
+          FROM tk WHERE len(toks) > 0)),
+      hot AS (SELECT md5(lower(seg)) AS h FROM seg
+              GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 4),
+      cleaned AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_i) AS text
+        FROM seg WHERE md5(lower(seg)) NOT IN (SELECT h FROM hot)
+        GROUP BY 1),
+      r3 AS (${shingleSetsSqlFrom("cleaned")}),
+      gate AS (
+        SELECT c.doc_id, c.text,
+               length(c.text) AS n_chars,
+               CAST(length(regexp_replace(c.text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(c.text) AS alpha,
+               len(string_split(trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g')), ' ')) AS nw,
+               len(r3.s) AS d3
+        FROM cleaned c JOIN r3 ON c.doc_id = r3.doc_id),
+      gated AS (
+        SELECT doc_id, text FROM gate
+        WHERE n_chars >= 50 AND alpha >= 0.5
+          AND (CASE WHEN nw < 3 THEN 0.0
+                    ELSE 1.0 - CAST(d3 AS DOUBLE) / (nw - 2) END) <= 0.5),
+      bsh AS (${shingleSetsSqlKFrom(8,
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0)")}),
+      bgrams AS (SELECT DISTINCT unnest(s) AS g FROM bsh),
+      dsh AS (${shingleSetsSqlKFrom(8, "gated")}),
+      bad AS (SELECT DISTINCT t.doc_id
+              FROM (SELECT doc_id, unnest(s) AS g FROM dsh) t JOIN bgrams USING (g)),
+      surv AS (SELECT doc_id, text FROM gated
+               WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+      s3 AS (${shingleSetsSqlFrom("surv")}),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s3 a JOIN s3 b ON a.doc_id < b.doc_id
+         AND len(a.s) * 0.7 <= len(b.s) AND len(b.s) * 0.7 <= len(a.s)
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)) >= 0.7),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(u, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, rr.r FROM edges e JOIN reach rr ON e.v = rr.u),
+      comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+      uniq AS (
+        SELECT s.doc_id, s.text FROM surv s LEFT JOIN comp c ON s.doc_id = c.doc_id
+        WHERE c.cluster_id IS NULL OR s.doc_id = c.cluster_id),
+      packed AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+               CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+        FROM uniq)
+      SELECT doc_id, shard, n_tok,
+             CAST(floor((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok) / 512.0) AS BIGINT) AS seq_id
+      FROM packed ORDER BY doc_id"""
+
+  /** The q126 oracle: the EXACT legs (brute cosine over the q46/q83 IVF
+    * corpus; exact MAXDF-capped tf-idf cosine over documents +
+    * PLANTED_HYBRID_DOCS) fused by the same RRF arithmetic — so the hash
+    * match is simultaneously a rank gate on the IVF+PQ shortlist and on
+    * the sparse inverted-index leg. */
+  private def hybridIndexedOracleSql: String = {
+    val values = PLANTED_HYBRID_DOCS
+      .map { case (id, text) => s"($id, '$text')" }.mkString(", ")
+    s"""
+      WITH e AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + m.m * 1000000,
+               list_transform(embedding, x -> CAST(x * (1 << m.m) AS FLOAT))
+        FROM embeddings, (SELECT unnest(range(1, 6)) AS m) m
+        WHERE vec_id < 5),
+      dens AS (
+        SELECT q_id, n_id, rk FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                            e.vec_id) AS rk
+          FROM embeddings q JOIN e ON q.vec_id <> e.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rk <= 5),
+      alldocs AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT * FROM (VALUES $values) AS planted(doc_id, text)),
+      toks AS (SELECT doc_id AS d,
+                      unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+               FROM alldocs),
+      tf AS (SELECT d, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      n AS (SELECT COUNT(*) AS n FROM alldocs),
+      df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) <= 100),
+      w AS (SELECT d, tf.tok, tf.tf, ln(CAST(n.n AS DOUBLE) / df.df) AS lnidf
+            FROM tf JOIN df USING (tok) CROSS JOIN n),
+      norm AS (SELECT d,
+                      CAST(SUM(CAST(floor(tf * tf * lnidf * lnidf * 1e6) AS BIGINT)) AS BIGINT) AS n2_u
+               FROM w GROUP BY 1),
+      p AS (SELECT a.d AS q, b.d AS c,
+                   CAST(SUM(CAST(floor(a.tf * b.tf * a.lnidf * a.lnidf * 1e6) AS BIGINT)) AS BIGINT) AS num_u
+            FROM w a JOIN w b USING (tok)
+            WHERE a.d >= 6000000 AND a.d <> b.d GROUP BY 1, 2),
+      sc AS (SELECT q, c,
+                    CAST(floor(CAST(num_u AS DOUBLE) /
+                      (sqrt(CAST(na.n2_u AS DOUBLE)) * sqrt(CAST(nb.n2_u AS DOUBLE))) * 1e6) AS BIGINT) AS score_u
+             FROM p JOIN norm na ON na.d = p.q JOIN norm nb ON nb.d = p.c),
+      lex AS (
+        SELECT q - 6000000 AS q_id, c AS n_id, rk FROM (
+          SELECT q, c, ROW_NUMBER() OVER (PARTITION BY q ORDER BY score_u DESC, c) AS rk
+          FROM sc)
+        WHERE rk <= 5),
+      fused AS (
+        SELECT COALESCE(l.q_id, d.q_id) AS q_id,
+               COALESCE(l.n_id, d.n_id) AS n_id,
+               COALESCE(1.0 / (60.0 + l.rk), 0.0)
+                 + COALESCE(1.0 / (60.0 + d.rk), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN dens d
+          ON l.q_id = d.q_id AND l.n_id = d.n_id)
+      SELECT q_id, CAST(rk AS INTEGER) AS rk, n_id, rrf FROM (
+        SELECT q_id, n_id, rrf,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rk
+        FROM fused)
+      WHERE rk <= 5 ORDER BY q_id, rk"""
   }
 
   /** The unrolled k-means round CTEs (shared by the q108 and q115
