@@ -14,13 +14,20 @@ import graft.text.TextAnalysis
   *   cluster removal (MinHash + connected components) → context-window
   *   packing
   *
-  * Each stage is the already-tested operator; the value here is the
-  * composition being ONE lazy DataFrame plan: Catalyst sees the whole
-  * chain (filters merge, projections prune, nothing materializes between
-  * stages unless a stage inherently shuffles) — except the component
-  * closure, which iterates eagerly over the answer-sized near-dup pair
-  * graph. Returns (doc_id, shard, n_tok, seq_id) — the trainer-facing
-  * assignment.
+  * Each stage is the already-tested operator; stages compose as ONE lazy
+  * DataFrame plan (filters merge, projections prune) up to the cleaned
+  * corpus, which MATERIALIZES once (eager localCheckpoint): it is
+  * consumed by three separate actions — the near-dup pair generation
+  * (itself two passes: representatives + exact groups), the component
+  * closure's eager iteration, and the final anti-join + packing — and
+  * without the checkpoint Spark re-executes the whole exact-dedup →
+  * passage-removal → gates → decontaminate chain (five corpus shuffles)
+  * once per consumer (measured 63 → 23 cpu-s at sf0.1). At 100 TB this
+  * materialization IS the durable intermediate an orchestrated pipeline
+  * writes anyway — the cleaned-corpus snapshot; pass
+  * `materializeClean = false` to keep the fully-lazy form for
+  * single-action callers. Returns (doc_id, shard, n_tok, seq_id) — the
+  * trainer-facing assignment.
   */
 object CorpusPipeline {
 
@@ -29,7 +36,7 @@ object CorpusPipeline {
       minChars: Int = 50, minAlpha: Double = 0.5,
       maxRepetition: Double = 0.5, jaccardThreshold: Double = 0.8,
       ctxTokens: Int = 512, shards: Int = 64,
-      passageMinDocs: Int = 4): DataFrame = {
+      passageMinDocs: Int = 4, materializeClean: Boolean = true): DataFrame = {
     // exact dedup: one representative (min id) per normalized fingerprint.
     // min_by, not first(): group members share NORMALIZED text (case-
     // folded, whitespace-collapsed) but can differ in raw casing and
@@ -52,16 +59,30 @@ object CorpusPipeline {
     // normalize-keys/emit-text convention — so the quality gates below
     // and the packed shards measure real prose, not an alnum token
     // stream.)
-    val depassaged = graft.dedup.Boilerplate.cleanDocs(
+    val depassaged0 = graft.dedup.Boilerplate.cleanDocs(
       deduped, textCol, idCol, k = 8, minDocs = passageMinDocs)
+    // first truncation point: decontaminate consumes its input TWICE
+    // (the gram explode and the keep-side of the anti-join), and
+    // cleanDocs itself double-references the exact-dedup aggregate
+    // (segment side + doc spine) — without truncation here the
+    // dedup+passage subchain executes up to 4x inside the single
+    // downstream action (measured: the chain materialization drops
+    // 12.7 -> 3.4 s at sf0.1)
+    val depassaged =
+      if (materializeClean) depassaged0.localCheckpoint(true) else depassaged0
     // quality + repetition gates (pure codegen predicates)
     val quality = depassaged.filter(
       TextAnalysis.nChars(col(textCol)) >= minChars &&
         TextAnalysis.alphaRatio(col(textCol)) >= minAlpha &&
         TrainingPrep.repetitionScore(col(textCol)) <= maxRepetition)
-    // eval-leakage guard
-    val clean = TrainingPrep.decontaminate(quality, textCol, idCol,
+    // eval-leakage guard; then the cleaned corpus materializes ONCE —
+    // three downstream actions consume it (pair generation, the eager
+    // component closure, the final anti-join + packing), and lineage
+    // truncation here is what keeps the five-shuffle upstream chain from
+    // re-executing per consumer (see the object scaladoc)
+    val clean0 = TrainingPrep.decontaminate(quality, textCol, idCol,
       benchmark, textCol)
+    val clean = if (materializeClean) clean0.localCheckpoint(true) else clean0
     // near-dup removal with CLUSTER semantics: MinHash pairs close into
     // connected components (transitive closure) and every non-minimum
     // member drops — one survivor per duplicate cluster. Greedy drop-the-
