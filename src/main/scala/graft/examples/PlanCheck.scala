@@ -389,7 +389,21 @@ object PlanCheck {
       "lexical query weights broadcast" -> "BroadcastHashJoin"),
       mustNotContain = Seq(
         "no corpus-sized cross join" -> "CartesianProduct",
-        "no nested-loop fallback" -> "BroadcastNestedLoopJoin")))
+        "no nested-loop fallback" -> "BroadcastNestedLoopJoin")),
+    // HLL sketch: one partial-aggregated register shuffle is ALL the
+    // corpus-sized work; summaries aggregate ≤ groups×2^p register rows
+    Want("q128_hll_distinct", Seq(
+      "map-side partial register max" -> "partial_max"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // count-min: depth-row generator into a partial-aggregated counter
+    // build; the probe estimate joins the depth×width table answer-sized
+    Want("q129_count_min", Seq(
+      "depth rows enumerated by a generator" -> "Generate",
+      "map-side partial counter sums" -> "partial_sum"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()

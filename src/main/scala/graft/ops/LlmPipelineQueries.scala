@@ -1804,7 +1804,54 @@ object LlmPipelineQueries {
         .withColumn("q_id", $"q_id" - 6000000L)
       graft.similarity.HybridSearch.rrfFuse(lex, dense, c = 60, k = 5)
         .orderBy($"q_id", $"rk")
-    }, Some(hybridIndexedOracleSql))
+    }, Some(hybridIndexedOracleSql)),
+
+    // Count-min frequency sketch under the oracle (ops/Sketches.scala —
+    // Cormode & Muthukrishnan '05): the bounded-memory token-frequency
+    // summary that pairs with q99's Misra–Gries top-k — MG answers "which
+    // keys are heavy", count-min answers "how often is THIS key" for any
+    // key, in depth×width integer counters that merge by addition
+    // (per-shard sketches sum into the corpus sketch — the incremental
+    // story again). Everything is exact integer arithmetic over md5
+    // bucket hashes, so the oracle rebuilds every counter and estimate
+    // bit-for-bit — no float anywhere (the q121 portability class).
+    // The probe batch is the top-8 true-frequency tokens ((count DESC,
+    // tok) — deterministic), and the output pairs est_n with true_n:
+    // est ≥ true by construction (collisions only add), equality when a
+    // row isolates the key — both visible to the driver.
+    QueryDef("q129_count_min", (s, dir) => {
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(split(TextAnalysis.normalize($"text"), " ", -1)).as("tok"))
+      val counters = graft.ops.Sketches.cmsCounters(
+        toks, $"tok", lit(1L), depth = 4, width = 32)
+      val truth = toks.groupBy($"tok").agg(count(lit(1)).as("true_n"))
+        .orderBy($"true_n".desc, $"tok").limit(8)
+      val est = graft.ops.Sketches.cmsEstimate(
+        counters, truth.select($"tok"), "tok", depth = 4, width = 32)
+      truth.join(est, "tok").select($"tok", $"true_n", $"est_n")
+        .orderBy($"tok")
+    }, Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents),
+      cnt AS (SELECT tok, COUNT(*) AS true_n FROM toks GROUP BY 1),
+      probes AS (SELECT tok, true_n FROM cnt ORDER BY true_n DESC, tok LIMIT 8),
+      ctr AS (
+        SELECT i.i AS i,
+               CAST(('0x' || substr(md5('cms:' || CAST(i.i AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 32 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        GROUP BY 1, 2),
+      pb AS (
+        SELECT p.tok, i.i AS i,
+               CAST(('0x' || substr(md5('cms:' || CAST(i.i AS VARCHAR) || ':' || p.tok), 1, 15)) AS BIGINT) % 32 AS bucket
+        FROM probes p CROSS JOIN (SELECT unnest(range(4)) AS i) i),
+      pe AS (SELECT pb.tok, CAST(MIN(COALESCE(ctr.c, 0)) AS BIGINT) AS est_n
+             FROM pb LEFT JOIN ctr ON ctr.i = pb.i AND ctr.bucket = pb.bucket
+             GROUP BY 1)
+      SELECT p.tok, p.true_n, pe.est_n
+      FROM probes p JOIN pe USING (tok) ORDER BY tok"""))
   )
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences

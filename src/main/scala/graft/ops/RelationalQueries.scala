@@ -1029,7 +1029,61 @@ object RelationalQueries {
                FROM edges e JOIN deg d ON e.src = d.src JOIN r2 p ON p.node = e.src
                GROUP BY e.dst) c ON c.dst = n.node)
       SELECT node, r AS rank_mu FROM r3
-      ORDER BY rank_mu DESC, node LIMIT 20"""))
+      ORDER BY rank_mu DESC, node LIMIT 20""")),
+
+    // HyperLogLog distinct counting under the oracle (ops/Sketches.scala
+    // — Flajolet et al. AofA'07): per-priority distinct-customer
+    // sketches over orders, plus the '__all' row — the register-wise MAX
+    // merge of the five group sketches, i.e. the sketch of their UNION,
+    // driver-checked alongside them. This is the incremental
+    // COUNT(DISTINCT) story: register tables are 2^p rows, persist like
+    // any table, and any period/partition rolls up by merge instead of
+    // re-scanning the corpus (the one aggregate IncrementalAgg cannot
+    // refresh differentially). Engine-portable BY CONSTRUCTION, not by
+    // float protocol: registers derive from the md5-prefix hash and
+    // length(bin(q)) (identical no-leading-zero semantics both engines,
+    // q=0 guarded), the sufficient statistic s_u = Σ 2^(R−M_j) is an
+    // EXACT long (every term a power of two), and the estimate is one
+    // fixed-order double chain over exact operands — the oracle rebuilds
+    // every register, the dense CSV, v_zero, s_u AND the estimate
+    // bit-for-bit. p=4 keeps the raw-estimator regime honest at the
+    // gate sf (distinct ≫ 5/2·m, so no linear-counting branch — whose
+    // ln the engines round differently — is ever needed; v_zero ships
+    // for callers that want it).
+    QueryDef("q128_hll_distinct", (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderpriority".as("grp"), $"o_custkey")
+      val regs = graft.ops.Sketches.hllRegisters(orders, "grp", $"o_custkey", p = 4)
+      val all = graft.ops.Sketches.hllCollapse(regs, "grp", "__all")
+      graft.ops.Sketches.hllSummary(regs.unionByName(all), "grp", p = 4)
+        .orderBy($"grp")
+    }, Some("""
+      WITH h AS (
+        SELECT o_orderpriority AS grp,
+               CAST(('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM orders),
+      r0 AS (
+        SELECT grp, h % 16 AS j,
+               CASE WHEN h // 16 = 0 THEN 57
+                    ELSE 57 - length(bin(h // 16)) END AS rank
+        FROM h),
+      reg AS (SELECT grp, j, MAX(rank) AS m_j FROM r0 GROUP BY 1, 2),
+      regall AS (SELECT '__all' AS grp, j, MAX(m_j) AS m_j FROM reg GROUP BY j),
+      allreg AS (SELECT * FROM reg UNION ALL SELECT * FROM regall),
+      spine AS (SELECT g.grp, s.j
+                FROM (SELECT DISTINCT grp FROM allreg) g
+                CROSS JOIN (SELECT unnest(range(16)) AS j) s),
+      dense AS (SELECT sp.grp, sp.j, COALESCE(r.m_j, 0) AS m_j
+                FROM spine sp LEFT JOIN allreg r ON sp.grp = r.grp AND sp.j = r.j),
+      summ AS (SELECT grp,
+                      string_agg(CAST(m_j AS VARCHAR), ',' ORDER BY j) AS regs,
+                      CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS INTEGER) AS v_zero,
+                      CAST(SUM((CAST(1 AS BIGINT) << 57) // (CAST(1 AS BIGINT) << m_j)) AS BIGINT) AS s_u
+               FROM dense GROUP BY 1)
+      SELECT grp, regs, v_zero, s_u,
+             0.673 * 256.0 * 144115188075855872.0 / s_u AS est
+      FROM summ ORDER BY grp"""))
   )
 
   /** The range-clustered lineitem copy behind q98 — written once per

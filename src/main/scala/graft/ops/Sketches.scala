@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable, MERGEABLE sketches — the bounded-memory summaries a
+  * 100 TB pipeline keeps where exact state would be corpus-sized, joining
+  * the suite's existing sketch members (q88's Bloom pruning, q99's
+  * Misra–Gries heavy hitters):
+  *
+  *   - HyperLogLog distinct counting (Flajolet et al. AofA'07): m = 2^p
+  *     registers per group, register = max leading-zero rank of a 60-bit
+  *     hash — the incremental-COUNT-DISTINCT story: per-partition (e.g.
+  *     daily) register TABLES are tiny, persistable, and merge by
+  *     register-wise MAX, so "distinct users this quarter" is a
+  *     register merge, never a re-scan (the IncrementalAgg discipline
+  *     extended to the one aggregate it cannot refresh exactly —
+  *     COUNT(DISTINCT) is not differential, its sketch is).
+  *   - Count-min frequency estimation (Cormode & Muthukrishnan '05):
+  *     depth×width integer counters, point estimate = min over depth
+  *     rows — always an OVERestimate, mergeable by counter-wise SUM.
+  *
+  * Portability discipline: hashes are the repo's md5-prefix convention
+  * ([[Sampling.shard]]) so DuckDB rebuilds every register and counter
+  * bit-for-bit; register ranks derive from `length(bin(q))` (identical
+  * no-leading-zeros semantics in Spark and DuckDB, zero guarded); the
+  * HLL estimate is a fixed-order double chain over an EXACT long
+  * statistic S_u = Σ 2^(R−M_j) (every term a power of two, the sum
+  * exact in long by construction), so even the float surface is
+  * bit-identical cross-engine. No approximate aggregate from either
+  * engine is used — the sketch IS the operator, auditable row by row.
+  */
+object Sketches {
+
+  /** 60-bit md5-prefix hash of (salt, parts...) joined with ':' — the
+    * [[Sampling.shard]] convention, rebuildable in any engine. */
+  private def h60(salt: String, parts: Column*): Column =
+    conv(substring(md5(concat_ws(":", (lit(salt) +: parts.map(_.cast("string"))): _*)),
+      1, 15), 16, 10).cast("long")
+
+  /** Max possible register rank for precision p: the hash keeps 60−p bits
+    * after the register index, so ranks span [1, 61−p] (61−p = the
+    * all-zero suffix). */
+  private def maxRank(p: Int): Int = 61 - p
+
+  /** HLL register table for `key` within each group: (groupCol, j, m_j)
+    * with j ∈ [0, 2^p) and m_j ≥ 1 — registers never hit by a key are
+    * ABSENT (m_j = 0 implicitly; [[hllSummary]] densifies). One
+    * partial-aggregated shuffle on (group, j); output ≤ groups × 2^p
+    * rows regardless of corpus size. */
+  def hllRegisters(df: DataFrame, groupCol: String, key: Column,
+      p: Int = 4, salt: String = "hll"): DataFrame = {
+    require(p >= 1 && p <= 16, s"p must be in [1,16], got $p")
+    val m = 1 << p
+    val h = h60(salt, key)
+    val q = shiftrightunsigned(h, p)
+    val rank = when(q === 0, lit(maxRank(p)))
+      .otherwise(lit(maxRank(p)) - length(bin(q)))
+    df.select(col(groupCol), pmod(h, lit(m.toLong)).as("j"), rank.as("rank"))
+      .groupBy(col(groupCol), col("j"))
+      .agg(max(col("rank")).cast("int").as("m_j"))
+  }
+
+  /** Merge register tables by register-wise MAX — sketch(A ∪ B). Both
+    * inputs must share (groupCol, j, m_j) and the same p/salt. This is
+    * the operation that makes HLL state incremental: daily sketches
+    * land as tiny tables, any period rolls up with one answer-sized
+    * aggregate. */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(groupCol), col("j"))
+      .agg(max(col("m_j")).as("m_j"))
+
+  /** Collapse a register table to ONE group (relabeled `label`) by
+    * register-wise max — the sketch of the union of all its groups. */
+  def hllCollapse(regs: DataFrame, groupCol: String, label: String): DataFrame =
+    regs.groupBy(col("j")).agg(max(col("m_j")).as("m_j"))
+      .select(lit(label).as(groupCol), col("j"), col("m_j"))
+
+  /** The standard bias constant α_m. */
+  private def alpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Summarize a register table per group:
+    * (group, regs = dense CSV of all 2^p registers in j order, v_zero =
+    * untouched registers, s_u = Σ_j 2^(R − M_j) — the EXACT long
+    * sufficient statistic (R = 61−p; empty registers contribute 2^R),
+    * est = α_m·m²·2^R / s_u — the raw HLL estimate as ONE fixed-order
+    * double chain over exact operands, bit-identical cross-engine).
+    * The raw estimator is the honest surface at this scale; the
+    * small-range (linear-counting) correction needs ln, whose last ulp
+    * is engine-specific — callers needing it have v_zero. Per-group
+    * state is 2^p collected entries — bounded by construction. */
+  def hllSummary(regs: DataFrame, groupCol: String, p: Int = 4): DataFrame = {
+    val m = 1 << p
+    val r = maxRank(p)
+    val dense = regs.groupBy(col(groupCol))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("m_j")))).as("e"))
+      .select(col(groupCol),
+        transform(sequence(lit(0L), lit(m - 1L)),
+          jj => coalesce(element_at(col("e"), jj), lit(0))).as("d"))
+    dense.select(col(groupCol),
+        concat_ws(",", transform(col("d"), x => x.cast("string"))).as("regs"),
+        aggregate(col("d"), lit(0),
+          (acc, mj) => acc + when(mj === 0, 1).otherwise(0)).as("v_zero"),
+        aggregate(col("d"), lit(0L),
+          // 2^(R−M_j) via pow: exact — the exponent is an integer in
+          // [0, R] so the double result is exactly representable and
+          // the long cast lossless (the Scala shiftleft API cannot take
+          // a column shift amount, and Column `/` is double division)
+          (acc, mj) => acc + pow(lit(2.0), lit(r) - mj).cast("long"))
+          .as("s_u"))
+      .select(col(groupCol), col("regs"), col("v_zero"), col("s_u"),
+        (lit(alpha(m)) * lit(m.toDouble * m) * lit(math.pow(2, r)) / col("s_u"))
+          .as("est"))
+  }
+
+  /** Count-min counter table over weighted keys: (i, bucket, c) with
+    * i ∈ [0, depth), bucket ∈ [0, width), c = Σ weight of keys hashing
+    * there under row i's salt. One generator explode (depth rows per
+    * input) into a partial-aggregated groupBy — the only shuffle carries
+    * ≤ tasks × depth × width partial sums; the table is depth×width
+    * rows at ANY corpus size, and two tables over disjoint corpora merge
+    * by counter-wise addition. */
+  def cmsCounters(df: DataFrame, key: Column, weight: Column,
+      depth: Int = 4, width: Int = 32, salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad cms dims d=$depth w=$width")
+    df.select(key.as("__k"), weight.as("__w"))
+      .select(col("__k"), col("__w"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .select(col("i"),
+        pmod(h60(salt, col("i"), col("__k")), lit(width.toLong)).as("bucket"),
+        col("__w"))
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(col("__w")).as("c"))
+  }
+
+  /** Point estimates for `probes` (a small key batch) against a counter
+    * table: est = min over depth rows of the key's bucket counter —
+    * ≥ the true count always (collisions only add). The probe side
+    * explodes to probes×depth rows and joins the depth×width counter
+    * table — answer-sized at any scale. */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 32, salt: String = "cms"): DataFrame = {
+    val pr = probes.select(col(keyCol),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .select(col(keyCol), col("i"),
+        pmod(h60(salt, col("i"), col(keyCol)), lit(width.toLong)).as("bucket"))
+    pr.join(counters, Seq("i", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
+  }
+}
