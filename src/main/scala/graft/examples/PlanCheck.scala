@@ -366,15 +366,16 @@ object PlanCheck {
         "BroadcastNestedLoopJoin"),
       mustNotContain = Seq(
         "no cartesian" -> "CartesianProduct")),
-    // end-to-end corpus pipeline: the whole chain is one lazy plan —
-    // hot-passage drop, decontamination, and dup-cluster removal each
-    // come back only as broadcast anti-joins over answer-sized sets;
-    // the corpus never re-shuffles to learn what to drop (the MinHash
-    // pair join + component closure live behind the answer-sized
-    // checkpointed edge list, audited by q28/q69's own entries)
+    // end-to-end corpus pipeline: the final plan reads the checkpointed
+    // cleaned-corpus snapshot, drops dup-cluster ids via ONE anti-join
+    // (a shuffle join by design — the dup-id set scales with the
+    // corpus's duplicate mass, so broadcasting it is the IncrementalJoin
+    // purge-scale mistake), and packs through one per-shard window. The
+    // upstream stages' broadcast shapes live behind the checkpoints and
+    // are audited by their own entries (q101 hot set, q58 bench grams,
+    // q28/q69 pair generation + closure).
     Want("q125_corpus_pipeline", Seq(
-      "drop sets come back by broadcast" -> "BroadcastHashJoin",
-      "removal via anti-join" -> "LeftAnti",
+      "dup-cluster removal via anti-join" -> "LeftAnti",
       "one per-shard packing window" -> "Window"),
       mustNotContain = Seq(
         "no cartesian anywhere in the chain" -> "CartesianProduct",
@@ -403,7 +404,15 @@ object PlanCheck {
       "depth rows enumerated by a generator" -> "Generate",
       "map-side partial counter sums" -> "partial_sum"),
       mustNotContain = Seq(
-        "no cartesian" -> "CartesianProduct")))
+        "no cartesian" -> "CartesianProduct")),
+    // label propagation: the final plan is the checkpointed label table
+    // + the community-size window (the round joins are audited
+    // un-truncated in the labelprop_round section below)
+    Want("q130_label_prop", Seq(
+      "community sizes via the label window" -> "Window"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()
@@ -580,6 +589,36 @@ object PlanCheck {
       checks.foreach { case (label, ok) =>
         if (!ok) failed += 1
         println(s"[plancheck] bfs_round :: $label -> ${if (ok) "OK" else "FAILED"}")
+      }
+    }
+
+    // LPA round audit (q130): run()'s per-round truncation erases the
+    // join structure, so audit one un-truncated vote round — neighbor
+    // labels must flow through an equi-join on src into map-side-combined
+    // vote counts, and the argmax must be the order-free struct-max
+    // aggregate, never a per-node window over vote rows.
+    if (args.isEmpty) {
+      import org.apache.spark.sql.functions._
+      val edges = graft.sources.Tables.load(spark, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("l_orderkey") * 2 + 1).as("dst")).distinct()
+      val plan = graft.ops.LabelProp.auditRound(edges, "src", "dst")
+        .queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== labelprop_round (q130) ==========")
+      println(plan.linesIterator.take(30).mkString("\n"))
+      val checks = Seq(
+        "neighbor labels via equi-join on src" ->
+          (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+            plan.contains("BroadcastHashJoin")),
+        "map-side partial vote counts" -> plan.contains("partial_count"),
+        "argmax is the struct-max aggregate, not a window" ->
+          (plan.contains("partial_max") && !plan.contains("Window")),
+        "no cartesian" -> !plan.contains("CartesianProduct"),
+        "no nested-loop join" -> !plan.contains("BroadcastNestedLoopJoin"))
+      checks.foreach { case (label, ok) =>
+        if (!ok) failed += 1
+        println(s"[plancheck] labelprop_round :: $label -> ${if (ok) "OK" else "FAILED"}")
       }
     }
 

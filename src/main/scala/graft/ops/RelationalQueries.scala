@@ -1083,8 +1083,67 @@ object RelationalQueries {
                FROM dense GROUP BY 1)
       SELECT grp, regs, v_zero, s_u,
              0.673 * 256.0 * 144115188075855872.0 / s_u AS est
-      FROM summ ORDER BY grp"""))
+      FROM summ ORDER BY grp""")),
+
+    // Community detection by synchronous label propagation
+    // (ops/LabelProp.scala — Raghavan PRE'07), completing the graph
+    // family: CC = grouping, PageRank = ranking, BFS = reachability,
+    // triangles = cohesion, LPA = community. Determinism by
+    // construction: the synchronized variant with a (count DESC, label
+    // ASC) total-order vote + one self-vote per node — all-integer, so
+    // the oracle unrolls the same 3 rounds as chained CTEs (the q100
+    // protocol) and matches bit-for-bit; the argmax is an order-free
+    // max(struct(n, -label)) aggregate, never a per-node window over
+    // corpus-sized vote rows. Same supplier↔customer trade graph as
+    // q100/q122.
+    QueryDef("q130_label_prop", (s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"l_suppkey" * 2).as("a"),
+          ($"o_custkey" * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      graft.ops.LabelProp.run(edges, "src", "dst", nIters = 3)
+        .withColumn("comm_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"label")))
+        .orderBy($"node")
+    }, Some(labelPropOracleSql(3)))
   )
+
+  /** The q130 oracle: `nIters` unrolled synchronous LPA rounds over the
+    * trade graph — neighbor labels + the self-vote, ROW_NUMBER argmax
+    * with the (n DESC, label ASC) total order (≡ the operator's
+    * max(struct(n, −label))). */
+  private def labelPropOracleSql(nIters: Int): String = {
+    val rounds = (1 to nIters).map { r =>
+      s"""
+      c$r AS (SELECT v.node, v.label, COUNT(*) AS n FROM (
+                SELECT e.dst AS node, p.label
+                FROM edges e JOIN l${r - 1} p ON p.node = e.src
+                UNION ALL SELECT node, label FROM l${r - 1}) v
+              GROUP BY 1, 2),
+      l$r AS (SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                         ORDER BY n DESC, label) AS rk
+                FROM c$r) WHERE rk = 1)"""
+    }.mkString(",")
+    s"""
+      WITH pairs AS (
+        SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      nodes AS (SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges),
+      l0 AS (SELECT node, node AS label FROM nodes),$rounds
+      SELECT node, label,
+             COUNT(*) OVER (PARTITION BY label) AS comm_size
+      FROM l$nIters ORDER BY node"""
+  }
 
   /** The range-clustered lineitem copy behind q98 — written once per
     * (corpus, content-fingerprint) per process, the stand-in for the

@@ -1029,4 +1029,38 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(!got1.contains("idn1") && !got1.contains("idn2"))
   }
+
+  test("LabelProp: two bridged cliques split into min-labeled communities; sync semantics hand-checked") {
+    import spark.implicits._
+    // two 4-cliques {0..3} and {10..13} joined by the single bridge
+    // 3—10: communities must NOT merge (CC would), and each keeps its
+    // minimum node id as label. Hand-run of the synchronous + self-vote
+    // rounds: r1 sends node 10 to label 3 via the bridge (min over five
+    // singleton votes), r2 pulls it back (its clique mates now all
+    // carry 10, outvoting the bridge), r3 is stable.
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((3L, 10L), (10L, 3L))).toDF("src", "dst").repartition(4)
+    val got = graft.ops.LabelProp.run(edges, "src", "dst", nIters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+
+    // a single undirected edge: the self-vote ties (count 1 each) and
+    // the min-label break sends BOTH ends to the smaller id in round 1
+    // — the case the self-vote-free synchronous variant oscillates on
+    val pairGot = graft.ops.LabelProp.run(
+      Seq((5L, 7L), (7L, 5L)).toDF("src", "dst"), "src", "dst", nIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairGot == Map(5L -> 5L, 7L -> 5L))
+
+    // zero rounds = the seed labeling; string ids rejected loudly
+    val seeds = graft.ops.LabelProp.run(edges, "src", "dst", nIters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seeds.forall { case (n, l) => n == l } && seeds.size == 8)
+    intercept[IllegalArgumentException] {
+      graft.ops.LabelProp.run(Seq(("a", "b")).toDF("src", "dst"), "src", "dst", 1)
+    }
+  }
 }
