@@ -580,6 +580,60 @@ object EventQueries {
                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
       SELECT event_type, d, n, CAST(w AS BIGINT) AS n_win,
              (w*n - s)*(w*n - s) > 4*(w*q - s*s) AS flag
-      FROM win ORDER BY event_type, d"""))
+      FROM win ORDER BY event_type, d""")),
+
+    // Streaming distinct counting via the HLL sketch (ops/Sketches.scala
+    // composed with Structured Streaming) — the aggregate that makes
+    // "distinct users per event type, live" possible with BOUNDED state:
+    // exact streaming COUNT(DISTINCT) would hold every key ever seen,
+    // while the register table holds groups × 2^p rows no matter how
+    // long the stream runs. Protocol: the q96 batch-split-invariance
+    // replay (`replayShuffled` — deliberately ARBITRARY round-robin
+    // micro-batches) through the same register aggregation
+    // (`Sketches.hllRegisters` runs unchanged on a streaming frame —
+    // max() is order- and batch-invariant, which is WHY the sketch
+    // streams), landed complete-mode, summarized by the batch half; the
+    // DuckDB oracle rebuilds registers, v_zero, s_u and the estimate
+    // from the events table from scratch (the q128 construction), so
+    // hash equality proves the streamed registers equal the from-scratch
+    // batch sketch register-for-register regardless of the batch split.
+    QueryDef("q131_stream_distinct", (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_type".as("grp"), $"user_id")
+      val regs = graft.ops.Sketches.hllRegisters(
+        EventsStream.replayShuffled(ev, nFiles = 4), "grp", $"user_id", p = 4)
+      val sink = s"q131_regs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = regs.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.ops.Sketches.hllSummary(s.table(sink), "grp", p = 4)
+        .orderBy($"grp")
+    }, Some("""
+      WITH h AS (
+        SELECT event_type AS grp,
+               CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events),
+      r0 AS (
+        SELECT grp, h % 16 AS j,
+               CASE WHEN h // 16 = 0 THEN 57
+                    ELSE 57 - length(bin(h // 16)) END AS rank
+        FROM h),
+      reg AS (SELECT grp, j, MAX(rank) AS m_j FROM r0 GROUP BY 1, 2),
+      spine AS (SELECT g.grp, s.j
+                FROM (SELECT DISTINCT grp FROM reg) g
+                CROSS JOIN (SELECT unnest(range(16)) AS j) s),
+      dense AS (SELECT sp.grp, sp.j, COALESCE(r.m_j, 0) AS m_j
+                FROM spine sp LEFT JOIN reg r ON sp.grp = r.grp AND sp.j = r.j),
+      summ AS (SELECT grp,
+                      string_agg(CAST(m_j AS VARCHAR), ',' ORDER BY j) AS regs,
+                      CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS INTEGER) AS v_zero,
+                      CAST(SUM((CAST(1 AS BIGINT) << 57) // (CAST(1 AS BIGINT) << m_j)) AS BIGINT) AS s_u
+               FROM dense GROUP BY 1)
+      SELECT grp, regs, v_zero, s_u,
+             0.673 * 256.0 * 144115188075855872.0 / s_u AS est
+      FROM summ ORDER BY grp"""))
   )
 }

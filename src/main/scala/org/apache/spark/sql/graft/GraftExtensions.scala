@@ -397,6 +397,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_hll_distinct"),
+      info("graft_hll_distinct",
+        "graft_hll_distinct(table, groupCol, keyCol, p) - per-group HyperLogLog distinct-count sketch summary (2^p registers, engine-portable md5 hashing): (group, regs, v_zero, s_u, est)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_hll_distinct(table, groupCol, keyCol, p) takes 4 arguments")
+        require(args(3).foldable, "p must be a literal")
+        val grp = strArg(args(1), "groupCol")
+        val p = args(3).eval().asInstanceOf[Number].intValue()
+        graft.ops.Sketches.hllSummary(
+          graft.ops.Sketches.hllRegisters(tableArg(args(0)), grp,
+            org.apache.spark.sql.functions.col(strArg(args(2), "keyCol")), p),
+          grp, p)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_count_min"),
+      info("graft_count_min",
+        "graft_count_min(table, keyCol, depth, width) - count-min frequency counters over the key column (weight 1 per row, mergeable by addition): (i, bucket, c)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_count_min(table, keyCol, depth, width) takes 4 arguments")
+        require(args(2).foldable && args(3).foldable,
+          "depth and width must be literals")
+        graft.ops.Sketches.cmsCounters(tableArg(args(0)),
+          org.apache.spark.sql.functions.col(strArg(args(1), "keyCol")),
+          org.apache.spark.sql.functions.lit(1L),
+          args(2).eval().asInstanceOf[Number].intValue(),
+          args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_label_prop"),
+      info("graft_label_prop",
+        "graft_label_prop(table, srcCol, dstCol, iters) - synchronous label-propagation communities over an integral edge list: (node, label)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_label_prop(table, srcCol, dstCol, iters) takes 4 arguments")
+        require(args(3).foldable, "iters must be a literal")
+        graft.ops.LabelProp.run(tableArg(args(0)),
+          strArg(args(1), "srcCol"), strArg(args(2), "dstCol"),
+          args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

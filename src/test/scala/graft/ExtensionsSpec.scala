@@ -271,6 +271,34 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT n_pts, slope, intercept FROM graft_trend('tf_tr', 'g', 'x', 'y')""")
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
       assert(tr.toSeq == Seq((6L, 3.0, 2.0)), tr.mkString(";"))
+
+      // r10 table functions
+      // HLL: registers densify to 2^p, duplicate arrivals don't move the
+      // estimate (the view repeats every key twice)
+      ((1 to 300) ++ (1 to 300)).map(i => ("g", s"u$i"))
+        .toDF("grp", "k").createOrReplaceTempView("tf_hll")
+      val hll = spark.sql(
+        """SELECT grp, regs, v_zero, s_u, est FROM graft_hll_distinct('tf_hll', 'grp', 'k', 4)""")
+        .collect()
+      assert(hll.length == 1 && hll(0).getAs[String]("regs").split(",").length == 16)
+      val hllEst = hll(0).getAs[Double]("est")
+      assert(math.abs(hllEst - 300) / 300 < 3 * 1.04 / 4, s"est=$hllEst")
+
+      // count-min: counters sum to depth x total weight
+      val cm = spark.sql(
+        """SELECT SUM(c) AS tot, COUNT(*) AS n FROM graft_count_min('tf_hll', 'k', 4, 32)""")
+        .head()
+      assert(cm.getLong(0) == 4L * 600, cm.toString)
+
+      // label prop: a bridged pair of triangles splits into two communities
+      (Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L), (12L, 10L), (2L, 10L))
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) })
+        .toDF("src", "dst").createOrReplaceTempView("tf_lp")
+      val lp = spark.sql(
+        """SELECT node, label FROM graft_label_prop('tf_lp', 'src', 'dst', 3) ORDER BY node""")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(lp.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 0L),
+        (10L, 10L), (11L, 10L), (12L, 10L)), lp.mkString(";"))
     } finally {
       // don't leak this untuned session (200 shuffle partitions) into the
       // suites that follow — TestSession rebuilds the tuned one on demand
