@@ -1851,7 +1851,92 @@ object LlmPipelineQueries {
              FROM pb LEFT JOIN ctr ON ctr.i = pb.i AND ctr.bucket = pb.bucket
              GROUP BY 1)
       SELECT p.tok, p.true_n, pe.est_n
-      FROM probes p JOIN pe USING (tok) ORDER BY tok"""))
+      FROM probes p JOIN pe USING (tok) ORDER BY tok""")),
+
+    // Asymmetric CONTAINMENT join (dedup/Containment.scala) — excerpt /
+    // quote detection, the directed relation every symmetric near-dup
+    // operator in the suite is blind to: a 30-word excerpt of a long page
+    // has Jaccard ≈ 0.1 against its source but containment 1.0. The
+    // planted specimens are literal 30-word windows (words 11–40 of every
+    // %9 == 0 doc with ≥ 45 words, id + 3000000): every shingle of a
+    // contiguous window is a shingle of the source, so containment is
+    // EXACTLY 1 by construction — no threshold-gap argument needed, and
+    // none is: the prefix-filtered join is lossless (unlike LSH), so the
+    // DuckDB all-pairs containment join is a fair oracle for the whole
+    // output, planted and natural alike. The containment value is one
+    // IEEE division of exact integer operands (|S(a)∩S(b)| / |S(a)|) —
+    // hash-checkable. minGrams = 8 excludes confetti docs from the
+    // contained side in BOTH engines.
+    QueryDef("q132_containment", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val words = docs.select($"doc_id",
+        split(TextAnalysis.normalize($"text"), " ", -1).as("w"))
+      val excerpts = words
+        .filter($"doc_id" % 9 === 0 && size($"w") >= 45)
+        .select(($"doc_id" + 3000000).as("doc_id"),
+          array_join(slice($"w", 11, 30), " ").as("text"))
+      graft.dedup.Containment.containmentJoin(
+          docs.unionByName(excerpts), "text", "doc_id",
+          threshold = 0.9, k = 3, minGrams = 8)
+        .orderBy($"id_a", $"id_b")
+    }, Some(s"""
+      WITH w AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      exc AS (
+        SELECT doc_id + 3000000 AS doc_id, array_to_string(w[11:40], ' ') AS text
+        FROM w WHERE doc_id % 9 = 0 AND len(w) >= 45),
+      docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM exc),
+      sh AS (${shingleSetsSqlFrom("docs")})
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      WHERE len(a.s) >= 8
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.9
+      ORDER BY id_a, id_b""")),
+
+    // Cross-crawl novelty scoring (TrainingPrep.noveltyScore): sources
+    // src10–src19 play the NEW crawl, src0–src9 the reference corpus;
+    // per new doc, the fraction of its distinct word bigrams the
+    // reference has never seen — the keep/deprioritize signal a crawl
+    // pipeline computes before any expensive dedup pass. Reference state
+    // is its DISTINCT bigram vocabulary (Heaps-sublinear), membership one
+    // anti-join on the bigram key — no broadcast assumption, works
+    // identically at 100 TB. Counts are integers; novelty is one IEEE
+    // division of exact operands.
+    QueryDef("q133_novelty", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text",
+          substring($"source", 4, 8).cast("int").as("srcn"))
+      graft.ops.TrainingPrep.noveltyScore(
+          docs.filter($"srcn" >= 10), docs.filter($"srcn" < 10),
+          "text", "doc_id")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id, CAST(substr(source, 4) AS INTEGER) AS srcn,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      b AS (
+        SELECT doc_id, srcn,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])) AS bg
+        FROM w WHERE len(w) >= 2),
+      ref AS (SELECT DISTINCT bg FROM b WHERE srcn < 10),
+      cand AS (SELECT doc_id, bg FROM b WHERE srcn >= 10),
+      tot AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams
+              FROM cand GROUP BY 1),
+      uns AS (SELECT c.doc_id, CAST(COUNT(*) AS INTEGER) AS n_unseen
+              FROM cand c LEFT JOIN ref r USING (bg)
+              WHERE r.bg IS NULL GROUP BY 1)
+      SELECT t.doc_id, t.n_bigrams,
+             COALESCE(u.n_unseen, 0) AS n_unseen,
+             CAST(COALESCE(u.n_unseen, 0) AS DOUBLE) / t.n_bigrams AS novelty
+      FROM tot t LEFT JOIN uns u USING (doc_id) ORDER BY t.doc_id"""))
   )
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences

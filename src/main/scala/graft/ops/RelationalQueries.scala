@@ -1110,7 +1110,70 @@ object RelationalQueries {
         .withColumn("comm_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy($"label")))
         .orderBy($"node")
-    }, Some(labelPropOracleSql(3)))
+    }, Some(labelPropOracleSql(3))),
+
+    // KMV (bottom-k) distinct sketch + pairwise overlap estimation
+    // (ops/Sketches.scala — Bar-Yossef RANDOM'02 / Beyer SIGMOD'07): the
+    // third mergeable sketch next to q128's HLL and q129's count-min, and
+    // the one that answers what HLL cannot — "how much do these two key
+    // sets OVERLAP?" without co-shuffling them (the theta-sketch trick:
+    // a bottom-k set is a uniform sample of the distinct keys, so the
+    // merged sketch's both-sides fraction estimates Jaccard, scaled by
+    // the union estimate it becomes intersection cardinality). Customer
+    // sets per order priority: 5 single-group estimates + all 10 pair
+    // overlap estimates, every value either exact integer arithmetic or
+    // a fixed-order chain of exact-operand IEEE divisions — the oracle
+    // rebuilds every hash, rank, and estimate bit-for-bit.
+    QueryDef("q134_kmv", (s, dir) => {
+      import s.implicits._
+      val k = 64
+      val orders = t(s, dir, "orders")
+        .select($"o_orderpriority".as("grp"), $"o_custkey")
+      val sk = graft.ops.Sketches.kmvSketch(orders, "grp", $"o_custkey", k = k)
+      val singles = graft.ops.Sketches.kmvEstimate(sk, "grp", k)
+        .select($"grp".as("grp_a"), lit("").as("grp_b"),
+          $"sz".as("n_common"), lit(0.0).as("jacc_est"), $"est".as("inter_est"))
+      val pairs = graft.ops.Sketches.kmvPairStats(sk, "grp", k)
+      singles.unionByName(pairs).orderBy($"grp_a", $"grp_b")
+    }, Some("""
+      WITH h AS (
+        SELECT DISTINCT o_orderpriority AS grp,
+               CAST(('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM orders),
+      rk AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r FROM h),
+      sk AS (SELECT grp, h, r FROM rk WHERE r <= 64),
+      singles AS (
+        SELECT grp AS grp_a, '' AS grp_b, CAST(COUNT(*) AS INTEGER) AS n_common,
+               0.0 AS jacc_est,
+               CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 / MAX(h) END AS inter_est
+        FROM sk GROUP BY 1),
+      gp AS (SELECT DISTINCT a.grp AS ga, b.grp AS gb
+             FROM sk a, sk b WHERE a.grp < b.grp),
+      uh AS (SELECT DISTINCT p.ga, p.gb, s.h
+             FROM gp p JOIN sk s ON s.grp = p.ga OR s.grp = p.gb),
+      ur AS (SELECT ga, gb, h,
+                    ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+             FROM uh),
+      ub AS (SELECT ga, gb, h, r FROM ur WHERE r <= 64),
+      common AS (SELECT u.ga, u.gb, COUNT(*) AS c
+                 FROM ub u
+                 JOIN sk a ON a.grp = u.ga AND a.h = u.h
+                 JOIN sk b ON b.grp = u.gb AND b.h = u.h
+                 GROUP BY 1, 2),
+      hku AS (SELECT ga, gb, MAX(h) AS hk_u FROM ub GROUP BY 1, 2),
+      pairs AS (
+        SELECT p.ga AS grp_a, p.gb AS grp_b,
+               CAST(COALESCE(c.c, 0) AS INTEGER) AS n_common,
+               CAST(COALESCE(c.c, 0) AS DOUBLE) / 64.0 AS jacc_est,
+               (CAST(COALESCE(c.c, 0) AS DOUBLE) / 64.0) *
+                 (63.0 * 1152921504606846976.0 / k.hk_u) AS inter_est
+        FROM gp p
+        LEFT JOIN common c ON c.ga = p.ga AND c.gb = p.gb
+        JOIN hku k ON k.ga = p.ga AND k.gb = p.gb)
+      SELECT * FROM singles
+      UNION ALL SELECT * FROM pairs
+      ORDER BY grp_a, grp_b"""))
   )
 
   /** The q130 oracle: `nIters` unrolled synchronous LPA rounds over the

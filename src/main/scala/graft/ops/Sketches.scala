@@ -118,6 +118,110 @@ object Sketches {
           .as("est"))
   }
 
+  // ---------------- KMV (bottom-k) distinct sketch ----------------
+
+  /** Hash-space size of [[h60]]: 15 hex chars = 60 bits. Exactly
+    * representable as a double (a power of two). */
+  val KmvM: Double = 1152921504606846976.0d // 2^60
+
+  /** K-minimum-values sketch (Bar-Yossef et al. RANDOM'02; unbiased
+    * estimator per Beyer et al. SIGMOD'07): per group, the k SMALLEST
+    * distinct 60-bit key hashes, as rows (group, h, r) with r ∈ [1, k].
+    * The third mergeable-sketch family member, and the one that buys what
+    * HLL cannot: because a bottom-k set is a uniform SAMPLE of the
+    * group's distinct keys, two groups' sketches support set
+    * INTERSECTION / Jaccard estimates ([[kmvPairStats]] — the
+    * theta-sketch trick), not just cardinality.
+    *
+    * Build shape: one (group, h) dedupe (map-side combined — the same
+    * first stage exact COUNT(DISTINCT) pays) then a per-group sort-window
+    * rank; the sketch's 100 TB value is in what happens AFTER the build —
+    * k rows per group persist, any partition layout merges by
+    * [[kmvMerge]] in sketch-sized work, and every estimate downstream is
+    * answer-sized. Deterministic by construction: the md5 hash order is a
+    * total order, ties impossible among distinct hashes. */
+  def kmvSketch(df: DataFrame, groupCol: String, key: Column,
+      k: Int = 64, salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("h"))
+    df.select(col(groupCol), h60(salt, key).as("h")).distinct()
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+  }
+
+  /** Merge two sketch tables built with the same (k, salt): bottom-k of
+    * the union of hash sets — sketch(A ∪ B), the incremental-build
+    * operation (daily sketches roll up without re-scanning). */
+  def kmvMerge(a: DataFrame, b: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("h"))
+    a.select(col(groupCol), col("h")).unionByName(b.select(col(groupCol), col("h")))
+      .distinct()
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+  }
+
+  /** Per-group cardinality estimate from a sketch table: sketches holding
+    * fewer than k hashes saw ALL distinct keys (est = exact size);
+    * saturated sketches use the unbiased (k−1)·M / h_(k) — one IEEE
+    * division of exact operands ((k−1)·M is a small-int × power-of-two
+    * product, exactly representable). */
+  def kmvEstimate(sk: DataFrame, groupCol: String, k: Int): DataFrame =
+    sk.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("int").as("sz"), max(col("h")).as("hk"))
+      .select(col(groupCol), col("sz"), col("hk"),
+        when(col("sz") < k, col("sz").cast("double"))
+          .otherwise(lit((k - 1).toDouble * KmvM) / col("hk")).as("est"))
+
+  /** All group-pair overlap estimates from ONE sketch table: for each
+    * (grp_a < grp_b), the bottom-k of the two sketches' hash UNION is a
+    * valid sketch of A ∪ B; the fraction ρ of its members present in
+    * BOTH sketches estimates Jaccard, and ρ · est(A∪B) the intersection
+    * cardinality (Beyer et al. SIGMOD'07 §5). Everything up to the final
+    * divisions is exact integer arithmetic on array ops; jacc_est =
+    * n_common/k (one exact-operand division), inter_est = jacc_est ·
+    * ((k−1)·M / hk_u) (one more division then one product — fixed order,
+    * engine-portable). Output is groupPairs × 1 rows — answer-sized; the
+    * group-array collect is bounded by k per group. Saturation note: the
+    * estimators assume saturated sketches (sz = k); callers with
+    * sub-saturated groups have exact sets and don't need estimates.
+    *
+    * The group-pair join is deliberately a broadcast nested loop over
+    * GROUP-count rows (k longs each) — bounded in-plan by `maxGroups`
+    * with the jaccardTopK raise_error convention, loud instead of a
+    * silent groups² blow-up when someone sketches a high-cardinality
+    * group key. */
+  def kmvPairStats(sk: DataFrame, groupCol: String, k: Int,
+      maxGroups: Int = 1024): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
+    val arr = sk.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val ng = count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val a = broadcast(arr
+      .withColumn("__ng", ng)
+      .select(
+        when(col("__ng") > maxGroups,
+          raise_error(lit(s"kmvPairStats: group count exceeds maxGroups=" +
+            s"$maxGroups — the pair join is a deliberate groups x groups " +
+            "nested loop; aggregate the group key or raise the bound")))
+          .otherwise(col(groupCol)).as("grp_a"),
+        col("hs").as("hs_a")))
+    val b = arr.select(col(groupCol).as("grp_b"), col("hs").as("hs_b"))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        slice(sort_array(array_union(col("hs_a"), col("hs_b"))), 1, k).as("u"),
+        col("hs_a"), col("hs_b"))
+      .select(col("grp_a"), col("grp_b"),
+        size(array_intersect(col("u"), array_intersect(col("hs_a"), col("hs_b"))))
+          .cast("int").as("n_common"),
+        element_at(col("u"), least(lit(k), size(col("u")))).as("hk_u"))
+      .select(col("grp_a"), col("grp_b"), col("n_common"),
+        (col("n_common").cast("double") / lit(k.toDouble)).as("jacc_est"),
+        ((col("n_common").cast("double") / lit(k.toDouble)) *
+          (lit((k - 1).toDouble * KmvM) / col("hk_u"))).as("inter_est"))
+  }
+
   /** Count-min counter table over weighted keys: (i, bucket, c) with
     * i ∈ [0, depth), bucket ∈ [0, width), c = Σ weight of keys hashing
     * there under row i's salt. One generator explode (depth rows per

@@ -230,6 +230,46 @@ object TrainingPrep {
       .agg(count(lit(1)).cast("int").as("n_bigrams"), sum(col("lp_u")).as("ll_u"))
   }
 
+  /** Cross-crawl NOVELTY scoring — "how much of this candidate doc is
+    * text the reference corpus has never seen?": per candidate doc, the
+    * fraction of its DISTINCT word bigrams absent from the reference
+    * corpus's bigram vocabulary. The signal crawl pipelines rank new
+    * snapshots by (high novelty → genuinely new content worth keeping;
+    * near-zero novelty → a re-crawl that exact/near-dup passes will kill
+    * anyway, deprioritize early) — the cheap set-membership complement of
+    * [[bigramLmScore]]'s probability view.
+    *
+    * Scale shape: the reference side collapses to its DISTINCT bigram
+    * vocabulary — Heaps-law sublinear in corpus size (the q89/q119
+    * argument), NOT corpus-sized — and membership is one hash anti-join
+    * on the bigram key with map-side-combined per-doc counts; no
+    * broadcast assumption anywhere, so a 100 TB reference works exactly
+    * like a 100 MB one. Docs with < 2 words have no bigrams and emit no
+    * row (deterministic in both engines).
+    *
+    * All-integer counts; `novelty` is one IEEE division of exact integer
+    * operands — hash-checkable cross-engine. */
+  def noveltyScore(candidates: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    def docBigrams(df: DataFrame) = df
+      .select(col(idCol), split(TextAnalysis.normalize(col(textCol)), " ", -1).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(array_distinct(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b)))).as("bg"))
+    val cand = docBigrams(candidates)
+    val refVocab = docBigrams(reference).select(col("bg")).distinct()
+    val unseen = cand.join(refVocab, Seq("bg"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).cast("int").as("n_unseen"))
+    cand.groupBy(col(idCol)).agg(count(lit(1)).cast("int").as("n_bigrams"))
+      .join(unseen, Seq(idCol), "left")
+      .select(col(idCol), col("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0)).as("n_unseen"),
+        (coalesce(col("n_unseen"), lit(0)).cast("double") / col("n_bigrams"))
+          .as("novelty"))
+  }
+
   def contaminationScore(docs: DataFrame, textCol: String, idCol: String,
       benchmark: DataFrame, benchTextCol: String, k: Int = 8): DataFrame = {
     def grams(c: Column) = graft.functions.HashFunctions.wordShingleHash(

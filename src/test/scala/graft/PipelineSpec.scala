@@ -270,6 +270,56 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.jaccardJoin(df, "t", "id", thr).filter($"jaccard" < thr).count() == 0)
   }
 
+  test("containmentJoin: directed excerpt detection equals the all-pairs oracle") {
+    import org.apache.spark.sql.functions._
+    val big = ("w" + (1 to 40).mkString(" w")).replace("w", "word")
+    val words = big.split(" ")
+    val excerpt = words.slice(4, 20).mkString(" ") // 16 words inside big
+    val tiny = words.slice(10, 13).mkString(" ")   // 3 words → 1 shingle < minGrams
+    val other = "totally unrelated vocabulary about a different subject entirely now"
+    val df = Seq((1L, big), (2L, excerpt), (3L, tiny), (4L, other),
+      (5L, excerpt)).toDF("id", "t") // 5 duplicates 2 → mutual containment
+    val got = dedup.Containment.containmentJoin(df, "t", "id",
+        threshold = 0.9, minGrams = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // oracle: brute-force exact containment over all directed pairs
+    def sh(c: org.apache.spark.sql.Column) = text.Shingling.wordShingles(c, 3)
+    val a = df.select($"id".as("id_a"), $"t".as("t_a"))
+    val b = df.select($"id".as("id_b"), $"t".as("t_b"))
+    val expected = a.join(b, $"id_a" =!= $"id_b")
+      .filter(size(sh($"t_a")) >= 8 &&
+        size(array_intersect(sh($"t_a"), sh($"t_b"))).cast("double") /
+          size(sh($"t_a")) >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(expected.contains((2L, 1L)), "excerpt→source missing from oracle")
+    assert(!expected.contains((1L, 2L)), "direction must be asymmetric")
+    assert(expected.contains((2L, 5L)) && expected.contains((5L, 2L)),
+      "mutual containment must appear in both directions")
+    assert(!expected.exists(_._1 == 3L), "minGrams must exclude confetti docs")
+    assert(got == expected)
+    // every reported containment meets the threshold
+    assert(dedup.Containment.containmentJoin(df, "t", "id", 0.9, minGrams = 8)
+      .filter($"containment" < 0.9).count() == 0)
+  }
+
+  test("noveltyScore: unseen-bigram fractions are exact per class") {
+    val ref = Seq((100L, "a b c d"), (101L, "c d e")).toDF("doc_id", "t")
+    val cand = Seq(
+      (1L, "a b c"),    // both bigrams seen → 0.0
+      (2L, "x y z"),    // both unseen → 1.0
+      (3L, "a b q r"),  // 1 of 3 seen → 2/3
+      (4L, "solo")      // < 2 words → no row
+    ).toDF("doc_id", "t")
+    val rows = ops.TrainingPrep.noveltyScore(cand, ref, "t", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "n_unseen", "novelty")
+      .as[(Long, Int, Int, Double)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 2, 0, 0.0),
+      (2L, 2, 2, 1.0),
+      (3L, 3, 2, 2.0 / 3.0)))
+  }
+
   test("embeddingPairsLsh equals embeddingPairsExact on planted near-dups") {
     import org.apache.spark.sql.functions._
     val emb = sources.Tables.load(spark, sfDir, "embeddings").select($"vec_id", $"embedding")

@@ -102,4 +102,66 @@ class SketchesSpec extends SparkSpec {
     // surely untouched; allow tiny collision mass but never the corpus
     assert(est <= 2, s"ghost key estimated $est")
   }
+
+  test("KMV: merge of split sketches equals the sketch of the union, hash for hash") {
+    import spark.implicits._
+    val all = keyed(5000, "m")
+    val a = all.filter(xxhash64($"k") % 2 === 0)
+    val b = all.filter(xxhash64($"k") % 2 =!= 0)
+    val direct = Sketches.kmvSketch(all, "grp", $"k", k = 64)
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvSketch(a, "grp", $"k", k = 64),
+      Sketches.kmvSketch(b, "grp", $"k", k = 64), "grp", 64)
+    assert(direct.orderBy("grp", "r").collect().toSeq ==
+      merged.orderBy("grp", "r").collect().toSeq)
+  }
+
+  test("KMV: sub-saturated sketch reports the exact count; saturated estimate within 3 rse") {
+    import spark.implicits._
+    val small = Sketches.kmvEstimate(
+      Sketches.kmvSketch(keyed(40, "s"), "grp", $"k", k = 64), "grp", 64).head()
+    assert(small.getAs[Int]("sz") == 40 && small.getAs[Double]("est") == 40.0)
+    val n = 30000
+    val k = 256 // rse ≈ 1/√(k−2) ≈ 6.3%
+    val big = Sketches.kmvEstimate(
+      Sketches.kmvSketch(keyed(n, "b"), "grp", $"k", k = k), "grp", k).head()
+    val est = big.getAs[Double]("est")
+    assert(math.abs(est - n) / n < 3.0 / math.sqrt(k - 2.0),
+      s"est=$est for n=$n out of tolerance")
+  }
+
+  test("KMV: duplicate arrivals never change the sketch (distinct-ness)") {
+    import spark.implicits._
+    val once = keyed(800, "d")
+    val thrice = once.unionByName(once).unionByName(once)
+    assert(Sketches.kmvSketch(once, "grp", $"k", k = 32)
+      .orderBy("r").collect().toSeq ==
+      Sketches.kmvSketch(thrice, "grp", $"k", k = 32)
+        .orderBy("r").collect().toSeq)
+  }
+
+  test("KMV pair stats: overlap estimates track the true Jaccard and the group guard raises") {
+    import spark.implicits._
+    // two groups sharing exactly half their keys: J = 1/3
+    val ga = (0 until 6000).map(i => (s"k$i", "A"))
+    val gb = (3000 until 9000).map(i => (s"k$i", "B"))
+    val df = (ga ++ gb).toDF("k", "grp")
+    val k = 256
+    val sk = Sketches.kmvSketch(df, "grp", $"k", k = k)
+    val row = Sketches.kmvPairStats(sk, "grp", k).head()
+    assert(row.getAs[String]("grp_a") == "A" && row.getAs[String]("grp_b") == "B")
+    val jac = row.getAs[Double]("jacc_est")
+    assert(math.abs(jac - 1.0 / 3.0) < 0.12, s"jacc_est=$jac far from 1/3")
+    val inter = row.getAs[Double]("inter_est")
+    assert(inter > 1500 && inter < 4500, s"inter_est=$inter far from 3000")
+    // the deliberate nested loop is bounded: > maxGroups raises in-plan
+    val many = (0 until 40).flatMap(g => (0 until 5).map(i => (s"k$i-$g", s"g$g")))
+      .toDF("k", "grp")
+    val manySk = Sketches.kmvSketch(many, "grp", $"k", k = 4)
+    val e = intercept[Exception] {
+      Sketches.kmvPairStats(manySk, "grp", 4, maxGroups = 8).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxGroups"),
+      s"unexpected error: ${e.getMessage}")
+  }
 }
