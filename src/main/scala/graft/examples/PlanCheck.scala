@@ -668,6 +668,38 @@ object PlanCheck {
       }
     }
 
+    // Bloom point-lookup audit (q136): the hash-distributed layout makes
+    // zonemaps useless by design, so the Bloom manifest must do the
+    // pruning — the scan's file set must equal the manifest's prediction,
+    // be a strict subset of the 16-file layout, and the residual IN
+    // filter must reach the scan in the key's native type.
+    if (args.isEmpty) {
+      def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+      val (bdir, mdir) = graft.ops.RelationalQueries.bloomOrders(spark, dir)
+      val manifest = spark.read.parquet(mdir)
+      val keys = Seq(7L, 1007L, 2007L, 3007L, 4007L)
+      val pruned = graft.sources.BloomIndex.readPruned(
+        spark, bdir, manifest, "o_orderkey", keys)
+      val plan = pruned.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== bloom_scan (q136) ==========")
+      println(plan.linesIterator.take(25).mkString("\n"))
+      val predicted = graft.sources.BloomIndex.keptFiles(
+        spark, manifest, keys.map(String.valueOf)).map(norm).toSet
+      val actual = pruned.inputFiles.map(norm).toSet
+      val allFiles = spark.read.parquet(bdir).inputFiles.map(norm).toSet
+      val checks = Seq(
+        "scan file set equals the manifest prediction" -> (actual == predicted),
+        "manifest admits a strict subset of the layout" ->
+          (predicted.nonEmpty && predicted.size < allFiles.size),
+        "residual IN filter pushed to the scan in native type" ->
+          plan.contains("In(o_orderkey"))
+      checks.foreach { case (label, ok) =>
+        if (!ok) failed += 1
+        println(s"[plancheck] bloom_scan :: $label -> ${if (ok) "OK" else "FAILED"}")
+      }
+    }
+
     println(s"\n[plancheck] ${if (failed == 0) "ALL OK" else s"$failed FAILED"}")
     spark.stop()
     if (failed > 0) sys.exit(1)

@@ -1936,13 +1936,102 @@ object LlmPipelineQueries {
       SELECT t.doc_id, t.n_bigrams,
              COALESCE(u.n_unseen, 0) AS n_unseen,
              CAST(COALESCE(u.n_unseen, 0) AS DOUBLE) / t.n_bigrams AS novelty
-      FROM tot t LEFT JOIN uns u USING (doc_id) ORDER BY t.doc_id"""))
+      FROM tot t LEFT JOIN uns u USING (doc_id) ORDER BY t.doc_id""")),
+
+    // Corpus-wide BPE ENCODING under the oracle — q127 proved merge
+    // SELECTION; this row proves the tokenizer's production half: the
+    // trained merge list applied to every document (the pass that turns
+    // a 100 TB corpus into token sequences). Scale shape: segmentation
+    // runs once per VOCABULARY word (Bpe.segmentVocab — Heaps-sublinear,
+    // merge list broadcast, per-row kernel), then the corpus word STREAM
+    // equi-joins the segmented vocab by word. Output per doc: word count,
+    // subword count, and a position-weighted fingerprint
+    // Σ p · (md5_60(seg_p) mod 1000003) — order-sensitive in the word
+    // stream, exact in long (p ≤ doc words, factor < 2^20), so any
+    // count-preserving mis-segmentation ("ab c" vs "a bc") still flips
+    // the hash. The oracle re-learns the merges with q127's proven CTE
+    // rounds and re-applies them with the same double-delimiter replace.
+    QueryDef("q135_bpe_encode", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", regexp_replace(lower($"text"), "[^a-z0-9 ]", " ").as("text"))
+      val merges = graft.text.Bpe.train(docs, "text", nMerges = 3)
+      val stream = docs.select($"doc_id",
+          posexplode(split(TextAnalysis.normalize($"text"), " ", -1)).as(Seq("p0", "w")))
+        .filter(length($"w") > 0)
+        .select($"doc_id", ($"p0" + 1).as("p"), $"w")
+      val seg = graft.text.Bpe.segmentVocab(s, stream.select($"w").distinct(), "w", merges)
+      val segHash = conv(substring(md5($"seg"), 1, 15), 16, 10).cast("long") % 1000003L
+      stream.join(seg, "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("int").as("n_words"),
+          sum($"n_tok").cast("int").as("n_subwords"),
+          sum($"p" * segHash).as("fp"))
+        .orderBy($"doc_id")
+    }, Some(bpeEncodeOracleSql(3)))
   )
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences
     * travel as double-delimited strings ("||" + join(syms, "||") + "||");
     * `replace(s, '\|L\|\|R\|', '\|LR\|')` (native, non-regex) applies one
     * merge with EXACT Bpe.applyMerge semantics — see the q127 comment. */
+  /** The q135 oracle: q127's proven training CTEs (same rounds, same
+    * double-delimiter merge application) + the corpus word stream joined
+    * to the segmented vocabulary — per-doc counts and the
+    * position-weighted segment fingerprint. */
+  private def bpeEncodeOracleSql(nMerges: Int): String = {
+    def applyCte(src: String, dst: String, m: Int) = s"""
+      $dst AS (
+        SELECT w, cnt,
+               replace(syms,
+                 '|' || (SELECT a FROM m$m) || '||' || (SELECT b FROM m$m) || '|',
+                 '|' || (SELECT a FROM m$m) || (SELECT b FROM m$m) || '|') AS syms
+        FROM $src)"""
+    val rounds = (1 to nMerges).map { r =>
+      s"""
+      p$r AS (
+        SELECT p.a, p.b, SUM(cnt) AS n FROM (
+          SELECT cnt, unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS p
+          FROM (SELECT cnt,
+                  list_filter(string_split(syms, '||'), x -> x <> '') AS s
+                FROM w${r - 1})) t
+        GROUP BY 1, 2 HAVING SUM(cnt) >= 2),
+      m$r AS (SELECT a, b FROM p$r ORDER BY n DESC, a, b LIMIT 1),${applyCte(s"w${r - 1}", s"w$r", r)}"""
+    }.mkString(",")
+    s"""
+      WITH docs AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g') AS text
+        FROM documents),
+      words AS (
+        SELECT w, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w
+          FROM docs) t
+        WHERE len(w) > 0 GROUP BY 1),
+      w0 AS (
+        SELECT w, cnt,
+               '||' || array_to_string(
+                 list_append([substr(w, i, 1) FOR i IN range(1, len(w) + 1)], '</w>'),
+                 '||') || '||' AS syms
+        FROM words),$rounds,
+      seg AS (
+        SELECT w,
+               array_to_string(list_filter(string_split(syms, '||'), x -> x <> ''), ' ') AS seg,
+               len(list_filter(string_split(syms, '||'), x -> x <> '')) AS n_tok
+        FROM w$nMerges),
+      stream AS (
+        SELECT doc_id, p, w FROM (
+          SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS p
+          FROM (SELECT doc_id,
+                  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+                FROM docs) t1) t2
+        WHERE len(w) > 0)
+      SELECT s.doc_id, CAST(COUNT(*) AS INTEGER) AS n_words,
+             CAST(SUM(g.n_tok) AS INTEGER) AS n_subwords,
+             CAST(SUM(s.p * (CAST(('0x' || substr(md5(g.seg), 1, 15)) AS BIGINT) % 1000003)) AS BIGINT) AS fp
+      FROM stream s JOIN seg g USING (w)
+      GROUP BY 1 ORDER BY s.doc_id"""
+  }
+
   private def bpeOracleSql(nMerges: Int): String = {
     def applyCte(src: String, dst: String, m: Int) = s"""
       $dst AS (

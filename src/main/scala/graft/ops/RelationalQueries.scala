@@ -1173,7 +1173,32 @@ object RelationalQueries {
         JOIN hku k ON k.ga = p.ga AND k.gb = p.gb)
       SELECT * FROM singles
       UNION ALL SELECT * FROM pairs
-      ORDER BY grp_a, grp_b"""))
+      ORDER BY grp_a, grp_b""")),
+
+    // Bloom-index point-lookup scan (sources/BloomIndex.scala) — the
+    // membership complement of q98's zonemap range pruning: the orders
+    // copy is HASH-distributed across 16 files (every file spans the
+    // whole key range — range stats prune NOTHING here), and a per-file
+    // Bloom manifest routes a 5-key equality probe to just the files
+    // that may hold those keys. Manifest + copy are written once per
+    // (corpus, content-fingerprint) — the q98 amortization discipline.
+    // The oracle is the plain full-table IN-filter: hash equality proves
+    // membership pruning loses no rows (a wrongly-dropped file = missing
+    // rows = mismatch); PlanCheck pins that the scan's file set strictly
+    // shrinks. At 100 TB this is the difference between a point lookup
+    // reading ~1 file and reading the corpus.
+    QueryDef("q136_bloom_scan", (s, dir) => {
+      import s.implicits._
+      val (bdir, manifest) = bloomOrders(s, dir)
+      val keys = Seq(7L, 1007L, 2007L, 3007L, 4007L)
+      graft.sources.BloomIndex.readPruned(s, bdir,
+          s.read.parquet(manifest), "o_orderkey", keys)
+        .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderpriority
+      FROM orders WHERE o_orderkey IN (7, 1007, 2007, 3007, 4007)
+      ORDER BY o_orderkey"""))
   )
 
   /** The q130 oracle: `nIters` unrolled synchronous LPA rounds over the
@@ -1224,4 +1249,26 @@ object RelationalQueries {
     })
   }
   private val clustered = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The hash-distributed 16-file orders copy + its Bloom manifest behind
+    * q136 — written once per (corpus, content-fingerprint) per process,
+    * the stand-in for the bloom-indexed table a nightly layout pass
+    * maintains durably. Returns (dataDir, manifestDir). */
+  def bloomOrders(s: SparkSession, dir: String): (String, String) = {
+    import s.implicits._
+    val fp = graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "orders"))
+    bloomed.getOrElseUpdate(s"$dir@$fp", {
+      val base = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+      val data = s"$base/data"
+      val manifest = s"$base/manifest"
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+        .repartition(16, $"o_orderkey") // hash layout: zonemaps useless by design
+        .write.parquet(data)
+      graft.sources.BloomIndex.build(s, data, "o_orderkey")
+        .write.parquet(manifest)
+      (data, manifest)
+    })
+  }
+  private val bloomed = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 }

@@ -171,6 +171,27 @@ object Bpe {
   def segmentWord(word: String, merges: Seq[Merge]): Seq[String] =
     merges.foldLeft(word.map(_.toString) :+ EndOfWord: Seq[String])(applyMerge)
 
+  /** Segment a DISTINCT word table with a learned merge list: (word,
+    * seg = space-joined subword tokens, n_tok). The vocabulary-sized half
+    * of corpus encoding: segmentation cost is paid once per VOCABULARY
+    * entry (Heaps-sublinear in corpus size), and the corpus word stream
+    * then equi-joins this table by word — corpus-sized rows never carry
+    * symbol arrays, and the join key is the word the stream already has.
+    * The merge list broadcasts (nMerges entries — KBs). */
+  def segmentVocab(spark: SparkSession, words: DataFrame, wordCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    words.select(col(wordCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { w =>
+          val seg = segmentWord(w, ms)
+          (w, seg.mkString(" "), seg.length)
+        }
+      }.toDF(wordCol, "seg", "n_tok")
+  }
+
   /** Distributed encode: documents to subword-token sequences. The merge
     * list broadcasts (it is nMerges entries — KBs); the encode is a pure
     * per-row kernel, no shuffle. */

@@ -626,6 +626,15 @@ class PipelineSpec extends SparkSpec {
       "text", "doc_id", learned).head()
     assert(enc.getLong(0) == 7L &&
       enc.getSeq[String](1).mkString == "low" + Bpe.EndOfWord + "newest" + Bpe.EndOfWord)
+    // segmentVocab (the corpus-encode vocabulary table) agrees with the
+    // per-word reference segmentation, token for token
+    val vocab = Seq("low", "lowest", "newest").toDF("w")
+    val segTab = Bpe.segmentVocab(spark, vocab, "w", learned)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    vocab.as[String].collect().foreach { w =>
+      val ref = Bpe.segmentWord(w, learned)
+      assert(segTab(w) == ((ref.mkString(" "), ref.length)), s"vocab row for $w")
+    }
   }
 
   test("resampleAudio really transforms: output decodes at downmixed/decimated geometry") {

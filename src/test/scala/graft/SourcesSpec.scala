@@ -229,6 +229,42 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("BloomIndex: point lookups on a hash layout prune to ~1 file, never lose a row") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.BloomIndex
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val base = Files.createTempDirectory("bloomidx").toString
+    val dir = s"$base/h.parquet"
+    // HASH-distributed: every file spans the whole key range, so range
+    // zonemaps prune nothing — exactly the layout bloom exists for
+    val df = spark.range(20000).select(col("id").as("k"), (col("id") % 97).as("v"))
+    df.repartition(16, col("k")).write.parquet(dir)
+    val manifest = BloomIndex.build(spark, dir, "k").persist()
+    try {
+      val all = spark.read.parquet(dir).inputFiles.map(norm).toSet
+      assert(manifest.count() == all.size)
+      // single present key: kept files must include its true file and be
+      // a strict subset (m=2^18, k=4, ~1250 rows/file → fp ~ 1e-8)
+      val kept = BloomIndex.keptFiles(spark, manifest, Seq("12345"))
+      assert(kept.nonEmpty && kept.size < all.size,
+        s"bloom must prune: kept ${kept.size} of ${all.size}")
+      val one = BloomIndex.readPruned(spark, dir, manifest, "k", Seq(12345L))
+      assert(one.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((12345L, 12345L % 97)))
+      // batch probe: result equals the full-table IN filter exactly
+      val keys = Seq(0L, 7L, 9999L, 19999L)
+      val got = BloomIndex.readPruned(spark, dir, manifest, "k", keys)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = df.filter(col("k").isin(keys: _*))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect && got.size == keys.size)
+      // absent key: with these parameters every filter should refuse it,
+      // and the empty-keep branch returns an empty, right-schema frame
+      val ghost = BloomIndex.readPruned(spark, dir, manifest, "k", Seq(999999L))
+      assert(ghost.columns.toSeq == Seq("k", "v") && ghost.count() == 0)
+    } finally { manifest.unpersist(); () }
+  }
+
   test("Layout string zonemaps: URL-keyed range scan reads a strict file subset, result exact") {
     import org.apache.spark.sql.functions._
     import graft.sources.Layout
