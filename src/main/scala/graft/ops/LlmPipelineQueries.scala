@@ -1968,7 +1968,36 @@ object LlmPipelineQueries {
           sum($"n_tok").cast("int").as("n_subwords"),
           sum($"p" * segHash).as("fp"))
         .orderBy($"doc_id")
-    }, Some(bpeEncodeOracleSql(3)))
+    }, Some(bpeEncodeOracleSql(3))),
+
+    // Weight-proportional systematic sampling (Sampling.systematicWeighted)
+    // — the byte-budget curation draw: one doc selected per 1500 chars of
+    // cumulative weight walking a deterministic md5 order, so inclusion
+    // probability ∝ n_chars while the sample's total weight is pinned to
+    // totalW/step ± 1 per stratum (the controlled-budget property
+    // Bernoulli draws lack). 64 md5 strata keep the running sum a
+    // parallel per-bucket window, never a one-partition global sort; all
+    // arithmetic integer (long cumsum, truncating DIV), replayed
+    // bit-for-bit by the oracle's window.
+    QueryDef("q138_weighted_sample", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"n_chars")
+      graft.ops.Sampling.systematicWeighted(docs, "doc_id", "n_chars",
+          step = 1500L, buckets = 64)
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH h AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5('syssamp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_chars,
+               SUM(n_chars) OVER (PARTITION BY h % 64 ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        FROM h)
+      SELECT doc_id, n_chars FROM c
+      WHERE cw // 1500 > (cw - n_chars) // 1500
+      ORDER BY doc_id"""))
   )
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences

@@ -1198,7 +1198,35 @@ object RelationalQueries {
     }, Some("""
       SELECT o_orderkey, o_custkey, o_orderpriority
       FROM orders WHERE o_orderkey IN (7, 1007, 2007, 3007, 4007)
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // Common-neighbor similarity (ops/CommonNeighbors.scala): top-20
+    // supplier pairs by shared customers over the trade relation — the
+    // link-prediction primitive completing the graph family's pairwise
+    // view (CC groups, PageRank ranks, BFS reaches, triangles close,
+    // LPA partitions; this SCORES pairs). One wedge equi-join on the
+    // shared-customer key with map-side-combined pair counts (the q107
+    // discipline, Σ d_c² exact-cost honesty in the scaladoc), top-k via
+    // global TakeOrdered under the (common DESC, a, b) total order.
+    // Neighborhood Jaccard = one IEEE division of exact integers.
+    QueryDef("q137_common_neighbors", (s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("s"), $"o_custkey".as("c"))
+      graft.ops.CommonNeighbors.topK(edges, "s", "c", k = 20)
+    }, Some("""
+      WITH e AS (
+        SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY 1),
+      p AS (SELECT a.s AS n_a, b.s AS n_b, COUNT(*) AS common
+            FROM e a JOIN e b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2)
+      SELECT p.n_a, p.n_b, p.common, da.d AS deg_a, db.d AS deg_b,
+             CAST(p.common AS DOUBLE) / (da.d + db.d - p.common) AS jaccard
+      FROM p JOIN deg da ON da.s = p.n_a JOIN deg db ON db.s = p.n_b
+      ORDER BY p.common DESC, p.n_a, p.n_b LIMIT 20"""))
   )
 
   /** The q130 oracle: `nIters` unrolled synchronous LPA rounds over the

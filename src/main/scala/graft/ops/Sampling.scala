@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling/sharding for training-data
@@ -26,4 +27,37 @@ object Sampling {
   def sampleByHash(key: Column, pct: Int, buckets: Int = 100,
       salt: String = "shard"): Column =
     shard(key, buckets, salt) < pct
+
+  /** Weight-proportional SYSTEMATIC sampling: one row selected per full
+    * `step` units of cumulative weight, walking the rows in a
+    * deterministic md5 order — the curation pass that downsamples a
+    * corpus to a byte/token budget while keeping inclusion probability
+    * ∝ weight (w/step for w < step; rows with w ≥ step are always kept,
+    * once). Versus [[sampleByHash]] this weights by the row's SIZE, and
+    * versus independent Bernoulli draws the systematic walk pins the
+    * sample's total weight to totalW/step ± 1 per stratum — the
+    * controlled-budget property curation actually needs.
+    *
+    * Scale shape: a single global cumulative sum would serialize into
+    * one partition, so rows first hash into `buckets` md5 strata and the
+    * running sum is a per-stratum window — buckets-wide parallelism,
+    * deterministic because stratum AND order derive from the same 60-bit
+    * key hash (each stratum's walk restarts at phase 0, a boundary
+    * effect of ≤ 1 selection per stratum). All arithmetic is integer
+    * (long cumsum, truncating DIV), so any engine replays the identical
+    * selection. Weights must be positive. */
+  def systematicWeighted(df: DataFrame, idCol: String, weightCol: String,
+      step: Long, buckets: Int = 64, salt: String = "syssamp"): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val h = conv(substring(md5(concat_ws(":", lit(salt),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("__bucket")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("__bucket", pmod(col("__h"), lit(buckets.toLong)))
+      .withColumn("__cw", sum(col(weightCol).cast("long")).over(w))
+      .filter(expr(s"__cw DIV $step") >
+        expr(s"(__cw - CAST($weightCol AS BIGINT)) DIV $step"))
+      .drop("__h", "__bucket", "__cw")
+  }
 }

@@ -61,6 +61,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     def tableArg(e: Expression): org.apache.spark.sql.DataFrame =
       SparkSession.active.table(strArg(e, "the table/view name"))
+    // SQL fractional literals eval to Catalyst Decimal (not j.l.Number) —
+    // accept both so callers can write 0.9 as well as 0.9D
+    def dblArg(e: Expression, what: String): Double = {
+      require(e.foldable, s"$what must be a literal number")
+      e.eval() match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"$what must be numeric, got $other")
+      }
+    }
 
     ext.injectTableFunction((
       FunctionIdentifier("graft_jaccard_join"),
@@ -69,11 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 4,
           "graft_jaccard_join(table, textCol, idCol, threshold) takes 4 arguments")
-        require(args(3).foldable, "threshold must be a literal")
         val df = tableArg(args(0))
         val textCol = strArg(args(1), "textCol")
         val idCol = strArg(args(2), "idCol")
-        val t = args(3).eval().asInstanceOf[Number].doubleValue()
+        val t = dblArg(args(3), "threshold")
         // the expensive df-ordered shingle projection is memoized per
         // table IDENTITY (sorted path set) + CONTENT version (file-
         // manifest fingerprint): repeated SQL invocations share ONE
@@ -442,6 +452,79 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.ops.LabelProp.run(tableArg(args(0)),
           strArg(args(1), "srcCol"), strArg(args(2), "dstCol"),
           args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_containment_join"),
+      info("graft_containment_join",
+        "graft_containment_join(table, textCol, idCol, threshold, minGrams) - directed shingle-containment join (excerpt/quote detection): (id_a, id_b, containment) with |S(a)&S(b)|/|S(a)| >= threshold, id_a != id_b"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_containment_join(table, textCol, idCol, threshold, minGrams) takes 5 arguments")
+        require(args(3).foldable && args(4).foldable,
+          "threshold and minGrams must be literals")
+        graft.dedup.Containment.containmentJoin(tableArg(args(0)),
+          strArg(args(1), "textCol"), strArg(args(2), "idCol"),
+          dblArg(args(3), "threshold"),
+          minGrams = args(4).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_novelty"),
+      info("graft_novelty",
+        "graft_novelty(candTable, refTable, textCol, idCol) - per-candidate-doc fraction of distinct word bigrams unseen in the reference corpus: (id, n_bigrams, n_unseen, novelty)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_novelty(candTable, refTable, textCol, idCol) takes 4 arguments")
+        graft.ops.TrainingPrep.noveltyScore(tableArg(args(0)), tableArg(args(1)),
+          strArg(args(2), "textCol"), strArg(args(3), "idCol"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_common_neighbors"),
+      info("graft_common_neighbors",
+        "graft_common_neighbors(table, srcCol, dstCol, k) - top-k src-node pairs by shared dst neighbors: (n_a, n_b, common, deg_a, deg_b, jaccard)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_common_neighbors(table, srcCol, dstCol, k) takes 4 arguments")
+        require(args(3).foldable, "k must be a literal")
+        graft.ops.CommonNeighbors.topK(tableArg(args(0)),
+          strArg(args(1), "srcCol"), strArg(args(2), "dstCol"),
+          args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_weighted_sample"),
+      info("graft_weighted_sample",
+        "graft_weighted_sample(table, idCol, weightCol, step) - weight-proportional systematic sample: one row per `step` units of cumulative weight in deterministic md5 order (64 strata)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_weighted_sample(table, idCol, weightCol, step) takes 4 arguments")
+        require(args(3).foldable, "step must be a literal")
+        graft.ops.Sampling.systematicWeighted(tableArg(args(0)),
+          strArg(args(1), "idCol"), strArg(args(2), "weightCol"),
+          args(3).eval().asInstanceOf[Number].longValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_kmv_overlap"),
+      info("graft_kmv_overlap",
+        "graft_kmv_overlap(table, groupCol, keyCol, k) - KMV bottom-k sketches per group + all-pair overlap estimates: (grp_a, grp_b, n_common, jacc_est, inter_est)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_kmv_overlap(table, groupCol, keyCol, k) takes 4 arguments")
+        require(args(3).foldable, "k must be a literal")
+        val grp = strArg(args(1), "groupCol")
+        val k = args(3).eval().asInstanceOf[Number].intValue()
+        graft.ops.Sketches.kmvPairStats(
+          graft.ops.Sketches.kmvSketch(tableArg(args(0)), grp,
+            org.apache.spark.sql.functions.col(strArg(args(2), "keyCol")), k),
+          grp, k)
           .queryExecution.logical
       }))
 

@@ -299,6 +299,49 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(lp.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 0L),
         (10L, 10L), (11L, 10L), (12L, 10L)), lp.mkString(";"))
+
+      // containment: a literal excerpt is contained in its source, directed
+      val big = (1 to 30).map(i => s"tok$i").mkString(" ")
+      Seq((1L, big), (2L, (5 to 20).map(i => s"tok$i").mkString(" ")))
+        .toDF("doc_id", "text").createOrReplaceTempView("tf_cont")
+      val cj = spark.sql(
+        """SELECT id_a, id_b, containment
+           FROM graft_containment_join('tf_cont', 'text', 'doc_id', 0.9, 8)""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(cj.toSeq == Seq((2L, 1L, 1.0)), cj.mkString(";"))
+
+      // novelty: candidate bigrams unseen in the reference
+      Seq((1L, "a b c")).toDF("doc_id", "text").createOrReplaceTempView("tf_nov_c")
+      Seq((9L, "a b z")).toDF("doc_id", "text").createOrReplaceTempView("tf_nov_r")
+      val nov = spark.sql(
+        """SELECT n_bigrams, n_unseen FROM graft_novelty('tf_nov_c', 'tf_nov_r', 'text', 'doc_id')""")
+        .head()
+      assert((nov.getInt(0), nov.getInt(1)) == ((2, 1)), nov.toString)
+
+      // common neighbors: the shared-dst pair surfaces with its count
+      Seq((1L, 5L), (1L, 6L), (2L, 5L), (2L, 6L), (3L, 7L))
+        .toDF("s", "c").createOrReplaceTempView("tf_cn")
+      val cn = spark.sql(
+        """SELECT n_a, n_b, common FROM graft_common_neighbors('tf_cn', 's', 'c', 1)""")
+        .head()
+      assert((cn.getLong(0), cn.getLong(1), cn.getLong(2)) == ((1L, 2L, 2L)))
+
+      // weighted sample: selection is weight-budgeted (≈ totalW/step rows)
+      (0L until 500L).map(i => (i, 20L)).toDF("id", "w")
+        .createOrReplaceTempView("tf_ws")
+      val ws = spark.sql(
+        """SELECT COUNT(*) AS n FROM graft_weighted_sample('tf_ws', 'id', 'w', 50)""")
+        .head().getLong(0)
+      // 10000/50 = 200 expected, ± 1 per stratum phase effect (64 strata)
+      assert(ws >= 200 - 64 && ws <= 200 + 64, s"selected $ws of 500 for budget 200")
+
+      // kmv overlap: identical key sets estimate jaccard 1
+      (0 until 300).flatMap(i => Seq((s"k$i", "A"), (s"k$i", "B")))
+        .toDF("k", "grp").createOrReplaceTempView("tf_kmv")
+      val kv = spark.sql(
+        """SELECT jacc_est FROM graft_kmv_overlap('tf_kmv', 'grp', 'k', 64)""")
+        .head().getDouble(0)
+      assert(kv == 1.0, s"jacc_est=$kv for identical sets")
     } finally {
       // don't leak this untuned session (200 shuffle partitions) into the
       // suites that follow — TestSession rebuilds the tuned one on demand

@@ -1063,4 +1063,74 @@ class OperatorsSpec extends SparkSpec {
       graft.ops.LabelProp.run(Seq(("a", "b")).toDF("src", "dst"), "src", "dst", 1)
     }
   }
+
+  test("CommonNeighbors: counts/jaccard hand-checked; maxDeg drops hub wedges; dupes ignored") {
+    import spark.implicits._
+    // s1: {c1,c2,c3}, s2: {c2,c3,c4}, s3: {c4}, hub c9 shared by all
+    val edges = Seq(
+      (1L, 101L), (1L, 102L), (1L, 103L), (1L, 999L),
+      (2L, 102L), (2L, 103L), (2L, 104L), (2L, 999L),
+      (3L, 104L), (3L, 999L),
+      (1L, 101L) // duplicate edge must not double-count
+    ).toDF("s", "c")
+    val got = graft.ops.CommonNeighbors.topK(edges, "s", "c", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // with the hub: (1,2) share {102,103,999}=3 of deg 4+4; (1,3) share
+    // {999}; (2,3) share {104,999}
+    assert(got == Map(
+      (1L, 2L) -> ((3L, 4L, 4L, 3.0 / 5.0)),
+      (2L, 3L) -> ((2L, 4L, 2L, 2.0 / 4.0)),
+      (1L, 3L) -> ((1L, 4L, 2L, 1.0 / 5.0))))
+    // maxDeg=2 drops hub 999 (degree 3): its wedges AND its degree mass
+    val capped = graft.ops.CommonNeighbors.topK(edges, "s", "c", k = 10,
+        maxDeg = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(capped == Map(
+      (1L, 2L) -> ((2L, 3L, 3L)),
+      (2L, 3L) -> ((1L, 3L, 1L))))
+    // top-k boundary respects the (common DESC, a, b) total order
+    val top1 = graft.ops.CommonNeighbors.topK(edges, "s", "c", k = 1).head()
+    assert((top1.getLong(0), top1.getLong(1)) == ((1L, 2L)))
+  }
+
+  test("systematicWeighted: budget pinned per stratum, heavy rows kept, repartition-invariant") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, 10L + i % 91)).toDF("id", "w")
+    val step = 700L
+    val sel = graft.ops.Sampling.systematicWeighted(df, "id", "w", step,
+      buckets = 8).persist()
+    try {
+      // selection is a pure function of (id, w): repartitioning the input
+      // changes nothing
+      val sel2 = graft.ops.Sampling.systematicWeighted(
+        df.repartition(13), "id", "w", step, buckets = 8)
+      assert(sel.orderBy("id").collect().toSeq ==
+        sel2.orderBy("id").collect().toSeq)
+      // per-stratum count = floor(stratumWeight/step) ± 1 (phase effect)
+      val hcol = org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.conv(org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.concat_ws(":",
+            org.apache.spark.sql.functions.lit("syssamp"), $"id".cast("string"))),
+          1, 15), 16, 10).cast("long"), org.apache.spark.sql.functions.lit(8L))
+      val perStratumW = df.withColumn("b", hcol).groupBy("b")
+        .agg(org.apache.spark.sql.functions.sum($"w").as("tw"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val perStratumN = sel.withColumn("b", hcol).groupBy("b")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      perStratumW.foreach { case (b, tw) =>
+        val n = perStratumN.getOrElse(b, 0L)
+        assert(math.abs(n - tw / step) <= 1, s"stratum $b: n=$n for tw=$tw")
+      }
+      // a row heavier than step is always selected (exactly once)
+      val withWhale = df.unionByName(Seq((99999L, 5000L)).toDF("id", "w"))
+      val whale = graft.ops.Sampling.systematicWeighted(
+        withWhale, "id", "w", step, buckets = 8)
+        .filter($"id" === 99999L).count()
+      assert(whale == 1L)
+    } finally { sel.unpersist(); () }
+  }
 }
