@@ -634,6 +634,61 @@ object EventQueries {
                FROM dense GROUP BY 1)
       SELECT grp, regs, v_zero, s_u,
              0.673 * 256.0 * 144115188075855872.0 / s_u AS est
-      FROM summ ORDER BY grp"""))
+      FROM summ ORDER BY grp""")),
+
+    // STREAMING anomaly monitor (streaming/StreamingAnomaly.scala) under
+    // the ORACLE protocol: q121's integer z-test as a live
+    // flatMapGroupsWithState monitor — per-key state is the last-7-day
+    // deque (bounded for any stream lifetime), each day flagged the
+    // micro-batch it closes. The replay carries the same daily series as
+    // q121 (day-15 ×3 spike included), pre-aggregated — the finalized
+    // per-day rows an upstream watermark-closed aggregation emits — in
+    // three event-time-ordered batches, so flags for days 10–19 depend
+    // on cross-batch state carried from days 0–9 (the q116/q117
+    // cross-batch-carry discipline). BigInt state arithmetic mirrors the
+    // batch operator's decimal(38,0) contract; the oracle IS q121's SQL
+    // — the batch-equivalence contract for the whole streaming state
+    // machine.
+    QueryDef("q139_stream_anomaly", (s, dir) => {
+      import s.implicits._
+      val daily = Tables.load(s, dir, "events")
+        .groupBy($"event_type".as("grp"),
+          datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+            .cast("long").as("d"))
+        .agg(count(lit(1)).as("n0"))
+        .select($"grp", $"d",
+          when($"d" === 15, $"n0" * 3).otherwise($"n0").as("n"))
+      val stream = EventsStream.replayOrdered(Seq(
+        daily.filter($"d" < 10), daily.filter($"d" >= 10 && $"d" < 20),
+        daily.filter($"d" >= 20)))
+      val flagged = graft.streaming.StreamingAnomaly.flags(
+        s, stream.as[graft.streaming.StreamingAnomaly.Point], window = 7)
+      s.catalog.dropTempView("q139_sink")
+      val q = EventsStream.toMemorySink(flagged.toDF(), "q139_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      try q.processAllAvailable() finally q.stop()
+      s.table("q139_sink")
+        .select($"grp".as("event_type"), $"d", $"n", $"n_win", $"flag")
+        .orderBy($"event_type", $"d")
+    }, Some("""
+      WITH daily0 AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               COUNT(*) AS n0
+        FROM events GROUP BY 1, 2),
+      daily AS (
+        SELECT event_type, d,
+               CASE WHEN d = 15 THEN n0 * 3 ELSE n0 END AS n FROM daily0),
+      win AS (
+        SELECT event_type, d, n,
+               COUNT(*) OVER wdw AS w,
+               SUM(n)   OVER wdw AS s,
+               SUM(n*n) OVER wdw AS q
+        FROM daily
+        WINDOW wdw AS (PARTITION BY event_type ORDER BY d
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT event_type, d, n, CAST(w AS BIGINT) AS n_win,
+             (w*n - s)*(w*n - s) > 4*(w*q - s*s) AS flag
+      FROM win ORDER BY event_type, d"""))
   )
 }

@@ -334,4 +334,46 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(60000)
     assert(table() == Set((1L, "fresh", 12L), (2L, "b2", 20L), (3L, "c", 11L), (4L, "d", 20L)))
   }
+
+  test("StreamingAnomaly equals the batch flags across batch splits; regressing day raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{EventsStream, StreamingAnomaly}
+    // two keys, 20 days, a planted x5 spike on day 12 of key a
+    val daily = (0L until 20L).flatMap { d =>
+      Seq(("a", d, if (d == 12) 150L else 30L + d % 4),
+        ("b", d, 40L + (d * 7) % 11))
+    }.toDF("grp", "d", "n")
+    val batch = graft.ops.Trend.anomalyFlags(daily, "grp", "d", "n", window = 7)
+      .select($"grp", $"d", $"n", $"n_win", $"flag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    // streamed across an adversarial split: the spike's window spans it
+    val stream = EventsStream.replayOrdered(Seq(
+      daily.filter($"d" < 11), daily.filter($"d" >= 11 && $"d" < 14),
+      daily.filter($"d" >= 14)))
+    val flagged = StreamingAnomaly.flags(spark,
+      stream.as[StreamingAnomaly.Point], window = 7)
+    spark.catalog.dropTempView("sa_sink")
+    val q = EventsStream.toMemorySink(flagged.toDF(), "sa_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sa_sink")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(streamed == batch, "streamed flags must equal the batch operator's")
+    assert(streamed.exists { case (g, d, _, _, f) => g == "a" && d == 12 && f },
+      "the planted spike must be flagged")
+    // the input contract is loud: a day at-or-before a finalized one raises
+    val bad = EventsStream.replayOrdered(Seq(
+      daily.filter($"d" >= 10 && $"d" < 12), daily.filter($"d" < 2)))
+    val badQ = EventsStream.toMemorySink(
+      StreamingAnomaly.flags(spark, bad.as[StreamingAnomaly.Point], 7).toDF(),
+      "sa_bad", org.apache.spark.sql.streaming.OutputMode.Append())
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      badQ.processAllAvailable()
+    }
+    badQ.stop()
+    assert(e.getMessage != null, "regressing day must fail the stream")
+  }
 }
