@@ -1997,7 +1997,31 @@ object LlmPipelineQueries {
         FROM h)
       SELECT doc_id, n_chars FROM c
       WHERE cw // 1500 > (cw - n_chars) // 1500
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // Trigram-indexed substring search (text/TrigramIndex.scala — the
+    // pg_trgm / code-search technique): arbitrary-substring lookup the
+    // word-level indexes (q79 postings, q110 phrases) cannot answer —
+    // log fragments, identifiers, partial words. A doc containing a
+    // pattern contains every character trigram of it, so the ALL-trigram
+    // candidate set is COMPLETE and one contains() verify per candidate
+    // replaces the corpus-wide LIKE scan (the oracle runs exactly that
+    // scan — hash equality proves completeness). Probe batch: a common
+    // phrase, a rarer one, and an absent one (no row — candidates may
+    // exist per-trigram but never hold ALL trigrams or fail verify).
+    QueryDef("q140_substring_search", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val postings = graft.text.TrigramIndex.build(docs, "text", "doc_id")
+      graft.text.TrigramIndex.search(postings, docs, "text", "doc_id",
+          Seq("batch scan", "stream merge", "quantum flux"))
+        .select($"pattern", $"id".as("doc_id"))
+        .orderBy($"pattern", $"doc_id")
+    }, Some("""
+      SELECT p.pattern, d.doc_id
+      FROM (VALUES ('batch scan'), ('stream merge'), ('quantum flux')) p(pattern)
+      JOIN documents d ON contains(lower(d.text), p.pattern)
+      ORDER BY p.pattern, d.doc_id"""))
   )
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences

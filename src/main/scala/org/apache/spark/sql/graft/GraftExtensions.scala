@@ -528,6 +528,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_substring_search"),
+      info("graft_substring_search",
+        "graft_substring_search(table, textCol, idCol, pattern) - trigram-index substring search (case-insensitive, pattern >= 3 chars): (pattern, id) matches without a corpus LIKE scan"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_substring_search(table, textCol, idCol, pattern) takes 4 arguments")
+        val df = tableArg(args(0))
+        val textCol = strArg(args(1), "textCol")
+        val idCol = strArg(args(2), "idCol")
+        graft.text.TrigramIndex.search(
+          graft.text.TrigramIndex.build(df, textCol, idCol),
+          df, textCol, idCol, Seq(strArg(args(3), "pattern")))
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

@@ -342,6 +342,14 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT jacc_est FROM graft_kmv_overlap('tf_kmv', 'grp', 'k', 64)""")
         .head().getDouble(0)
       assert(kv == 1.0, s"jacc_est=$kv for identical sets")
+
+      // substring search: trigram candidates + verify, case-insensitive
+      Seq((1L, "Alpha Bravo Charlie"), (2L, "bravo delta"), (3L, "nothing here"))
+        .toDF("doc_id", "text").createOrReplaceTempView("tf_sub")
+      val sub = spark.sql(
+        """SELECT id FROM graft_substring_search('tf_sub', 'text', 'doc_id', 'bravo') ORDER BY id""")
+        .collect().map(_.getLong(0)).toSeq
+      assert(sub == Seq(1L, 2L), sub.mkString(","))
     } finally {
       // don't leak this untuned session (200 shuffle partitions) into the
       // suites that follow — TestSession rebuilds the tuned one on demand

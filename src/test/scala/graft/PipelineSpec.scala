@@ -302,6 +302,34 @@ class PipelineSpec extends SparkSpec {
       .filter($"containment" < 0.9).count() == 0)
   }
 
+  test("TrigramIndex: search equals the LIKE scan; pruning and short-pattern guard") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "QUICK BROWN dogs sleep"),   // case-insensitive match
+      (3L, "quintessential bro wns"),   // shares trigrams, not the substring
+      (4L, "totally unrelated words")
+    ).toDF("doc_id", "text")
+    val postings = text.TrigramIndex.build(docs, "text", "doc_id")
+    val got = text.TrigramIndex.search(postings, docs, "text", "doc_id",
+        Seq("quick brown", "fox", "zzz"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = Set(("quick brown", 1L), ("quick brown", 2L), ("fox", 1L))
+    assert(got == expect)
+    // doc 3 holds 'qui'/'bro' trigrams yet never all of the pattern's —
+    // the all-trigram candidate filter must exclude it before verify
+    val cands = postings.join(
+        Seq.tabulate("quick brown".length - 2)(i => "quick brown".substring(i, i + 3))
+          .distinct.toDF("g"), "g")
+      .groupBy($"id").agg(count(lit(1)).as("n"))
+      .filter($"n" === lit("quick brown".sliding(3).distinct.size))
+      .select("id").as[Long].collect().toSet
+    assert(cands == Set(1L, 2L), s"candidates must prune, got $cands")
+    intercept[IllegalArgumentException] {
+      text.TrigramIndex.search(postings, docs, "text", "doc_id", Seq("ab"))
+    }
+  }
+
   test("noveltyScore: unseen-bigram fractions are exact per class") {
     val ref = Seq((100L, "a b c d"), (101L, "c d e")).toDF("doc_id", "t")
     val cand = Seq(
