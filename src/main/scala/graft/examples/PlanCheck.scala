@@ -412,7 +412,48 @@ object PlanCheck {
       "community sizes via the label window" -> "Window"),
       mustNotContain = Seq(
         "no cartesian" -> "CartesianProduct",
-        "no nested-loop join" -> "BroadcastNestedLoopJoin")))
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // containment join: prefix-token equi-join candidates, codegen
+    // array_intersect verify — never an all-pairs comparison
+    Want("q132_containment", Seq(
+      "codegen set-intersect verify" -> "array_intersect"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // common neighbors: the wedge equi-join with map-side-combined pair
+    // counts, top-k as a global TakeOrdered (no full sort materializes)
+    Want("q137_common_neighbors", Seq(
+      "map-side-combined wedge counts" -> "partial_count",
+      "answer-sized top-k" -> "TakeOrderedAndProject"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // trigram substring search: pattern trigrams broadcast into the
+    // postings join; the corpus contributes one generator pass
+    Want("q140_substring_search", Seq(
+      "pattern trigrams broadcast" -> "BroadcastHashJoin",
+      "postings via one generator pass" -> "Generate"),
+      mustNotContain = Seq(
+        "no corpus LIKE scan fallback" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // frequent itemsets: basket self-join with map-side-combined pair
+    // counts; the basket total and item counts ride broadcasts
+    Want("q141_itemsets", Seq(
+      "map-side-combined pair counts" -> "partial_count",
+      "broadcast basket total / item counts" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no cartesian over the corpus" -> "CartesianProduct")),
+    // skyline: the only unpartitioned window runs over the bands-row
+    // summary (answer-sized); the corpus sees one (band, x) groupBy and
+    // per-band windows — never a global sort into one partition. (A
+    // nested-loop IS expected here: the 1-row min/max stats broadcast
+    // cross — the q57 tiny-table convention; dominance itself is the
+    // prefix-max joins, pinned as hash joins.)
+    Want("q143_skyline", Seq(
+      "per-band / band-summary windows" -> "Window",
+      "band summary broadcast back" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no cartesian dominance check" -> "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()
@@ -619,6 +660,38 @@ object PlanCheck {
       checks.foreach { case (label, ok) =>
         if (!ok) failed += 1
         println(s"[plancheck] labelprop_round :: $label -> ${if (ok) "OK" else "FAILED"}")
+      }
+    }
+
+    // SSSP round audit (q142): runRounds' per-round truncation erases
+    // the join structure, so audit one un-truncated relaxation round —
+    // labels must flow through an equi-join on src into a map-side-
+    // combined min per dst; no window, no nested loop.
+    if (args.isEmpty) {
+      import org.apache.spark.sql.functions._
+      val edges = graft.sources.Tables.load(spark, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("l_orderkey") * 2 + 1).as("dst"), lit(1L).as("w")).distinct()
+      // non-literal node ids: a 1-row lit() label table would constant-
+      // fold the equi-join into a filtered cross — an audit artifact,
+      // not the operator's shape at any real round
+      val dist = spark.range(4).select((col("id") * 2).as("node"), lit(0L).as("dist"))
+      val plan = graft.ops.Sssp.relaxOnce(dist, edges)
+        .queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== sssp_round (q142) ==========")
+      println(plan.linesIterator.take(30).mkString("\n"))
+      val checks = Seq(
+        "labels flow through an equi-join on src" ->
+          (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+            plan.contains("BroadcastHashJoin")),
+        "map-side partial min per dst" -> plan.contains("partial_min"),
+        "no per-node window" -> !plan.contains("Window"),
+        "no cartesian" -> !plan.contains("CartesianProduct"),
+        "no nested-loop join" -> !plan.contains("BroadcastNestedLoopJoin"))
+      checks.foreach { case (label, ok) =>
+        if (!ok) failed += 1
+        println(s"[plancheck] sssp_round :: $label -> ${if (ok) "OK" else "FAILED"}")
       }
     }
 

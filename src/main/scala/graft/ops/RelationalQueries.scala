@@ -1226,7 +1226,125 @@ object RelationalQueries {
       SELECT p.n_a, p.n_b, p.common, da.d AS deg_a, db.d AS deg_b,
              CAST(p.common AS DOUBLE) / (da.d + db.d - p.common) AS jaccard
       FROM p JOIN deg da ON da.s = p.n_a JOIN deg db ON db.s = p.n_b
-      ORDER BY p.common DESC, p.n_a, p.n_b LIMIT 20"""))
+      ORDER BY p.common DESC, p.n_a, p.n_b LIMIT 20""")),
+
+    // Frequent itemsets, pairwise level (ops/Itemsets.scala — Agrawal &
+    // Srikant VLDB'94): brands co-purchased within an order above 2.2%
+    // relative support. Distinct from q137 (scores a pair list by
+    // shared neighbors) and q119 (ADJACENT token bigrams): unordered
+    // co-membership at basket granularity with the relative-support /
+    // lift semantics rule mining expects. Support is RELATIVE (n·10000
+    // ≥ 220·nBaskets — all-integer, same meaning at every sf; the
+    // basket total rides a broadcast 1-row join, never a collected
+    // literal); lift = nBaskets·n_ab/(n_a·n_b), exact long operands,
+    // one IEEE division. The brand vocabulary is dense, so the
+    // a-priori item prune passes everything here — the threshold bites
+    // at the PAIR level (a proper nonempty subset at every sf).
+    QueryDef("q141_itemsets", (s, dir) => {
+      import s.implicits._
+      val baskets = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+        .join(t(s, dir, "part").select($"p_partkey", $"p_brand"),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey", $"p_brand")
+      graft.ops.Itemsets.frequentPairs(baskets, "l_orderkey", "p_brand",
+        minSupPerMyriad = 220)
+    }, Some("""
+      WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, p_brand AS item
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      nb AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+      ic AS (SELECT item, COUNT(*) AS n_i FROM b GROUP BY 1),
+      fi AS (SELECT item, n_i FROM ic
+             WHERE n_i * 10000 >= 220 * (SELECT n FROM nb)),
+      fb AS (SELECT b.bk, b.item FROM b JOIN fi USING (item)),
+      p AS (SELECT a.item AS item_a, c.item AS item_b, COUNT(*) AS n_ab
+            FROM fb a JOIN fb c ON a.bk = c.bk AND a.item < c.item
+            GROUP BY 1, 2),
+      fp AS (SELECT * FROM p WHERE n_ab * 10000 >= 220 * (SELECT n FROM nb))
+      SELECT fp.item_a, fp.item_b, fp.n_ab, fa.n_i AS n_a, fc.n_i AS n_b,
+             CAST((SELECT n FROM nb) * fp.n_ab AS DOUBLE) / (fa.n_i * fc.n_i) AS lift
+      FROM fp JOIN fi fa ON fa.item = fp.item_a
+              JOIN fi fc ON fc.item = fp.item_b
+      ORDER BY fp.item_a, fp.item_b""")),
+
+    // Weighted single-source shortest paths (ops/Sssp.scala — Bellman-
+    // Ford relaxation): the WEIGHTED distance q104's BFS lacks, over
+    // the trade graph with w = min lineitem quantity per (supplier,
+    // customer) relation (integral doubles — the cast is exact in both
+    // engines). After r rounds every label is the exact shortest path
+    // among ≤ r-edge paths — the Bellman-Ford invariant — so 3 rounds
+    // unroll as chained CTEs (the q100/q130 protocol); all arithmetic
+    // is long (min over exact sums, order-free, no float protocol).
+    // Source = the minimum supplier node, a scalar subquery in both
+    // engines. A settled node CAN improve in a later round (longer-hop
+    // but lighter path) — the semantic difference from BFS, exercised
+    // by the component test.
+    QueryDef("q142_sssp", (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val pairs = li.select($"l_orderkey", $"l_suppkey", $"l_quantity")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy(($"l_suppkey" * 2).as("a"), ($"o_custkey" * 2 + 1).as("b"))
+        .agg(min($"l_quantity").cast("long").as("w"))
+      val edges = pairs.select($"a".as("src"), $"b".as("dst"), $"w")
+        .unionByName(pairs.select($"b".as("src"), $"a".as("dst"), $"w"))
+      val source = li.agg(min($"l_suppkey")).head().getLong(0) * 2
+      graft.ops.Sssp.runRounds(edges, source, rounds = 3)
+    }, Some("""
+      WITH p AS (
+        SELECT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b,
+               CAST(MIN(l_quantity) AS BIGINT) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      edges AS (SELECT a AS src, b AS dst, w FROM p
+                UNION ALL SELECT b, a, w FROM p),
+      d0 AS (SELECT (SELECT MIN(l_suppkey) * 2 FROM lineitem) AS node,
+                    CAST(0 AS BIGINT) AS dist),
+      d1 AS (SELECT node, MIN(dist) AS dist FROM (
+               SELECT node, dist FROM d0
+               UNION ALL
+               SELECT e.dst, q.dist + e.w FROM edges e JOIN d0 q ON q.node = e.src) t
+             GROUP BY 1),
+      d2 AS (SELECT node, MIN(dist) AS dist FROM (
+               SELECT node, dist FROM d1
+               UNION ALL
+               SELECT e.dst, q.dist + e.w FROM edges e JOIN d1 q ON q.node = e.src) t
+             GROUP BY 1),
+      d3 AS (SELECT node, MIN(dist) AS dist FROM (
+               SELECT node, dist FROM d2
+               UNION ALL
+               SELECT e.dst, q.dist + e.w FROM edges e JOIN d2 q ON q.node = e.src) t
+             GROUP BY 1)
+      SELECT node, dist FROM d3 ORDER BY node""")),
+
+    // 2-D skyline / Pareto frontier (ops/Skyline.scala — Borzsonyi
+    // ICDE'01): orders no other order beats on BOTH price (minimize)
+    // and recency (maximize). The 2-D structure collapses dominance to
+    // a prefix max, computed HIERARCHICALLY — equal-width x-bands (the
+    // banding floats are internal: any self-consistent banding gives
+    // the same answer, so no cross-engine float agreement is needed),
+    // per-band ordered windows over (band, x) groups, and an
+    // answer-sized band summary — never a global one-partition sort.
+    // Axis values are only ever COMPARED (no arithmetic), so doubles
+    // and timestamps hash-match against the all-pairs NOT EXISTS
+    // dominance oracle.
+    QueryDef("q143_skyline", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+      graft.ops.Skyline.skyline2d(o, "o_totalprice", "o_orderdate")
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_totalprice, o_orderdate
+      FROM orders r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders s
+        WHERE s.o_totalprice <= r.o_totalprice
+          AND s.o_orderdate >= r.o_orderdate
+          AND (s.o_totalprice < r.o_totalprice
+               OR s.o_orderdate > r.o_orderdate))
+      ORDER BY o_orderkey"""))
   )
 
   /** The q130 oracle: `nIters` unrolled synchronous LPA rounds over the

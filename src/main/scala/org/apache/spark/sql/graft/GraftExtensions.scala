@@ -544,6 +544,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_itemsets"),
+      info("graft_itemsets",
+        "graft_itemsets(table, basketCol, itemCol, minSupPerMyriad) - frequent item pairs at or above minSup/10000 relative support: (item_a, item_b, n_ab, n_a, n_b, lift)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_itemsets(table, basketCol, itemCol, minSupPerMyriad) takes 4 arguments")
+        require(args(3).foldable, "minSupPerMyriad must be a literal")
+        graft.ops.Itemsets.frequentPairs(tableArg(args(0)),
+          strArg(args(1), "basketCol"), strArg(args(2), "itemCol"),
+          args(3).eval().asInstanceOf[Number].longValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_skyline"),
+      info("graft_skyline",
+        "graft_skyline(table, xCol, yCol) - 2-D skyline (Pareto frontier) minimizing xCol, maximizing yCol: the input rows no other row beats on both axes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_skyline(table, xCol, yCol) takes 3 arguments")
+        graft.ops.Skyline.skyline2d(tableArg(args(0)),
+          strArg(args(1), "xCol"), strArg(args(2), "yCol"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_sssp"),
+      info("graft_sssp",
+        "graft_sssp(table, srcCol, dstCol, wCol, source, rounds) - Bellman-Ford shortest paths from `source` over weighted edges: (node, dist) exact among <= rounds-edge paths"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "graft_sssp(table, srcCol, dstCol, wCol, source, rounds) takes 6 arguments")
+        require(args(4).foldable && args(5).foldable,
+          "source and rounds must be literals")
+        val df = tableArg(args(0))
+        val edges = df.select(
+          org.apache.spark.sql.functions.col(strArg(args(1), "srcCol")).as("src"),
+          org.apache.spark.sql.functions.col(strArg(args(2), "dstCol")).as("dst"),
+          org.apache.spark.sql.functions.col(strArg(args(3), "wCol")).as("w"))
+        graft.ops.Sssp.runRounds(edges,
+          args(4).eval().asInstanceOf[Number].longValue(),
+          args(5).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

@@ -350,6 +350,30 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT id FROM graft_substring_search('tf_sub', 'text', 'doc_id', 'bravo') ORDER BY id""")
         .collect().map(_.getLong(0)).toSeq
       assert(sub == Seq(1L, 2L), sub.mkString(","))
+
+      // frequent itemsets: pair support and lift through SQL
+      Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (4L, "z"))
+        .toDF("bk", "item").createOrReplaceTempView("tf_items")
+      val it = spark.sql(
+        """SELECT item_a, item_b, n_ab FROM graft_itemsets('tf_items', 'bk', 'item', 5000)""")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(it == Seq(("x", "y", 2L)), it.mkString(","))
+
+      // skyline: frontier is the increasing-x increasing-y chain
+      Seq((1L, 1.0, 2.0), (2L, 3.0, 5.0), (3L, 2.0, 1.0))
+        .toDF("id", "x", "y").createOrReplaceTempView("tf_sky")
+      val sky = spark.sql(
+        """SELECT id FROM graft_skyline('tf_sky', 'x', 'y') ORDER BY id""")
+        .collect().map(_.getLong(0)).toSeq
+      assert(sky == Seq(1L, 2L), sky.mkString(","))
+
+      // sssp: the lighter two-edge path beats the direct edge
+      Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L))
+        .toDF("s", "d", "w").createOrReplaceTempView("tf_sssp")
+      val sp = spark.sql(
+        """SELECT node, dist FROM graft_sssp('tf_sssp', 's', 'd', 'w', 1, 3) ORDER BY node""")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(sp == Seq((1L, 0L), (2L, 5L), (3L, 2L)), sp.mkString(","))
     } finally {
       // don't leak this untuned session (200 shuffle partitions) into the
       // suites that follow — TestSession rebuilds the tuned one on demand

@@ -1133,4 +1133,94 @@ class OperatorsSpec extends SparkSpec {
       assert(whale == 1L)
     } finally { sel.unpersist(); () }
   }
+
+  test("Itemsets.frequentPairs: a-priori prunes rare items, pair threshold bites, lift exact") {
+    // 10 baskets; x,y in 8 of them together; z in 3; rare in 1
+    val rows = (1L to 10L).flatMap { b =>
+      val base = Seq((b, "x"))
+      val withY = if (b <= 8) Seq((b, "y")) else Nil
+      val withZ = if (b <= 3) Seq((b, "z")) else Nil
+      val withRare = if (b == 1) Seq((b, "rare")) else Nil
+      base ++ withY ++ withZ ++ withRare
+    }
+    val df = rows.toDF("bk", "item")
+    // 25% item support: x(10), y(8), z(3) pass; rare(1) pruned
+    val out = graft.ops.Itemsets.frequentPairs(df, "bk", "item", 2500)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // pair support 25% of 10 baskets = 2.5 -> n_ab >= 3 (integer
+    // inequality): (x,y)=8 and (x,z)=3 pass, (y,z)=3 passes too
+    val expect = Set(
+      ("x", "y", 8L, 10L, 8L, 10.0 * 8 / (10 * 8)),
+      ("x", "z", 3L, 10L, 3L, 10.0 * 3 / (10 * 3)),
+      ("y", "z", 3L, 8L, 3L, 10.0 * 3 / (8 * 3)))
+    assert(out.toSet == expect, out.mkString(","))
+    // duplicate (basket, item) rows don't inflate counts
+    val dup = graft.ops.Itemsets.frequentPairs(
+      df.unionByName(df), "bk", "item", 2500)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(dup == expect.map(t => (t._1, t._2, t._3)))
+    // tighter threshold drops the weaker pairs but keeps (x,y)
+    val tight = graft.ops.Itemsets.frequentPairs(df, "bk", "item", 5000)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tight == Seq(("x", "y")))
+  }
+
+  test("Sssp: lighter long path beats direct edge; fixpoint stops; negatives rejected") {
+    // 1 -> 2 direct weight 10; 1 -> 3 -> 2 weight 2+3=5; 2 -> 4 weight 1
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L), (2L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    // after 1 round the direct edge wins; after 2 the lighter path does
+    val r1 = graft.ops.Sssp.runRounds(edges, 1L, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 10L, 3L -> 2L))
+    val r3 = graft.ops.Sssp.runRounds(edges, 1L, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 6L))
+    // fixpoint: converges in 3 rounds (labels stop changing), answer ==
+    // the fixed-round answer, and the 4th round is never run
+    val (fp, rounds) = graft.ops.Sssp.runToFixpoint(edges, 1L, maxRounds = 25)
+    assert(fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == r3)
+    assert(rounds <= 4, s"roundsRun=$rounds")
+    // negative weights fail loudly at evaluation
+    val neg = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    intercept[Exception] {
+      graft.ops.Sssp.runRounds(neg, 1L, 1).collect()
+    }
+  }
+
+  test("Skyline.skyline2d: equals brute-force dominance on random points; ties survive") {
+    // minimize x, maximize y: the frontier is the increasing-x,
+    // increasing-y chain (a point with larger x survives only if its y
+    // beats every cheaper point's y)
+    val planted = Seq(
+      (1L, 1.0, 2.0),               // cheapest - frontier
+      (2L, 3.0, 5.0), (3L, 5.0, 7.0),
+      (4L, 5.0, 7.0),               // exact tie of id 3 - both survive
+      (5L, 5.0, 6.0),               // same x as 3, smaller y - dominated
+      (6L, 4.0, 4.0),               // dominated by id 2 (cheaper, higher)
+      (7L, 6.0, 7.0),               // y EQUAL to a cheaper point's - dominated
+      (8L, 6.0, 8.0))               // frontier (first y above 7)
+    val df = planted.toDF("id", "x", "y")
+    val got = graft.ops.Skyline.skyline2d(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 8L), got.toSeq.sorted.mkString(","))
+    // randomized cross-check vs the quadratic definition (fixed seed)
+    val rnd = new scala.util.Random(42)
+    val pts = (1L to 300L).map(i =>
+      (i, rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble))
+    val pdf = pts.toDF("id", "x", "y")
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, sx, sy) =>
+        sx <= x && sy >= y && (sx < x || sy > y) }
+    }.map(_._1).toSet
+    val dist = graft.ops.Skyline.skyline2d(pdf, "x", "y", bands = 7)
+      .select("id").as[Long].collect().toSet
+    assert(dist == brute,
+      s"missing=${(brute -- dist).toSeq.sorted} extra=${(dist -- brute).toSeq.sorted}")
+    // bands = 1 (single band: pure in-band sweep) agrees too
+    val one = graft.ops.Skyline.skyline2d(pdf, "x", "y", bands = 1)
+      .select("id").as[Long].collect().toSet
+    assert(one == brute)
+  }
 }
