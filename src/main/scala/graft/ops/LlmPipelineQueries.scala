@@ -2021,7 +2021,136 @@ object LlmPipelineQueries {
       SELECT p.pattern, d.doc_id
       FROM (VALUES ('batch scan'), ('stream merge'), ('quantum flux')) p(pattern)
       JOIN documents d ON contains(lower(d.text), p.pattern)
-      ORDER BY p.pattern, d.doc_id"""))
+      ORDER BY p.pattern, d.doc_id""")),
+
+    // URL canonicalization + key dedup (text/UrlNormalize.scala): the
+    // normalization crawl dedup runs BEFORE any content fingerprint —
+    // case/port/www/tracking-param/fragment/trailing-slash variants of
+    // the same page collapse to one canonical key without reading a
+    // byte of content (RFC 3986 §6 plus the de-facto crawl rules).
+    // Deterministic messy variants are synthesized from doc_id in BOTH
+    // engines (the planted-specimen discipline): per group g, three
+    // https variants differing ONLY in removable noise (upper-case
+    // authority + :443 + www + utm_* + fragment; param order scrambled;
+    // ref=rss) plus one http variant — the https three MUST collapse
+    // (n_variants = 3) while the http row stays its own group (scheme
+    // is preserved: http/https may serve different content — collapsing
+    // them is policy, not normalization). Param survivors are
+    // byte-sorted (sort_array/list_sort — locale-free), so the oracle
+    // replays every rule verbatim.
+    QueryDef("q145_url_canonical", (s, dir) => {
+      import s.implicits._
+      val u0 = Tables.load(s, dir, "documents").select($"doc_id",
+        expr("CAST(doc_id DIV 4 AS STRING)").as("g"),
+        pmod($"doc_id", lit(4)).as("v"))
+      val urls = u0.select($"doc_id",
+        when($"v" === 0, concat(lit("HTTPS://WWW.Site-"), $"g",
+            lit(".com:443/Art/p"), $"g", lit("/?utm_source=x&z="), $"g",
+            lit("&id="), $"g", lit("#top")))
+          .when($"v" === 1, concat(lit("https://site-"), $"g",
+            lit(".com/Art/p"), $"g", lit("?z="), $"g", lit("&id="), $"g",
+            lit("&utm_campaign=y")))
+          .when($"v" === 2, concat(lit("https://www.site-"), $"g",
+            lit(".com/Art/p"), $"g", lit("?ref=rss&id="), $"g",
+            lit("&z="), $"g"))
+          .otherwise(concat(lit("http://site-"), $"g",
+            lit(".com:80/Art/p"), $"g", lit("?id="), $"g", lit("&z="), $"g"))
+          .as("url"))
+      urls
+        .select($"doc_id",
+          graft.text.UrlNormalize.canonicalUrl($"url").as("canonical_url"))
+        .groupBy($"canonical_url")
+        .agg(count(lit(1)).cast("long").as("n_variants"),
+          min($"doc_id").as("min_doc"))
+        .orderBy($"canonical_url")
+    }, Some("""
+      WITH u0 AS (
+        SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS g, doc_id % 4 AS v
+        FROM documents),
+      u AS (
+        SELECT doc_id,
+          CASE v
+            WHEN 0 THEN 'HTTPS://WWW.Site-'||g||'.com:443/Art/p'||g||'/?utm_source=x&z='||g||'&id='||g||'#top'
+            WHEN 1 THEN 'https://site-'||g||'.com/Art/p'||g||'?z='||g||'&id='||g||'&utm_campaign=y'
+            WHEN 2 THEN 'https://www.site-'||g||'.com/Art/p'||g||'?ref=rss&id='||g||'&z='||g
+            ELSE 'http://site-'||g||'.com:80/Art/p'||g||'?id='||g||'&z='||g
+          END AS url
+        FROM u0),
+      c0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+      c1 AS (SELECT doc_id, nofrag,
+                    regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1) AS auth
+             FROM c0),
+      c2 AS (SELECT doc_id,
+                    substr(nofrag, length(auth) + 1) AS rest,
+                    regexp_replace(regexp_replace(lower(auth),
+                      '^(https://[^/?]*):443$', '\1'),
+                      '^(http://[^/?]*):80$', '\1') AS noport
+             FROM c1),
+      c3 AS (SELECT doc_id, rest,
+                    regexp_replace(noport, '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS nowww,
+                    instr(rest, '?') AS qpos
+             FROM c2),
+      c4 AS (SELECT doc_id, nowww,
+                    CASE WHEN qpos > 0 THEN substr(rest, 1, qpos - 1) ELSE rest END AS path0,
+                    CASE WHEN qpos > 0 THEN substr(rest, qpos + 1) ELSE '' END AS query0
+             FROM c3),
+      c5 AS (SELECT doc_id, nowww,
+                    CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+                         THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS pathn,
+                    array_to_string(list_sort([p FOR p IN string_split(query0, '&')
+                      IF p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid|msclkid)=')]), '&') AS qnorm
+             FROM c4),
+      c AS (SELECT doc_id,
+                   nowww || pathn || CASE WHEN length(qnorm) > 0 THEN '?' || qnorm ELSE '' END AS canonical_url
+            FROM c5)
+      SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants, MIN(doc_id) AS min_doc
+      FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // Content-defined chunking (text/CdcChunk.scala — the LBFS/rsync
+    // dedup-storage family, Muthitacharoen SOSP'01): boundaries where a
+    // hash of the trailing 16-char window ≡ 0 mod 64, so they depend
+    // only on LOCAL content — prepend a word and every fixed-size chunk
+    // shifts, but CDC boundaries downstream of the edit stay put. Chunk
+    // hashes are the storage/transfer dedup key that survives edits —
+    // the sub-document complement of q27 (whole-doc) and q101 (fixed
+    // token windows); the corpus's shared chunks are visible as
+    // repeated h values. The rolling hash is swapped for a per-window
+    // md5 (same boundary semantics — a pure function of the window's
+    // bytes) because md5 is the engine-portable convention: the oracle
+    // replays every boundary bit-for-bit, at a stated O(len·w) hashing
+    // cost. One projection builds boundaries AND chunk structs
+    // array-side (text never duplicated through a shuffle), one
+    // generator emits answer-sized chunk rows.
+    QueryDef("q146_cdc_chunks", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      graft.text.CdcChunk.chunks(docs, "text", "doc_id", w = 16, m = 64)
+        .orderBy($"id", $"idx")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g') AS t
+        FROM documents
+        WHERE length(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) >= 1),
+      b0 AS (
+        SELECT doc_id, t,
+               [CAST(i AS INTEGER) FOR i IN range(16, length(t) + 1)
+                IF CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER) - 15, 16)), 1, 15)) AS BIGINT) % 64 = 0] AS bnds
+        FROM d),
+      ball AS (
+        SELECT doc_id, t,
+               CASE WHEN len(bnds) > 0 AND bnds[len(bnds)] = length(t)
+                    THEN bnds ELSE list_append(bnds, CAST(length(t) AS INTEGER)) END AS b
+        FROM b0),
+      ch AS (
+        SELECT doc_id AS id,
+               unnest([{'idx': CAST(j AS BIGINT),
+                        'start': CAST((CASE WHEN j = 1 THEN 0 ELSE b[CAST(j AS INTEGER) - 1] END) + 1 AS BIGINT),
+                        'len': CAST(b[CAST(j AS INTEGER)] - (CASE WHEN j = 1 THEN 0 ELSE b[CAST(j AS INTEGER) - 1] END) AS BIGINT),
+                        'h': md5(substr(t, (CASE WHEN j = 1 THEN 0 ELSE b[CAST(j AS INTEGER) - 1] END) + 1,
+                                 b[CAST(j AS INTEGER)] - (CASE WHEN j = 1 THEN 0 ELSE b[CAST(j AS INTEGER) - 1] END)))}
+                       FOR j IN range(1, len(b) + 1)], recursive := true)
+        FROM ball)
+      SELECT id, idx, start, len, h FROM ch ORDER BY id, idx"""))
   )
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic truncated random walks — the corpus generator for
+  * graph-embedding training (DeepWalk, Perozzi KDD'14; node2vec's p=q=1
+  * case): one fixed-length walk per start node, each step choosing a
+  * uniform neighbor. The walks ARE the training text a skip-gram model
+  * consumes, so a 100 TB link graph needs this pass exactly like a text
+  * corpus needs tokenization.
+  *
+  * "Random" is md5-derived and therefore DETERMINISTIC and
+  * engine-portable (the repo's sampling convention, q47/q138): step t
+  * of the walk started at w picks neighbor index
+  * md5_60("walk:" w ":" t) mod outdeg(cur) under the (dst ASC) total
+  * order of cur's neighbor list. Reruns, repartitionings, and the
+  * DuckDB oracle all produce identical walks — no seed state, no RNG
+  * stream coupled to partition layout (the property that makes
+  * distributed "random" walks replayable at all).
+  *
+  * Scale shape: the adjacency is materialized ONCE as (src, pos, dst)
+  * with one per-src window (row_number under the dst total order — a
+  * key-partitioned window, parallel across nodes) plus the node-sized
+  * outdeg table; each step is then two node-sized equi-joins (state ⋈
+  * outdeg on the current node to form the choice index, then ⋈
+  * adjacency on (node, pos)) — the PageRank 2-shuffles-per-round
+  * discipline, with per-step lineage truncation. Walk storage is
+  * answer-sized: steps land as columns, one row per walk. Dangling
+  * nodes (no out-edges) stop their walk: remaining steps stay NULL —
+  * stated, not silently resampled.
+  */
+object RandomWalk {
+
+  /** One `steps`-step walk per distinct start node of `edges` (every
+    * node with at least one out-edge). Returns
+    * (walk_id = start node, step_1, ..., step_`steps`), NULL from the
+    * first step that reaches a node without out-edges. */
+  def walks(edges: DataFrame, srcCol: String, dstCol: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"steps must be in [1, 64], got $steps")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    PageRank.requireSameKeyType(e)
+    // (src, pos, dst): neighbor lists indexed under the dst total order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = e.select(col("src"),
+        (row_number().over(w) - 1).cast("long").as("pos"), col("dst"))
+      .localCheckpoint()
+    val outdeg = adj.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    // md5_60: the top 60 bits of md5 as a long — the repo's portable
+    // hash convention (rederivable in any engine with md5 + substr)
+    def md5_60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // the walk row carries its step columns along — answer-sized
+    // (≤ steps extra columns), so truncation keeps plans per-step small
+    var state = outdeg.select(col("src").as("walk_id"), col("src").as("cur"))
+    for (t <- 1 to steps) {
+      val choice = pmod(
+        md5_60(concat(lit("walk:"), col("walk_id").cast("string"), lit(s":$t"))),
+        col("outdeg"))
+      val kept = state.columns.filter(_ != "cur").map(col)
+      state = state
+        .join(outdeg.withColumnRenamed("src", "cur"), Seq("cur"), "left")
+        .withColumn("pos", when(col("outdeg").isNotNull, choice))
+        .join(adj.select(col("src").as("cur"), col("pos"),
+          col("dst").as("nxt")), Seq("cur", "pos"), "left")
+        .select(kept :+ col("nxt").as(s"step_$t") :+ col("nxt").as("cur"): _*)
+        .localCheckpoint()
+    }
+    state.drop("cur")
+  }
+}

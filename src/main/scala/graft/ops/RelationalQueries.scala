@@ -1344,7 +1344,55 @@ object RelationalQueries {
           AND s.o_orderdate >= r.o_orderdate
           AND (s.o_totalprice < r.o_totalprice
                OR s.o_orderdate > r.o_orderdate))
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // Deterministic truncated random walks (ops/RandomWalk.scala —
+    // DeepWalk, Perozzi KDD'14): the corpus generator for graph-
+    // embedding training, one 3-step walk per node of the trade graph.
+    // "Random" is md5-derived (md5_60("walk:" w ":" t) mod outdeg under
+    // the dst-ASC neighbor order — the q47/q138 sampling convention), so
+    // reruns, repartitionings and the oracle produce IDENTICAL walks;
+    // the oracle replays adjacency indexing, outdeg and all three
+    // choice joins verbatim. The doubled graph is symmetric (outdeg ≥ 1
+    // everywhere), so no walk dangles here; the operator's NULL-stop
+    // path for dangling nodes is component-tested.
+    QueryDef("q144_random_walks", (s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"l_suppkey" * 2).as("a"), ($"o_custkey" * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      graft.ops.RandomWalk.walks(edges, "src", "dst", steps = 3)
+        .orderBy($"walk_id")
+    }, Some("""
+      WITH p AS (
+        SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ed AS (SELECT DISTINCT src, dst FROM (
+               SELECT a AS src, b AS dst FROM p
+               UNION ALL SELECT b, a FROM p) t),
+      adj AS (SELECT src,
+                     ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS pos,
+                     dst
+              FROM ed),
+      od AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY 1),
+      s0 AS (SELECT src AS walk_id, src AS cur FROM od),
+      s1 AS (SELECT s.walk_id, a.dst AS step_1, a.dst AS cur
+             FROM s0 s JOIN od o ON o.src = s.cur
+             JOIN adj a ON a.src = s.cur AND a.pos =
+               CAST(('0x' || substr(md5('walk:' || CAST(s.walk_id AS VARCHAR) || ':1'), 1, 15)) AS BIGINT) % o.outdeg),
+      s2 AS (SELECT s.walk_id, s.step_1, a.dst AS step_2, a.dst AS cur
+             FROM s1 s JOIN od o ON o.src = s.cur
+             JOIN adj a ON a.src = s.cur AND a.pos =
+               CAST(('0x' || substr(md5('walk:' || CAST(s.walk_id AS VARCHAR) || ':2'), 1, 15)) AS BIGINT) % o.outdeg),
+      s3 AS (SELECT s.walk_id, s.step_1, s.step_2, a.dst AS step_3
+             FROM s2 s JOIN od o ON o.src = s.cur
+             JOIN adj a ON a.src = s.cur AND a.pos =
+               CAST(('0x' || substr(md5('walk:' || CAST(s.walk_id AS VARCHAR) || ':3'), 1, 15)) AS BIGINT) % o.outdeg)
+      SELECT walk_id, step_1, step_2, step_3 FROM s3 ORDER BY walk_id"""))
   )
 
   /** The q130 oracle: `nIters` unrolled synchronous LPA rounds over the

@@ -1223,4 +1223,39 @@ class OperatorsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(one == brute)
   }
+
+  test("RandomWalk: choices replay the md5 recipe; dangling nodes stop with NULLs") {
+    import org.apache.spark.sql.functions._
+    // 1 -> {2, 3} (two choices), 2 -> {1}, 3 dangles (no out-edges)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    val got = graft.ops.RandomWalk.walks(edges, "src", "dst", steps = 3)
+      .orderBy($"walk_id")
+      .collect().map(r => (r.getLong(0),
+        Seq(1, 2, 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))))
+    // replay the operator's own choice recipe driver-side
+    def md5_60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L))
+    def walk(start: Long): Seq[Option[Long]] = {
+      var cur: Option[Long] = Some(start)
+      (1 to 3).map { t =>
+        cur = cur.flatMap(c => adj.get(c).map(ns =>
+          ns(((md5_60(s"walk:$start:$t") % ns.size) + ns.size).toInt % ns.size)))
+        cur
+      }
+    }
+    // only nodes WITH out-edges start a walk (3 dangles -> no walk row)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    got.foreach { case (w, steps) =>
+      assert(steps == walk(w), s"walk $w: got $steps expected ${walk(w)}")
+    }
+    // a walk that reaches the dangling node stays NULL afterwards
+    val reaching = got.collect {
+      case (_, steps) if steps.contains(Some(3L)) => steps }
+    reaching.foreach { steps =>
+      val i = steps.indexOf(Some(3L))
+      assert(steps.drop(i + 1).forall(_.isEmpty), steps.mkString(","))
+    }
+  }
 }
