@@ -2114,13 +2114,15 @@ object LlmPipelineQueries {
     // hashes are the storage/transfer dedup key that survives edits —
     // the sub-document complement of q27 (whole-doc) and q101 (fixed
     // token windows); the corpus's shared chunks are visible as
-    // repeated h values. The rolling hash is swapped for a per-window
-    // md5 (same boundary semantics — a pure function of the window's
-    // bytes) because md5 is the engine-portable convention: the oracle
-    // replays every boundary bit-for-bit, at a stated O(len·w) hashing
-    // cost. One projection builds boundaries AND chunk structs
-    // array-side (text never duplicated through a shuffle), one
-    // generator emits answer-sized chunk rows.
+    // repeated h values. The window hash is the classic Karp–Rabin
+    // ROLLING polynomial (RollingChunkBounds: B=131 mod 2^31−1, one
+    // O(len) codegen loop per document — r10's per-window md5 paid
+    // O(len·w), 51 s at sf0.1 for this one query); every intermediate
+    // fits 64-bit integers, so the oracle replays each window as an
+    // explicit Σ code·B^j with the sixteen B^j mod P coefficients
+    // inlined as literals — still bit-for-bit. One projection builds
+    // boundaries AND chunk structs array-side (text never duplicated
+    // through a shuffle), one generator emits answer-sized chunk rows.
     QueryDef("q146_cdc_chunks", (s, dir) => {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
@@ -2134,7 +2136,10 @@ object LlmPipelineQueries {
       b0 AS (
         SELECT doc_id, t,
                [CAST(i AS INTEGER) FOR i IN range(16, length(t) + 1)
-                IF CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER) - 15, 16)), 1, 15)) AS BIGINT) % 64 = 0] AS bnds
+                IF list_sum([CAST(ascii(substr(t, CAST(i AS INTEGER) - 16 + k, 1)) AS BIGINT)
+                             * [1758245338,587176893,906097538,301990864,477702417,1167549934,254807669,460949235,
+                                2003465299,884122890,2072267652,294499921,2248091,17161,131,1][k]
+                             FOR k IN range(1, 17)]) % 2147483647 % 64 = 0] AS bnds
         FROM d),
       ball AS (
         SELECT doc_id, t,

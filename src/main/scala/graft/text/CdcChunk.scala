@@ -1,7 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{bridge, RollingChunkBounds}
 
 /** Content-defined chunking (the LBFS / rsync / dedup-storage family,
   * Muthitacharoen SOSP'01): split text at positions where a hash of the
@@ -14,14 +15,14 @@ import org.apache.spark.sql.functions._
   * the sub-document complement of q27 (whole-doc keys) and q101
   * (passage keys at fixed token windows).
   *
-  * The classic implementation slides a ROLLING polynomial hash; this
-  * operator hashes each window with md5 instead — same boundary
-  * semantics (a pure function of the window's bytes), chosen because
-  * md5 is the repo's engine-portable hash convention (q29/q129/q138):
-  * the DuckDB oracle replays every boundary bit-for-bit, which no
-  * engine-specific rolling-hash builtin allows. Cost is O(len · w)
-  * hashing per document instead of O(len) — stated, not hidden; w is
-  * small and the pass is embarrassingly per-row.
+  * The window hash is the classic Karp–Rabin ROLLING polynomial
+  * ([[RollingChunkBounds]]: B=131 mod 2^31−1, one O(len) codegen loop
+  * per document) — r10 shipped per-window md5 here for oracle
+  * portability and paid O(len·w) hashing (51 s at sf0.1, ~⅓ of the
+  * whole suite); the polynomial keeps the portability (every
+  * intermediate < 2^39 fits 64-bit integers, so DuckDB replays each
+  * window as an explicit Σ code·B^j with the coefficients inlined) at
+  * the O(len) cost the operator is supposed to have.
   *
   * Scale shape: one projection computes the boundary array AND the
   * chunk structs array-side (transform over the boundary list — the
@@ -33,23 +34,18 @@ object CdcChunk {
 
   /** Chunk rows (id, idx, start, len, h) for every doc: 1-based chunk
     * index, 1-based char start, char length, md5 of the chunk text.
-    * Boundaries: position i (w ≤ i ≤ len) ends a chunk iff
-    * md5_60(window ending at i) ≡ 0 (mod m); the document end always
-    * ends the last chunk. Text is normalized to [a-z0-9 ] first (the
-    * q127 portability discipline — char positions == byte positions in
-    * both engines). */
+    * Boundaries: position i (w ≤ i ≤ len) ends a chunk iff the rolling
+    * polynomial hash of the window ending at i ≡ 0 (mod m); the
+    * document end always ends the last chunk. Text is normalized to
+    * [a-z0-9 ] first (the q127 portability discipline — char positions
+    * == byte positions in both engines, which the ASCII contract of
+    * [[RollingChunkBounds]] requires). */
   def chunks(docs: DataFrame, textCol: String, idCol: String,
       w: Int = 16, m: Int = 64): DataFrame = {
     require(w >= 2, s"w must be >= 2, got $w")
     require(m >= 2, s"m must be >= 2, got $m")
     val t = regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " ")
-    def md5_60(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    // candidate end positions w..len (sequence counts DOWN on an empty
-    // range — the q101 guard)
-    val pos = when(length(t) >= w, sequence(lit(w), length(t)))
-      .otherwise(array().cast("array<int>"))
-    val bnds = filter(pos, i =>
-      pmod(md5_60(t.substr(i - w + 1, lit(w))), lit(m)) === 0)
+    val bnds = bridge.column(RollingChunkBounds(bridge.expression(t), w, m))
     // the document end always closes the last chunk (dedup'd if it is
     // already a content boundary)
     val allB = when(size(bnds) > 0 && element_at(bnds, size(bnds)) === length(t),

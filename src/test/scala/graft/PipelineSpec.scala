@@ -896,4 +896,63 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) == ((3L, 0, 0, 2, "ping [IP] and [IP]")))
     assert(out(3) == ((4L, 0, 0, 0, "no pii here at all")))
   }
+
+  test("CdcChunk: rolling bounds == driver reference; edit stability; end-closure") {
+    // driver-side reference of RollingChunkBounds' contract
+    def refBounds(t: String, w: Int, m: Int): Seq[Int] = {
+      val P = 2147483647L; val B = 131L
+      val bpw = (1 until w).foldLeft(1L)((x, _) => x * B % P)
+      val b = t.getBytes("UTF-8")
+      var h = 0L
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      for (i <- b.indices) {
+        if (i >= w) { h -= (b(i - w) & 0xff).toLong * bpw % P; if (h < 0) h += P }
+        h = (h * B + (b(i) & 0xff)) % P
+        if (i >= w - 1 && h % m == 0) out += i + 1
+      }
+      out.toSeq
+    }
+    def refChunks(t: String, w: Int, m: Int): Seq[(Long, Long, Long)] = {
+      val bs0 = refBounds(t, w, m)
+      val bs = if (bs0.nonEmpty && bs0.last == t.length) bs0 else bs0 :+ t.length
+      bs.zipWithIndex.map { case (e, j) =>
+        val prev = if (j == 0) 0 else bs(j - 1)
+        ((j + 1).toLong, (prev + 1).toLong, (e - prev).toLong)
+      }
+    }
+    // long enough that w=8/m=8 yields several content boundaries
+    val body = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards mix assorted potions under a pale winter moon and count " +
+      "zero one two three four five six seven eight nine ten again"
+    val docs = Seq(
+      (1L, body),
+      (2L, "PREPENDED HEADER " + body), // same body behind an edit
+      (3L, "short"),                    // < w: single end-closed chunk
+      (4L, "????!!!")                   // normalizes to spaces, len >= 1
+    ).toDF("doc_id", "text")
+    val got = graft.text.CdcChunk.chunks(docs, "text", "doc_id", w = 8, m = 8)
+      .orderBy($"id", $"idx")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val g1 = got.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)).toSeq
+    assert(g1 == refChunks(body, 8, 8), "doc 1 chunks must equal the driver reference")
+    assert(g1.size > 2, s"corpus text must yield content boundaries, got ${g1.size}")
+    // CDC property: the edit changes chunking only UPSTREAM of it — every
+    // chunk hash of doc 1 after doc 2's first post-edit boundary recurs in
+    // doc 2 (boundaries are a function of the trailing window only)
+    val h1 = got.filter(_._1 == 1L).map(_._5)
+    val h2 = got.filter(_._1 == 2L).map(_._5).toSet
+    assert(h1.drop(1).forall(h2.contains),
+      "downstream chunk hashes must survive a prepended edit")
+    // short doc: one chunk, closed by the document end
+    assert(got.filter(_._1 == 3L).toSeq.map(r => (r._2, r._3, r._4)) == Seq((1L, 1L, 5L)))
+    // punctuation-only doc normalizes to spaces but still chunks
+    assert(got.filter(_._1 == 4L).map(_._4).sum == 7L)
+    // interpreted eval path (nullSafeEval) agrees with codegen
+    val expr = org.apache.spark.sql.graft.RollingChunkBounds(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(body)), 8, 8)
+    val interp = expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray.toSeq
+    assert(interp == refBounds(body, 8, 8))
+  }
 }
