@@ -20,15 +20,23 @@ import org.apache.spark.sql.functions._
   * distributed "random" walks replayable at all).
   *
   * Scale shape: the adjacency is materialized ONCE as (src, pos, dst)
-  * with one per-src window (row_number under the dst total order — a
-  * key-partitioned window, parallel across nodes) plus the node-sized
-  * outdeg table; each step is then two node-sized equi-joins (state ⋈
-  * outdeg on the current node to form the choice index, then ⋈
-  * adjacency on (node, pos)) — the PageRank 2-shuffles-per-round
-  * discipline, with per-step lineage truncation. Walk storage is
-  * answer-sized: steps land as columns, one row per walk. Dangling
-  * nodes (no out-edges) stop their walk: remaining steps stay NULL —
-  * stated, not silently resampled.
+  * where pos is dst's rank in src's neighbor list, computed BANDED
+  * (the q143 skyline discipline) so a hub never becomes one straggler
+  * task: neighbors band on dst's high bits (arithmetic shift — order-
+  * preserving, negatives included), rank within (src, band) in
+  * parallel tasks, then add the per-src prefix-sum of lower-band
+  * counts — global rank = band offset + in-band rank exactly because
+  * banding preserves the dst order. The per-src sequential work drops
+  * from outdeg(src) rows (one sort task for a 10⁸-degree hub) to the
+  * hub's occupied-band count (≥2^bandShift× smaller on dense id
+  * spaces); an adversary spreading one neighbor per band degrades it
+  * back — stated, and recoverable by raising bandShift. Each step is
+  * then two node-sized equi-joins (state ⋈ outdeg on the current node
+  * to form the choice index, then ⋈ adjacency on (node, pos)) — the
+  * PageRank 2-shuffles-per-round discipline, with per-step lineage
+  * truncation. Walk storage is answer-sized: steps land as columns,
+  * one row per walk. Dangling nodes (no out-edges) stop their walk:
+  * remaining steps stay NULL — stated, not silently resampled.
   */
 object RandomWalk {
 
@@ -37,15 +45,29 @@ object RandomWalk {
     * (walk_id = start node, step_1, ..., step_`steps`), NULL from the
     * first step that reaches a node without out-edges. */
   def walks(edges: DataFrame, srcCol: String, dstCol: String,
-      steps: Int): DataFrame = {
+      steps: Int, bandShift: Int = 8): DataFrame = {
     require(steps >= 1 && steps <= 64, s"steps must be in [1, 64], got $steps")
+    require(bandShift >= 0 && bandShift <= 62, s"bandShift in [0,62], got $bandShift")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     PageRank.requireSameKeyType(e)
-    // (src, pos, dst): neighbor lists indexed under the dst total order
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("dst"))
-    val adj = e.select(col("src"),
-        (row_number().over(w) - 1).cast("long").as("pos"), col("dst"))
+    // (src, pos, dst): neighbor lists indexed under the dst total order,
+    // ranked BANDED so a hub's list never sorts in one task (see scaladoc):
+    // band = dst >> bandShift (arithmetic: order-preserving for signed ids)
+    val banded = e.withColumn("band", shiftright(col("dst").cast("long"), bandShift))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"), col("band")).orderBy(col("dst"))
+    val inBand = banded.withColumn("bpos", (row_number().over(wb) - 1).cast("long"))
+    // per-src offset of each band = prefix sum of lower-band counts; the
+    // only per-src sequential pass, over occupied-band rows (not edges)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("band"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bandOff = banded.groupBy(col("src"), col("band"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(wp), lit(0L)))
+      .select(col("src"), col("band"), col("boff"))
+    val adj = inBand.join(bandOff, Seq("src", "band"))
+      .select(col("src"), (col("boff") + col("bpos")).as("pos"), col("dst"))
       .localCheckpoint()
     val outdeg = adj.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()

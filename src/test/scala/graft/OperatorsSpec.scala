@@ -1226,8 +1226,12 @@ class OperatorsSpec extends SparkSpec {
 
   test("RandomWalk: choices replay the md5 recipe; dangling nodes stop with NULLs") {
     import org.apache.spark.sql.functions._
-    // 1 -> {2, 3} (two choices), 2 -> {1}, 3 dangles (no out-edges)
-    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    // 1 -> {2, 3} (two choices), 2 -> {1}, 3 dangles (no out-edges);
+    // 10 -> a multi-band neighbor list (bandShift=8 bands -2,-1,0,1,2,3
+    // incl. negatives) exercising the banded rank == global dst-rank
+    val hubDsts = Seq(-300L, -2L, 5L, 250L, 260L, 300L, 511L, 513L, 1000L)
+    val edges = (Seq((1L, 2L), (1L, 3L), (2L, 1L)) ++ hubDsts.map((10L, _)))
+      .toDF("src", "dst")
     val got = graft.ops.RandomWalk.walks(edges, "src", "dst", steps = 3)
       .orderBy($"walk_id")
       .collect().map(r => (r.getLong(0),
@@ -1236,7 +1240,7 @@ class OperatorsSpec extends SparkSpec {
     def md5_60(s: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .take(8).map("%02x".format(_)).mkString.take(15), 16)
-    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L))
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L), 10L -> hubDsts.sorted)
     def walk(start: Long): Seq[Option[Long]] = {
       var cur: Option[Long] = Some(start)
       (1 to 3).map { t =>
@@ -1246,7 +1250,7 @@ class OperatorsSpec extends SparkSpec {
       }
     }
     // only nodes WITH out-edges start a walk (3 dangles -> no walk row)
-    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 10L))
     got.foreach { case (w, steps) =>
       assert(steps == walk(w), s"walk $w: got $steps expected ${walk(w)}")
     }
