@@ -47,7 +47,7 @@ object Dedup {
     * identical shingle set / signature), intra-group pairs get the perfect
     * score. Output size is the true answer's size — the only place any
     * quadratic term survives, and it is the result itself. */
-  private def expandPairs(repPairs: DataFrame, groups: DataFrame,
+  private[dedup] def expandPairs(repPairs: DataFrame, groups: DataFrame,
       scoreCol: String, perfectScore: Column): DataFrame = {
     val ga = groups.select(col("rep").as("id_a"), col("id").as("m_a"))
     val gb = groups.select(col("rep").as("id_b"), col("id").as("m_b"))
@@ -64,7 +64,7 @@ object Dedup {
     * bounds the within-bucket join at maxBucket² per bucket; anything larger
     * is near-certainly a boilerplate cluster that exact-collapse should have
     * caught — audit the drops with [[droppedBuckets]]. */
-  private def capBuckets(buckets: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+  private[dedup] def capBuckets(buckets: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
     buckets
       .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
       .filter(col("_bsz") <= maxBucket)
@@ -81,7 +81,7 @@ object Dedup {
     * beyond-astronomical. MinHash signatures keep the 31-bit modulus (their
     * a*h+b arithmetic needs headroom; a signature collision only creates one
     * extra candidate, never a wrong answer). */
-  private val BigPrime = 2305843009213693951L
+  private[dedup] val BigPrime = 2305843009213693951L
   private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
     val r = new scala.util.Random(seed)
     Seq.fill(n)(((r.nextInt(Int.MaxValue - 1) + 1).toLong, r.nextInt(Int.MaxValue).toLong))

@@ -1,0 +1,129 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental (delta) near-duplicate detection: LSH-join ONLY a new
+  * crawl shard against the standing corpus's persisted banded index —
+  * the [[graft.similarity.Ivf.appendToIndex]] discipline applied to
+  * q28's MinHash pipeline. At 100 TB this is THE dedup cost that
+  * matters: re-running [[Dedup.minHashPairs]] over corpus ∪ delta
+  * re-shingles, re-signs, and re-pairs the whole corpus per increment,
+  * while this operator touches the corpus only through its slim
+  * persisted (band, bkey, id) rows — and only the buckets the delta
+  * collides into.
+  *
+  * Contract: `deltaPairs(index(C), D)` returns exactly what
+  * `minHashPairs(C ∪ D)` would return RESTRICTED to pairs with at
+  * least one side in D (corpus-internal pairs were already reported
+  * when C itself was deduped). Same banding, same exact-collapse
+  * guards, same exact-Jaccard verify, same recall argument (a pair at
+  * J ≥ 0.8 misses all 21×3 bands w.p. ≈ 3e-7); delta docs
+  * byte-identical to corpus docs carry identical signatures, collide in
+  * EVERY band, and verify at J = 1.0 — the cross-exact path needs no
+  * special case. Corpus and delta id spaces must be disjoint (new
+  * crawls get fresh ids by construction).
+  *
+  * Scale shape per increment: delta-sized shingle/signature work; ONE
+  * broadcastable semi-join prunes the index's band rows to the buckets
+  * the delta touches before anything shuffles; candidate pairs form
+  * only inside shared buckets (never corpus×corpus — the x-side joins a
+  * delta-only y-side); corpus shingle sets load from the index ONLY for
+  * ids that survived candidate generation. At lake scale the bands and
+  * shingles tables would be bucketed by their join key to make the
+  * probe shuffle-free on the index side — the layout note, not a
+  * different algorithm.
+  */
+object DeltaDedup {
+
+  /** Build and persist the standing corpus's LSH index under `path`:
+    * `groups/` (id, rep) exact-fingerprint groups, `bands/`
+    * (band, bkey, id) LSH bucket keys of exact-collapsed
+    * representatives, `shingles/` (id, sh) the 61-bit exact-verify
+    * shingle sets of those representatives, `meta/` the banding
+    * parameters (so probes can never run with a mismatched banding).
+    * One corpus scan; increments never touch the corpus again. */
+  def buildIndex(corpus: DataFrame, textCol: String, idCol: String,
+      path: String, numPerm: Int = 64, bands: Int = 21, k: Int = 3): Unit = {
+    require(numPerm / bands >= 1, s"bands=$bands exceeds numPerm=$numPerm")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val groups = Dedup.exactGroups(corpus, textCol, idCol)
+    groups.write.mode("overwrite").parquet(s"$path/groups")
+    val reps = corpus
+      .groupBy(graft.text.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("t"))
+      .select("id", "t")
+    reps.select(col("id"), Dedup.minHashSignature(col("t"), numPerm, k).as("sig"))
+      .select(col("id"),
+        explode(Dedup.lshBands(col("sig"), bands, numPerm / bands)).as("b"))
+      .select(col("b.band").as("band"), col("b.bkey").as("bkey"), col("id"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    Dedup.hashedShingleSets(reps, "t", "id", k, Dedup.BigPrime)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    Seq((numPerm, bands, k)).toDF("num_perm", "bands", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Near-dup pairs (id_a, id_b, jaccard), id_a < id_b, between the
+    * delta shard and (corpus ∪ delta) — every pair touches the delta.
+    * Banding parameters come from the index's own metadata. */
+  def deltaPairs(spark: SparkSession, indexPath: String, delta: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.5,
+      maxBucket: Int = 100000): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (numPerm, nBands, k) =
+      (meta.getAs[Int]("num_perm"), meta.getAs[Int]("bands"), meta.getAs[Int]("k"))
+    val deltaGroups = Dedup.exactGroups(delta, textCol, idCol)
+    val deltaReps = delta
+      .groupBy(graft.text.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("t"))
+      .select("id", "t")
+    val deltaBands = deltaReps
+      .select(col("id"), Dedup.minHashSignature(col("t"), numPerm, k).as("sig"))
+      .select(col("id"),
+        explode(Dedup.lshBands(col("sig"), nBands, numPerm / nBands)).as("b"))
+      .select(col("b.band").as("band"), col("b.bkey").as("bkey"), col("id"))
+    // prune the index to buckets the delta touches BEFORE any shuffle —
+    // the key set is delta-sized, so this semi-join broadcasts
+    val touched = deltaBands.select("band", "bkey").distinct()
+    val idxTouched = spark.read.parquet(s"$indexPath/bands")
+      .join(broadcast(touched), Seq("band", "bkey"), "left_semi")
+    // combined hot-bucket cap (corpus members + delta members), the q28
+    // guard: a boilerplate bucket costs maxBucket² at worst, never more
+    val all = Dedup.capBuckets(
+      idxTouched.withColumn("is_delta", lit(false))
+        .unionByName(deltaBands.withColumn("is_delta", lit(true))),
+      Seq("band", "bkey"), maxBucket)
+    // pairs form only against a delta y-side: corpus×corpus never exists
+    val candidates = all.alias("x")
+      .join(all.filter(col("is_delta")).alias("y"), Seq("band", "bkey"))
+      .filter(col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+    // exact-Jaccard verify: corpus sets load from the index only for
+    // candidate survivors; delta sets are computed once, delta-sized
+    val candIds = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id"))).distinct()
+    val verifySets = spark.read.parquet(s"$indexPath/shingles")
+      .join(candIds, "id", "left_semi")
+      .unionByName(Dedup.hashedShingleSets(deltaReps, "t", "id", k, Dedup.BigPrime))
+    val repPairs = Dedup.verifyPairsJaccard(candidates, verifySets, threshold)
+      .dropDuplicates("id_a", "id_b")
+    // member-level expansion: cross pairs over corpus ∪ delta groups,
+    // intra (perfect-score) pairs over DELTA groups only — a corpus
+    // exact group's internal pairs were reported when C was deduped
+    val allGroups = spark.read.parquet(s"$indexPath/groups").unionByName(deltaGroups)
+    val ga = allGroups.select(col("rep").as("id_a"), col("id").as("m_a"))
+    val gb = allGroups.select(col("rep").as("id_b"), col("id").as("m_b"))
+    val cross = repPairs.join(ga, "id_a").join(gb, "id_b")
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+    val intra = deltaGroups.alias("x")
+      .join(deltaGroups.alias("y"),
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+}

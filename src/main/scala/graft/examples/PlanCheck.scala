@@ -453,7 +453,16 @@ object PlanCheck {
       "per-band / band-summary windows" -> "Window",
       "band summary broadcast back" -> "BroadcastHashJoin"),
       mustNotContain = Seq(
-        "no cartesian dominance check" -> "CartesianProduct")))
+        "no cartesian dominance check" -> "CartesianProduct")),
+    // delta dedup: the standing index's band rows are pruned to
+    // delta-touched buckets by a BROADCAST semi-join before any shuffle;
+    // candidates stay bucket-local equi-joins
+    Want("q147_delta_dedup", Seq(
+      "delta bucket-key set broadcast-pruned" -> "BroadcastHashJoin",
+      "native signature kernel" -> "minhash_sig"),
+      mustNotContain = Seq(
+        "no cartesian candidate generation" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()

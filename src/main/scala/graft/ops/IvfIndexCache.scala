@@ -49,4 +49,20 @@ object IvfIndexCache {
         dim = dim, nCells = nCells, m = m, kCodes = kCodes, path = path)
       path
     })
+
+  private val builtLsh = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The standing-corpus LSH dedup index path for `dir`
+    * ([[graft.dedup.DeltaDedup]] layout: groups + banded keys + verify
+    * shingle sets), built from `corpus` on first access. Keyed on the
+    * DOCUMENTS table's content fingerprint — same staleness rule as the
+    * ANN indexes. */
+  def getOrBuildLsh(spark: SparkSession, dir: String)(corpus: => DataFrame): String =
+    builtLsh.getOrElseUpdate(
+      dir + "@" + graft.sources.Layout.dirFingerprint(
+        spark, graft.sources.Tables.path(dir, "documents")), {
+        val path = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+        graft.dedup.DeltaDedup.buildIndex(corpus, "text", "doc_id", path)
+        path
+      })
 }

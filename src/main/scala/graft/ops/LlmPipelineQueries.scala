@@ -2155,7 +2155,54 @@ object LlmPipelineQueries {
                                  b[CAST(j AS INTEGER)] - (CASE WHEN j = 1 THEN 0 ELSE b[CAST(j AS INTEGER) - 1] END)))}
                        FOR j IN range(1, len(b) + 1)], recursive := true)
         FROM ball)
-      SELECT id, idx, start, len, h FROM ch ORDER BY id, idx"""))
+      SELECT id, idx, start, len, h FROM ch ORDER BY id, idx""")),
+
+    // Delta (incremental) near-dup dedup (dedup/DeltaDedup.scala): LSH-
+    // join ONLY a new crawl shard against the standing corpus's
+    // PERSISTED banded index — the appendToIndex discipline applied to
+    // q28 (the r10 verdict's one family-level gap). The corpus is
+    // touched only through its slim persisted (band, bkey, id) rows,
+    // pruned to delta-touched buckets by a broadcast semi-join BEFORE
+    // anything shuffles; corpus×corpus pairs never form. Contract:
+    // == minHashPairs(C ∪ D) restricted to pairs touching D, which the
+    // all-pairs oracle replays directly (same J-gap recall argument as
+    // q28: the delta plants 4-word-tag variants of ≥20-word docs —
+    // J = (n-2)/(n+2) ≥ 0.8, P(miss) ≈ 3e-7 — plus whitespace variants
+    // that collide in EVERY band at J = 1.0, the cross-exact path).
+    // The index builds once per corpus fingerprint (IvfIndexCache
+    // lifecycle); this query measures what ONE crawl increment costs.
+    QueryDef("q147_delta_dedup", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val idx = IvfIndexCache.getOrBuildLsh(s, dir)(docs)
+      val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
+      val delta = docs
+        .filter($"doc_id" % 13 === 0 && size(split(norm, " ")) >= 20)
+        .select(($"doc_id" + 3000000).as("doc_id"),
+          concat($"text", lit(" fresh crawl revision tag")).as("text"))
+        .unionByName(docs.filter($"doc_id" % 19 === 0)
+          .select(($"doc_id" + 4000000).as("doc_id"),
+            concat($"text", lit("  ")).as("text")))
+      graft.dedup.DeltaDedup.deltaPairs(s, idx, delta, "text", "doc_id",
+        threshold = 0.5).orderBy($"id_a", $"id_b")
+    }, Some(s"""
+      WITH cd AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000, text || ' fresh crawl revision tag' FROM documents
+        WHERE doc_id % 13 = 0
+          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 20
+        UNION ALL
+        SELECT doc_id + 4000000, text || '  ' FROM documents WHERE doc_id % 19 = 0),
+      sh AS (${shingleSetsSqlKFrom(3, "cd")})
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE (a.doc_id >= 3000000 OR b.doc_id >= 3000000)
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= 0.5
+      ORDER BY id_a, id_b"""))
   )
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences

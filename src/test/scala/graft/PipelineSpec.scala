@@ -897,6 +897,47 @@ class PipelineSpec extends SparkSpec {
     assert(out(3) == ((4L, 0, 0, 0, "no pii here at all")))
   }
 
+  test("DeltaDedup: deltaPairs == minHashPairs(C∪D) restricted to delta-touching pairs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + "  "),                   // corpus-internal exact group {1,2}
+      (3L, base + " corpus near dup tag"), // corpus-internal near-dup of 1
+      (4L, other),
+      (5L, "totally unrelated short text here")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (101L, base + " fresh tag"),         // near-dup of corpus group {1,2} and 3
+      (102L, other + " "),                 // exact (normalized) copy of corpus 4
+      (103L, "singleton about nothing shared at all"),
+      (104L, base + " fresh tag "),        // delta-internal exact group {101,104}
+      (105L, other + " delta variant tag") // near-dup of 4 AND of 102
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("lsh_idx_test").toString
+    graft.dedup.DeltaDedup.buildIndex(corpus, "text", "doc_id", path)
+    val got = graft.dedup.DeltaDedup
+      .deltaPairs(spark, path, delta, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: the full-rebuild operator on C∪D, pairs touching D
+    val full = graft.dedup.Dedup
+      .minHashPairs(corpus.unionByName(delta), "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => p._1 > 100L || p._2 > 100L).toSet
+    assert(got == full, s"missing=${full -- got} extra=${got -- full}")
+    // the cases that must be present: cross near-dup to BOTH members of a
+    // corpus exact group, cross exact at J=1.0, delta-internal exact pair
+    assert(got.exists(p => p._1 == 1L && p._2 == 101L))
+    assert(got.exists(p => p._1 == 2L && p._2 == 101L))
+    assert(got.contains((4L, 102L, 1.0)))
+    assert(got.contains((101L, 104L, 1.0)))
+    // and none that is corpus-internal (1-2 exact, 1-3 near-dup)
+    assert(!got.exists(p => p._2 <= 100L), s"corpus-internal pair leaked: $got")
+    assert(!got.exists(p => p._1 == 103L || p._2 == 103L), "unrelated singleton paired")
+  }
+
   test("CdcChunk: rolling bounds == driver reference; edit stability; end-closure") {
     // driver-side reference of RollingChunkBounds' contract
     def refBounds(t: String, w: Int, m: Int): Seq[Int] = {
