@@ -462,7 +462,15 @@ object PlanCheck {
       "native signature kernel" -> "minhash_sig"),
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
-        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")))
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // shared-chunk dedup: one hash-keyed aggregation with map-side
+    // combine; the rolling-hash boundary pass stays in codegen
+    Want("q148_chunk_dedup", Seq(
+      "map-side-combined chunk counts" -> "partial_count",
+      "rolling boundary kernel in the projection" -> "rolling_chunk_bounds"),
+      mustNotContain = Seq(
+        "no join needed" -> "Join",
+        "no window" -> "Window")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()

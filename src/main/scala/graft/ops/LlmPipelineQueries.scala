@@ -41,6 +41,40 @@ object LlmPipelineQueries {
 
   private def shingleSetsSqlK(k: Int): String = shingleSetsSqlKFrom(k, "documents")
 
+  /** The q146/q148 oracle CTEs: content-defined chunks `ch(id, idx,
+    * start, len, h)` of every document. Boundary replay: each 16-char
+    * window hash is the explicit Σ code·B^j sum with the B^j mod 2^31−1
+    * coefficients (B=131) inlined as literals — bit-for-bit equal to
+    * the engine's rolling [[org.apache.spark.sql.graft.RollingChunkBounds]]
+    * (every intermediate < 2^42 fits BIGINT). */
+  private val cdcChunksCteSql: String = """
+      WITH d AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g') AS t
+        FROM documents
+        WHERE length(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) >= 1),
+      b0 AS (
+        SELECT doc_id, t,
+               [CAST(i AS INTEGER) FOR i IN range(16, length(t) + 1)
+                IF list_sum([CAST(ascii(substr(t, CAST(i AS INTEGER) - 16 + k, 1)) AS BIGINT)
+                             * [1758245338,587176893,906097538,301990864,477702417,1167549934,254807669,460949235,
+                                2003465299,884122890,2072267652,294499921,2248091,17161,131,1][k]
+                             FOR k IN range(1, 17)]) % 2147483647 % 64 = 0] AS bnds
+        FROM d),
+      ball AS (
+        SELECT doc_id, t,
+               CASE WHEN len(bnds) > 0 AND bnds[len(bnds)] = length(t)
+                    THEN bnds ELSE list_append(bnds, CAST(length(t) AS INTEGER)) END AS b
+        FROM b0),
+      ch AS (
+        SELECT doc_id AS id,
+               unnest([{'idx': CAST(j AS BIGINT),
+                        'start': CAST((CASE WHEN j = 1 THEN 0 ELSE b[CAST(j AS INTEGER) - 1] END) + 1 AS BIGINT),
+                        'len': CAST(b[CAST(j AS INTEGER)] - (CASE WHEN j = 1 THEN 0 ELSE b[CAST(j AS INTEGER) - 1] END) AS BIGINT),
+                        'h': md5(substr(t, (CASE WHEN j = 1 THEN 0 ELSE b[CAST(j AS INTEGER) - 1] END) + 1,
+                                 b[CAST(j AS INTEGER)] - (CASE WHEN j = 1 THEN 0 ELSE b[CAST(j AS INTEGER) - 1] END)))}
+                       FOR j IN range(1, len(b) + 1)], recursive := true)
+        FROM ball)"""
+
   /** DuckDB language-ID expression generated from TextAnalysis.langProfiles
     * — the heuristic and its tie-break (earliest profile wins) can't drift
     * from the Spark implementation. Used by q36 and q54. */
@@ -2128,33 +2162,7 @@ object LlmPipelineQueries {
       val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
       graft.text.CdcChunk.chunks(docs, "text", "doc_id", w = 16, m = 64)
         .orderBy($"id", $"idx")
-    }, Some("""
-      WITH d AS (
-        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g') AS t
-        FROM documents
-        WHERE length(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) >= 1),
-      b0 AS (
-        SELECT doc_id, t,
-               [CAST(i AS INTEGER) FOR i IN range(16, length(t) + 1)
-                IF list_sum([CAST(ascii(substr(t, CAST(i AS INTEGER) - 16 + k, 1)) AS BIGINT)
-                             * [1758245338,587176893,906097538,301990864,477702417,1167549934,254807669,460949235,
-                                2003465299,884122890,2072267652,294499921,2248091,17161,131,1][k]
-                             FOR k IN range(1, 17)]) % 2147483647 % 64 = 0] AS bnds
-        FROM d),
-      ball AS (
-        SELECT doc_id, t,
-               CASE WHEN len(bnds) > 0 AND bnds[len(bnds)] = length(t)
-                    THEN bnds ELSE list_append(bnds, CAST(length(t) AS INTEGER)) END AS b
-        FROM b0),
-      ch AS (
-        SELECT doc_id AS id,
-               unnest([{'idx': CAST(j AS BIGINT),
-                        'start': CAST((CASE WHEN j = 1 THEN 0 ELSE b[CAST(j AS INTEGER) - 1] END) + 1 AS BIGINT),
-                        'len': CAST(b[CAST(j AS INTEGER)] - (CASE WHEN j = 1 THEN 0 ELSE b[CAST(j AS INTEGER) - 1] END) AS BIGINT),
-                        'h': md5(substr(t, (CASE WHEN j = 1 THEN 0 ELSE b[CAST(j AS INTEGER) - 1] END) + 1,
-                                 b[CAST(j AS INTEGER)] - (CASE WHEN j = 1 THEN 0 ELSE b[CAST(j AS INTEGER) - 1] END)))}
-                       FOR j IN range(1, len(b) + 1)], recursive := true)
-        FROM ball)
+    }, Some(cdcChunksCteSql + """
       SELECT id, idx, start, len, h FROM ch ORDER BY id, idx""")),
 
     // Delta (incremental) near-dup dedup (dedup/DeltaDedup.scala): LSH-
@@ -2202,7 +2210,32 @@ object LlmPipelineQueries {
       WHERE (a.doc_id >= 3000000 OR b.doc_id >= 3000000)
         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / len(list_distinct(a.s || b.s)) >= 0.5
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b""")),
+
+    // Cross-document SHARED-chunk report over q146's content-defined
+    // chunks — the reason CDC chunking exists: chunk hashes shared by
+    // ≥2 documents are the storage/transfer dedup opportunity (and the
+    // sub-document boilerplate q27's whole-doc keys can't see). One
+    // groupBy on the 32-byte chunk hash; same-h chunks have identical
+    // text hence identical len, so min(len) is exact, not a sample.
+    // Naturally non-degenerate: the corpus shares ~120 chunk hashes
+    // across docs at the gate sf. Scale: chunk rows shuffle once on h
+    // with map-side partial aggregation; output is shared-hash-sized.
+    QueryDef("q148_chunk_dedup", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      graft.text.CdcChunk.chunks(docs, "text", "doc_id", w = 16, m = 64)
+        .groupBy($"h")
+        .agg(countDistinct($"id").as("n_docs"), count(lit(1)).as("n_occ"),
+          min($"len").as("len"), min($"id").as("first_doc"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"h")
+    }, Some(cdcChunksCteSql + """
+      SELECT h, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occ,
+             MIN(len) AS len, MIN(id) AS first_doc
+      FROM ch
+      GROUP BY h HAVING COUNT(DISTINCT id) >= 2 ORDER BY h"""))
   )
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences

@@ -1228,11 +1228,14 @@ class OperatorsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     // 1 -> {2, 3} (two choices), 2 -> {1}, 3 dangles (no out-edges);
     // 10 -> a multi-band neighbor list (bandShift=8 bands -2,-1,0,1,2,3
-    // incl. negatives) exercising the banded rank == global dst-rank
+    // incl. negatives): with hubDegree=4 node 10 takes the BANDED hub
+    // rank path while 1 and 2 take the plain window — both must yield
+    // the same global dst-rank the driver replay assumes
     val hubDsts = Seq(-300L, -2L, 5L, 250L, 260L, 300L, 511L, 513L, 1000L)
     val edges = (Seq((1L, 2L), (1L, 3L), (2L, 1L)) ++ hubDsts.map((10L, _)))
       .toDF("src", "dst")
-    val got = graft.ops.RandomWalk.walks(edges, "src", "dst", steps = 3)
+    val got = graft.ops.RandomWalk.walks(edges, "src", "dst", steps = 3,
+        hubDegree = 4)
       .orderBy($"walk_id")
       .collect().map(r => (r.getLong(0),
         Seq(1, 2, 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))))
