@@ -590,6 +590,88 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_url_canonical"),
+      info("graft_url_canonical",
+        "graft_url_canonical(table, urlCol, idCol) - URL canonicalization + key dedup: (canonical_url, n_variants, min_doc) collapsing case/port/www/tracking-param/fragment/slash variants"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_url_canonical(table, urlCol, idCol) takes 3 arguments")
+        val df = tableArg(args(0))
+        val f = org.apache.spark.sql.functions
+        df.select(graft.text.UrlNormalize.canonicalUrl(
+            f.col(strArg(args(1), "urlCol"))).as("canonical_url"),
+            f.col(strArg(args(2), "idCol")).as("__id"))
+          .groupBy("canonical_url")
+          .agg(f.count(f.lit(1)).as("n_variants"), f.min("__id").as("min_doc"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_cdc_chunks"),
+      info("graft_cdc_chunks",
+        "graft_cdc_chunks(table, textCol, idCol, w, m) - content-defined chunking (Karp-Rabin rolling hash, boundaries where the w-char window hash = 0 mod m): (id, idx, start, len, h)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_cdc_chunks(table, textCol, idCol, w, m) takes 5 arguments")
+        require(args(3).foldable && args(4).foldable, "w and m must be literals")
+        graft.text.CdcChunk.chunks(tableArg(args(0)),
+          strArg(args(1), "textCol"), strArg(args(2), "idCol"),
+          args(3).eval().asInstanceOf[Number].intValue(),
+          args(4).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_chunk_dedup"),
+      info("graft_chunk_dedup",
+        "graft_chunk_dedup(table, textCol, idCol, w, m) - cross-document shared content-defined chunks: (h, n_docs, n_occ, len, first_doc) for chunk hashes in >= 2 docs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_chunk_dedup(table, textCol, idCol, w, m) takes 5 arguments")
+        require(args(3).foldable && args(4).foldable, "w and m must be literals")
+        val f = org.apache.spark.sql.functions
+        graft.text.CdcChunk.chunks(tableArg(args(0)),
+            strArg(args(1), "textCol"), strArg(args(2), "idCol"),
+            args(3).eval().asInstanceOf[Number].intValue(),
+            args(4).eval().asInstanceOf[Number].intValue())
+          .groupBy("h")
+          .agg(f.countDistinct("id").as("n_docs"), f.count(f.lit(1)).as("n_occ"),
+            f.min("len").as("len"), f.min("id").as("first_doc"))
+          .filter(f.col("n_docs") >= 2)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_random_walks"),
+      info("graft_random_walks",
+        "graft_random_walks(table, srcCol, dstCol, steps) - deterministic md5-derived truncated random walks, one per start node: (walk_id, step_1..step_N), NULL once a dangling node is reached. Executes the adjacency indexing eagerly (procedure semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_random_walks(table, srcCol, dstCol, steps) takes 4 arguments")
+        require(args(3).foldable, "steps must be a literal")
+        graft.ops.RandomWalk.walks(tableArg(args(0)),
+          strArg(args(1), "srcCol"), strArg(args(2), "dstCol"),
+          args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_delta_dedup"),
+      info("graft_delta_dedup",
+        "graft_delta_dedup(corpusTable, deltaTable, textCol, idCol, threshold) - incremental near-dup pairs between a delta shard and the standing corpus (MinHash LSH index probe; corpus-internal pairs excluded): (id_a, id_b, jaccard). Builds the corpus index eagerly into a temp dir (procedure semantics); the Scala API (DeltaDedup.buildIndex/deltaPairs) keeps the index persistent across increments."),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_delta_dedup(corpusTable, deltaTable, textCol, idCol, threshold) takes 5 arguments")
+        val textCol = strArg(args(2), "textCol")
+        val idCol = strArg(args(3), "idCol")
+        val path = java.nio.file.Files.createTempDirectory("graft_lsh_sql").toString
+        graft.dedup.DeltaDedup.buildIndex(tableArg(args(0)), textCol, idCol, path)
+        graft.dedup.DeltaDedup.deltaPairs(SparkSession.active, path,
+          tableArg(args(1)), textCol, idCol, dblArg(args(4), "threshold"))
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

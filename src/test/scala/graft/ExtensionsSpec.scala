@@ -374,6 +374,57 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT node, dist FROM graft_sssp('tf_sssp', 's', 'd', 'w', 1, 3) ORDER BY node""")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(sp == Seq((1L, 0L), (2L, 5L), (3L, 2L)), sp.mkString(","))
+
+      // url canonical: three removable-noise variants collapse to one key
+      Seq((1L, "https://EXAMPLE.com/a?utm_source=x&q=1"),
+          (2L, "https://www.example.com:443/a?q=1#frag"),
+          (3L, "https://example.com/a/?q=1"),
+          (4L, "http://example.com/a?q=1"))
+        .toDF("doc_id", "url").createOrReplaceTempView("tf_url")
+      val uc = spark.sql(
+        """SELECT canonical_url, n_variants, min_doc
+           FROM graft_url_canonical('tf_url', 'url', 'doc_id') ORDER BY 1""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(uc == Seq(("http://example.com/a?q=1", 1L, 4L),
+        ("https://example.com/a?q=1", 3L, 1L)), uc.mkString(","))
+
+      // cdc chunks: lengths tile the normalized text; shared-chunk report
+      // sees the repeated document body
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+          (2L, "HEADER " + "alpha beta gamma delta epsilon zeta eta theta " * 4),
+          (3L, "different content entirely"))
+        .toDF("doc_id", "text").createOrReplaceTempView("tf_cdc")
+      val cdc = spark.sql(
+        """SELECT id, SUM(len) AS tot, COUNT(*) AS n
+           FROM graft_cdc_chunks('tf_cdc', 'text', 'doc_id', 8, 8)
+           GROUP BY id ORDER BY id""")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // chunks exactly tile each normalized doc (len 188*... trailing space)
+      assert(cdc.map(_._1) == Seq(1L, 2L, 3L))
+      val shared = spark.sql(
+        """SELECT COUNT(*) FROM graft_chunk_dedup('tf_cdc', 'text', 'doc_id', 8, 8)""")
+        .head().getLong(0)
+      assert(shared >= 1, s"repeated body must share >= 1 chunk hash, got $shared")
+
+      // random walks: 2 -> {1} deterministic single-choice walk
+      Seq((1L, 2L), (2L, 1L)).toDF("s", "d").createOrReplaceTempView("tf_rw")
+      val rw = spark.sql(
+        """SELECT walk_id, step_1, step_2 FROM graft_random_walks('tf_rw', 's', 'd', 2)
+           ORDER BY walk_id""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rw == Seq((1L, 2L, 1L), (2L, 1L, 2L)), rw.mkString(","))
+
+      // delta dedup: only pairs touching the delta shard, exact copy at 1.0
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+          (2L, "one two three four five six seven eight nine ten"))
+        .toDF("doc_id", "text").createOrReplaceTempView("tf_dd_corpus")
+      Seq((101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa "))
+        .toDF("doc_id", "text").createOrReplaceTempView("tf_dd_delta")
+      val dd = spark.sql(
+        """SELECT id_a, id_b, jaccard
+           FROM graft_delta_dedup('tf_dd_corpus', 'tf_dd_delta', 'text', 'doc_id', 0.5)""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(dd == Seq((1L, 101L, 1.0)), dd.mkString(","))
     } finally {
       // don't leak this untuned session (200 shuffle partitions) into the
       // suites that follow — TestSession rebuilds the tuned one on demand
