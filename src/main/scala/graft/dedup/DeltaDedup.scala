@@ -74,16 +74,21 @@ object DeltaDedup {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val (numPerm, nBands, k) =
       (meta.getAs[Int]("num_perm"), meta.getAs[Int]("bands"), meta.getAs[Int]("k"))
-    val deltaGroups = Dedup.exactGroups(delta, textCol, idCol)
+    // the two delta-sized tables are each consumed several times inside
+    // the one output plan (bands + verify sets from reps; expansion +
+    // intra self-join from groups) — materialize once, delta-sized
+    val deltaGroups = Dedup.exactGroups(delta, textCol, idCol).localCheckpoint()
     val deltaReps = delta
       .groupBy(graft.text.TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("id"), first(col(textCol)).as("t"))
       .select("id", "t")
+      .localCheckpoint()
     val deltaBands = deltaReps
       .select(col("id"), Dedup.minHashSignature(col("t"), numPerm, k).as("sig"))
       .select(col("id"),
         explode(Dedup.lshBands(col("sig"), nBands, numPerm / nBands)).as("b"))
       .select(col("b.band").as("band"), col("b.bkey").as("bkey"), col("id"))
+      .localCheckpoint() // consumed by the touched-key set AND the cap/join
     // prune the index to buckets the delta touches BEFORE any shuffle —
     // the key set is delta-sized, so this semi-join broadcasts
     val touched = deltaBands.select("band", "bkey").distinct()
@@ -96,18 +101,26 @@ object DeltaDedup {
         .unionByName(deltaBands.withColumn("is_delta", lit(true))),
       Seq("band", "bkey"), maxBucket)
     // pairs form only against a delta y-side: corpus×corpus never exists
+    // candidates are delta-proportional (each delta rep meets its bucket
+    // peers across nBands buckets) and feed three consumers (both sides
+    // of the id set + the verify join) — materialize the slim pair list
+    // once instead of re-running the bucket join per consumer
     val candidates = all.alias("x")
       .join(all.filter(col("is_delta")).alias("y"), Seq("band", "bkey"))
       .filter(col("x.id") =!= col("y.id"))
       .select(least(col("x.id"), col("y.id")).as("id_a"),
         greatest(col("x.id"), col("y.id")).as("id_b"))
+      .localCheckpoint()
     // exact-Jaccard verify: corpus sets load from the index only for
     // candidate survivors; delta sets are computed once, delta-sized
     val candIds = candidates.select(col("id_a").as("id"))
       .unionByName(candidates.select(col("id_b").as("id"))).distinct()
+    // candidate-survivor-sized; the verify join consumes it twice (the
+    // a-side and b-side of each pair)
     val verifySets = spark.read.parquet(s"$indexPath/shingles")
       .join(candIds, "id", "left_semi")
       .unionByName(Dedup.hashedShingleSets(deltaReps, "t", "id", k, Dedup.BigPrime))
+      .localCheckpoint()
     val repPairs = Dedup.verifyPairsJaccard(candidates, verifySets, threshold)
       .dropDuplicates("id_a", "id_b")
     // member-level expansion: cross pairs over corpus ∪ delta groups,
