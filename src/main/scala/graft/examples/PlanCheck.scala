@@ -454,12 +454,13 @@ object PlanCheck {
       "band summary broadcast back" -> "BroadcastHashJoin"),
       mustNotContain = Seq(
         "no cartesian dominance check" -> "CartesianProduct")),
-    // delta dedup: the standing index's band rows are pruned to
-    // delta-touched buckets by a BROADCAST semi-join before any shuffle;
-    // candidates stay bucket-local equi-joins
+    // delta dedup: bucket pruning, banding, and candidate generation run
+    // inside the eager delta-sized checkpoints, so the FINAL plan is the
+    // verify join + group expansion — pin the exact-Jaccard verify kernel
+    // and that no candidate path degenerated to a cross product
     Want("q147_delta_dedup", Seq(
-      "delta bucket-key set broadcast-pruned" -> "BroadcastHashJoin",
-      "native signature kernel" -> "minhash_sig"),
+      "broadcast group-expansion joins" -> "BroadcastHashJoin",
+      "exact-Jaccard verify kernel" -> "array_intersect"),
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
