@@ -86,6 +86,8 @@ object Cfb {
       var guard = 0
       while (sid != EndOfChain && sid != FreeSect && guard <= fat.size) {
         require(sid >= 0 && sid < fat.size, s"CFB sector chain out of range: $sid")
+        require(sectorOff(sid) < bytes.length,
+          s"CFB truncated: sector $sid lies past the end of the file")
         out.write(bytes, sectorOff(sid), math.min(sectorSize, bytes.length - sectorOff(sid)))
         sid = fat(sid)
         guard += 1
@@ -101,7 +103,7 @@ object Cfb {
         val base = i * 128
         val nameLen = du16(base + 0x40)
         val tpe = dir(base + 0x42) & 0xff
-        if (tpe == 0 || nameLen < 2) None
+        if (tpe == 0 || nameLen < 2 || nameLen > 64) None
         else {
           val name = new String(dir, base, nameLen - 2, "UTF-16LE")
           val start = (dir(base + 0x74) & 0xff) | ((dir(base + 0x75) & 0xff) << 8) |
@@ -150,7 +152,11 @@ object Cfb {
           }
           out.toByteArray
         } else chainBytes(e.startSector)
-      java.util.Arrays.copyOf(raw, math.min(e.size, raw.length.toLong).toInt)
+      // never zero-pad a short chain to the declared size — that would
+      // silently corrupt; a truncated container must fail loudly
+      require(raw.length >= e.size,
+        s"CFB stream '$name' truncated: chain holds ${raw.length} of ${e.size} bytes")
+      java.util.Arrays.copyOf(raw, e.size.toInt)
     }
   }
 
