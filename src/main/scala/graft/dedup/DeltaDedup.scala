@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   * byte-identical to corpus docs carry identical signatures, collide in
   * EVERY band, and verify at J = 1.0 — the cross-exact path needs no
   * special case. Corpus and delta id spaces must be disjoint (new
-  * crawls get fresh ids by construction).
+  * crawls get fresh ids by construction). One stated nuance: the
+  * hot-bucket cap counts a cross-exact duplicate as TWO bucket members
+  * (one per side) where the joint run's exact-collapse counts one —
+  * sizes can differ by at most the cross-exact count per bucket, which
+  * only matters within maxBucket of the cap (a guard threshold, not an
+  * answer surface).
   *
   * Scale shape per increment: delta-sized shingle/signature work; ONE
   * broadcastable semi-join prunes the index's band rows to the buckets
