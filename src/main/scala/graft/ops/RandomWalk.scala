@@ -100,6 +100,12 @@ object RandomWalk {
         .select(col("src"), (col("boff") + col("bpos")).as("pos"), col("dst"))
       smallAdj.unionByName(hubAdj)
     }).localCheckpoint()
+    // Per-step cost note: the state ⋈ adjacency join re-shuffles the
+    // EDGE-sized adjacency each step (a checkpointed RDD's partitioning
+    // does not satisfy the join's required distribution — measured: an
+    // explicit pre-repartition just adds its own shuffle). At cluster
+    // scale the fix is landing adj ONCE as a table bucketed by
+    // (src, pos): every step then shuffles only the node-sized state.
     // md5_60: the top 60 bits of md5 as a long — the repo's portable
     // hash convention (rederivable in any engine with md5 + substr)
     def md5_60(c: org.apache.spark.sql.Column) =
