@@ -464,6 +464,15 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // quantile sketch: the histogram build is one partial-aggregated
+    // shuffle; the only window runs over the answer-sized bucket table,
+    // and the data itself is never sorted
+    Want("q149_quantile_sketch", Seq(
+      "map-side-combined bucket counts" -> "partial_count",
+      "quantile extraction over the bucket table" -> "Window"),
+      mustNotContain = Seq(
+        "no corpus-wide sort" -> "Sort [v",
+        "no cartesian" -> "CartesianProduct")),
     // shared-chunk dedup: one hash-keyed aggregation with map-side
     // combine; the rolling-hash boundary pass stays in codegen
     Want("q148_chunk_dedup", Seq(

@@ -1392,7 +1392,60 @@ object RelationalQueries {
              FROM s2 s JOIN od o ON o.src = s.cur
              JOIN adj a ON a.src = s.cur AND a.pos =
                CAST(('0x' || substr(md5('walk:' || CAST(s.walk_id AS VARCHAR) || ':3'), 1, 15)) AS BIGINT) % o.outdeg)
-      SELECT walk_id, step_1, step_2, step_3 FROM s3 ORDER BY walk_id"""))
+      SELECT walk_id, step_1, step_2, step_3 FROM s3 ORDER BY walk_id""")),
+
+    // Mergeable QUANTILE sketch (ops/Sketches.ddBuckets — the DDSketch
+    // idea, Masson VLDB'19, with base-2 INTEGER-EXACT bucketing):
+    // completes the sketch family (distinct=HLL q128, frequency=CMS
+    // q129, overlap=KMV q134, membership=Bloom q88/q136 — ranks were
+    // missing). A positive integer floors to its top 4 significant
+    // binary digits — pure integer arithmetic both engines share
+    // bit-for-bit (shift from length(bin(v)), floor by subtracting an
+    // exact mod; no log(), no floats, no engine quantile aggregate),
+    // giving every estimate a <= 2^-3 relative-error lower bound. The
+    // histogram is answer-sized at any corpus size and merges by
+    // bucket-wise SUM — the '__all' row IS that merge (q128
+    // discipline); p50/p90/p99 extraction is an all-integer
+    // cum*1000 >= q*n threshold over the bucket table. Prices
+    // integerize to cents through the §5 decimal discipline.
+    QueryDef("q149_quantile_sketch", (s, dir) => {
+      import s.implicits._
+      val cents = t(s, dir, "lineitem")
+        .select($"l_returnflag".as("grp"),
+          (dec($"l_extendedprice") * 100).cast("long").as("v"))
+      val bk = graft.ops.Sketches.ddBuckets(cents, "grp", $"v", sig = 4)
+      val all = graft.ops.Sketches.ddCollapse(bk, "grp", "__all")
+      graft.ops.Sketches.ddQuantiles(bk.unionByName(all), "grp",
+          Seq(500, 900, 990))
+        .orderBy($"grp", $"q")
+    }, Some("""
+      WITH v AS (
+        SELECT l_returnflag AS grp,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+        FROM lineitem),
+      b0 AS (
+        SELECT grp, v,
+               CASE WHEN length(bin(v)) - 4 > 0 THEN length(bin(v)) - 4 ELSE 0 END AS sh
+        FROM v),
+      bk AS (
+        SELECT grp, v - (v % (CAST(1 AS BIGINT) << sh)) AS lo,
+               v - (v % (CAST(1 AS BIGINT) << sh)) + (CAST(1 AS BIGINT) << sh) AS hi,
+               COUNT(*) AS cnt
+        FROM b0 GROUP BY 1, 2, 3),
+      ball AS (
+        SELECT grp, lo, hi, cnt FROM bk
+        UNION ALL
+        SELECT '__all', lo, hi, SUM(cnt) FROM bk GROUP BY 2, 3),
+      n AS (SELECT grp, SUM(cnt) AS n FROM ball GROUP BY 1),
+      cum AS (SELECT grp, lo, cnt,
+                     SUM(cnt) OVER (PARTITION BY grp ORDER BY lo) AS cum
+              FROM ball),
+      qs AS (SELECT CAST(unnest([500, 900, 990]) AS INTEGER) AS q)
+      SELECT c.grp, q.q, CAST(n.n AS BIGINT) AS n, MIN(c.lo) AS est
+      FROM cum c JOIN n ON n.grp = c.grp CROSS JOIN qs q
+      WHERE c.cum * 1000 >= q.q * n.n
+      GROUP BY 1, 2, 3
+      ORDER BY c.grp, q.q"""))
   )
 
   /** The q130 oracle: `nIters` unrolled synchronous LPA rounds over the

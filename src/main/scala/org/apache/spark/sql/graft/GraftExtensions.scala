@@ -672,6 +672,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_quantile_sketch"),
+      info("graft_quantile_sketch",
+        "graft_quantile_sketch(table, groupCol, valueCol, qPermille) - mergeable base-2 DD-style quantile histogram over a positive-integer column: (group, q, n, est) with est the <= 2^-3-relative-error bucket lower bound at the q-permille rank"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_quantile_sketch(table, groupCol, valueCol, qPermille) takes 4 arguments")
+        require(args(3).foldable, "qPermille must be a literal")
+        val grp = strArg(args(1), "groupCol")
+        val bk = graft.ops.Sketches.ddBuckets(tableArg(args(0)), grp,
+          org.apache.spark.sql.functions.col(strArg(args(2), "valueCol")))
+        graft.ops.Sketches.ddQuantiles(bk, grp,
+          Seq(args(3).eval().asInstanceOf[Number].intValue()))
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

@@ -425,6 +425,16 @@ class ExtensionsSpec extends AnyFunSuite {
            FROM graft_delta_dedup('tf_dd_corpus', 'tf_dd_delta', 'text', 'doc_id', 0.5)""")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(dd == Seq((1L, 101L, 1.0)), dd.mkString(","))
+
+      // quantile sketch: median of 1..1000 lands in the bucket holding 500
+      Seq.tabulate(1000)(i => (i + 1L, "g")).toDF("v", "grp")
+        .createOrReplaceTempView("tf_qs")
+      val qsk = spark.sql(
+        """SELECT q, n, est FROM graft_quantile_sketch('tf_qs', 'grp', 'v', 500)""")
+        .head()
+      assert(qsk.getInt(0) == 500 && qsk.getLong(1) == 1000L)
+      val qe = qsk.getLong(2)
+      assert(qe <= 500 && 500 < qe + qe / 8 + 1, s"median bucket est=$qe")
     } finally {
       // don't leak this untuned session (200 shuffle partitions) into the
       // suites that follow — TestSession rebuilds the tuned one on demand

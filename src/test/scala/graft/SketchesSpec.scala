@@ -164,4 +164,39 @@ class SketchesSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("maxGroups"),
       s"unexpected error: ${e.getMessage}")
   }
+
+  test("DD quantiles: merge identity, relative-error bound vs exact, loud guards") {
+    import spark.implicits._
+    // deterministic skewed positives (squares spread buckets over decades)
+    val vals = (1 to 4000).map(i => (1L + (i.toLong * i) % 999983L, "g"))
+    val df = vals.toDF("v", "grp")
+    val bk = Sketches.ddBuckets(df, "grp", $"v", sig = 4)
+    // merge identity: halves collapse bucket-for-bucket to the whole
+    val (h1, h2) = (vals.take(2000), vals.drop(2000))
+    val merged = Sketches.ddCollapse(
+      Sketches.ddBuckets(h1.toDF("v", "grp"), "grp", $"v", sig = 4)
+        .unionByName(Sketches.ddBuckets(h2.toDF("v", "grp"), "grp", $"v", sig = 4)),
+      "grp", "g")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("grp", "lo", "hi", "cnt").as[(String, Long, Long, Long)]
+        .collect().toSet
+    assert(canon(merged) == canon(bk), "bucket-wise SUM must equal the whole's sketch")
+    // every estimate's bucket holds the true order statistic: est <= exact < est*(1+2^-3)
+    val qs = Seq(100, 500, 900, 990)
+    val est = Sketches.ddQuantiles(bk, "grp", qs)
+      .as[(String, Int, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+    val sorted = vals.map(_._1).sorted
+    qs.foreach { q =>
+      val exact = sorted((math.ceil(q * sorted.size / 1000.0) - 1).toInt.max(0))
+      assert(est(q) <= exact && exact < est(q) + math.max(est(q) / 8, 1),
+        s"q=$q est=${est(q)} exact=$exact outside the 2^-3 bucket bound")
+    }
+    // guards: non-positive and oversized values fail loudly
+    val bad = Seq((0L, "g")).toDF("v", "grp")
+    val e1 = intercept[Exception](Sketches.ddBuckets(bad, "grp", $"v").collect())
+    assert(e1.getMessage.contains("positive"))
+    val big = Seq((1L << 57, "g")).toDF("v", "grp")
+    val e2 = intercept[Exception](Sketches.ddBuckets(big, "grp", $"v").collect())
+    assert(e2.getMessage.contains("2^56"))
+  }
 }
