@@ -317,14 +317,19 @@ object Sketches {
       qs: Seq[Int]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 1000),
       s"quantile targets must be permille values in [1,1000], got $qs")
+    // cum and n are two window aggregates over the SAME partition key —
+    // one shuffle of the bucket table, no self-join (which would also
+    // trip attribute-conflict resolution on streaming memory sinks)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("lo"))
-    val cum = buckets.withColumn("cum", sum(col("cnt")).over(w))
-    val n = buckets.groupBy(col(groupCol)).agg(sum(col("cnt")).as("n"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val cum = buckets
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
     val spark = buckets.sparkSession
     import spark.implicits._
     val targets = qs.toDF("q")
-    cum.join(n, groupCol).crossJoin(broadcast(targets))
+    cum.crossJoin(broadcast(targets))
       .filter(col("cum") * 1000 >= col("q") * col("n"))
       .groupBy(col(groupCol), col("q"), col("n"))
       .agg(min(col("lo")).as("est"))

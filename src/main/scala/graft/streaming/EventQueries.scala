@@ -636,6 +636,58 @@ object EventQueries {
              0.673 * 256.0 * 144115188075855872.0 / s_u AS est
       FROM summ ORDER BY grp""")),
 
+    // STREAMING quantile sketch: q149's base-2 DD histogram as live
+    // bounded state — the ≤ groups × 8 × bitlen bucket table IS the
+    // aggregation state (complete mode), so "p99 of the stream so far"
+    // never buffers raw events. The replay arrives shuffled across 4
+    // files (arrival order ≠ event order — bucketing is order-free, the
+    // q131 discipline), and the oracle computes the same all-integer
+    // histogram + cum·1000 ≥ q·n extraction from the RAW batch table:
+    // streamed buckets == batch buckets, bit for bit. Values integerize
+    // to cents through the §5 decimal discipline.
+    QueryDef("q150_stream_quantile", (s, dir) => {
+      import s.implicits._
+      // zero-valued events carry no magnitude to rank — excluded
+      // EXPLICITLY in both engines (the sketch's domain is positive
+      // integers and its guard would otherwise raise, by design)
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_type".as("grp"),
+          ($"value".cast("decimal(18,4)") * 100).cast("long").as("v"))
+        .filter($"v" >= 1)
+      val bk = graft.ops.Sketches.ddBuckets(
+        EventsStream.replayShuffled(ev, nFiles = 4), "grp", $"v", sig = 4)
+      val sink = s"q150_bk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = bk.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.ops.Sketches.ddQuantiles(s.table(sink), "grp", Seq(500, 900, 990))
+        .orderBy($"grp", $"q")
+    }, Some("""
+      WITH v AS (
+        SELECT event_type AS grp,
+               CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+        FROM events
+        WHERE CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) >= 1),
+      b0 AS (
+        SELECT grp, v,
+               CASE WHEN length(bin(v)) - 4 > 0 THEN length(bin(v)) - 4 ELSE 0 END AS sh
+        FROM v),
+      bk AS (
+        SELECT grp, v - (v % (CAST(1 AS BIGINT) << sh)) AS lo, COUNT(*) AS cnt
+        FROM b0 GROUP BY 1, 2),
+      n AS (SELECT grp, SUM(cnt) AS n FROM bk GROUP BY 1),
+      cum AS (SELECT grp, lo, cnt,
+                     SUM(cnt) OVER (PARTITION BY grp ORDER BY lo) AS cum
+              FROM bk),
+      qs AS (SELECT CAST(unnest([500, 900, 990]) AS INTEGER) AS q)
+      SELECT c.grp, q.q, CAST(n.n AS BIGINT) AS n, MIN(c.lo) AS est
+      FROM cum c JOIN n ON n.grp = c.grp CROSS JOIN qs q
+      WHERE c.cum * 1000 >= q.q * n.n
+      GROUP BY 1, 2, 3
+      ORDER BY c.grp, q.q""")),
+
     // STREAMING anomaly monitor (streaming/StreamingAnomaly.scala) under
     // the ORACLE protocol: q121's integer z-test as a live
     // flatMapGroupsWithState monitor — per-key state is the last-7-day
