@@ -464,6 +464,14 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // k-core: the peel rounds run inside eager per-round checkpoints,
+    // so the final plan is one map-side-combined degree aggregate over
+    // the converged edge set
+    Want("q151_kcore", Seq(
+      "map-side-combined core degrees" -> "partial_count"),
+      mustNotContain = Seq(
+        "no join in the final plan" -> "Join",
+        "no cartesian" -> "CartesianProduct")),
     // quantile sketch: the histogram build is one partial-aggregated
     // shuffle; the only window runs over the answer-sized bucket table,
     // and the data itself is never sorted

@@ -1445,8 +1445,62 @@ object RelationalQueries {
       FROM cum c JOIN n ON n.grp = c.grp CROSS JOIN qs q
       WHERE c.cum * 1000 >= q.q * n.n
       GROUP BY 1, 2, 3
-      ORDER BY c.grp, q.q"""))
+      ORDER BY c.grp, q.q""")),
+
+    // k-core decomposition (ops/KCore.scala — Seidman 1983): the
+    // maximal subgraph where EVERY node keeps degree >= k, the
+    // link-graph curation filter a one-shot degree threshold cannot
+    // compute because removals CASCADE. The planted specimen proves
+    // exactly that: a detached 12-node pendant PATH (ids 9000000+)
+    // peels one node from each end per round — its interior nodes all
+    // have degree 2 and would survive a naive filter, yet the true
+    // 2-core drops the whole path over 6 cascading rounds while the
+    // dense trade graph converges in one. Fixpoint detected by exact
+    // edge-count equality (peeling only removes; every peeled node
+    // owned >= 1 edge); the oracle unrolls 8 peel rounds — more than
+    // either component needs, and extra rounds past the fixpoint are
+    // identity, so fixed-round SQL == fixpoint operator.
+    QueryDef("q151_kcore", (s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"l_suppkey" * 2).as("a"), ($"o_custkey" * 2 + 1).as("b"))
+        .distinct()
+      val path = s.range(11)
+        .select(($"id" + 9000000L).as("a"), ($"id" + 9000001L).as("b"))
+      val both = pairs.unionByName(path)
+      val edges = both.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(both.select($"b".as("src"), $"a".as("dst")))
+      graft.ops.KCore.kcore(edges, "src", "dst", k = 2)
+        .orderBy($"node")
+    }, Some(kcoreOracleSql(rounds = 8, k = 2)))
   )
+
+  /** The q151 oracle: `rounds` unrolled peel rounds over the trade
+    * graph + the planted pendant path; each round keeps nodes of
+    * current degree ≥ k and restricts edges to surviving endpoints. */
+  private def kcoreOracleSql(rounds: Int, k: Int): String = {
+    // MATERIALIZED: each round references its predecessor three times
+    // (degree agg + both join sides); inlined CTEs would re-expand the
+    // base scan 3^rounds times
+    val peels = (1 to rounds).map { r =>
+      s"""
+      k$r AS MATERIALIZED (SELECT src AS node FROM e${r - 1} GROUP BY 1 HAVING COUNT(*) >= $k),
+      e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+              JOIN k$r a ON a.node = e.src JOIN k$r b ON b.node = e.dst)"""
+    }.mkString(",")
+    s"""
+      WITH p AS (
+        SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        UNION
+        SELECT 9000000 + i, 9000001 + i FROM range(11) t(i)),
+      e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
+             UNION ALL SELECT b, a FROM p),$peels
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM e$rounds GROUP BY 1 ORDER BY node"""
+  }
 
   /** The q130 oracle: `nIters` unrolled synchronous LPA rounds over the
     * trade graph — neighbor labels + the self-vote, ROW_NUMBER argmax

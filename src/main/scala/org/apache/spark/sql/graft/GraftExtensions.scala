@@ -688,6 +688,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_kcore"),
+      info("graft_kcore",
+        "graft_kcore(table, srcCol, dstCol, k) - k-core decomposition of an undirected graph (edge list carrying both directions): (node, deg) of the maximal subgraph where every node keeps degree >= k. Executes the cascading peel eagerly (iterative fixpoint - procedure semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_kcore(table, srcCol, dstCol, k) takes 4 arguments")
+        require(args(3).foldable, "k must be a literal")
+        graft.ops.KCore.kcore(tableArg(args(0)),
+          strArg(args(1), "srcCol"), strArg(args(2), "dstCol"),
+          args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

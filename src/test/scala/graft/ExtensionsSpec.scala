@@ -426,6 +426,14 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(dd == Seq((1L, 101L, 1.0)), dd.mkString(","))
 
+      // kcore: the pendant path peels away, the triangle survives
+      val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L), (10L, 11L))
+      (und ++ und.map(_.swap)).toDF("s", "d").createOrReplaceTempView("tf_kc")
+      val kc = spark.sql(
+        """SELECT node, deg FROM graft_kcore('tf_kc', 's', 'd', 2) ORDER BY node""")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(kc == Seq((1L, 2L), (2L, 2L), (3L, 2L)), kc.mkString(","))
+
       // quantile sketch: median of 1..1000 lands in the bucket holding 500
       Seq.tabulate(1000)(i => (i + 1L, "g")).toDF("v", "grp")
         .createOrReplaceTempView("tf_qs")

@@ -1224,6 +1224,30 @@ class OperatorsSpec extends SparkSpec {
     assert(one == brute)
   }
 
+  test("KCore: cascading peel vs naive filter; empty core; non-convergence raises") {
+    import org.apache.spark.sql.functions._
+    // triangle {1,2,3} (each degree 2) + a pendant path 3-10-11-12-13:
+    // path interior nodes have degree 2 — a ONE-SHOT deg>=2 filter keeps
+    // them — but the true 2-core peels the path from its end in cascade
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val core = graft.ops.KCore.kcore(edges, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(core == Seq((1L, 2L), (2L, 2L), (3L, 2L)),
+      s"2-core must be the triangle alone, got $core")
+    // the naive one-shot filter would ALSO keep 10, 11, 12 (degree 2)
+    val naive = edges.groupBy($"src").count().filter($"count" >= 2).count()
+    assert(naive > 3, "specimen must distinguish cascade from one-shot filter")
+    // k above the max degree: empty core, no error
+    assert(graft.ops.KCore.kcore(edges, "src", "dst", k = 5).count() == 0)
+    // a cascade longer than maxRounds must raise, not return half-peeled
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.KCore.kcore(edges, "src", "dst", k = 2, maxRounds = 2).count()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("RandomWalk: choices replay the md5 recipe; dangling nodes stop with NULLs") {
     import org.apache.spark.sql.functions._
     // 1 -> {2, 3} (two choices), 2 -> {1}, 3 dangles (no out-edges);
