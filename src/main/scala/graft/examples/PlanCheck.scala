@@ -488,7 +488,24 @@ object PlanCheck {
       "rolling boundary kernel in the projection" -> "rolling_chunk_bounds"),
       mustNotContain = Seq(
         "no join needed" -> "Join",
-        "no window" -> "Window")))
+        "no window" -> "Window")),
+    // KMV: the late-r11 build kernel — a bounded bottom-k aggregate that
+    // partial-aggregates map-side, so the exchange carries tasks×groups×k
+    // longs and NO per-group sort task materializes the full distinct
+    // hash set (the r10 shape was distinct + window row_number). The only
+    // nested loop is the deliberate bounded group-pair stage.
+    Want("q134_kmv", Seq(
+      "map-side partial bottom-k" -> "partial_bottom_k_longs"),
+      mustNotContain = Seq(
+        "no distinct-set window rank" -> "row_number")),
+    // temperature sampling: group sizes/targets ride a broadcast back to
+    // the corpus; the only sort is the per-group rank the exact-count
+    // contract requires
+    Want("q154_temperature_sample", Seq(
+      "targets broadcast back" -> "BroadcastHashJoin",
+      "per-group rank" -> "row_number"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession()

@@ -2235,7 +2235,47 @@ object LlmPipelineQueries {
              CAST(COUNT(*) AS BIGINT) AS n_occ,
              MIN(len) AS len, MIN(id) AS first_doc
       FROM ch
-      GROUP BY h HAVING COUNT(DISTINCT id) >= 2 ORDER BY h"""))
+      GROUP BY h HAVING COUNT(DISTINCT id) >= 2 ORDER BY h""")),
+
+    // Temperature-balanced language sampling (ops/Sampling.scala —
+    // mT5 §3.4.3 / XLM-R §3): the operator that sets a multilingual
+    // training MIX, the missing member of the sampling family (q54 hash
+    // split, q138 weighted systematic — both inherit the CORPUS's group
+    // skew; this one reshapes it). Budget = half the corpus; per-language
+    // targets t_l = min(n_l, B·⌊√n_l⌋ ⌊/⌋ Σ⌊√n⌋) — pure long arithmetic
+    // after an IEEE-exact integer sqrt — and the selected rows are each
+    // language's t_l smallest md5 key hashes, so both engines pick
+    // byte-identical docs AND exact per-language counts (what a mix spec
+    // audits: α = 1/2 visibly upsamples the tail — compare t_l/n_l
+    // across langs in the output). Group sizes broadcast back;
+    // selection is one per-group rank.
+    QueryDef("q154_temperature_sample", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"lang")
+      val budget = Tables.load(s, dir, "documents")
+        .agg((count(lit(1)).cast("long") / 2).cast("long").as("b"))
+        .as[Long].head()
+      graft.ops.Sampling.temperatureSample(docs, "lang", "doc_id", lit(budget))
+        .orderBy($"lang", $"doc_id")
+    }, Some("""
+      WITH n AS (SELECT lang, COUNT(*) AS n_grp FROM documents GROUP BY 1),
+      w AS (SELECT lang, n_grp,
+                   CAST(floor(sqrt(CAST(n_grp AS DOUBLE))) AS BIGINT) AS w_l
+            FROM n),
+      tot AS (SELECT CAST(SUM(w_l) AS BIGINT) AS sw,
+                     CAST(SUM(n_grp) // 2 AS BIGINT) AS b
+              FROM w),
+      t AS (SELECT lang, n_grp,
+                   CAST(LEAST(n_grp, (tot.b * w.w_l) // tot.sw) AS BIGINT) AS t_grp
+            FROM w CROSS JOIN tot),
+      rk AS (SELECT lang, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                      CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)) AS r
+             FROM documents)
+      SELECT rk.lang, rk.doc_id, t.n_grp, t.t_grp
+      FROM rk JOIN t USING (lang)
+      WHERE rk.r <= t.t_grp
+      ORDER BY rk.lang, rk.doc_id"""))
   )
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences

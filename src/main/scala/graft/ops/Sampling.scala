@@ -60,4 +60,48 @@ object Sampling {
         expr(s"(__cw - CAST($weightCol AS BIGINT)) DIV $step"))
       .drop("__h", "__bucket", "__cw")
   }
+
+  /** Temperature-balanced group sampling — the multilingual training-mix
+    * operator (mT5, Raffel et al. JMLR'20 §3.4.3; XLM-R, Conneau et al.
+    * ACL'20 §3): drawing a corpus budget proportionally to group size
+    * starves tail languages/domains, uniformly overfits them; the
+    * standard fix samples group l with probability ∝ n_l^α (α = 1/2
+    * here — the geometric midpoint both papers land near), UPsampling
+    * the tail relative to its share and DOWNsampling the head.
+    *
+    * Exact-integer contract (the §5 portability discipline): weights are
+    * w_l = ⌊√n_l⌋ — `sqrt` is IEEE-754 correctly rounded in every engine
+    * and n_l < 2^52, so the floor is the true integer square root —
+    * targets t_l = min(n_l, budget·w_l ⌊/⌋ Σw) in pure long arithmetic,
+    * and the selection is the t_l rows of each group with the SMALLEST
+    * md5 key hash (a total order, no ties) — so two engines, or two runs
+    * over different partitionings, pick byte-identical rows and EXACT
+    * per-group counts, which is what a training-mix spec audits.
+    *
+    * Scale shape: group sizes are one answer-sized aggregate broadcast
+    * back; selection is one per-group rank (a sort shuffle partitioned
+    * by the group — the price of exact counts; a budget too large to
+    * sort per-group trades exactness for [[systematicWeighted]]'s
+    * stratified walk). Returns (groupCol, idCol, n_grp, t_grp) for the
+    * selected rows. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      budget: Column, salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_grp"))
+      .withColumn("w_l", floor(sqrt(col("n_grp"))).cast("long"))
+    val sw = counts.agg(sum(col("w_l")).as("sw"))
+    val targets = counts.crossJoin(broadcast(sw))
+      .withColumn("__bw", (budget.cast("long") * col("w_l")))
+      // truncating long division (DIV) — never the double `/`
+      .select(col(groupCol), col("n_grp"),
+        least(col("n_grp"), expr("__bw DIV sw")).as("t_grp"))
+    val h = conv(substring(md5(concat_ws(":", lit(salt),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
+    df.select(col(groupCol), col(idCol))
+      .withColumn("__h", h)
+      .withColumn("__r", row_number().over(w))
+      .join(broadcast(targets), Seq(groupCol))
+      .filter(col("__r") <= col("t_grp"))
+      .select(col(groupCol), col(idCol), col("n_grp"), col("t_grp"))
+  }
 }

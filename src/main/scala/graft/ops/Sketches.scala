@@ -124,6 +124,11 @@ object Sketches {
     * representable as a double (a power of two). */
   val KmvM: Double = 1152921504606846976.0d // 2^60
 
+  /** The KMV key hash (public so streaming callers can pre-hash on the
+    * stream side): 60-bit md5-prefix of (salt, key) — the [[h60]] /
+    * [[Sampling.shard]] convention, rebuildable in any engine. */
+  def kmvHash(key: Column, salt: String = "kmv"): Column = h60(salt, key)
+
   /** K-minimum-values sketch (Bar-Yossef et al. RANDOM'02; unbiased
     * estimator per Beyer et al. SIGMOD'07): per group, the k SMALLEST
     * distinct 60-bit key hashes, as rows (group, h, r) with r ∈ [1, k].
@@ -133,33 +138,37 @@ object Sketches {
     * INTERSECTION / Jaccard estimates ([[kmvPairStats]] — the
     * theta-sketch trick), not just cardinality.
     *
-    * Build shape: one (group, h) dedupe (map-side combined — the same
-    * first stage exact COUNT(DISTINCT) pays) then a per-group sort-window
-    * rank; the sketch's 100 TB value is in what happens AFTER the build —
-    * k rows per group persist, any partition layout merges by
+    * Build shape: ONE partial-aggregated shuffle through the native
+    * bounded bottom-k aggregate ([[org.apache.spark.sql.graft
+    * .BottomKLongs]]) — each map task reduces its rows to ≤ k distinct
+    * hashes per group before the exchange, so the shuffle carries
+    * |tasks|×|groups|×k longs (r1–r10 shipped distinct + window
+    * `row_number()`, which shuffled and single-task-sorted every distinct
+    * hash in the corpus — the difference at 10^9 distinct keys is the
+    * whole job). The sketch's 100 TB value is in what happens AFTER the
+    * build — k rows per group persist, any partition layout merges by
     * [[kmvMerge]] in sketch-sized work, and every estimate downstream is
     * answer-sized. Deterministic by construction: the md5 hash order is a
     * total order, ties impossible among distinct hashes. */
   def kmvSketch(df: DataFrame, groupCol: String, key: Column,
       k: Int = 64, salt: String = "kmv"): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col("h"))
-    df.select(col(groupCol), h60(salt, key).as("h")).distinct()
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= k)
+    df.groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.graft.BottomKLongs(h60(salt, key), k).as("hs"))
+      .select(col(groupCol), posexplode(col("hs")).as(Seq("p", "h")))
+      .select(col(groupCol), col("h"), (col("p") + 1).cast("int").as("r"))
   }
 
   /** Merge two sketch tables built with the same (k, salt): bottom-k of
     * the union of hash sets — sketch(A ∪ B), the incremental-build
-    * operation (daily sketches roll up without re-scanning). */
+    * operation (daily sketches roll up without re-scanning). Sketch-sized
+    * work: the bounded aggregate over 2×groups×k input rows. */
   def kmvMerge(a: DataFrame, b: DataFrame, groupCol: String, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col("h"))
     a.select(col(groupCol), col("h")).unionByName(b.select(col(groupCol), col("h")))
-      .distinct()
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= k)
+      .groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.graft.BottomKLongs(col("h"), k).as("hs"))
+      .select(col(groupCol), posexplode(col("hs")).as(Seq("p", "h")))
+      .select(col(groupCol), col("h"), (col("p") + 1).cast("int").as("r"))
   }
 
   /** Per-group cardinality estimate from a sketch table: sketches holding

@@ -741,6 +741,119 @@ object EventQueries {
                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
       SELECT event_type, d, n, CAST(w AS BIGINT) AS n_win,
              (w*n - s)*(w*n - s) > 4*(w*q - s*s) AS flag
-      FROM win ORDER BY event_type, d"""))
+      FROM win ORDER BY event_type, d""")),
+
+    // STREAMING count-min frequency sketch: q129's depth×width counter
+    // table as live bounded state — counters are SUMs, and sum is batch-
+    // and order-invariant, so `Sketches.cmsCounters` runs UNCHANGED on a
+    // streaming frame (the q131 register discipline applied to the
+    // frequency sketch). The corpus replays shuffled across 4 arbitrary
+    // micro-batches; complete-mode state is ≤ depth×width rows no matter
+    // how long the stream runs, where exact streaming token counting
+    // would hold every distinct token ever seen. The batch half then
+    // point-estimates the top-8 true-frequency tokens against the
+    // STREAMED counters, and the DuckDB oracle rebuilds every counter
+    // and estimate from the raw table (q129's SQL verbatim): hash
+    // equality proves streamed counters == from-scratch batch counters
+    // bit-for-bit regardless of the batch split.
+    QueryDef("q152_stream_freq", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val streamToks = EventsStream.replayShuffled(docs, nFiles = 4)
+        .select(explode(split(graft.text.TextAnalysis.normalize($"text"), " ", -1)).as("tok"))
+      val counters = graft.ops.Sketches.cmsCounters(
+        streamToks, $"tok", lit(1L), depth = 4, width = 32)
+      val sink = s"q152_ctr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = counters.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batchToks = docs.select(
+        explode(split(graft.text.TextAnalysis.normalize($"text"), " ", -1)).as("tok"))
+      val truth = batchToks.groupBy($"tok").agg(count(lit(1)).as("true_n"))
+        .orderBy($"true_n".desc, $"tok").limit(8)
+      val est = graft.ops.Sketches.cmsEstimate(
+        s.table(sink), truth.select($"tok"), "tok", depth = 4, width = 32)
+      truth.join(est, "tok").select($"tok", $"true_n", $"est_n")
+        .orderBy($"tok")
+    }, Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents),
+      cnt AS (SELECT tok, COUNT(*) AS true_n FROM toks GROUP BY 1),
+      probes AS (SELECT tok, true_n FROM cnt ORDER BY true_n DESC, tok LIMIT 8),
+      ctr AS (
+        SELECT i.i AS i,
+               CAST(('0x' || substr(md5('cms:' || CAST(i.i AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 32 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        GROUP BY 1, 2),
+      pb AS (
+        SELECT p.tok, i.i AS i,
+               CAST(('0x' || substr(md5('cms:' || CAST(i.i AS VARCHAR) || ':' || p.tok), 1, 15)) AS BIGINT) % 32 AS bucket
+        FROM probes p CROSS JOIN (SELECT unnest(range(4)) AS i) i),
+      pe AS (SELECT pb.tok, CAST(MIN(COALESCE(ctr.c, 0)) AS BIGINT) AS est_n
+             FROM pb LEFT JOIN ctr ON ctr.i = pb.i AND ctr.bucket = pb.bucket
+             GROUP BY 1)
+      SELECT p.tok, p.true_n, pe.est_n
+      FROM probes p JOIN pe USING (tok) ORDER BY tok""")),
+
+    // STREAMING KMV distinct sketch: the bottom-k aggregate
+    // (org.apache.spark.sql.graft.BottomKLongs — q134's build kernel) as
+    // live bounded state. This closes the mergeable-sketch family's
+    // streaming symmetry (HLL q131, count-min q152, quantile q150, KMV
+    // here): per-group state is ≤ k longs for ANY stream lifetime —
+    // set-union-then-trim is associative, commutative and idempotent, so
+    // the aggregate is batch-split-invariant by construction and the
+    // arbitrary 4-file shuffled replay lands the SAME sketch as a batch
+    // build. The batch half explodes the sink's arrays to (grp, h, r)
+    // rows and attaches the q134 unbiased estimate; the oracle rebuilds
+    // the bottom-k from the raw events table — hash equality proves
+    // streamed sketch == from-scratch batch sketch, hash for hash.
+    QueryDef("q153_stream_kmv", (s, dir) => {
+      import s.implicits._
+      val k = 64
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_type".as("grp"), $"user_id")
+      val sk0 = EventsStream.replayShuffled(ev, nFiles = 4)
+        .groupBy($"grp")
+        .agg(org.apache.spark.sql.graft.BottomKLongs(
+          graft.ops.Sketches.kmvHash($"user_id"), k).as("hs"))
+      val sink = s"q153_kmv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = sk0.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sk = s.table(sink)
+        .select($"grp", posexplode($"hs").as(Seq("p", "h")))
+        .select($"grp", $"h", ($"p" + 1).cast("int").as("r"))
+      // estimate via windows over the SAME frame — a kmvEstimate self-join
+      // trips attribute-conflict resolution on streaming memory sinks
+      // (the q149/ddQuantiles discipline); sketch-sized work either way
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"grp")
+      sk.withColumn("__sz", count(lit(1)).over(wAll))
+        .withColumn("__hk", max($"h").over(wAll))
+        .select($"grp", $"r", $"h",
+          when($"__sz" < k, $"__sz".cast("double"))
+            .otherwise(lit((k - 1).toDouble * graft.ops.Sketches.KmvM) / $"__hk")
+            .as("est"))
+        .orderBy($"grp", $"r")
+    }, Some("""
+      WITH h AS (
+        SELECT DISTINCT event_type AS grp,
+               CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events),
+      rk AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r FROM h),
+      sk AS (SELECT grp, h, CAST(r AS INTEGER) AS r FROM rk WHERE r <= 64),
+      est AS (
+        SELECT grp,
+               CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 / MAX(h) END AS est
+        FROM sk GROUP BY 1)
+      SELECT s.grp, s.r, s.h, e.est
+      FROM sk s JOIN est e USING (grp)
+      ORDER BY s.grp, s.r"""))
   )
 }

@@ -702,6 +702,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_temperature_sample"),
+      info("graft_temperature_sample",
+        "graft_temperature_sample(table, groupCol, idCol, budget) - temperature-balanced group sampling (mT5/XLM-R alpha=1/2 training mix): per-group targets t_l = min(n_l, budget*floor(sqrt(n_l)) DIV sum) with the t_l smallest md5 key hashes selected deterministically: (group, id, n_grp, t_grp)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_temperature_sample(table, groupCol, idCol, budget) takes 4 arguments")
+        require(args(3).foldable, "budget must be a literal")
+        graft.ops.Sampling.temperatureSample(tableArg(args(0)),
+          strArg(args(1), "groupCol"), strArg(args(2), "idCol"),
+          org.apache.spark.sql.functions.lit(
+            args(3).eval().asInstanceOf[Number].longValue()))
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

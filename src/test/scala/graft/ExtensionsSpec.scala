@@ -443,6 +443,17 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(qsk.getInt(0) == 500 && qsk.getLong(1) == 1000L)
       val qe = qsk.getLong(2)
       assert(qe <= 500 && 500 < qe + qe / 8 + 1, s"median bucket est=$qe")
+
+      // temperature sample: exact targets — 400*floor(sqrt) weights over
+      // a 900/100 skew give head 400*30/40=300, tail min(100, 400*10/40)=100
+      ((0L until 900L).map(i => (i, "en")) ++ (1000L until 1100L).map(i => (i, "sw")))
+        .toDF("id", "lang").createOrReplaceTempView("tf_ts")
+      val ts = spark.sql(
+        """SELECT lang, COUNT(*) AS n, MIN(t_grp) AS t
+           FROM graft_temperature_sample('tf_ts', 'lang', 'id', 400)
+           GROUP BY lang ORDER BY lang""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(ts == Seq(("en", 300L, 300L), ("sw", 100L, 100L)), ts.mkString(","))
     } finally {
       // don't leak this untuned session (200 shuffle partitions) into the
       // suites that follow — TestSession rebuilds the tuned one on demand

@@ -1134,6 +1134,35 @@ class OperatorsSpec extends SparkSpec {
     } finally { sel.unpersist(); () }
   }
 
+  test("temperatureSample: exact per-group targets, tail upsampled, repartition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // skewed mix: head 'en' 1600 docs, tail 'sw' 100 docs
+    val df = ((0L until 1600L).map(i => (i, "en")) ++
+      (10000L until 10100L).map(i => (i, "sw"))).toDF("id", "lang")
+    val sel = graft.ops.Sampling.temperatureSample(df, "lang", "id", lit(850L))
+      .persist()
+    try {
+      // per-group counts are EXACTLY the declared t_grp, Σ ≤ budget
+      val got = sel.groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tg = sel.select($"lang", $"t_grp").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == tg, s"counts $got != targets $tg")
+      assert(got.values.sum <= 850L)
+      // α = 1/2 reshapes the mix: the tail keeps a LARGER fraction than
+      // the head (⌊√1600⌋=40 vs ⌊√100⌋=10 → en 850*40/50=680 of 1600
+      // = 42.5%, sw min(100, 850*10/50=170) = 100 of 100 = 100%)
+      assert(tg("en") == 680L && tg("sw") == 100L, s"targets $tg")
+      // selection is a pure function of the key hash: repartitioning
+      // changes nothing
+      val sel2 = graft.ops.Sampling.temperatureSample(
+        df.repartition(13), "lang", "id", lit(850L))
+      assert(sel.orderBy("lang", "id").collect().toSeq ==
+        sel2.orderBy("lang", "id").collect().toSeq)
+    } finally { sel.unpersist(); () }
+  }
+
   test("Itemsets.frequentPairs: a-priori prunes rare items, pair threshold bites, lift exact") {
     // 10 baskets; x,y in 8 of them together; z in 3; rare in 1
     val rows = (1L to 10L).flatMap { b =>

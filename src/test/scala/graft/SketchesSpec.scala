@@ -199,4 +199,25 @@ class SketchesSpec extends SparkSpec {
     val e2 = intercept[Exception](Sketches.ddBuckets(big, "grp", $"v").collect())
     assert(e2.getMessage.contains("2^56"))
   }
+
+  test("KMV build kernel: bottom-k aggregate equals the rank build, with no window in the plan") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i => (s"x$i", s"g${i % 3}")).toDF("k", "grp")
+    val sk = Sketches.kmvSketch(df, "grp", $"k", k = 48)
+    // reference: the r10 distinct + window row_number shape, inline
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp").orderBy($"h")
+    val ref = df.select($"grp", Sketches.kmvHash($"k").as("h")).distinct()
+      .withColumn("r", row_number().over(w).cast("int"))
+      .filter($"r" <= 48)
+    assert(sk.orderBy("grp", "r").collect().toSeq ==
+      ref.orderBy("grp", "r").collect().toSeq)
+    // the point of the kernel: partial aggregation before the exchange,
+    // no per-group sort of the full distinct hash set
+    val plan = sk.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"kmvSketch should not plan a window:\n$plan")
+    assert(plan.contains("partial_bottom_k_longs"),
+      s"expected map-side partial bottom_k_longs:\n$plan")
+  }
 }
