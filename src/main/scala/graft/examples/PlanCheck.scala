@@ -498,6 +498,14 @@ object PlanCheck {
       "map-side partial bottom-k" -> "partial_bottom_k_longs"),
       mustNotContain = Seq(
         "no distinct-set window rank" -> "row_number")),
+    // SCC: the peel rounds run inside eager per-round checkpoints, so
+    // the final plan is the node-sized label/size join — sizes are a
+    // map-side-combined count, the join answer-sized
+    Want("q155_scc", Seq(
+      "map-side-combined component sizes" -> "partial_count"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested loop" -> "BroadcastNestedLoopJoin")),
     // temperature sampling: group sizes/targets ride a broadcast back to
     // the corpus; the only sort is the per-group rank the exact-count
     // contract requires

@@ -1474,7 +1474,71 @@ object RelationalQueries {
         .unionByName(both.select($"b".as("src"), $"a".as("dst")))
       graft.ops.KCore.kcore(edges, "src", "dst", k = 2)
         .orderBy($"node")
-    }, Some(kcoreOracleSql(rounds = 8, k = 2)))
+    }, Some(kcoreOracleSql(rounds = 8, k = 2))),
+
+    // Strongly connected components (ops/Scc.scala — FW-BW min-label
+    // coloring) over a genuinely DIRECTED graph: within each order,
+    // supplier of line i → supplier of line i+1 (the successor relation
+    // — dense enough at every sf that the suppliers form one giant SCC,
+    // the web-bowtie core of Broder WWW'00). The planted specimens pin
+    // the structure the giant core can't show: an IN-tendril →
+    // 3-cycle → OUT-tendril bowtie in miniature (the cycle is an SCC of
+    // 3; both tendrils are singletons that resolve only AFTER their
+    // neighbor peels — outer-round cascade) and a 4-node directed path
+    // (resolves ONE node per round: the q151-style cascade proof that a
+    // one-shot label pass cannot compute this). Labels are exact min
+    // node ids, sizes exact counts — the DuckDB oracle rebuilds the
+    // answer from a full recursive-CTE transitive closure + mutual-
+    // reachability (tractable at oracle sf; the Spark side never
+    // materializes a closure — min-label propagation is linear in edges
+    // per step). Output (node, scc, n_scc) is node-sized.
+    QueryDef("q155_scc", (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_orderkey").orderBy($"l_linenumber")
+      val nat = t(s, dir, "lineitem")
+        .select($"l_suppkey".as("src"), lead($"l_suppkey", 1).over(w).as("dst"))
+        .filter($"dst".isNotNull && $"src" =!= $"dst")
+        .distinct()
+      val planted = Seq(
+        (9000001L, 9000011L),                                          // IN-tendril
+        (9000011L, 9000012L), (9000012L, 9000013L), (9000013L, 9000011L), // 3-cycle
+        (9000013L, 9000021L),                                          // OUT-tendril
+        (9000031L, 9000032L), (9000032L, 9000033L), (9000033L, 9000034L)) // path
+        .toDF("src", "dst")
+      val lab = graft.ops.Scc.scc(nat.unionByName(planted), "src", "dst")
+      val sz = lab.groupBy($"scc").agg(count(lit(1)).as("n_scc"))
+      lab.join(sz, "scc").select($"node", $"scc", $"n_scc")
+        .orderBy($"node")
+    }, Some("""
+      WITH RECURSIVE succ AS (
+        SELECT l_suppkey AS s1,
+               LEAD(l_suppkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS s2
+        FROM lineitem),
+      nat AS (SELECT DISTINCT s1 AS src, s2 AS dst
+              FROM succ WHERE s2 IS NOT NULL AND s1 <> s2),
+      planted(src, dst) AS (
+        SELECT CAST(a AS BIGINT), CAST(b AS BIGINT) FROM (VALUES
+          (9000001, 9000011),
+          (9000011, 9000012), (9000012, 9000013), (9000013, 9000011),
+          (9000013, 9000021),
+          (9000031, 9000032), (9000032, 9000033), (9000033, 9000034)) v(a, b)),
+      edges AS (SELECT src, dst FROM nat UNION SELECT src, dst FROM planted),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      mut AS (SELECT a.src AS v, a.dst AS w
+              FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src),
+      lab AS (SELECT n.node,
+                     LEAST(n.node, COALESCE(MIN(m.w), n.node)) AS scc
+              FROM nodes n LEFT JOIN mut m ON m.v = n.node
+              GROUP BY n.node),
+      sz AS (SELECT scc, COUNT(*) AS n_scc FROM lab GROUP BY 1)
+      SELECT l.node, l.scc, CAST(sz.n_scc AS BIGINT) AS n_scc
+      FROM lab l JOIN sz USING (scc)
+      ORDER BY l.node"""))
   )
 
   /** The q151 oracle: `rounds` unrolled peel rounds over the trade

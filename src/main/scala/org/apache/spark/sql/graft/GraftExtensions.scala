@@ -703,6 +703,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("graft_scc"),
+      info("graft_scc",
+        "graft_scc(table, srcCol, dstCol) - strongly connected components of a directed edge list (FW-BW min-label coloring): (node, scc) with scc = min node id of the component. Executes the peel fixpoint eagerly (procedure semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_scc(table, srcCol, dstCol) takes 3 arguments")
+        graft.ops.Scc.scc(tableArg(args(0)),
+          strArg(args(1), "srcCol"), strArg(args(2), "dstCol"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("graft_temperature_sample"),
       info("graft_temperature_sample",
         "graft_temperature_sample(table, groupCol, idCol, budget) - temperature-balanced group sampling (mT5/XLM-R alpha=1/2 training mix): per-group targets t_l = min(n_l, budget*floor(sqrt(n_l)) DIV sum) with the t_l smallest md5 key hashes selected deterministically: (group, id, n_grp, t_grp)"),

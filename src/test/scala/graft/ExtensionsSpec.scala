@@ -444,6 +444,14 @@ class ExtensionsSpec extends AnyFunSuite {
       val qe = qsk.getLong(2)
       assert(qe <= 500 && 500 < qe + qe / 8 + 1, s"median bucket est=$qe")
 
+      // scc: the 2-cycle is one component, the tendril its own
+      Seq((1L, 2L), (2L, 1L), (2L, 5L)).toDF("s", "d")
+        .createOrReplaceTempView("tf_scc")
+      val sc = spark.sql(
+        """SELECT node, scc FROM graft_scc('tf_scc', 's', 'd') ORDER BY node""")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(sc == Seq((1L, 1L), (2L, 1L), (5L, 5L)), sc.mkString(","))
+
       // temperature sample: exact targets — 400*floor(sqrt) weights over
       // a 900/100 skew give head 400*30/40=300, tail min(100, 400*10/40)=100
       ((0L until 900L).map(i => (i, "en")) ++ (1000L until 1100L).map(i => (i, "sw")))

@@ -1277,6 +1277,30 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("fixpoint"))
   }
 
+  test("Scc: bowtie labels exact, tendrils peel in cascade, round guard raises") {
+    import org.apache.spark.sql.functions._
+    // miniature web bowtie: IN-tendril 1 → core cycle {10,11,12} →
+    // OUT-tendril 20, plus a separate 2-cycle {30,31} and a directed
+    // 3-path 40→41→42 (each node its own SCC — resolves one per round)
+    val edges = Seq(
+      (1L, 10L), (10L, 11L), (11L, 12L), (12L, 10L), (12L, 20L),
+      (30L, 31L), (31L, 30L), (40L, 41L), (41L, 42L)).toDF("src", "dst")
+    val got = graft.ops.Scc.scc(edges, "src", "dst")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(1L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 30L -> 30L, 31L -> 30L, 40L -> 40L, 41L -> 41L, 42L -> 42L),
+      s"scc labels wrong: $got")
+    // a tendril cascade longer than maxRounds must raise, never return
+    // a partial labeling
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Scc.scc(edges, "src", "dst", maxRounds = 2).count()
+    }
+    assert(e.getMessage.contains("unresolved"))
+    // self-loops are ignored: a pure self-loop graph has no edges left
+    val loops = Seq((5L, 5L)).toDF("src", "dst")
+    assert(graft.ops.Scc.scc(loops, "src", "dst").count() == 0)
+  }
+
   test("RandomWalk: choices replay the md5 recipe; dangling nodes stop with NULLs") {
     import org.apache.spark.sql.functions._
     // 1 -> {2, 3} (two choices), 2 -> {1}, 3 dangles (no out-edges);
