@@ -368,6 +368,93 @@ object Multimodal {
       }
   }
 
+  // ---- perceptual audio fingerprint (energy-delta bits) ----
+
+  /** Noise-textured PCM16 sample as a pure integer function of
+    * (waveform key, frame index) — the q111 pixel formula applied to
+    * audio, so an oracle derives every sample arithmetically while
+    * Spark round-trips REAL WAV bytes. The middle-square step (v² ≫ 8)
+    * is the load-bearing nonlinearity: a plain LCG of (base, t) makes
+    * every waveform a PHASE SHIFT of one arithmetic progression, and
+    * phase-shifted energy profiles near-collide — fingerprints then
+    * pair quadratically (measured: 40% of ALL pairs under hamming ≤ 3).
+    * Squaring scrambles the middle bits per (base, t), and the answer
+    * is sparse again. */
+  def synthNoiseSample(base: Long, t: Int): Short = {
+    val v = (base * 1103515245L + t.toLong * 12345L) & 0xFFFFL
+    ((((v * v) >> 8) & 0xFFFFL) - 32768L).toShort
+  }
+
+  /** Frames per [[synthNoiseAudio]] asset: 65 windows × 8 frames — 64
+    * energy-delta bits. */
+  val NoiseFrames: Int = 520
+
+  /** Generate REAL mono 8 kHz WAVs whose samples follow
+    * [[synthNoiseSample]] (decodable by any RIFF parser). */
+  def synthNoiseAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val samples = Array.tabulate(NoiseFrames)(t => synthNoiseSample(id, t))
+          Asset(id, AudioCodec.encodeWav(samples, 8000, 1))
+        }
+      }.toDF()
+  }
+
+  /** Planted near-twin WAV pairs: ids base+2i carry waveform base+2i;
+    * ids base+2i+1 carry the SAME waveform with frame 0 zeroed — one
+    * window's energy moves, so at most ONE fingerprint bit flips
+    * (hamming ≤ 1: a near-dup row, or an identical-hash class when the
+    * bit doesn't cross its threshold). */
+  def synthTwinAudio(spark: SparkSession, nPairs: Int, base: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nPairs).as[Long]
+      .flatMap { i =>
+        val wf = base + 2 * i
+        val orig = Array.tabulate(NoiseFrames)(t => synthNoiseSample(wf, t))
+        val twin = orig.clone(); twin(0) = 0
+        Seq(Asset(wf, AudioCodec.encodeWav(orig, 8000, 1)),
+          Asset(wf + 1, AudioCodec.encodeWav(twin, 8000, 1)))
+      }.toDF()
+  }
+
+  /** Haitsma–Kalker-style fingerprint (ISMIR'02, the energy-delta
+    * primitive of industrial audio fingerprinting) over REAL decoded
+    * PCM: window w's energy E_w = Σ s² over 8 frames (exact long —
+    * 8·32768² < 2^34), bit p = [E_{p+1} > E_p] for p ∈ [0, 64), packed
+    * into 4 bands of 16 bits — the SAME (doc_id, b0..b3) shape as
+    * [[aHashBands]], so [[imageNearDupPairs]]' class-collapsed banded
+    * hamming join runs unchanged on audio. Mono payloads shorter than
+    * [[NoiseFrames]] frames are skipped (documented domain). Per-row
+    * decode kernel, no shuffle. */
+  def audioFingerprintBands(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          AudioCodec.decodeWav(bytes)
+            .filter(p => p.channels == 1 && p.samples.length >= NoiseFrames)
+            .map { pcm =>
+              val e = new Array[Long](65)
+              var t = 0
+              while (t < NoiseFrames) {
+                val s = pcm.samples(t).toLong
+                e(t / 8) += s * s
+                t += 1
+              }
+              val bands = new Array[Int](4)
+              var p = 0
+              while (p < 64) {
+                if (e(p + 1) > e(p)) bands(p / 16) |= 1 << (p % 16)
+                p += 1
+              }
+              (id, bands(0), bands(1), bands(2), bands(3))
+            }
+        }
+      }.toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
   /** Magic-byte format sniff — pure expression, codegen'd. */
   def sniffFormat(df: DataFrame): DataFrame =
     df.withColumn("format",

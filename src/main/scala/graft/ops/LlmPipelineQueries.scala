@@ -2275,7 +2275,88 @@ object LlmPipelineQueries {
       SELECT rk.lang, rk.doc_id, t.n_grp, t.t_grp
       FROM rk JOIN t USING (lang)
       WHERE rk.r <= t.t_grp
-      ORDER BY rk.lang, rk.doc_id"""))
+      ORDER BY rk.lang, rk.doc_id""")),
+
+    // Perceptual AUDIO near-dup (Multimodal.audioFingerprintBands +
+    // the SAME class-collapsed banded hamming join as q111 — the
+    // fingerprint lands in q111's (id, b0..b3) shape by design, so one
+    // join kernel serves both modalities): Haitsma–Kalker energy-delta
+    // bits (ISMIR'02) over REAL decoded PCM — 65 windows × 8 frames,
+    // bit p = [E_{p+1} > E_p], 4 bands of 16 bits, exact recall for
+    // hamming ≤ 3 by the pigeonhole. The q111 arithmetic-oracle trick
+    // applied to WAVEFORMS: samples are a pure integer LCG of
+    // (waveform, t) and PCM16/RIFF is lossless, so DuckDB derives every
+    // sample, energy, bit, band, candidate and hamming while Spark
+    // actually encodes and decodes WAV bytes — an endianness, header,
+    // or interleave bug breaks the hash equality. Planted twins (frame
+    // 0 zeroed) land at hamming ≤ 1 and keep the answer non-degenerate.
+    QueryDef("q156_audio_neardup", (s, dir) => {
+      import s.implicits._
+      val organic = Tables.load(s, dir, "documents")
+        .select($"doc_id").filter($"doc_id" % 3 =!= 2)
+      val assets = Multimodal.synthNoiseAudio(s, organic)
+        .unionByName(Multimodal.synthTwinAudio(s, nPairs = 8, base = 4000000L))
+      Multimodal.imageNearDupPairs(
+          Multimodal.audioFingerprintBands(s, assets), maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }, Some("""
+      WITH ids AS (
+        SELECT doc_id AS id, doc_id AS base, FALSE AS twin
+        FROM documents WHERE doc_id % 3 <> 2
+        UNION ALL
+        SELECT 4000000 + 2*i, 4000000 + 2*i, FALSE FROM range(8) t(i)
+        UNION ALL
+        SELECT 4000000 + 2*i + 1, 4000000 + 2*i, TRUE FROM range(8) t(i)),
+      v AS (
+        SELECT id, t.t AS t, twin,
+               (base * CAST(1103515245 AS BIGINT) + t.t * 12345) & 65535 AS v
+        FROM ids, range(520) t(t)),
+      smp AS (
+        SELECT id, t,
+               CASE WHEN twin AND t = 0 THEN 0
+                    ELSE (((v * v) >> 8) & 65535) - 32768
+               END AS s
+        FROM v),
+      en AS (SELECT id, t // 8 AS w, SUM(CAST(s AS BIGINT) * s) AS e
+             FROM smp GROUP BY 1, 2),
+      bits AS (
+        SELECT a.id, (a.w - 1) // 16 AS j,
+               CASE WHEN a.e > b.e THEN (1 << CAST((a.w - 1) % 16 AS INTEGER)) ELSE 0 END AS bv
+        FROM en a JOIN en b ON b.id = a.id AND b.w = a.w - 1
+        WHERE a.w >= 1),
+      bands AS (SELECT id, j, CAST(SUM(bv) AS BIGINT) AS v FROM bits GROUP BY 1, 2),
+      wide AS (
+        SELECT id,
+               MAX(CASE WHEN j = 0 THEN v END) AS b0,
+               MAX(CASE WHEN j = 1 THEN v END) AS b1,
+               MAX(CASE WHEN j = 2 THEN v END) AS b2,
+               MAX(CASE WHEN j = 3 THEN v END) AS b3
+        FROM bands GROUP BY id),
+      classes AS (
+        SELECT MIN(id) AS rep, COUNT(*) AS n, b0, b1, b2, b3
+        FROM wide GROUP BY b0, b1, b2, b3),
+      zero AS (
+        SELECT rep AS id_a, rep AS id_b, 0 AS hamming, n AS n_a, n AS n_b
+        FROM classes WHERE n >= 2),
+      cb AS (
+        SELECT rep, 0 AS j, b0 AS v FROM classes
+        UNION ALL SELECT rep, 1, b1 FROM classes
+        UNION ALL SELECT rep, 2, b2 FROM classes
+        UNION ALL SELECT rep, 3, b3 FROM classes),
+      cand AS (
+        SELECT DISTINCT a.rep AS ra, b.rep AS rb
+        FROM cb a JOIN cb b ON a.j = b.j AND a.v = b.v AND a.rep < b.rep),
+      near AS (
+        SELECT ra, rb,
+               bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming,
+               x.n AS n_a, y.n AS n_b
+        FROM cand JOIN classes x ON x.rep = ra JOIN classes y ON y.rep = rb)
+      SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming, n_a, n_b FROM (
+        SELECT * FROM zero
+        UNION ALL
+        SELECT ra, rb, hamming, n_a, n_b FROM near WHERE hamming BETWEEN 1 AND 3)
+      ORDER BY id_a, id_b"""))
   )
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences

@@ -688,6 +688,42 @@ class PipelineSpec extends SparkSpec {
     assert(p.sample_rate == -1 && p.payload.toSeq == "junk".getBytes.toSeq)
   }
 
+  test("audio fingerprint: real WAV roundtrip matches the arithmetic recipe; twins within hamming 1") {
+    import graft.multimodal.Multimodal
+    val docs = Seq(7L, 8L, 20L).toDF("doc_id")
+    val fp = Multimodal.audioFingerprintBands(
+        spark, Multimodal.synthNoiseAudio(spark, docs))
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // recompute the fingerprint from the PURE sample formula (no codec):
+    // the equality proves the WAV encode/decode path is byte-faithful
+    def ref(id: Long): Seq[Int] = {
+      val e = new Array[Long](65)
+      (0 until Multimodal.NoiseFrames).foreach { t =>
+        val s = Multimodal.synthNoiseSample(id, t).toLong
+        e(t / 8) += s * s
+      }
+      val b = new Array[Int](4)
+      (0 until 64).foreach(p => if (e(p + 1) > e(p)) b(p / 16) |= 1 << (p % 16))
+      b.toSeq
+    }
+    Seq(7L, 8L, 20L).foreach(id => assert(fp(id) == ref(id), s"fp($id)"))
+    // distinct waveforms are FAR apart (the middle-square nonlinearity:
+    // a phase-shifted linear progression would near-collide)
+    def ham(a: Seq[Int], b: Seq[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    assert(ham(fp(7L), fp(8L)) > 3 && ham(fp(7L), fp(20L)) > 3)
+    // a zeroed-frame twin moves at most one energy-delta bit
+    val twins = Multimodal.audioFingerprintBands(
+        spark, Multimodal.synthTwinAudio(spark, nPairs = 4, base = 100L))
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    (0 until 4).foreach { i =>
+      val d = ham(twins(100L + 2 * i), twins(100L + 2 * i + 1))
+      assert(d <= 1, s"twin pair $i hamming $d")
+    }
+  }
+
   test("EmbeddingQc flags zero/non-finite vectors; norms are exact micro-units") {
     import graft.similarity.EmbeddingQc
     val embs = Seq(
