@@ -455,6 +455,111 @@ object Multimodal {
       }.toDF("doc_id", "b0", "b1", "b2", "b3")
   }
 
+  // ---- temporal video fingerprint (luma-delta bits over frames) ----
+
+  /** Frames per [[synthVideo]] asset: 65 frames × [[VideoFrameBytes]]
+    * bytes — 64 luma-delta bits, the q156 window count applied to the
+    * time axis. */
+  val VideoFrames: Int = 65
+  val VideoFrameBytes: Int = 64
+
+  /** Pseudo-video payload byte at global byte index i — the q156
+    * middle-square formula (the nonlinearity matters for the same
+    * reason: phase-shifted linear payloads would near-collide). */
+  def synthVideoByte(base: Long, i: Int): Byte = {
+    val v = (base * 1103515245L + i.toLong * 12345L) & 0xFFFFL
+    (((v * v) >> 8) & 0xFFL).toByte
+  }
+
+  /** Generate pseudo-video payloads: 4-byte magic "VID0" + 65 fixed-size
+    * frames whose bytes follow [[synthVideoByte]]. No video codec ships
+    * with the JRE (the [[sampleFrames]] contract), so the container IS
+    * the honest format here — the fingerprint story is the temporal
+    * structure, not the codec. */
+  def synthVideo(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val magic = "VID0".getBytes("US-ASCII")
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val body = Array.tabulate(VideoFrames * VideoFrameBytes)(
+            i => synthVideoByte(id, i))
+          Asset(id, magic ++ body)
+        }
+      }.toDF()
+  }
+
+  /** Planted near-twin videos: ids base+2i carry payload base+2i; ids
+    * base+2i+1 carry the SAME payload with frame 0 zeroed — one frame's
+    * luma moves, at most ONE temporal bit flips. */
+  def synthTwinVideo(spark: SparkSession, nPairs: Int, base: Long): DataFrame = {
+    import spark.implicits._
+    val magic = "VID0".getBytes("US-ASCII")
+    spark.range(nPairs).as[Long]
+      .flatMap { i =>
+        val wf = base + 2 * i
+        val orig = Array.tabulate(VideoFrames * VideoFrameBytes)(
+          b => synthVideoByte(wf, b))
+        val twin = orig.clone()
+        java.util.Arrays.fill(twin, 0, VideoFrameBytes, 0.toByte)
+        Seq(Asset(wf, magic ++ orig), Asset(wf + 1, magic ++ twin))
+      }.toDF()
+  }
+
+  /** Per-frame luma proxy (unsigned byte sum) over [[sampleFrames]]
+    * output — the only kernel step (binary column bytes are opaque to
+    * Catalyst); everything after is declarative. */
+  def frameLuma(spark: SparkSession, frames: Dataset[Frame]): DataFrame = {
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      it.map { f =>
+        var s = 0L
+        var i = 0
+        while (i < f.frame.length) { s += f.frame(i) & 0xFF; i += 1 }
+        (f.doc_id, f.frame_idx, s)
+      }
+    }.toDF("doc_id", "frame_idx", "luma")
+  }
+
+  /** Temporal video fingerprint — the q156 energy-delta construction on
+    * the TIME axis (TIRI-style temporal signatures): bit f =
+    * [L_{f+1} > L_f] over 64 consecutive frame-luma deltas, packed into
+    * q111's (doc_id, b0..b3) band shape so [[imageNearDupPairs]] serves
+    * video too — one class-collapsed banded-hamming join kernel for all
+    * three modalities. COMPOSED from [[sampleFrames]] (the existing
+    * demux stage) + [[frameLuma]] + a declarative lead/sum packing: one
+    * doc-keyed window, one groupBy — no bespoke fingerprint kernel.
+    * Assets shorter than [[VideoFrames]] frames are skipped. */
+  def videoFingerprintBands(spark: SparkSession, assets: DataFrame): DataFrame = {
+    val lum = frameLuma(spark,
+      sampleFrames(spark, assets, frameBytes = VideoFrameBytes, everyN = 1))
+      .filter(col("frame_idx") < VideoFrames)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    lum
+      .withColumn("nf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("nf") >= VideoFrames)
+      .withColumn("nxt", lead(col("luma"), 1).over(w))
+      .filter(col("frame_idx") < VideoFrames - 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("nxt") > col("luma") && col("frame_idx") < 16,
+          pow(lit(2.0), pmod(col("frame_idx"), lit(16))).cast("int")).otherwise(0))
+          .cast("int").as("b0"),
+        sum(when(col("nxt") > col("luma") &&
+          col("frame_idx") >= 16 && col("frame_idx") < 32,
+          pow(lit(2.0), pmod(col("frame_idx"), lit(16))).cast("int")).otherwise(0))
+          .cast("int").as("b1"),
+        sum(when(col("nxt") > col("luma") &&
+          col("frame_idx") >= 32 && col("frame_idx") < 48,
+          pow(lit(2.0), pmod(col("frame_idx"), lit(16))).cast("int")).otherwise(0))
+          .cast("int").as("b2"),
+        sum(when(col("nxt") > col("luma") && col("frame_idx") >= 48,
+          pow(lit(2.0), pmod(col("frame_idx"), lit(16))).cast("int")).otherwise(0))
+          .cast("int").as("b3"))
+  }
+
   /** Magic-byte format sniff — pure expression, codegen'd. */
   def sniffFormat(df: DataFrame): DataFrame =
     df.withColumn("format",

@@ -2356,6 +2356,84 @@ object LlmPipelineQueries {
         SELECT * FROM zero
         UNION ALL
         SELECT ra, rb, hamming, n_a, n_b FROM near WHERE hamming BETWEEN 1 AND 3)
+      ORDER BY id_a, id_b""")),
+
+    // Temporal VIDEO near-dup (Multimodal.videoFingerprintBands) — the
+    // third modality through the SAME class-collapsed banded-hamming
+    // join: TIRI-style temporal signature (bit f = [luma_{f+1} >
+    // luma_f] over 64 frame transitions, four 16-bit bands). COMPOSED
+    // from the existing demux stage — sampleFrames → one per-frame luma
+    // kernel (binary bytes are opaque to Catalyst) → a fully
+    // DECLARATIVE lead/sum bit-packing (one doc-keyed window, one
+    // groupBy; no bespoke fingerprint kernel). No video codec ships
+    // with the JRE, so the pseudo-frame container IS the honest format
+    // (the sampleFrames contract) and the oracle derives every byte,
+    // luma, bit and band from the q156 middle-square formula. Planted
+    // zeroed-frame twins land at hamming ≤ 1.
+    QueryDef("q157_video_neardup", (s, dir) => {
+      import s.implicits._
+      val organic = Tables.load(s, dir, "documents")
+        .select($"doc_id").filter($"doc_id" % 3 =!= 0)
+      val assets = Multimodal.synthVideo(s, organic)
+        .unionByName(Multimodal.synthTwinVideo(s, nPairs = 8, base = 5000000L))
+      Multimodal.imageNearDupPairs(
+          Multimodal.videoFingerprintBands(s, assets), maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }, Some("""
+      WITH ids AS (
+        SELECT doc_id AS id, doc_id AS base, FALSE AS twin
+        FROM documents WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT 5000000 + 2*i, 5000000 + 2*i, FALSE FROM range(8) t(i)
+        UNION ALL
+        SELECT 5000000 + 2*i + 1, 5000000 + 2*i, TRUE FROM range(8) t(i)),
+      v AS (
+        SELECT id, i.i // 64 AS f, twin,
+               (base * CAST(1103515245 AS BIGINT) + i.i * 12345) & 65535 AS v
+        FROM ids, range(4160) i(i)),
+      lum AS (
+        SELECT id, f,
+               SUM(CASE WHEN twin AND f = 0 THEN 0
+                        ELSE ((v * v) >> 8) & 255 END) AS luma
+        FROM v GROUP BY 1, 2),
+      bits AS (
+        SELECT a.id, a.f // 16 AS j,
+               CASE WHEN b.luma > a.luma
+                    THEN (1 << CAST(a.f % 16 AS INTEGER)) ELSE 0 END AS bv
+        FROM lum a JOIN lum b ON b.id = a.id AND b.f = a.f + 1
+        WHERE a.f < 64),
+      bands AS (SELECT id, j, CAST(SUM(bv) AS BIGINT) AS v FROM bits GROUP BY 1, 2),
+      wide AS (
+        SELECT id,
+               MAX(CASE WHEN j = 0 THEN v END) AS b0,
+               MAX(CASE WHEN j = 1 THEN v END) AS b1,
+               MAX(CASE WHEN j = 2 THEN v END) AS b2,
+               MAX(CASE WHEN j = 3 THEN v END) AS b3
+        FROM bands GROUP BY id),
+      classes AS (
+        SELECT MIN(id) AS rep, COUNT(*) AS n, b0, b1, b2, b3
+        FROM wide GROUP BY b0, b1, b2, b3),
+      zero AS (
+        SELECT rep AS id_a, rep AS id_b, 0 AS hamming, n AS n_a, n AS n_b
+        FROM classes WHERE n >= 2),
+      cb AS (
+        SELECT rep, 0 AS j, b0 AS v FROM classes
+        UNION ALL SELECT rep, 1, b1 FROM classes
+        UNION ALL SELECT rep, 2, b2 FROM classes
+        UNION ALL SELECT rep, 3, b3 FROM classes),
+      cand AS (
+        SELECT DISTINCT a.rep AS ra, b.rep AS rb
+        FROM cb a JOIN cb b ON a.j = b.j AND a.v = b.v AND a.rep < b.rep),
+      near AS (
+        SELECT ra, rb,
+               bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming,
+               x.n AS n_a, y.n AS n_b
+        FROM cand JOIN classes x ON x.rep = ra JOIN classes y ON y.rep = rb)
+      SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming, n_a, n_b FROM (
+        SELECT * FROM zero
+        UNION ALL
+        SELECT ra, rb, hamming, n_a, n_b FROM near WHERE hamming BETWEEN 1 AND 3)
       ORDER BY id_a, id_b"""))
   )
 

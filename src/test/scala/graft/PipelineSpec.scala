@@ -724,6 +724,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("video fingerprint: payload bytes match the temporal recipe; twins within hamming 1") {
+    import graft.multimodal.Multimodal
+    val docs = Seq(3L, 4L, 11L).toDF("doc_id")
+    val fp = Multimodal.videoFingerprintBands(
+        spark, Multimodal.synthVideo(spark, docs))
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // recompute from the PURE byte formula — proves the sampleFrames
+    // demux + luma kernel + declarative packing read the same bytes
+    def ref(id: Long): Seq[Int] = {
+      val lum = Array.tabulate(Multimodal.VideoFrames) { f =>
+        (0 until Multimodal.VideoFrameBytes).map(b =>
+          Multimodal.synthVideoByte(id, f * Multimodal.VideoFrameBytes + b)
+            & 0xFF).sum.toLong
+      }
+      val bands = new Array[Int](4)
+      (0 until 64).foreach(f =>
+        if (lum(f + 1) > lum(f)) bands(f / 16) |= 1 << (f % 16))
+      bands.toSeq
+    }
+    Seq(3L, 4L, 11L).foreach(id => assert(fp(id) == ref(id), s"fp($id)"))
+    def ham(a: Seq[Int], b: Seq[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    assert(ham(fp(3L), fp(4L)) > 3 && ham(fp(3L), fp(11L)) > 3)
+    // zeroed-frame twins: at most the one affected transition bit flips
+    val twins = Multimodal.videoFingerprintBands(
+        spark, Multimodal.synthTwinVideo(spark, nPairs = 4, base = 200L))
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    (0 until 4).foreach { i =>
+      val d = ham(twins(200L + 2 * i), twins(200L + 2 * i + 1))
+      assert(d <= 1, s"twin pair $i hamming $d")
+    }
+    // a short payload (fewer than 65 frames) is skipped, not mis-hashed
+    val short = Seq((9L, Array.fill[Byte](4 + 64 * 10)(1))).toDF("doc_id", "payload")
+    assert(Multimodal.videoFingerprintBands(spark, short).count() == 0)
+  }
+
   test("EmbeddingQc flags zero/non-finite vectors; norms are exact micro-units") {
     import graft.similarity.EmbeddingQc
     val embs = Seq(
