@@ -464,6 +464,17 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // substring dedup: the keep-first vote is an order-free min(struct)
+    // aggregate with map-side combine — a hot key (million-occurrence
+    // boilerplate 8-gram) never funnels into one rank-window task; the
+    // only windows are the per-doc islands merge
+    Want("q158_substring_dedup", Seq(
+      "map-side-combined keep-first vote" -> "partial_min",
+      "map-side-combined dup-key counts" -> "partial_count"),
+      mustNotContain = Seq(
+        "keep-first is an aggregate, not a rank window" -> "row_number",
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
     // k-core: the peel rounds run inside eager per-round checkpoints,
     // so the final plan is one map-side-combined degree aggregate over
     // the converged edge set

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.dedup.{Dedup, DedupCache}
+import graft.dedup.{Dedup, DedupCache, SubstringDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.{Ann, Ivf, IvfPq}
 import graft.sources.Tables
@@ -2434,7 +2434,97 @@ object LlmPipelineQueries {
         SELECT * FROM zero
         UNION ALL
         SELECT ra, rb, hamming, n_a, n_b FROM near WHERE hamming BETWEEN 1 AND 3)
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b""")),
+
+    // --- q158: exact repeated-substring excision (Lee et al. ACL'22
+    // ExactSubstr; see dedup/SubstringDedup.scala). Planted specimens:
+    // for every base doc with ≥ 40 tokens and doc_id % 101 == 0, two
+    // synthetic docs share the base's 40-token prefix and diverge at
+    // the first tail token — the operator must excise the prefix from
+    // BOTH plants (keep-first: the base, smallest doc_id, keeps it).
+    QueryDef("q158_substring_dedup", (s, dir) => {
+      import s.implicits._
+      val raw = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val w = split(trim(regexp_replace($"text", "\\s+", " ")), " ", -1)
+      val pre = raw.filter($"doc_id" % 101 === 0 && size(w) >= 40)
+        .select($"doc_id", array_join(slice(w, 1, 40), " ").as("p"))
+      def plant(offset: Long, tag: String) = pre.select(
+        ($"doc_id" + offset).as("doc_id"),
+        concat($"p", lit(s" $tag:"), $"doc_id").as("text"))
+      val aug = raw
+        .unionByName(plant(2000000L, "alphaplant"))
+        .unionByName(plant(3000000L, "betaplant"))
+      SubstringDedup.excise(aug, "text", "doc_id", l = 8).orderBy($"id")
+    }, Some {
+      val P = SubstringDedup.Prime
+      val cs = SubstringDedup.coefs(8)
+      // window key: first token × B^7 … last token × B^0, per-term mod
+      val key = (1 to 8).map(j => s"(c[i+$j]*${cs(8 - j)}) % $P").mkString(" + ")
+      val plantSql = (off: Long, tag: String) => s"""
+        SELECT doc_id + $off, array_to_string(w[1:40], ' ') || ' $tag:' || CAST(doc_id AS VARCHAR)
+        FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents WHERE doc_id % 101 = 0)
+        WHERE len(w) >= 40"""
+      s"""
+      WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL ${plantSql(2000000L, "alphaplant")}
+        UNION ALL ${plantSql(3000000L, "betaplant")}),
+      sp AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                           x -> len(x) > 0) AS toks
+        FROM aug),
+      sp2 AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM sp),
+      cd AS (
+        SELECT id, n,
+               [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % $P FOR x IN toks] AS c
+        FROM sp2),
+      occ AS (
+        SELECT id, p.s AS start, p.k AS key FROM (
+          SELECT id, unnest([{'s': CAST(i AS BIGINT), 'k': ($key) % $P}
+                             FOR i IN range(0, n - 7)]) AS p
+          FROM cd)),
+      rem AS (
+        SELECT id, start, start + 8 AS e FROM (
+          SELECT id, start,
+                 ROW_NUMBER() OVER (PARTITION BY key ORDER BY id, start) AS rn,
+                 COUNT(*) OVER (PARTITION BY key) AS cnt
+          FROM occ)
+        WHERE cnt >= 2 AND rn >= 2),
+      brk AS (
+        SELECT id, start, e,
+               CASE WHEN start > COALESCE(MAX(e) OVER (PARTITION BY id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS b
+        FROM rem),
+      isl AS (
+        SELECT id, g, MIN(start) AS s, MAX(e) AS e, CAST(COUNT(*) AS BIGINT) AS nw FROM (
+          SELECT id, start, e,
+                 SUM(b) OVER (PARTITION BY id ORDER BY start ROWS UNBOUNDED PRECEDING) AS g
+          FROM brk) GROUP BY 1, 2),
+      segs AS (
+        SELECT id, COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY s), 0) AS gs, s AS ge FROM isl
+        UNION ALL
+        SELECT i.id, MAX(i.e) AS gs, MAX(sp2.n) AS ge
+        FROM isl i JOIN sp2 ON sp2.id = i.id GROUP BY i.id),
+      kept AS (
+        SELECT s2.id, string_agg(array_to_string(s2.toks[g.gs+1 : g.ge], ' '), ' ' ORDER BY g.gs) AS txt
+        FROM segs g JOIN sp2 s2 ON s2.id = g.id
+        WHERE g.ge > g.gs
+        GROUP BY s2.id),
+      agg AS (
+        SELECT id, CAST(SUM(nw) AS BIGINT) AS n_dup_win, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s) AS BIGINT) AS n_removed_tok
+        FROM isl GROUP BY id)
+      SELECT sp2.id, sp2.n AS n_tok,
+             COALESCE(a.n_dup_win, CAST(0 AS BIGINT)) AS n_dup_win,
+             COALESCE(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+             COALESCE(a.n_removed_tok, CAST(0 AS BIGINT)) AS n_removed_tok,
+             md5(CASE WHEN a.id IS NULL THEN array_to_string(sp2.toks, ' ')
+                      ELSE COALESCE(k.txt, '') END) AS clean_md5
+      FROM sp2 LEFT JOIN agg a ON a.id = sp2.id LEFT JOIN kept k ON k.id = sp2.id
+      ORDER BY sp2.id"""
+    })
   )
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences

@@ -348,6 +348,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("graft_substring_dedup"),
+      info("graft_substring_dedup",
+        "graft_substring_dedup(table, textCol, idCol, l) - exact repeated-substring excision (Lee et al. ExactSubstr): removes every >=l-token span whose text occurs elsewhere in the corpus, keeping the first occurrence; one hash-audited row per doc (id, n_tok, n_dup_win, n_spans, n_removed_tok, clean_md5)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_substring_dedup(table, textCol, idCol, l) takes 4 arguments")
+        require(args(3).foldable, "l must be a literal")
+        graft.dedup.SubstringDedup.excise(tableArg(args(0)),
+          strArg(args(1), "textCol"), strArg(args(2), "idCol"),
+          args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("graft_semantic_dedup"),
       info("graft_semantic_dedup",
         "graft_semantic_dedup(table, idCol, vecCol, k, iters, threshold) - SemDeDup-class semantic dedup over the float-array embedding column: (id, cluster, kept). Executes the k-means clustering eagerly (procedure semantics)."),

@@ -236,6 +236,17 @@ class ExtensionsSpec extends AnyFunSuite {
            ORDER BY doc_id""").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       assert(ph.toSeq == Seq(("a b c", 1L, 2L), ("a b c", 2L, 1L)), ph.mkString(";"))
 
+      // substring dedup: doc 2 loses the 8-token span it shares with doc 1
+      Seq((1L, "a1 a2 a3 a4 a5 a6 a7 a8 tail1"),
+          (2L, "head a1 a2 a3 a4 a5 a6 a7 a8"),
+          (3L, "nothing shared here at all"))
+        .toDF("doc_id", "text").createOrReplaceTempView("tf_ssd")
+      val ssd = spark.sql(
+        """SELECT id, n_dup_win, n_removed_tok
+           FROM graft_substring_dedup('tf_ssd', 'text', 'doc_id', 8) ORDER BY id""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(ssd.toSeq == Seq((1L, 0L, 0L), (2L, 1L, 8L), (3L, 0L, 0L)), ssd.mkString(";"))
+
       // r9 table functions
       // semantic dedup: id 2 = scaled paraphrase of id 0 (same direction)
       Seq((0L, Array(10f, 3f)), (1L, Array(-10f, 0f)), (2L, Array(10.15625f, 3.046875f)))

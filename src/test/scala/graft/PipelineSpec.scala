@@ -1070,4 +1070,58 @@ class PipelineSpec extends SparkSpec {
       .toIntArray.toSeq
     assert(interp == refBounds(body, 8, 8))
   }
+
+  test("SubstringDedup: unaligned cross-doc spans, within-doc repeats, keep-first") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // 10-token quote; any 8-gram fully inside it is shared
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val p8 = "red orange yellow green blue indigo violet ultraviolet"
+    val docs = Seq(
+      (1L, s"intro one two $quote closing words here"),        // keeper (smallest id)
+      (2L, s"alpha beta gamma delta epsilon $quote tail bits"), // quote at a DIFFERENT offset
+      (3L, s"$p8 middle filler stuff $p8"),                     // within-doc repeat
+      (4L, "short doc only"),                                   // < L tokens: untouched
+      (5L, s"$quote unique ending five tokens go here")         // quote at offset 0
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.SubstringDedup.excise(docs, "text", "doc_id", l = 8)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    // doc 1 keeps everything (keep-first by (doc_id, start))
+    assert(got(0) == ((1L, 16L, 0L, 0L, 0L,
+      md5hex(s"intro one two $quote closing words here"))))
+    // doc 2: 3 dup windows (quote offsets 0..2) merge to ONE 10-token span —
+    // the unaligned-quote class q101's fixed windows cannot catch
+    assert(got(1) == ((2L, 17L, 3L, 1L, 10L,
+      md5hex("alpha beta gamma delta epsilon tail bits"))))
+    // doc 3: second occurrence of the 8-token phrase excised, first kept
+    assert(got(2) == ((3L, 19L, 1L, 1L, 8L,
+      md5hex(s"$p8 middle filler stuff"))))
+    // doc 4: shorter than L — no windows, untouched
+    assert(got(3) == ((4L, 3L, 0L, 0L, 0L, md5hex("short doc only"))))
+    // doc 5: loses the quote to doc 1's earlier occurrences
+    assert(got(4) == ((5L, 16L, 3L, 1L, 10L,
+      md5hex("unique ending five tokens go here"))))
+  }
+
+  test("SubstringDedup: overlapping spans merge; full-doc duplicate empties the copy") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val body = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (10L, body),         // keeper
+      (11L, body + "  "),  // whitespace variant: every window dup → emptied
+      // two separate shared spans with a private middle: tokens 0..7 from
+      // the body's head and 4..11 from its tail overlap nothing here —
+      // spans [0,8) and [9,17) stay TWO islands
+      (12L, "one two three four five six seven eight private " +
+        "five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.SubstringDedup.excise(docs, "text", "doc_id", l = 8)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(got(0) == ((10L, 12L, 0L, 0L, 0L, md5hex(body))))
+    assert(got(1) == ((11L, 12L, 5L, 1L, 12L, md5hex(""))))
+    assert(got(2) == ((12L, 17L, 2L, 2L, 16L, md5hex("private"))))
+  }
 }
