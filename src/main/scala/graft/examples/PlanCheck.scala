@@ -464,6 +464,16 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // HyperANF: the rounds run inside per-round checkpoints (the q100
+    // truncation), so the final plan is the probe filter + the global
+    // summary — register union a map-side max, Σ s_u an exact decimal
+    // partial sum; nothing all-pairs anywhere
+    Want("q159_hyperanf", Seq(
+      "map-side register union" -> "partial_max",
+      "exact decimal global sum" -> "partial_sum"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
     // substring dedup: the keep-first vote is an order-free min(struct)
     // aggregate with map-side combine — a hot key (million-occurrence
     // boilerplate 8-gram) never funnels into one rank-window task; the

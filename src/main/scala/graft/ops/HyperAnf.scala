@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperANF (Boldi, Rosa & Vigna WWW'11): the approximate neighborhood
+  * function — for every node v and radius r, an HLL sketch of the BALL
+  * B(v, r) = nodes reachable from v in ≤ r hops. The distance
+  * distribution / effective-diameter question ("how much of the graph
+  * is within 3 clicks?") is unanswerable by exact means at scale: exact
+  * per-node ball SETS are O(|V|²) state, and all-pairs BFS is |V| full
+  * traversals. HyperANF's observation is that the q128 HLL sketch makes
+  * the ball recurrence cheap: B(v, r+1) = {v} ∪ ⋃_{(v,w)∈E} B(w, r),
+  * and HLL registers union by register-wise MAX — so each round is one
+  * edges⋈labels equi-join + a map-side-combined max aggregate, the
+  * EXACT 2-shuffle round shape of q100/q142, with per-node state fixed
+  * at 2^p registers forever (the mergeable-sketch discipline of
+  * q128–q136 driving an iterative graph fixpoint).
+  *
+  * Layout: registers travel as ONE array<int> column of 2^p entries per
+  * node — never 2^p long-form rows through the per-round shuffle (16×
+  * the rows for p=4) — and the per-node union is 2^p independent MAX
+  * aggregates re-packed into the array, all partial-aggregated
+  * map-side. The edge table is hash-partitioned ONCE by dst (the join
+  * key every round reuses; the q100 write-once discipline) and lineage
+  * is truncated per round.
+  *
+  * Portability (§5): node hashes are the md5-prefix convention and
+  * register ranks derive from length(bin(q)) — exactly q128's register
+  * recipe — so DuckDB replays every register of every round bit-for-bit
+  * with unrolled long-form CTEs. True HyperANF sums per-node float
+  * estimates into N(r); a cross-engine float SUM is order-dependent and
+  * therefore out of protocol, so callers surface (a) per-node exact
+  * sufficient statistics s_u = Σ_j 2^(R−M_j) and their q128 single-
+  * division estimates, and (b) the exact DECIMAL sum Σ_v s_u per round
+  * (per-node s_u < 2^61; the long sum would overflow at ~4 nodes).
+  */
+object HyperAnf {
+
+  /** Per-round ball registers: (r, node, regs array<int> of 2^p) for
+    * r = 0..rounds. `edges` directed (src, dst); a node's ball grows
+    * along OUT-edges (pass both directions for undirected semantics).
+    * Self-loops harmless (register union is idempotent). */
+  def ballRegisters(edges: DataFrame, rounds: Int, p: Int = 4,
+      salt: String = "anf"): DataFrame = {
+    require(rounds >= 0 && rounds <= 16, s"rounds must be in [0,16], got $rounds")
+    require(p >= 1 && p <= 8, s"p must be in [1,8], got $p")
+    val m = 1 << p
+    val r = Sketches.maxRank(p)
+
+    def truncate(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+    // edges stored once, pre-partitioned by the per-round join key
+    val e0 = edges.select(col("src"), col("dst"))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // B(v, 0) = {v}: one touched register per node
+    val h = Sketches.h60(salt, col("node"))
+    val q = shiftrightunsigned(h, p)
+    val rank = when(q === 0, lit(r)).otherwise(lit(r) - length(bin(q)))
+    val init = truncate(
+      e0.select(col("src").as("node"))
+        .unionByName(e0.select(col("dst").as("node")))
+        .distinct()
+        .select(col("node"),
+          transform(sequence(lit(0), lit(m - 1)),
+            jj => when(jj.cast("long") === pmod(h, lit(m.toLong)), rank)
+              .otherwise(lit(0)).cast("int")).as("regs")))
+
+    val maxes = (0 until m).map(j => max(element_at(col("regs"), j + 1)).as(s"m$j"))
+    val repack = array((0 until m).map(j => col(s"m$j")): _*)
+
+    val perRound = Iterator.iterate(init) { prev =>
+      val contrib = e0.join(prev.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("regs"))
+      truncate(
+        prev.unionByName(contrib)
+          .groupBy(col("node"))
+          .agg(maxes.head, maxes.tail: _*)
+          .select(col("node"), repack.as("regs")))
+    }.take(rounds + 1).toSeq
+
+    e0.unpersist()
+    perRound.zipWithIndex.map { case (df, i) =>
+      df.select(lit(i).as("r"), col("node"), col("regs"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Exact long sufficient statistic of one register array:
+    * s_u = Σ_j 2^(R − M_j) (empty registers contribute 2^R) — the q128
+    * statistic computed array-side. */
+  def suOf(regs: Column, p: Int): Column =
+    aggregate(regs, lit(0L),
+      (acc, mj) => acc + pow(lit(2.0), lit(Sketches.maxRank(p)) - mj).cast("long"))
+}

@@ -1538,7 +1538,110 @@ object RelationalQueries {
       sz AS (SELECT scc, COUNT(*) AS n_scc FROM lab GROUP BY 1)
       SELECT l.node, l.scc, CAST(sz.n_scc AS BIGINT) AS n_scc
       FROM lab l JOIN sz USING (scc)
-      ORDER BY l.node"""))
+      ORDER BY l.node""")),
+
+    // HyperANF neighborhood function (ops/HyperAnf.scala — Boldi WWW'11):
+    // per-node HLL ball sketches over the q100 trade graph, 3 rounds.
+    // Surface: probe nodes (node % 41 == 0) pin their registers
+    // bit-for-bit (the q128 discipline); the '__global' row per round
+    // carries the register-wise-max union sketch, the exact DECIMAL
+    // Σ_v s_u, and the node count. est = the q128 single-division chain
+    // (n_nodes·α·m²·2^R / s_u) — for probes the true HyperANF ball
+    // estimate, for '__global' the mean-ball normalization of the exact
+    // sum (a float SUM of per-node estimates would be order-dependent
+    // and is out of protocol, stated in the scaladoc).
+    QueryDef("q159_hyperanf", (s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"l_suppkey" * 2).as("a"), ($"o_custkey" * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      val balls = HyperAnf.ballRegisters(edges, rounds = 3, p = 4)
+      val su = HyperAnf.suOf($"regs", p = 4)
+      val csv = concat_ws(",", transform($"regs", _.cast("string")))
+      val probe = balls.filter($"node" % 41 === 0)
+        .select($"r", $"node".cast("string").as("grp"),
+          lit(1L).as("n_nodes"), su.cast("decimal(38,0)").as("s_u"), csv.as("regs"))
+      val gMaxes = (0 until 16).map(j => max(element_at($"regs", j + 1)).as(s"g$j"))
+      val global = balls
+        .select($"r", su.cast("decimal(38,0)").as("su1"), $"regs")
+        .groupBy($"r")
+        .agg(count(lit(1)).as("n_nodes"),
+          (sum($"su1").as("s_u") +: gMaxes): _*)
+        .select($"r", lit("__global").as("grp"), $"n_nodes",
+          $"s_u".cast("decimal(38,0)").as("s_u"),
+          concat_ws(",", (0 until 16).map(j => col(s"g$j").cast("string")): _*).as("regs"))
+      probe.unionByName(global)
+        .select($"r", $"grp", $"n_nodes", $"s_u", $"regs",
+          (lit(0.673) * lit(256.0) * lit(144115188075855872.0)
+            * $"n_nodes".cast("double") / $"s_u".cast("double")).as("est"))
+        .orderBy($"r", $"grp")
+    }, Some("""
+      WITH pairs AS (
+        SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      h AS (SELECT node,
+                   CAST(('0x' || substr(md5('anf:' || CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM nodes),
+      b0 AS (SELECT node, h % 16 AS j,
+                    CASE WHEN h // 16 = 0 THEN 57
+                         ELSE 57 - length(bin(h // 16)) END AS m
+             FROM h),
+      b1 AS (SELECT node, j, MAX(m) AS m FROM (
+               SELECT node, j, m FROM b0
+               UNION ALL
+               SELECT e.src AS node, b.j, b.m FROM edges e JOIN b0 b ON b.node = e.dst)
+             GROUP BY 1, 2),
+      b2 AS (SELECT node, j, MAX(m) AS m FROM (
+               SELECT node, j, m FROM b1
+               UNION ALL
+               SELECT e.src AS node, b.j, b.m FROM edges e JOIN b1 b ON b.node = e.dst)
+             GROUP BY 1, 2),
+      b3 AS (SELECT node, j, MAX(m) AS m FROM (
+               SELECT node, j, m FROM b2
+               UNION ALL
+               SELECT e.src AS node, b.j, b.m FROM edges e JOIN b2 b ON b.node = e.dst)
+             GROUP BY 1, 2),
+      allb AS (
+        SELECT 0 AS r, node, j, m FROM b0
+        UNION ALL SELECT 1, node, j, m FROM b1
+        UNION ALL SELECT 2, node, j, m FROM b2
+        UNION ALL SELECT 3, node, j, m FROM b3),
+      dense AS (
+        SELECT a.r, a.node, s.j, COALESCE(x.m, 0) AS m
+        FROM (SELECT DISTINCT r, node FROM allb) a
+        CROSS JOIN (SELECT unnest(range(16)) AS j) s
+        LEFT JOIN allb x ON x.r = a.r AND x.node = a.node AND x.j = s.j),
+      su AS (
+        SELECT r, node,
+               CAST(SUM((CAST(1 AS BIGINT) << 57) // (CAST(1 AS BIGINT) << m)) AS BIGINT) AS s_u,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS regs
+        FROM dense GROUP BY 1, 2),
+      probe AS (
+        SELECT r, CAST(node AS VARCHAR) AS grp, CAST(1 AS BIGINT) AS n_nodes,
+               CAST(s_u AS DECIMAL(38,0)) AS s_u, regs
+        FROM su WHERE node % 41 = 0),
+      gmax AS (SELECT r, j, MAX(m) AS m FROM dense GROUP BY 1, 2),
+      gregs AS (SELECT r, string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS regs
+                FROM gmax GROUP BY r),
+      gl AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                    CAST(SUM(s_u) AS DECIMAL(38,0)) AS s_u
+             FROM su GROUP BY r),
+      uni AS (
+        SELECT * FROM probe
+        UNION ALL
+        SELECT gl.r, '__global' AS grp, gl.n_nodes, gl.s_u, gregs.regs
+        FROM gl JOIN gregs ON gregs.r = gl.r)
+      SELECT r, grp, n_nodes, s_u, regs,
+             0.673 * 256.0 * 144115188075855872.0 * CAST(n_nodes AS DOUBLE)
+               / CAST(s_u AS DOUBLE) AS est
+      FROM uni ORDER BY r, grp"""))
   )
 
   /** The q151 oracle: `rounds` unrolled peel rounds over the trade

@@ -34,14 +34,14 @@ object Sketches {
 
   /** 60-bit md5-prefix hash of (salt, parts...) joined with ':' — the
     * [[Sampling.shard]] convention, rebuildable in any engine. */
-  private def h60(salt: String, parts: Column*): Column =
+  private[ops] def h60(salt: String, parts: Column*): Column =
     conv(substring(md5(concat_ws(":", (lit(salt) +: parts.map(_.cast("string"))): _*)),
       1, 15), 16, 10).cast("long")
 
   /** Max possible register rank for precision p: the hash keeps 60−p bits
     * after the register index, so ranks span [1, 61−p] (61−p = the
     * all-zero suffix). */
-  private def maxRank(p: Int): Int = 61 - p
+  private[ops] def maxRank(p: Int): Int = 61 - p
 
   /** HLL register table for `key` within each group: (groupCol, j, m_j)
     * with j ∈ [0, 2^p) and m_j ≥ 1 — registers never hit by a key are

@@ -1342,4 +1342,39 @@ class OperatorsSpec extends SparkSpec {
       assert(steps.drop(i + 1).forall(_.isEmpty), steps.mkString(","))
     }
   }
+
+  test("HyperAnf: ball registers equal the HLL of the exact BFS ball at every radius") {
+    // directed path with a branch: 1 -> 2 -> 3 -> 4, plus 2 -> 5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("src", "dst")
+    val p = 4
+    val got = graft.ops.HyperAnf.ballRegisters(edges, rounds = 3, p = p)
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Int](2).toVector))
+      .toMap
+    // driver reference: exact balls along OUT-edges, then the q128
+    // register recipe over each ball's members
+    def md5_60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val adj = Map(1L -> Set(2L), 2L -> Set(3L, 5L), 3L -> Set(4L))
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    def ball(v: Long, r: Int): Set[Long] =
+      if (r == 0) Set(v)
+      else ball(v, r - 1) ++ ball(v, r - 1).flatMap(w => adj.getOrElse(w, Set.empty))
+    def regsOf(members: Set[Long]): Vector[Int] = {
+      val m = new Array[Int](1 << p)
+      members.foreach { v =>
+        val h = md5_60(s"anf:$v")
+        val j = (h % (1 << p)).toInt
+        val q = h >>> p
+        val rank = if (q == 0) 61 - p else 61 - p - java.lang.Long.toBinaryString(q).length
+        m(j) = math.max(m(j), rank)
+      }
+      m.toVector
+    }
+    for (r <- 0 to 3; v <- nodes)
+      assert(got((r, v)) == regsOf(ball(v, r)), s"node $v radius $r")
+    // saturation: node 1's ball stops growing at radius 3 (covers 1,2,3,4,5)
+    assert(got((3, 1L)) == regsOf(Set(1L, 2L, 3L, 4L, 5L)))
+  }
 }
