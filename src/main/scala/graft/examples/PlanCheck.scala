@@ -464,6 +464,31 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // profiling: one aggregation pass — the exact multi-count-DISTINCT
+    // rides the standard Expand plan, partial-aggregated; no join, no
+    // window, and the per-column reshape explodes ONE aggregated row
+    Want("q160_profile", Seq(
+      "multi-distinct expand" -> "Expand",
+      "map-side partials" -> "partial_count"),
+      mustNotContain = Seq(
+        "no join" -> "Join",
+        "no window" -> "Window")),
+    // ACF: decimal moments partial-aggregate map-side; the only windows
+    // are the per-series lead() lags (bounded by series length)
+    Want("q161_acf", Seq(
+      "map-side decimal moments" -> "partial_sum",
+      "per-series lag windows" -> "Window"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // CUSUM: group totals broadcast back to the series; prefix sums are
+    // per-series windows; S' is exact decimal, no division anywhere
+    Want("q162_cusum", Seq(
+      "totals broadcast back" -> "BroadcastHashJoin",
+      "per-series prefix windows" -> "Window"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
     // HyperANF: the rounds run inside per-round checkpoints (the q100
     // truncation), so the final plan is the probe filter + the global
     // summary — register union a map-side max, Σ s_u an exact decimal

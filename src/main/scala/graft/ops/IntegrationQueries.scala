@@ -373,6 +373,52 @@ object IntegrationQueries {
         FROM customer WHERE c_custkey % 30 <> 0)
       SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, d.c_name, d.c_mktsegment
       FROM orders o JOIN d1 d ON o.o_custkey = d.c_custkey
-      ORDER BY o.o_orderkey"""))
+      ORDER BY o.o_orderkey""")),
+
+    // Single-pass column profiling (ops/Profile.scala — the reference's
+    // table-analysis surface as one oracle-checkable relation; the
+    // Deequ-class "what is in this table" report an import tool runs on
+    // every landed file). Schema-driven type routing: numerics surface
+    // min/max as doubles (selected values, never arithmetic), strings
+    // as-is, timestamps formatted. Exact per-column distinct counts ride
+    // the standard multi-count-DISTINCT expand — one map-side-combined
+    // shuffle.
+    QueryDef("q160_profile", (s, dir) => {
+      import s.implicits._
+      Profile.profile(Tables.load(s, dir, "orders")).orderBy($"col_name")
+    }, Some("""
+      WITH a AS (
+        SELECT COUNT(*) AS nr,
+               COUNT(o_orderkey) AS c1, COUNT(DISTINCT o_orderkey) AS d1,
+               MIN(o_orderkey) AS mn1, MAX(o_orderkey) AS mx1,
+               COUNT(o_custkey) AS c2, COUNT(DISTINCT o_custkey) AS d2,
+               MIN(o_custkey) AS mn2, MAX(o_custkey) AS mx2,
+               COUNT(o_orderstatus) AS c3, COUNT(DISTINCT o_orderstatus) AS d3,
+               MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+               COUNT(o_totalprice) AS c4, COUNT(DISTINCT o_totalprice) AS d4,
+               MIN(o_totalprice) AS mn4, MAX(o_totalprice) AS mx4,
+               COUNT(o_orderdate) AS c5, COUNT(DISTINCT o_orderdate) AS d5,
+               MIN(o_orderdate) AS mn5, MAX(o_orderdate) AS mx5,
+               COUNT(o_orderpriority) AS c6, COUNT(DISTINCT o_orderpriority) AS d6,
+               MIN(o_orderpriority) AS mn6, MAX(o_orderpriority) AS mx6
+        FROM orders)
+      SELECT col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str
+      FROM (
+        SELECT 'o_orderkey' AS col_name, nr AS n_rows, nr - c1 AS n_nulls, d1 AS n_distinct,
+               CAST(mn1 AS DOUBLE) AS min_num, CAST(mx1 AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+        UNION ALL
+        SELECT 'o_custkey', nr, nr - c2, d2,
+               CAST(mn2 AS DOUBLE), CAST(mx2 AS DOUBLE), NULL, NULL FROM a
+        UNION ALL
+        SELECT 'o_orderstatus', nr, nr - c3, d3, NULL, NULL, mn3, mx3 FROM a
+        UNION ALL
+        SELECT 'o_totalprice', nr, nr - c4, d4, mn4, mx4, NULL, NULL FROM a
+        UNION ALL
+        SELECT 'o_orderdate', nr, nr - c5, d5, NULL, NULL,
+               strftime(mn5, '%Y-%m-%d %H:%M:%S'), strftime(mx5, '%Y-%m-%d %H:%M:%S') FROM a
+        UNION ALL
+        SELECT 'o_orderpriority', nr, nr - c6, d6, NULL, NULL, mn6, mx6 FROM a)
+      ORDER BY col_name"""))
   )
 }

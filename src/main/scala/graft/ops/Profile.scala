@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Single-pass column profiling — the automated "what is in this table"
+  * report a data-integration tool runs on every import (the reference's
+  * table-analysis surface, SQL_DATA_INTEGRATION_TOOL.py:222–260
+  * analyze/describe, as one oracle-checkable relation; the engine's
+  * `Catalog.analyzeTable` is the catalog-side sibling). One row per
+  * column: (col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+  * min_str, max_str) — numeric columns surface min/max as doubles
+  * (SELECTED values, never arithmetic: a long < 2^53 casts exactly and a
+  * double min/max is bit-identical cross-engine), strings as-is, and
+  * timestamps as formatted strings (§5 timestamp protocol). Type
+  * routing is schema-driven, so the operator profiles any table.
+  *
+  * Scale shape: ONE aggregation pass — count/min/max are plain partial
+  * aggregates; the exact per-column distinct counts ride Spark's
+  * multi-count-DISTINCT expand (k+1 aggregation groups through one
+  * map-side-combined shuffle — the standard exact plan; swap in the
+  * q128 HLL registers per column when 100 TB exactness isn't worth the
+  * expand multiplier, stated honestly). The per-column reshape explodes
+  * a literal struct array over the ONE aggregated row — answer-sized.
+  */
+object Profile {
+
+  def profile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    def aggsFor(f: StructField): Seq[Column] = {
+      val c = col(f.name)
+      Seq(count(c).as(s"cnt_${f.name}"),
+        countDistinct(c).as(s"nd_${f.name}"),
+        min(c).as(s"mn_${f.name}"),
+        max(c).as(s"mx_${f.name}"))
+    }
+    val aggd = df.agg(count(lit(1)).as("nr"), fields.flatMap(aggsFor): _*)
+
+    def entry(f: StructField): Column = {
+      val mn = col(s"mn_${f.name}")
+      val mx = col(s"mx_${f.name}")
+      val (minNum, maxNum, minStr, maxStr) = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType
+           | DoubleType | FloatType | _: DecimalType =>
+          (mn.cast("double"), mx.cast("double"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        case TimestampType | TimestampNTZType | DateType =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            date_format(mn, "yyyy-MM-dd HH:mm:ss"),
+            date_format(mx, "yyyy-MM-dd HH:mm:ss"))
+        case _ =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            mn.cast("string"), mx.cast("string"))
+      }
+      struct(lit(f.name).as("col_name"),
+        col("nr").as("n_rows"),
+        (col("nr") - col(s"cnt_${f.name}")).as("n_nulls"),
+        col(s"nd_${f.name}").as("n_distinct"),
+        minNum.as("min_num"), maxNum.as("max_num"),
+        minStr.as("min_str"), maxStr.as("max_str"))
+    }
+    aggd.select(explode(array(fields.map(entry): _*)).as("e"))
+      .select(col("e.*"))
+  }
+}

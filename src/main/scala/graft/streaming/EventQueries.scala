@@ -854,6 +854,113 @@ object EventQueries {
         FROM sk GROUP BY 1)
       SELECT s.grp, s.r, s.h, e.est
       FROM sk s JOIN est e USING (grp)
-      ORDER BY s.grp, s.r"""))
+      ORDER BY s.grp, s.r""")),
+
+    // Autocorrelation diagnostics (ops/TimeSeries.acf — Box–Jenkins
+    // model identification): per event type, is yesterday's volume
+    // predictive of today's, and is there a multi-day echo? Lags 1..3
+    // over the daily count series (the q121 spine); moments are exact
+    // decimals (the q82 asymmetric-cast discipline), the surfaced value
+    // is floor(r_k·1e6) — one double chain over exact operands.
+    QueryDef("q161_acf", (s, dir) => {
+      import s.implicits._
+      val daily = Tables.load(s, dir, "events")
+        .groupBy($"event_type",
+          datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+            .cast("long").as("d"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.TimeSeries.acf(daily, "event_type", "d", "n", maxLag = 3)
+        .orderBy($"event_type", $"k")
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT event_type, d,
+               CAST(n AS DECIMAL(19,0)) AS xa, CAST(n AS DECIMAL(18,0)) AS xb,
+               LEAD(n, 1) OVER wdw AS y1,
+               LEAD(n, 2) OVER wdw AS y2,
+               LEAD(n, 3) OVER wdw AS y3
+        FROM daily
+        WINDOW wdw AS (PARTITION BY event_type ORDER BY d)),
+      pairs AS (
+        SELECT event_type, p.k AS k, xa, xb,
+               CAST(p.y AS DECIMAL(19,0)) AS ya, CAST(p.y AS DECIMAL(18,0)) AS yb
+        FROM (SELECT event_type, xa, xb,
+                     unnest([{'k': 1, 'y': y1}, {'k': 2, 'y': y2}, {'k': 3, 'y': y3}]) AS p
+              FROM lagged)
+        WHERE p.y IS NOT NULL),
+      mo AS (
+        SELECT event_type, k, COUNT(*) AS n,
+               SUM(xa) AS sx, SUM(ya) AS sy,
+               SUM(xa * xb) AS sxx, SUM(ya * yb) AS syy, SUM(xa * yb) AS sxy
+        FROM pairs GROUP BY 1, 2
+        HAVING CAST(COUNT(*) AS DOUBLE) * CAST(SUM(xa * xb) AS DOUBLE)
+                 - CAST(SUM(xa) AS DOUBLE) * CAST(SUM(xa) AS DOUBLE) > 0
+           AND CAST(COUNT(*) AS DOUBLE) * CAST(SUM(ya * yb) AS DOUBLE)
+                 - CAST(SUM(ya) AS DOUBLE) * CAST(SUM(ya) AS DOUBLE) > 0)
+      SELECT event_type, k, n,
+             CAST(floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1e6) AS BIGINT) AS acf_u
+      FROM mo ORDER BY event_type, k""")),
+
+    // CUSUM change-point location (ops/TimeSeries.cusum — Page 1954):
+    // WHERE did the level shift? q121 flags local window outliers; the
+    // cumulative mean-centered sum accumulates persistent drifts a
+    // windowed z-test never trips, and its |S|-argmax is the classic
+    // change-point estimate. Planted specimen: 'click' gains +40/day
+    // from day 16 on — the argmax lands at the shift boundary (±1 day
+    // of daily noise; |S| = 9180 at sf0.01 vs ≤ 1075 on every unshifted
+    // type, an order of magnitude of separation). S' is pure integer
+    // arithmetic multiplied through by n (no division, no float
+    // anywhere); the exact boundary semantics are pinned by the
+    // TimeSeries unit test on a noise-free series.
+    QueryDef("q162_cusum", (s, dir) => {
+      import s.implicits._
+      val daily = Tables.load(s, dir, "events")
+        .groupBy($"event_type",
+          datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+            .cast("long").as("d"))
+        .agg(count(lit(1)).as("n0"))
+        .select($"event_type", $"d",
+          when($"event_type" === "click" && $"d" >= 16, $"n0" + 40)
+            .otherwise($"n0").as("n"))
+      graft.ops.TimeSeries.cusum(daily, "event_type", "d", "n")
+        .orderBy($"event_type")
+    }, Some("""
+      WITH daily0 AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               COUNT(*) AS n0
+        FROM events GROUP BY 1, 2),
+      daily AS (
+        SELECT event_type, d,
+               CASE WHEN event_type = 'click' AND d >= 16 THEN n0 + 40 ELSE n0 END AS n
+        FROM daily0),
+      tot AS (
+        SELECT event_type, CAST(COUNT(*) AS DECIMAL(18,0)) AS nn,
+               CAST(SUM(CAST(n AS DECIMAL(18,0))) AS DECIMAL(28,0)) AS tt
+        FROM daily GROUP BY 1),
+      pre AS (
+        SELECT event_type, d,
+               SUM(CAST(n AS DECIMAL(19,0))) OVER wdw AS p,
+               CAST(ROW_NUMBER() OVER wdw AS DECIMAL(19,0)) AS idx
+        FROM daily
+        WINDOW wdw AS (PARTITION BY event_type ORDER BY d)),
+      sc AS (
+        SELECT pre.event_type, pre.d, pre.idx,
+               CAST(pre.p * t.nn - pre.idx * t.tt AS DECIMAL(38,0)) AS s
+        FROM pre JOIN tot t ON t.event_type = pre.event_type),
+      top AS (
+        SELECT event_type, d, s,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY abs(s) DESC, d) AS rn
+        FROM sc)
+      SELECT top.event_type, CAST(t.nn AS BIGINT) AS n_obs, top.d AS t_star,
+             top.s AS s_star, abs(top.s) AS s_abs
+      FROM top JOIN tot t ON t.event_type = top.event_type
+      WHERE rn = 1 ORDER BY top.event_type"""))
   )
 }

@@ -1377,4 +1377,38 @@ class OperatorsSpec extends SparkSpec {
     // saturation: node 1's ball stops growing at radius 3 (covers 1,2,3,4,5)
     assert(got((3, 1L)) == regsOf(Set(1L, 2L, 3L, 4L, 5L)))
   }
+
+  test("TimeSeries.acf: exact lag correlations vs driver reference; short series NULL-safe") {
+    // period-2 alternating series: r_1 = -1, r_2 = +1 exactly
+    val alt = (0 until 10).map(t => ("a", t.toLong, if (t % 2 == 0) 10L else 20L))
+    // linear ramp: every lag correlates perfectly (+1)
+    val ramp = (0 until 10).map(t => ("b", t.toLong, 5L + 3L * t))
+    // 3-point series: lag 3 has no pairs -> no row
+    val tiny = (0 until 3).map(t => ("c", t.toLong, t.toLong))
+    val df = (alt ++ ramp ++ tiny).toDF("g", "t", "y")
+    val got = graft.ops.TimeSeries.acf(df, "g", "t", "y", maxLag = 3)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(("a", 1)) == ((9L, -1000000L)))
+    assert(got(("a", 2)) == ((8L, 1000000L)))
+    assert(got(("a", 3)) == ((7L, -1000000L)))
+    assert(got(("b", 1)) == ((9L, 1000000L)) && got(("b", 2)) == ((8L, 1000000L)))
+    // 3-point series: lag 1 has 2 perfectly-correlated pairs; lag 2 has one
+    // pair (degenerate margin -> dropped, never NaN); lag 3 has no pairs
+    assert(got(("c", 1)) == ((2L, 1000000L)))
+    assert(!got.contains(("c", 2)) && !got.contains(("c", 3)))
+  }
+
+  test("TimeSeries.cusum: noise-free level shift locates the boundary; ties take earliest t") {
+    // 6 days at 10 then 6 days at 20: |S'| peaks at the LAST pre-shift day
+    val shift = (0 until 12).map(t => ("s", t.toLong, if (t < 6) 10L else 20L))
+    // constant series: S' == 0 everywhere -> earliest t wins the tie
+    val const = (0 until 5).map(t => ("k", t.toLong, 7L))
+    val got = graft.ops.TimeSeries.cusum((shift ++ const).toDF("g", "t", "y"), "g", "t", "y")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDecimal(3).longValueExact()))).toMap
+    // n=12, T=180; at t=5 (idx 6): S' = 12*60 - 6*180 = -360, the extreme
+    assert(got("s") == ((12L, 5L, -360L)))
+    assert(got("k") == ((5L, 0L, 0L)))
+  }
 }
