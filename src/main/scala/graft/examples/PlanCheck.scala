@@ -464,6 +464,23 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // transitions: one map-side-combined pair count; the only windows
+    // are per-user lead() (bounded by one user's activity); totals join
+    // back answer-sized
+    Want("q164_transitions", Seq(
+      "map-side-combined pair counts" -> "partial_count",
+      "per-user sequence window" -> "Window"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct")),
+    // vocab drift: one token-count shuffle with side-conditional sums;
+    // totals ride a 1-row broadcast; top-10 is a bounded TakeOrdered,
+    // never a global sort of the vocabulary
+    Want("q165_vocab_drift", Seq(
+      "map-side-combined token counts" -> "partial_sum",
+      "bounded global top-k" -> "TakeOrderedAndProject"),
+      mustNotContain = Seq(
+        "no vocabulary-wide sort" -> "Sort [drift",
+        "no nested loop beyond the 1-row scalar joins" -> "SortMergeJoin")),
     // profiling: one aggregation pass — the exact multi-count-DISTINCT
     // rides the standard Expand plan, partial-aggregated; no join, no
     // window, and the per-column reshape explodes ONE aggregated row

@@ -2524,7 +2524,132 @@ object LlmPipelineQueries {
                       ELSE COALESCE(k.txt, '') END) AS clean_md5
       FROM sp2 LEFT JOIN agg a ON a.id = sp2.id LEFT JOIN kept k ON k.id = sp2.id
       ORDER BY sp2.id"""
-    })
+    }),
+
+    // --- q163: MMR diversified rerank (similarity/Mmr.scala — Carbonell
+    // & Goldstein SIGIR'98). λ = 1/2 over exact int8-code dots, so every
+    // greedy round compares exact longs (ties to smaller id) — the
+    // oracle unrolls the same 5 rounds over the same 32-candidate
+    // shortlist. Probe = vec_id 3's row.
+    QueryDef("q163_mmr", (s, dir) => {
+      import s.implicits._
+      graft.similarity.Mmr.rerank(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", queryId = 3L, shortlist = 32, k = 5)
+        .orderBy($"rk")
+    }, Some {
+      def round(r: Int): String = {
+        val selected = (1 until r).map(i => s"SELECT n_id, codes FROM p$i")
+          .mkString(" UNION ALL ")
+        s"""
+      p$r AS (
+        SELECT s.n_id, s.rel, s.rel - mx.ms AS cut, s.codes FROM sl s
+        JOIN (SELECT a.n_id, MAX(CAST(list_dot_product(a.codes, p.codes) AS BIGINT)) AS ms
+              FROM sl a, ($selected) p GROUP BY a.n_id) mx ON mx.n_id = s.n_id
+        WHERE s.n_id NOT IN (${(1 until r).map(i => s"SELECT n_id FROM p$i").mkString(" UNION ALL ")})
+        ORDER BY cut DESC, s.n_id LIMIT 1)"""
+      }
+      s"""
+      WITH t AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+               embedding
+        FROM embeddings),
+      c AS (
+        SELECT vec_id AS n_id,
+               CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS INTEGER))
+               END AS codes
+        FROM t),
+      rel AS (
+        SELECT n_id, codes,
+               CAST(list_dot_product(codes, (SELECT codes FROM c WHERE n_id = 3)) AS BIGINT) AS rel
+        FROM c WHERE n_id <> 3),
+      sl AS (SELECT n_id, codes, rel FROM rel ORDER BY rel DESC, n_id LIMIT 32),
+      p1 AS (SELECT n_id, rel, rel AS cut, codes FROM sl ORDER BY rel DESC, n_id LIMIT 1),
+      ${(2 to 5).map(round).mkString(",")}
+      SELECT rk, n_id, rel, cut FROM (
+        SELECT CAST(1 AS INTEGER) AS rk, n_id, rel, cut FROM p1
+        ${(2 to 5).map(i => s"UNION ALL SELECT CAST($i AS INTEGER), n_id, rel, cut FROM p$i").mkString(" ")})
+      ORDER BY rk"""
+    }),
+
+    // --- q165: corpus vocabulary drift — the distribution-shift monitor
+    // a training pipeline runs on every new crawl ("did the token mix
+    // move? which tokens moved it?"). Total-variation distance kept
+    // EXACT: TVD = ½·Σ|n_a·B − n_b·A|/(A·B), and the operator surfaces
+    // the integer numerator only (per-token drift = |n_a·B − n_b·A| as
+    // decimal — products overflow long at corpus scale — plus the Σ and
+    // the two totals; the caller is one division from the float, the
+    // engine never rounds). KL needs ln (engine-ulp-dependent) and
+    // explodes on unseen tokens; TVD is rational and total — the right
+    // exactness-first choice, stated. Corpus A = even doc_ids, B = odd
+    // + a planted spam-token injection (every 33rd doc) the top-drift
+    // list MUST surface. One shuffle: tokens groupBy(tok) with
+    // side-conditional sums (full-outer semantics for free); totals
+    // ride a broadcast 1-row join; top-10 is a bounded TakeOrdered.
+    QueryDef("q165_vocab_drift", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id",
+        concat($"text", when($"doc_id" % 2 === 1 && $"doc_id" % 11 === 0,
+          lit(" spamtokenone spamtokentwo spamtokenone")).otherwise(lit("")))
+          .as("text"))
+      val norm = regexp_replace(lower($"text"), "[^a-z0-9 ]", " ")
+      val toks = docs
+        .select(($"doc_id" % 2).as("side"),
+          explode(split(trim(regexp_replace(norm, "\\s+", " ")), " ", -1)).as("tok"))
+        .filter(length($"tok") > 0)
+      val counts = toks.groupBy($"tok").agg(
+        sum(when($"side" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"side" === 1, 1L).otherwise(0L)).as("n_b"))
+      val totals = broadcast(counts.agg(
+        sum($"n_a").cast("decimal(18,0)").as("ta"),
+        sum($"n_b").cast("decimal(18,0)").as("tb")))
+      val scored = counts.crossJoin(totals) // 1-row broadcast scalar join
+        .select($"tok", $"n_a", $"n_b",
+          abs($"n_a".cast("decimal(19,0)") * $"tb" - $"n_b".cast("decimal(19,0)") * $"ta")
+            .cast("decimal(38,0)").as("drift"))
+      val top = scored.orderBy($"drift".desc, $"tok").limit(10)
+      val global = scored.agg(sum($"drift").cast("decimal(38,0)").as("drift"))
+        .crossJoin(totals)
+        .select(lit("__tvd").as("tok"), $"ta".cast("long").as("n_a"),
+          $"tb".cast("long").as("n_b"), $"drift")
+      top.unionByName(global).orderBy($"drift".desc, $"tok")
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 2 = 1 AND doc_id % 11 = 0
+                            THEN ' spamtokenone spamtokentwo spamtokenone'
+                            ELSE '' END AS text
+        FROM documents),
+      toks AS (
+        SELECT doc_id % 2 AS side, unnest(
+          list_filter(string_split(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+            '\\s+', ' ', 'g')), ' '), x -> len(x) > 0)) AS tok
+        FROM docs),
+      counts AS (
+        SELECT tok,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM toks GROUP BY 1),
+      totals AS (
+        SELECT CAST(SUM(n_a) AS DECIMAL(18,0)) AS ta,
+               CAST(SUM(n_b) AS DECIMAL(18,0)) AS tb
+        FROM counts),
+      scored AS (
+        SELECT tok, n_a, n_b,
+               CAST(abs(CAST(n_a AS DECIMAL(19,0)) * tb - CAST(n_b AS DECIMAL(19,0)) * ta)
+                    AS DECIMAL(38,0)) AS drift
+        FROM counts, totals),
+      top AS (SELECT * FROM scored ORDER BY drift DESC, tok LIMIT 10),
+      gl AS (
+        SELECT '__tvd' AS tok, CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+               CAST((SELECT SUM(drift) FROM scored) AS DECIMAL(38,0)) AS drift
+        FROM totals t)
+      SELECT tok, n_a, n_b, drift FROM (
+        SELECT * FROM top UNION ALL SELECT * FROM gl)
+      ORDER BY drift DESC, tok"""))
   )
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences

@@ -24,7 +24,10 @@ object EventQueries {
       SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM sess GROUP BY user_id ORDER BY user_id"""
 
-  val defs: Seq[QueryDef] = Seq(
+  // lazy: baseDefs/transitionsDef are declared below (object-init order)
+  lazy val defs: Seq[QueryDef] = baseDefs :+ transitionsDef
+
+  private lazy val baseDefs: Seq[QueryDef] = Seq(
 
     QueryDef("q25_events_window", (s, dir) => {
       import s.implicits._
@@ -963,4 +966,42 @@ object EventQueries {
       FROM top JOIN tot t ON t.event_type = top.event_type
       WHERE rn = 1 ORDER BY top.event_type"""))
   )
+
+  /** Markov transition matrix of the per-user event sequence — "what do
+    * users do AFTER a signup?", the sequence-mining complement of q75's
+    * ordered funnel (fixed path) and q119's token bigrams (text, not
+    * behavior). Consecutive (event_type → next event_type) pairs within
+    * each user's (ts, event_id)-ordered stream; per-user windows are
+    * bounded by one user's activity (the q26 contract). Probability is
+    * EXACT integer: p_u = n_ab·1e6 ⌊/⌋ n_a (one integer division —
+    * stronger than the §5 float protocol); row-sum Σ_b p_u ∈
+    * (1e6 − fanout, 1e6] by construction. */
+  private val transitionsDef = QueryDef("q164_transitions", (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("src"),
+        lead($"event_type", 1).over(w).as("dst"))
+      .filter($"dst".isNotNull)
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+    val out = pairs.groupBy($"src").agg(sum($"n").as("n_src"))
+      .join(pairs, "src")
+      .select($"src", $"dst", $"n", $"n_src",
+        // exact truncating integer division (Spark `div` == DuckDB `//`
+        // on non-negatives — the q100 discipline; Column `/` would be a
+        // DOUBLE division with ulp-boundary off-by-one risk)
+        expr("(n * 1000000L) div n_src").as("p_u"))
+    out.orderBy($"src", $"dst")
+  }, Some("""
+      WITH pairs AS (
+        SELECT event_type AS src,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events),
+      cnt AS (SELECT src, dst, COUNT(*) AS n FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT src, SUM(n) AS n_src FROM cnt GROUP BY 1)
+      SELECT c.src, c.dst, c.n, CAST(t.n_src AS BIGINT) AS n_src,
+             CAST(c.n * 1000000 // t.n_src AS BIGINT) AS p_u
+      FROM cnt c JOIN tot t ON t.src = c.src
+      ORDER BY c.src, c.dst"""))
 }

@@ -1124,4 +1124,32 @@ class PipelineSpec extends SparkSpec {
     assert(got(1) == ((11L, 12L, 5L, 1L, 12L, md5hex(""))))
     assert(got(2) == ((12L, 17L, 2L, 2L, 16L, md5hex("private"))))
   }
+
+  test("Mmr: diversity beats redundancy; plain top-k would return the near-dup") {
+    // query 0 = (1, 0); a/b nearly identical high-relevance pair, c diverse
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),    // the probe
+      (1L, Array(0.99f, 0.10f)),  // a: top relevance
+      (2L, Array(0.98f, 0.12f)),  // b: near-duplicate of a (plain #2)
+      (3L, Array(0.50f, -0.80f)), // c: relevant-ish but diverse
+      (4L, Array(-1.0f, 0.0f))    // anti-correlated
+    ).toDF("vec_id", "embedding")
+    val got = graft.similarity.Mmr.rerank(emb, "embedding", "vec_id",
+        queryId = 0L, shortlist = 4, k = 3)
+      .orderBy($"rk").as[(Int, Long, Long, Long)].collect()
+    // rk1 = a (highest rel); rk2 = c, NOT the near-dup b (its max-sim to a
+    // wipes its margin); near-dup b only enters at rk3
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L), got.mkString(";"))
+    // rk1's cut equals its relevance (nothing selected yet)
+    assert(got(0)._3 == got(0)._4)
+    // exact-integer contract: rk2's cut = rel - max int8-code dot vs a
+    def codes(v: Array[Float]): Array[Long] = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      v.map(x => math.floor(x / s * 127 + 0.5).toLong)
+    }
+    def dot(a: Array[Long], b: Array[Long]) =
+      a.indices.map(i => a(i) * b(i)).sum
+    val (a, c) = (codes(Array(0.99f, 0.10f)), codes(Array(0.50f, -0.80f)))
+    assert(got(1)._4 == got(1)._3 - dot(c, a))
+  }
 }
