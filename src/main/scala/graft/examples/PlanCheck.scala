@@ -464,6 +464,20 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // debounce: burst islands are per-(user,type) windows (bounded by
+    // one user's activity); the summary is one map-side-combined agg
+    Want("q166_debounce", Seq(
+      "map-side-combined burst summary" -> "partial_count",
+      "per-key burst windows" -> "Window"),
+      mustNotContain = Seq(
+        "no join" -> "Join")),
+    // k-anonymity: one map-side-combined class census; answer-sized
+    // risky classes + a 1-row summary — no join, no window
+    Want("q167_kanon", Seq(
+      "map-side-combined class census" -> "partial_count"),
+      mustNotContain = Seq(
+        "no join" -> "Join",
+        "no window" -> "Window")),
     // transitions: one map-side-combined pair count; the only windows
     // are per-user lead() (bounded by one user's activity); totals join
     // back answer-sized

@@ -419,6 +419,48 @@ object IntegrationQueries {
                strftime(mn5, '%Y-%m-%d %H:%M:%S'), strftime(mx5, '%Y-%m-%d %H:%M:%S') FROM a
         UNION ALL
         SELECT 'o_orderpriority', nr, nr - c6, d6, NULL, NULL, mn6, mx6 FROM a)
-      ORDER BY col_name"""))
+      ORDER BY col_name""")),
+
+    // k-anonymity audit — the data-governance gate before a table leaves
+    // the pipeline: every quasi-identifier combination shared by fewer
+    // than k individuals re-identifies them (Sweeney 2002). Quasi-ids:
+    // (market segment, nation, account-balance band of 2000) — the band
+    // is ONE floor(x/2000) on the raw double, an identical single op
+    // chain in both engines, and makes the flag non-degenerate at every
+    // sf (578 at-risk classes at sf0.01, 2 even at sf0.1). k = 5. One
+    // map-side-combined groupBy; output = at-risk classes only (the
+    // census a governance report acts on) + a '__summary' row (at-risk
+    // classes / total classes / exposed individuals), all exact ints.
+    QueryDef("q167_kanon", (s, dir) => {
+      import s.implicits._
+      val classes = Tables.load(s, dir, "customer")
+        .groupBy($"c_mktsegment", $"c_nationkey",
+          floor($"c_acctbal" / 2000d).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("n"))
+      val risky = classes.filter($"n" < 5)
+        .select($"c_mktsegment", $"c_nationkey".cast("long").as("c_nationkey"),
+          $"bal_band", $"n")
+      val summary = classes.agg(
+          sum(when($"n" < 5, 1L).otherwise(0L)).as("nr"),
+          count(lit(1)).as("total"),
+          sum(when($"n" < 5, $"n").otherwise(0L)).as("exposed"))
+        .select(lit("__summary").as("c_mktsegment"), $"nr".as("c_nationkey"),
+          $"total".as("bal_band"), $"exposed".as("n"))
+      risky.unionByName(summary)
+        .orderBy($"c_mktsegment", $"c_nationkey", $"bal_band")
+    }, Some("""
+      WITH cls AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2, 3)
+      SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey, bal_band, n
+      FROM cls WHERE n < 5
+      UNION ALL
+      SELECT '__summary',
+             CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(*),
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      FROM cls
+      ORDER BY c_mktsegment, c_nationkey, bal_band"""))
   )
 }

@@ -25,7 +25,7 @@ object EventQueries {
       FROM sess GROUP BY user_id ORDER BY user_id"""
 
   // lazy: baseDefs/transitionsDef are declared below (object-init order)
-  lazy val defs: Seq[QueryDef] = baseDefs :+ transitionsDef
+  lazy val defs: Seq[QueryDef] = baseDefs ++ Seq(transitionsDef, debounceDef)
 
   private lazy val baseDefs: Seq[QueryDef] = Seq(
 
@@ -976,6 +976,28 @@ object EventQueries {
     * EXACT integer: p_u = n_ab·1e6 ⌊/⌋ n_a (one integer division —
     * stronger than the §5 float protocol); row-sum Σ_b p_u ∈
     * (1e6 − fanout, 1e6] by construction. */
+  /** Burst-collapse debounce (EventsOps.debounce) summarized per
+    * (user, type): raw vs kept counts + the collapse total. eps = 6 h
+    * keeps the gate non-degenerate (~11% of events collapse at sf0.01). */
+  private val debounceDef = QueryDef("q166_debounce", (s, dir) => {
+    import s.implicits._
+    EventsOps.debounce(Tables.load(s, dir, "events"), epsSec = 21600L)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"user_id", $"event_type")
+  }, Some("""
+      WITH g AS (
+        SELECT user_id, event_type,
+               CASE WHEN LAG(ts) OVER wdw IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER wdw) > 21600000000
+                    THEN 1 ELSE 0 END AS nb
+        FROM events
+        WINDOW wdw AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+      SELECT user_id, event_type, COUNT(*) AS n_raw,
+             CAST(SUM(nb) AS BIGINT) AS n_kept
+      FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   private val transitionsDef = QueryDef("q164_transitions", (s, dir) => {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

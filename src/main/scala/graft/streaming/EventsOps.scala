@@ -45,4 +45,30 @@ object EventsOps {
       .groupBy(col("user_id"))
       .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
+
+  /** Burst-collapse debounce — telemetry cleaning: within each
+    * (user_id, event_type) stream, events separated from their
+    * predecessor by ≤ `epsSec` belong to one BURST (retry storms,
+    * double-clicks, duplicate beacons); only the burst's first event is
+    * kept. Burst = the [[sessionize]] islands construction keyed by
+    * (user, type) — "drop an event within eps of any prior event in the
+    * chain", the rsyslog/metric-dedup semantics (NOT "eps since last
+    * KEPT", which is inherently sequential and resample-unstable).
+    * Returns events + (burst_id, kept); one shuffle, per-key windows
+    * bounded by one user's activity (the q26 contract); microsecond-
+    * exact integer gaps (engine-portable). */
+  def debounce(events: DataFrame, epsSec: Long): DataFrame = {
+    val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(byKey)
+    val newBurst = when(
+      prev.isNull || (unix_micros(col("ts")) - unix_micros(prev)) > epsSec * 1000000L, 1
+    ).otherwise(0)
+    events
+      .withColumn("__nb", newBurst)
+      .withColumn("burst_id",
+        sum(col("__nb")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("kept", col("__nb") === 1)
+      .drop("__nb")
+  }
 }
