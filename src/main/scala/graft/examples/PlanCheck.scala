@@ -464,6 +464,21 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // streamed transitions: the final plan is the batch count over the
+    // sink's emitted pairs + the answer-sized n_src window (the q153
+    // no-self-join-on-memory-sink discipline)
+    Want("q168_stream_transitions", Seq(
+      "map-side-combined pair counts" -> "partial_count",
+      "answer-sized n_src window" -> "Window"),
+      mustNotContain = Seq(
+        "no join on the sink" -> "Join")),
+    // band join: bucket probe keeps it an equi-join — never a cross
+    // product or a nested-loop theta join
+    Want("q169_band_join", Seq(
+      "map-side-combined pair summary" -> "partial_count"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop theta join" -> "BroadcastNestedLoopJoin")),
     // debounce: burst islands are per-(user,type) windows (bounded by
     // one user's activity); the summary is one map-side-combined agg
     Want("q166_debounce", Seq(

@@ -1641,7 +1641,51 @@ object RelationalQueries {
       SELECT r, grp, n_nodes, s_u, regs,
              0.673 * 256.0 * 144115188075855872.0 * CAST(n_nodes AS DOUBLE)
                / CAST(s_u AS DOUBLE) AS est
-      FROM uni ORDER BY r, grp"""))
+      FROM uni ORDER BY r, grp""")),
+
+    // ε-band join — the numeric-distance join the equi/interval family
+    // lacks: pairs with |price_a − price_b| ≤ ε within a brand (price-
+    // collision screening, fuzzy numeric matching). Never a cross
+    // product: bucket = floor(price/ε), one side probes {b−1, b, b+1}
+    // (a ≤ε pair differs by ≤1 bucket — pigeonhole-complete), the join
+    // is a plain equi-join on (brand, bucket) + an exact residual
+    // filter; each unordered pair matches EXACTLY once (the probe hits
+    // the other side's single home bucket). floor(x/ε) and |a−b| are
+    // single identical double op chains in both engines (no reorderable
+    // accumulation → portable); the closest-pair argmin is an order-free
+    // min(struct) with (diff, id, id) tie-break. Oracle = the quadratic
+    // theta join this operator replaces.
+    QueryDef("q169_band_join", (s, dir) => {
+      import s.implicits._
+      val p = t(s, dir, "part").select($"p_partkey".as("id"),
+        $"p_brand".as("brand"), $"p_retailprice".as("price"),
+        floor($"p_retailprice" / 0.5d).cast("long").as("bkt"))
+      val probe = p.select($"id".as("id_a"), $"brand", $"price".as("price_a"),
+        explode(array($"bkt" - 1, $"bkt", $"bkt" + 1)).as("bkt"))
+      val other = p.select($"id".as("id_b"), $"brand", $"price".as("price_b"), $"bkt")
+      probe.join(other, Seq("brand", "bkt"))
+        .filter($"id_a" < $"id_b" && abs($"price_a" - $"price_b") <= 0.5d)
+        .groupBy($"brand")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(struct(abs($"price_a" - $"price_b").as("d"),
+            $"id_a".as("a"), $"id_b".as("b"))).as("c"))
+        .select($"brand", $"n_pairs", $"c.d".as("min_diff"),
+          $"c.a".as("pair_a"), $"c.b".as("pair_b"))
+        .orderBy($"brand")
+    }, Some("""
+      WITH pr AS (
+        SELECT a.p_brand AS brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+               abs(a.p_retailprice - b.p_retailprice) AS d
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         AND abs(a.p_retailprice - b.p_retailprice) <= 0.5),
+      r AS (SELECT brand, id_a, id_b, d,
+                   ROW_NUMBER() OVER (PARTITION BY brand ORDER BY d, id_a, id_b) AS rn
+            FROM pr)
+      SELECT p.brand, p.n_pairs, r.d AS min_diff, r.id_a AS pair_a, r.id_b AS pair_b
+      FROM (SELECT brand, COUNT(*) AS n_pairs FROM pr GROUP BY 1) p
+      JOIN r ON r.brand = p.brand AND r.rn = 1
+      ORDER BY p.brand"""))
   )
 
   /** The q151 oracle: `rounds` unrolled peel rounds over the trade

@@ -25,7 +25,8 @@ object EventQueries {
       FROM sess GROUP BY user_id ORDER BY user_id"""
 
   // lazy: baseDefs/transitionsDef are declared below (object-init order)
-  lazy val defs: Seq[QueryDef] = baseDefs ++ Seq(transitionsDef, debounceDef)
+  lazy val defs: Seq[QueryDef] =
+    baseDefs ++ Seq(transitionsDef, debounceDef, streamTransitionsDef)
 
   private lazy val baseDefs: Seq[QueryDef] = Seq(
 
@@ -979,6 +980,21 @@ object EventQueries {
   /** Burst-collapse debounce (EventsOps.debounce) summarized per
     * (user, type): raw vs kept counts + the collapse total. eps = 6 h
     * keeps the gate non-degenerate (~11% of events collapse at sf0.01). */
+  /** Shared by q164 (batch) and q168 (streamed pairs → same counts).
+    * Declared BEFORE the defs that reference it — a later-in-file val
+    * would still be null during their object initialization. */
+  private val TRANSITIONS_ORACLE_SQL = """
+      WITH pairs AS (
+        SELECT event_type AS src,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events),
+      cnt AS (SELECT src, dst, COUNT(*) AS n FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT src, SUM(n) AS n_src FROM cnt GROUP BY 1)
+      SELECT c.src, c.dst, c.n, CAST(t.n_src AS BIGINT) AS n_src,
+             CAST(c.n * 1000000 // t.n_src AS BIGINT) AS p_u
+      FROM cnt c JOIN tot t ON t.src = c.src
+      ORDER BY c.src, c.dst"""
+
   private val debounceDef = QueryDef("q166_debounce", (s, dir) => {
     import s.implicits._
     EventsOps.debounce(Tables.load(s, dir, "events"), epsSec = 21600L)
@@ -1015,15 +1031,40 @@ object EventQueries {
         // DOUBLE division with ulp-boundary off-by-one risk)
         expr("(n * 1000000L) div n_src").as("p_u"))
     out.orderBy($"src", $"dst")
-  }, Some("""
-      WITH pairs AS (
-        SELECT event_type AS src,
-               LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
-        FROM events),
-      cnt AS (SELECT src, dst, COUNT(*) AS n FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
-      tot AS (SELECT src, SUM(n) AS n_src FROM cnt GROUP BY 1)
-      SELECT c.src, c.dst, c.n, CAST(t.n_src AS BIGINT) AS n_src,
-             CAST(c.n * 1000000 // t.n_src AS BIGINT) AS p_u
-      FROM cnt c JOIN tot t ON t.src = c.src
-      ORDER BY c.src, c.dst"""))
+  }, Some(TRANSITIONS_ORACLE_SQL))
+
+  /** STREAMING event-sequence transitions (StreamingTransitions ∘ the
+    * q117 ordered-replay protocol): q164's pair extraction as live
+    * bounded state — ONE (ts, event_id, type) triple per user forever —
+    * with the counts downstream plain batch aggregation over the sink's
+    * emitted pairs. Four event-time-split micro-batches (day <8 / <16 /
+    * <23 / rest); streamed pairs == batch lead() pairs row for row, so
+    * the oracle is q164's SQL verbatim — hash equality proves the
+    * stateful sequencing loses/duplicates nothing across batch
+    * boundaries. */
+  private val streamTransitionsDef = QueryDef("q168_stream_transitions", (s, dir) => {
+    import s.implicits._
+    val raw = Tables.load(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"event_type",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date")).as("d"))
+    val batches = Seq(
+      raw.filter($"d" < 8), raw.filter($"d" >= 8 && $"d" < 16),
+      raw.filter($"d" >= 16 && $"d" < 23), raw.filter($"d" >= 23)
+    ).map(_.drop("d"))
+    val pairs = StreamingTransitions.pairs(s,
+      EventsStream.replayOrdered(batches).as[StreamingTransitions.Ev])
+    s.catalog.dropTempView("q168_sink")
+    val q = EventsStream.toMemorySink(pairs.toDF(), "q168_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try q.processAllAvailable() finally q.stop()
+    // n_src via a window over the answer-sized count table — a
+    // cnt⋈cnt self-join trips attribute-conflict resolution on memory
+    // sinks (the q153 discipline)
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy($"src")
+    s.table("q168_sink").groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+      .withColumn("n_src", sum($"n").over(wSrc))
+      .select($"src", $"dst", $"n", $"n_src",
+        expr("(n * 1000000L) div n_src").as("p_u"))
+      .orderBy($"src", $"dst")
+  }, Some(TRANSITIONS_ORACLE_SQL))
 }

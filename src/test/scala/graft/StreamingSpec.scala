@@ -376,4 +376,45 @@ class StreamingSpec extends SparkSpec {
     badQ.stop()
     assert(e.getMessage != null, "regressing day must fail the stream")
   }
+
+  test("StreamingTransitions: streamed pairs equal batch lead() across splits; regression raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{EventsStream, StreamingTransitions}
+    // two users, interleaved types; event ids double as micros-timestamps
+    val ev = Seq(
+      (1L, 10L, 100L, "view"), (1L, 20L, 101L, "click"), (1L, 30L, 102L, "buy"),
+      (1L, 30L, 103L, "view"),                   // ts tie broken by event_id
+      (2L, 5L, 200L, "view"), (2L, 40L, 201L, "view")
+    ).toDF("user_id", "ts_us", "event_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val batch = ev.select($"event_type".as("src"),
+        lead($"event_type", 1).over(w).as("dst"))
+      .filter($"dst".isNotNull)
+      .groupBy($"src", $"dst").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // split so user 1's sequence spans the batch boundary mid-stream
+    val stream = EventsStream.replayOrdered(Seq(
+      ev.filter($"ts_us" < 25), ev.filter($"ts_us" >= 25)))
+    val pairs = StreamingTransitions.pairs(spark, stream.as[StreamingTransitions.Ev])
+    spark.catalog.dropTempView("st_sink")
+    val q = EventsStream.toMemorySink(pairs.toDF(), "st_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st_sink").groupBy($"src", $"dst").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // cross-batch regression (an event before the sequenced position) raises
+    val bad = EventsStream.replayOrdered(Seq(
+      ev.filter($"ts_us" >= 25), ev.filter($"ts_us" < 25)))
+    val badQ = EventsStream.toMemorySink(
+      StreamingTransitions.pairs(spark, bad.as[StreamingTransitions.Ev]).toDF(),
+      "st_bad", org.apache.spark.sql.streaming.OutputMode.Append())
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      badQ.processAllAvailable()
+    }
+    badQ.stop()
+    assert(e.getMessage != null, "out-of-order batch must fail the stream")
+  }
 }
