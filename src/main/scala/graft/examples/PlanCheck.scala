@@ -464,6 +464,22 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // join-size estimate: two depth×width counter builds (map-side
+    // combined) + an answer-sized counter⋈counter product; the exact
+    // ground-truth leg is the only corpus join and it is an equi-join
+    Want("q170_join_size", Seq(
+      "map-side-combined counters" -> "partial_count",
+      "exact decimal products" -> "partial_sum"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested loop" -> "BroadcastNestedLoopJoin")),
+    // FK audit: one left equi-join + conditional aggregation per edge —
+    // the child scans once and the 1-row summaries union answer-sized
+    Want("q171_fk_audit", Seq(
+      "orphan check is a hash equi-join" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested loop" -> "BroadcastNestedLoopJoin")),
     // streamed transitions: the final plan is the batch count over the
     // sink's emitted pairs + the answer-sized n_src window (the q153
     // no-self-join-on-memory-sink discipline)

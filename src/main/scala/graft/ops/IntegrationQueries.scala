@@ -461,6 +461,58 @@ object IntegrationQueries {
              COUNT(*),
              CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
       FROM cls
-      ORDER BY c_mktsegment, c_nationkey, bal_band"""))
+      ORDER BY c_mktsegment, c_nationkey, bal_band""")),
+
+    // Referential-integrity audit — the import-QC check an integration
+    // tool runs after every load: child keys with no parent row are
+    // orphans (broken joins downstream). One anti-join per FK edge —
+    // the orphan summary is answer-sized. Parents are deterministically
+    // THINNED in both engines (every 13th order / 17th customer
+    // removed) so the orphan path is exercised at every sf, not just on
+    // hypothetically-dirty data.
+    QueryDef("q171_fk_audit", (s, dir) => {
+      import s.implicits._
+      // ONE left join + conditional aggregation per edge (parent keys
+      // are unique, so the join never multiplies child rows) — a
+      // separate anti-join pass + scalar crossJoin would scan the child
+      // twice and plan a nested-loop for the 1-row combine
+      def audit(child: org.apache.spark.sql.DataFrame, key: String,
+          parent: org.apache.spark.sql.DataFrame, pkey: String,
+          label: String) = {
+        child.join(parent.select(parent(pkey).as("__pk")),
+            child(key) === col("__pk"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"),
+            min(when(col("__pk").isNull, child(key))).as("min_key"),
+            max(when(col("__pk").isNull, child(key))).as("max_key"))
+          .select(lit(label).as("fk"), $"n_child", $"n_orphans",
+            $"min_key", $"max_key")
+      }
+      val orders = Tables.load(s, dir, "orders")
+      val parentOrders = orders.filter($"o_orderkey" % 13 =!= 0)
+      val parentCust = Tables.load(s, dir, "customer")
+        .filter($"c_custkey" % 17 =!= 0)
+      audit(Tables.load(s, dir, "lineitem"), "l_orderkey",
+          parentOrders, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionByName(audit(orders, "o_custkey",
+          parentCust, "c_custkey", "orders.o_custkey->customer"))
+        .orderBy($"fk")
+    }, Some("""
+      WITH po AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 13 <> 0),
+      pc AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 <> 0),
+      o1 AS (SELECT l_orderkey AS k FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po)),
+      o2 AS (SELECT o_custkey AS k FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM pc))
+      SELECT 'lineitem.l_orderkey->orders' AS fk,
+             (SELECT COUNT(*) FROM lineitem) AS n_child,
+             COUNT(*) AS n_orphans, MIN(k) AS min_key, MAX(k) AS max_key
+      FROM o1
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             (SELECT COUNT(*) FROM orders),
+             COUNT(*), MIN(k), MAX(k)
+      FROM o2
+      ORDER BY fk"""))
   )
 }

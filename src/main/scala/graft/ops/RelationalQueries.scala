@@ -1685,7 +1685,61 @@ object RelationalQueries {
       SELECT p.brand, p.n_pairs, r.d AS min_diff, r.id_a AS pair_a, r.id_b AS pair_b
       FROM (SELECT brand, COUNT(*) AS n_pairs FROM pr GROUP BY 1) p
       JOIN r ON r.brand = p.brand AND r.rn = 1
-      ORDER BY p.brand"""))
+      ORDER BY p.brand""")),
+
+    // Join-size estimation without joining (Sketches.cmsJoinSizeByDepth
+    // — Cormode's count-min inner product): "how big would the
+    // lineitem⋈lineitem self-join on part be under this predicate?"
+    // answered from two depth×width counter tables — the query-planner
+    // composition the mergeable-sketch family exists for at 100 TB.
+    // Surface: per-depth estimates, their min (the estimator, always ≥
+    // true), and the exact ground truth Σ_k f_A·f_B (computed here so
+    // the overestimate property is oracle-VISIBLE; production keeps
+    // only the sketch side, stated). All integer/decimal exact.
+    QueryDef("q170_join_size", (s, dir) => {
+      import s.implicits._
+      val a0 = t(s, dir, "lineitem").select($"l_partkey".as("k"))
+      val b0 = t(s, dir, "lineitem").filter($"l_quantity" > 25)
+        .select($"l_partkey".as("k"))
+      val ca = graft.ops.Sketches.cmsCounters(a0, $"k", lit(1L), depth = 4, width = 8192)
+      val cb = graft.ops.Sketches.cmsCounters(b0, $"k", lit(1L), depth = 4, width = 8192)
+      val perDepth = graft.ops.Sketches.cmsJoinSizeByDepth(ca, cb)
+      val est = perDepth.select(
+        concat(lit("depth_"), $"i".cast("string")).as("stat"), $"est")
+      val mn = perDepth.agg(min($"est").cast("decimal(38,0)").as("est"))
+        .select(lit("__min").as("stat"), $"est")
+      val tru = a0.groupBy($"k").agg(count(lit(1)).cast("decimal(19,0)").as("fa"))
+        .join(b0.groupBy($"k").agg(count(lit(1)).cast("decimal(18,0)").as("fb")), "k")
+        .agg(sum($"fa" * $"fb").cast("decimal(38,0)").as("est"))
+        .select(lit("__true").as("stat"), $"est")
+      est.unionByName(mn).unionByName(tru).orderBy($"stat")
+    }, Some("""
+      WITH a0 AS (SELECT l_partkey AS k FROM lineitem),
+      b0 AS (SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 25),
+      ca AS (
+        SELECT i.i AS i,
+               CAST(('0x' || substr(md5('cms:' || CAST(i.i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 8192 AS bucket,
+               COUNT(*) AS c
+        FROM a0, range(4) i(i) GROUP BY 1, 2),
+      cb AS (
+        SELECT i.i AS i,
+               CAST(('0x' || substr(md5('cms:' || CAST(i.i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 8192 AS bucket,
+               COUNT(*) AS c
+        FROM b0, range(4) i(i) GROUP BY 1, 2),
+      prod AS (
+        SELECT ca.i,
+               CAST(SUM(CAST(ca.c AS DECIMAL(19,0)) * CAST(cb.c AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS est
+        FROM ca JOIN cb ON cb.i = ca.i AND cb.bucket = ca.bucket
+        GROUP BY 1),
+      tru AS (
+        SELECT CAST(SUM(CAST(fa.n AS DECIMAL(19,0)) * CAST(fb.n AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS est
+        FROM (SELECT k, COUNT(*) AS n FROM a0 GROUP BY 1) fa
+        JOIN (SELECT k, COUNT(*) AS n FROM b0 GROUP BY 1) fb ON fb.k = fa.k)
+      SELECT stat, est FROM (
+        SELECT 'depth_' || CAST(i AS VARCHAR) AS stat, est FROM prod
+        UNION ALL SELECT '__min', CAST(MIN(est) AS DECIMAL(38,0)) FROM prod
+        UNION ALL SELECT '__true', est FROM tru)
+      ORDER BY stat"""))
   )
 
   /** The q151 oracle: `rounds` unrolled peel rounds over the trade

@@ -267,6 +267,25 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
   }
 
+  /** Join-size estimation WITHOUT joining (Cormode & Muthukrishnan '05
+    * §4.2, the inner-product estimate): |A ⋈_k B| = Σ_k f_A(k)·f_B(k),
+    * estimated per depth row as Σ_bucket a[i][w]·b[i][w] and taken as
+    * the MIN over depths — always an OVERestimate (collisions only add
+    * non-negative cross terms). This is the query-planner composition
+    * the sketch family exists for at 100 TB: both counter tables are
+    * depth×width rows regardless of corpus size, maintained
+    * incrementally by counter-wise SUM, so "how big would this join
+    * be?" costs an answer-sized multiply — never the join. Returns one
+    * row per depth (i, est) — exact DECIMAL products (counter pairs
+    * overflow long at corpus scale); callers min() the answer-sized
+    * result. Both inputs must share (depth, width, salt). */
+  def cmsJoinSizeByDepth(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("i"), col("bucket"), col("c").cast("decimal(19,0)").as("ca"))
+      .join(b.select(col("i"), col("bucket"), col("c").cast("decimal(18,0)").as("cb")),
+        Seq("i", "bucket"))
+      .groupBy(col("i"))
+      .agg(sum(col("ca") * col("cb")).cast("decimal(38,0)").as("est"))
+
   // ---------------- DD-style quantile histogram ----------------
 
   /** Log-bucketed quantile histogram — the QUANTILE member of the
