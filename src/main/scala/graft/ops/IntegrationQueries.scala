@@ -472,29 +472,13 @@ object IntegrationQueries {
     // hypothetically-dirty data.
     QueryDef("q171_fk_audit", (s, dir) => {
       import s.implicits._
-      // ONE left join + conditional aggregation per edge (parent keys
-      // are unique, so the join never multiplies child rows) — a
-      // separate anti-join pass + scalar crossJoin would scan the child
-      // twice and plan a nested-loop for the 1-row combine
-      def audit(child: org.apache.spark.sql.DataFrame, key: String,
-          parent: org.apache.spark.sql.DataFrame, pkey: String,
-          label: String) = {
-        child.join(parent.select(parent(pkey).as("__pk")),
-            child(key) === col("__pk"), "left")
-          .agg(count(lit(1)).as("n_child"),
-            sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"),
-            min(when(col("__pk").isNull, child(key))).as("min_key"),
-            max(when(col("__pk").isNull, child(key))).as("max_key"))
-          .select(lit(label).as("fk"), $"n_child", $"n_orphans",
-            $"min_key", $"max_key")
-      }
       val orders = Tables.load(s, dir, "orders")
       val parentOrders = orders.filter($"o_orderkey" % 13 =!= 0)
       val parentCust = Tables.load(s, dir, "customer")
         .filter($"c_custkey" % 17 =!= 0)
-      audit(Tables.load(s, dir, "lineitem"), "l_orderkey",
+      Profile.fkAudit(Tables.load(s, dir, "lineitem"), "l_orderkey",
           parentOrders, "o_orderkey", "lineitem.l_orderkey->orders")
-        .unionByName(audit(orders, "o_custkey",
+        .unionByName(Profile.fkAudit(orders, "o_custkey",
           parentCust, "c_custkey", "orders.o_custkey->customer"))
         .orderBy($"fk")
     }, Some("""

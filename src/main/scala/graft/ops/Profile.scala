@@ -63,4 +63,20 @@ object Profile {
     aggd.select(explode(array(fields.map(entry): _*)).as("e"))
       .select(col("e.*"))
   }
+
+  /** Referential-integrity audit for one FK edge: ONE left equi-join +
+    * conditional aggregation (parent keys must be unique — the join
+    * never multiplies child rows; a separate anti-join pass + scalar
+    * crossJoin would scan the child twice and plan a nested loop).
+    * Returns one row: (fk, n_child, n_orphans, min_key, max_key). */
+  def fkAudit(child: DataFrame, key: String, parent: DataFrame, pkey: String,
+      label: String): DataFrame =
+    child.join(parent.select(parent(pkey).as("__pk")),
+        child(key) === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"),
+        min(when(col("__pk").isNull, child(key))).as("min_key"),
+        max(when(col("__pk").isNull, child(key))).as("max_key"))
+      .select(lit(label).as("fk"), col("n_child"), col("n_orphans"),
+        col("min_key"), col("max_key"))
 }

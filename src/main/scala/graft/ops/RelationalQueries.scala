@@ -1657,20 +1657,9 @@ object RelationalQueries {
     // theta join this operator replaces.
     QueryDef("q169_band_join", (s, dir) => {
       import s.implicits._
-      val p = t(s, dir, "part").select($"p_partkey".as("id"),
-        $"p_brand".as("brand"), $"p_retailprice".as("price"),
-        floor($"p_retailprice" / 0.5d).cast("long").as("bkt"))
-      val probe = p.select($"id".as("id_a"), $"brand", $"price".as("price_a"),
-        explode(array($"bkt" - 1, $"bkt", $"bkt" + 1)).as("bkt"))
-      val other = p.select($"id".as("id_b"), $"brand", $"price".as("price_b"), $"bkt")
-      probe.join(other, Seq("brand", "bkt"))
-        .filter($"id_a" < $"id_b" && abs($"price_a" - $"price_b") <= 0.5d)
-        .groupBy($"brand")
-        .agg(count(lit(1)).as("n_pairs"),
-          min(struct(abs($"price_a" - $"price_b").as("d"),
-            $"id_a".as("a"), $"id_b".as("b"))).as("c"))
-        .select($"brand", $"n_pairs", $"c.d".as("min_diff"),
-          $"c.a".as("pair_a"), $"c.b".as("pair_b"))
+      BandJoin.summary(t(s, dir, "part"), "p_partkey", "p_brand",
+          "p_retailprice", eps = 0.5)
+        .withColumnRenamed("grp", "brand")
         .orderBy($"brand")
     }, Some("""
       WITH pr AS (

@@ -409,6 +409,109 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("graft_profile"),
+      info("graft_profile",
+        "graft_profile(table) - single-pass column profile with schema-driven type routing: (col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_profile(table) takes 1 argument")
+        graft.ops.Profile.profile(tableArg(args(0))).queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_fk_audit"),
+      info("graft_fk_audit",
+        "graft_fk_audit(child, keyCol, parent, parentKeyCol) - referential-integrity audit for one FK edge (parent keys must be unique): one row (fk, n_child, n_orphans, min_key, max_key)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_fk_audit(child, keyCol, parent, parentKeyCol) takes 4 arguments")
+        val key = strArg(args(1), "keyCol"); val pk = strArg(args(3), "parentKeyCol")
+        graft.ops.Profile.fkAudit(tableArg(args(0)), key, tableArg(args(2)), pk,
+          s"$key->$pk").queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_acf"),
+      info("graft_acf",
+        "graft_acf(table, groupCol, tCol, yCol, maxLag) - per-group autocorrelation of the integral series at lags 1..maxLag: (group, k, n, acf_u = floor(1e6 * r_k)); degenerate margins dropped."),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_acf(table, groupCol, tCol, yCol, maxLag) takes 5 arguments")
+        require(args(4).foldable, "maxLag must be a literal")
+        graft.ops.TimeSeries.acf(tableArg(args(0)), strArg(args(1), "groupCol"),
+          strArg(args(2), "tCol"), strArg(args(3), "yCol"),
+          args(4).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_cusum"),
+      info("graft_cusum",
+        "graft_cusum(table, groupCol, tCol, yCol) - per-group CUSUM change-point: (group, n_obs, t_star, s_star, s_abs); S' = n*P_t - t*Sum_y, pure integer arithmetic, earliest t on ties."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_cusum(table, groupCol, tCol, yCol) takes 4 arguments")
+        graft.ops.TimeSeries.cusum(tableArg(args(0)), strArg(args(1), "groupCol"),
+          strArg(args(2), "tCol"), strArg(args(3), "yCol"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_band_join"),
+      info("graft_band_join",
+        "graft_band_join(table, idCol, groupCol, valCol, eps) - all unordered within-group pairs with |v_a - v_b| <= eps via bucket-probe equi-join (never a cross product): (grp, id_a, id_b, v_a, v_b, diff)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_band_join(table, idCol, groupCol, valCol, eps) takes 5 arguments")
+        require(args(4).foldable, "eps must be a literal")
+        graft.ops.BandJoin.pairs(tableArg(args(0)), strArg(args(1), "idCol"),
+          strArg(args(2), "groupCol"), strArg(args(3), "valCol"),
+          args(4).eval().asInstanceOf[Number].doubleValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_debounce"),
+      info("graft_debounce",
+        "graft_debounce(table, epsSec) - burst-collapse debounce over an events table (user_id, event_type, ts, event_id): input rows + (burst_id, kept); only each burst's first event has kept = true."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_debounce(table, epsSec) takes 2 arguments")
+        require(args(1).foldable, "epsSec must be a literal")
+        graft.streaming.EventsOps.debounce(tableArg(args(0)),
+          args(1).eval().asInstanceOf[Number].longValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_mmr"),
+      info("graft_mmr",
+        "graft_mmr(table, vecCol, idCol, queryId, shortlist, k) - maximal-marginal-relevance diversified top-k over int8-quantized embedding dots (lambda = 1/2, exact-integer greedy): (rk, n_id, rel, cut). Executes eagerly (shortlist collect - procedure semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "graft_mmr(table, vecCol, idCol, queryId, shortlist, k) takes 6 arguments")
+        require(args(3).foldable && args(4).foldable && args(5).foldable,
+          "queryId, shortlist and k must be literals")
+        graft.similarity.Mmr.rerank(tableArg(args(0)), strArg(args(1), "vecCol"),
+          strArg(args(2), "idCol"),
+          args(3).eval().asInstanceOf[Number].longValue(),
+          args(4).eval().asInstanceOf[Number].intValue(),
+          args(5).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_hyperanf"),
+      info("graft_hyperanf",
+        "graft_hyperanf(edges, rounds, p) - HyperANF ball registers over an (src, dst) edge table: (r, node, regs array) for r = 0..rounds. Executes the rounds eagerly (iterative fixpoint - procedure semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_hyperanf(edges, rounds, p) takes 3 arguments")
+        require(args(1).foldable && args(2).foldable, "rounds and p must be literals")
+        graft.ops.HyperAnf.ballRegisters(tableArg(args(0)),
+          args(1).eval().asInstanceOf[Number].intValue(),
+          args(2).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("graft_trend"),
       info("graft_trend",
         "graft_trend(table, groupCol, xCol, yCol) - per-group least-squares line over integer points: (group, n_pts, slope, intercept)"),

@@ -236,6 +236,85 @@ class ExtensionsSpec extends AnyFunSuite {
            ORDER BY doc_id""").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       assert(ph.toSeq == Seq(("a b c", 1L, 2L), ("a b c", 2L, 1L)), ph.mkString(";"))
 
+      // r11 table functions
+      // profile: nulls/distinct/min/max with type routing
+      Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+        .toDF("id", "s").createOrReplaceTempView("tf_prof")
+      val pf = spark.sql(
+        """SELECT col_name, n_nulls, n_distinct, min_num, min_str
+           FROM graft_profile('tf_prof') ORDER BY col_name""").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1d else r.getDouble(3),
+          if (r.isNullAt(4)) "-" else r.getString(4)))
+      assert(pf.toSeq == Seq(("id", 0L, 3L, 1d, "-"), ("s", 1L, 2L, -1d, "a")),
+        pf.mkString(";"))
+
+      // fk audit: child 9 has no parent
+      Seq((1L, 10L), (2L, 10L), (3L, 9L)).toDF("ck", "fk")
+        .createOrReplaceTempView("tf_fkc")
+      Seq(Tuple1(10L)).toDF("pk").createOrReplaceTempView("tf_fkp")
+      val fk = spark.sql(
+        """SELECT n_child, n_orphans, min_key
+           FROM graft_fk_audit('tf_fkc', 'fk', 'tf_fkp', 'pk')""").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(fk.toSeq == Seq((3L, 1L, 9L)), fk.mkString(";"))
+
+      // acf: the 10-point alternating series from the TimeSeries unit
+      // test (r1 floors to exactly -1e6 there; shorter variants land a
+      // floor-ulp below — the micro-unit floor is a floor, not a round)
+      (0 until 10).map(t => ("g", t.toLong, if (t % 2 == 0) 10L else 20L))
+        .toDF("g", "t", "y").createOrReplaceTempView("tf_acf")
+      val ac = spark.sql(
+        """SELECT k, acf_u FROM graft_acf('tf_acf', 'g', 't', 'y', 1)""").collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      assert(ac.toSeq == Seq((1, -1000000L)), ac.mkString(";"))
+
+      // cusum: 3 low then 3 high -> boundary at t=2, S' = 6*9 - 3*27 = -27
+      (0 until 6).map(t => ("g", t.toLong, if (t < 3) 3L else 6L))
+        .toDF("g", "t", "y").createOrReplaceTempView("tf_cus")
+      val cu = spark.sql(
+        """SELECT t_star, CAST(s_star AS BIGINT) FROM graft_cusum('tf_cus', 'g', 't', 'y')""")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(cu.toSeq == Seq((2L, -27L)), cu.mkString(";"))
+
+      // band join: only the 1.0/1.3 pair is within eps = 0.5
+      Seq((1L, "g", 1.0), (2L, "g", 1.3), (3L, "g", 9.0))
+        .toDF("id", "grp", "v").createOrReplaceTempView("tf_band")
+      val bj = spark.sql(
+        """SELECT id_a, id_b FROM graft_band_join('tf_band', 'id', 'grp', 'v', 0.5D)""")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(bj.toSeq == Seq((1L, 2L)), bj.mkString(";"))
+
+      // debounce: the 2nd event (1s later) collapses into the 1st burst
+      Seq((1L, "c", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+          (1L, "c", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 2L),
+          (1L, "c", java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 3L))
+        .toDF("user_id", "event_type", "ts", "event_id")
+        .createOrReplaceTempView("tf_deb")
+      val db = spark.sql(
+        """SELECT event_id, kept FROM graft_debounce('tf_deb', 60) ORDER BY event_id""")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+      assert(db.toSeq == Seq((1L, true), (2L, false), (3L, true)), db.mkString(";"))
+
+      // mmr: near-dup of the top pick defers to the diverse candidate
+      Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)),
+          (2L, Array(0.98f, 0.12f)), (3L, Array(0.5f, -0.8f)))
+        .toDF("vec_id", "embedding").createOrReplaceTempView("tf_mmr")
+      val mm = spark.sql(
+        """SELECT rk, n_id FROM graft_mmr('tf_mmr', 'embedding', 'vec_id', 0, 3, 2)
+           ORDER BY rk""").collect().map(r => (r.getInt(0), r.getLong(1)))
+      assert(mm.toSeq == Seq((1, 1L), (2, 3L)), mm.mkString(";"))
+
+      // hyperanf: a 2-path saturates by round 2 (register count grows)
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").createOrReplaceTempView("tf_anf")
+      val anf = spark.sql(
+        """SELECT r, CAST(aggregate(regs, 0, (a, x) -> a + CASE WHEN x > 0 THEN 1 ELSE 0 END) AS INTEGER) AS touched
+           FROM graft_hyperanf('tf_anf', 2, 4) WHERE node = 1 ORDER BY r""").collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      assert(anf.map(_._1).toSeq == Seq(0, 1, 2) &&
+        anf(0)._2 <= anf(1)._2 && anf(1)._2 <= anf(2)._2 && anf(2)._2 >= 2,
+        anf.mkString(";"))
+
       // substring dedup: doc 2 loses the 8-token span it shares with doc 1
       Seq((1L, "a1 a2 a3 a4 a5 a6 a7 a8 tail1"),
           (2L, "head a1 a2 a3 a4 a5 a6 a7 a8"),
