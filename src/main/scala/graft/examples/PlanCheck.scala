@@ -464,6 +464,20 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // jsonl roundtrip: explicit-schema json scan + per-row projection —
+    // no shuffle at all beyond the answer orderBy
+    Want("q172_jsonl_roundtrip", Seq(
+      "explicit-schema json scan" -> "json"),
+      mustNotContain = Seq(
+        "no join" -> "Join",
+        "no window" -> "Window")),
+    // lexical diversity: one token-count shuffle + one per-source
+    // rollup, both map-side combined
+    Want("q173_lexical_diversity", Seq(
+      "map-side-combined token counts" -> "partial_count"),
+      mustNotContain = Seq(
+        "no join" -> "Join",
+        "no window" -> "Window")),
     // join-size estimate: two depth×width counter builds (map-side
     // combined) + an answer-sized counter⋈counter product; the exact
     // ground-truth leg is the only corpus join and it is an equi-join

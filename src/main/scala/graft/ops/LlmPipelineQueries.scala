@@ -2649,8 +2649,82 @@ object LlmPipelineQueries {
         FROM totals t)
       SELECT tok, n_a, n_b, drift FROM (
         SELECT * FROM top UNION ALL SELECT * FROM gl)
-      ORDER BY drift DESC, tok"""))
+      ORDER BY drift DESC, tok""")),
+
+    // --- q172: JSONL ingestion roundtrip — newline-delimited JSON is
+    // how LLM corpora actually arrive (CommonCrawl derivatives, vendor
+    // drops); an import tool that corrupts escapes or types on the way
+    // through is poison. The corpus lands as JSONL ONCE per (corpus,
+    // content-fingerprint) — the q98 memoized-landing discipline — and
+    // is read back with an EXPLICIT schema (schema inference is a
+    // corpus-sized extra pass and type roulette; stated). The oracle
+    // reads the ORIGINAL parquet: hash equality proves the write+read
+    // roundtrip is lossless for every row, column, and escape.
+    QueryDef("q172_jsonl_roundtrip", (s, dir) => {
+      import s.implicits._
+      val path = jsonlDocs(s, dir)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json(path)
+        .select($"doc_id", $"lang", $"source", $"n_chars",
+          length($"text").cast("long").as("len"), md5($"text").as("text_md5"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, lang, source, n_chars,
+             CAST(length(text) AS BIGINT) AS len, md5(text) AS text_md5
+      FROM documents ORDER BY doc_id""")),
+
+    // --- q173: lexical diversity per source — the template-detection
+    // curation signal (a boilerplate-heavy source has few distinct
+    // tokens behind a large stream; models memorize it). Exact-integer
+    // surface: type-token ratio ttr_u = D·1e6 div N (truncating
+    // integer division, the q100 discipline) and the Gini-impurity
+    // sufficient statistic Σ n_tok² as decimal (1 − Σn²/N² is the
+    // impurity; the caller is one division away, the engine never
+    // rounds — entropy would need ln, engine-ulp-dependent, rejected
+    // as in q165). One token-count shuffle + one per-source rollup.
+    QueryDef("q173_lexical_diversity", (s, dir) => {
+      import s.implicits._
+      val norm = regexp_replace(lower($"text"), "[^a-z0-9 ]", " ")
+      val toks = Tables.load(s, dir, "documents")
+        .select($"source",
+          explode(split(trim(regexp_replace(norm, "\\s+", " ")), " ", -1)).as("tok"))
+        .filter(length($"tok") > 0)
+      toks.groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+        .groupBy($"source")
+        .agg(sum($"n").as("n_tok"), count(lit(1)).as("n_distinct"),
+          sum($"n".cast("decimal(19,0)") * $"n".cast("decimal(18,0)"))
+            .cast("decimal(38,0)").as("sum_sq"))
+        .select($"source", $"n_tok", $"n_distinct",
+          expr("(n_distinct * 1000000L) div n_tok").as("ttr_u"), $"sum_sq")
+        .orderBy($"source")
+    }, Some("""
+      WITH toks AS (
+        SELECT source, unnest(
+          list_filter(string_split(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+            '\\s+', ' ', 'g')), ' '), x -> len(x) > 0)) AS tok
+        FROM documents),
+      cnt AS (SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_tok,
+             COUNT(*) AS n_distinct,
+             CAST(COUNT(*) * 1000000 // SUM(n) AS BIGINT) AS ttr_u,
+             CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sum_sq
+      FROM cnt GROUP BY source ORDER BY source"""))
   )
+
+  /** The documents corpus as a JSONL landing, written once per
+    * (corpus, content-fingerprint) per process — q172's import source
+    * and the q98 memoized-landing discipline. */
+  def jsonlDocs(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fp = graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "documents"))
+    jsonl.getOrElseUpdate(s"$dir@$fp", {
+      val path = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      Tables.load(s, dir, "documents").coalesce(4)
+        .write.mode("overwrite").json(path)
+      path
+    })
+  }
+  private val jsonl = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** The q127 oracle: `nMerges` unrolled BPE rounds. Symbol sequences
     * travel as double-delimited strings ("||" + join(syms, "||") + "||");
