@@ -509,6 +509,13 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian" -> "CartesianProduct",
         "no nested-loop theta join" -> "BroadcastNestedLoopJoin")),
+    // streamed debounce: the final plan is the batch summary over the
+    // sink's kept-flagged rows — one map-side-combined agg, no join
+    Want("q174_stream_debounce", Seq(
+      "map-side-combined burst summary" -> "partial_count"),
+      mustNotContain = Seq(
+        "no join on the sink" -> "Join",
+        "no window on the sink" -> "Window")),
     // debounce: burst islands are per-(user,type) windows (bounded by
     // one user's activity); the summary is one map-side-combined agg
     Want("q166_debounce", Seq(

@@ -74,7 +74,10 @@ object Profile {
     child.join(parent.select(parent(pkey).as("__pk")),
         child(key) === col("__pk"), "left")
       .agg(count(lit(1)).as("n_child"),
-        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"),
+        // sum over ZERO rows is NULL, not 0 — an empty child table must
+        // still report 0 orphans
+        coalesce(sum(when(col("__pk").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_orphans"),
         min(when(col("__pk").isNull, child(key))).as("min_key"),
         max(when(col("__pk").isNull, child(key))).as("max_key"))
       .select(lit(label).as("fk"), col("n_child"), col("n_orphans"),

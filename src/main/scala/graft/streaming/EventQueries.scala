@@ -26,7 +26,8 @@ object EventQueries {
 
   // lazy: baseDefs/transitionsDef are declared below (object-init order)
   lazy val defs: Seq[QueryDef] =
-    baseDefs ++ Seq(transitionsDef, debounceDef, streamTransitionsDef)
+    baseDefs ++ Seq(transitionsDef, debounceDef, streamTransitionsDef,
+      streamDebounceDef)
 
   private lazy val baseDefs: Seq[QueryDef] = Seq(
 
@@ -998,6 +999,45 @@ object EventQueries {
   private val debounceDef = QueryDef("q166_debounce", (s, dir) => {
     import s.implicits._
     EventsOps.debounce(Tables.load(s, dir, "events"), epsSec = 21600L)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"user_id", $"event_type")
+  }, Some("""
+      WITH g AS (
+        SELECT user_id, event_type,
+               CASE WHEN LAG(ts) OVER wdw IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER wdw) > 21600000000
+                    THEN 1 ELSE 0 END AS nb
+        FROM events
+        WINDOW wdw AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+      SELECT user_id, event_type, COUNT(*) AS n_raw,
+             CAST(SUM(nb) AS BIGINT) AS n_kept
+      FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** STREAMING burst-collapse debounce (StreamingDebounce ∘ the q168
+    * ordered-replay protocol): q166's islands semantics as live O(1)
+    * state — ONE chain-end timestamp per (user, type) forever. Four
+    * event-time-split micro-batches; streamed kept-flags equal the
+    * batch operator's row for row, so the oracle is q166's SQL
+    * verbatim — hash equality proves no burst decision flips across a
+    * batch boundary (the chain-end state is the whole answer). */
+  private val streamDebounceDef = QueryDef("q174_stream_debounce", (s, dir) => {
+    import s.implicits._
+    val raw = Tables.load(s, dir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"), $"event_id",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date")).as("d"))
+    val batches = Seq(
+      raw.filter($"d" < 8), raw.filter($"d" >= 8 && $"d" < 16),
+      raw.filter($"d" >= 16 && $"d" < 23), raw.filter($"d" >= 23)
+    ).map(_.drop("d"))
+    val kept = StreamingDebounce.debounce(s,
+      EventsStream.replayOrdered(batches).as[StreamingDebounce.Ev], epsSec = 21600L)
+    s.catalog.dropTempView("q174_sink")
+    val q = EventsStream.toMemorySink(kept.toDF(), "q174_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try q.processAllAvailable() finally q.stop()
+    s.table("q174_sink")
       .groupBy($"user_id", $"event_type")
       .agg(count(lit(1)).as("n_raw"),
         sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))

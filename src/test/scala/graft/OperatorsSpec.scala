@@ -1378,6 +1378,48 @@ class OperatorsSpec extends SparkSpec {
     assert(got((3, 1L)) == regsOf(Set(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("BandJoin: randomized cross-check vs the quadratic definition; boundary pairs") {
+    // deterministic pseudo-random values (md5-derived, no RNG state)
+    def v(i: Int): Double = {
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"bj:$i".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+      (h % 10000L) / 100.0 // [0, 100) with 2 decimals
+    }
+    val rows = (0 until 200).map(i => (i.toLong, s"g${i % 3}", v(i)))
+    val df = rows.toDF("id", "grp", "v")
+    val eps = 0.75
+    val got = graft.ops.BandJoin.pairs(df, "id", "grp", "v", eps)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      a <- rows; b <- rows
+      if a._2 == b._2 && a._1 < b._1 && math.abs(a._3 - b._3) <= eps
+    } yield (a._1, b._1)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // exact-boundary pair (diff == eps) is IN; just-over is OUT
+    val edge = Seq((1L, "e", 1.0), (2L, "e", 1.75), (3L, "e", 2.5001))
+      .toDF("id", "grp", "v")
+    val ep = graft.ops.BandJoin.pairs(edge, "id", "grp", "v", eps)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // 1.75 − 1.0 = 0.75 == eps (binary-exact) is IN;
+    // 2.5001 − 1.75 = 0.7501 > eps is OUT
+    assert(ep == Set((1L, 2L)), ep.toString)
+  }
+
+  test("Profile.fkAudit: empty child, clean child, all-orphans") {
+    val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("pk")
+    val empty = Seq.empty[(Long, Long)].toDF("id", "fk")
+    val e = graft.ops.Profile.fkAudit(empty, "fk", parent, "pk", "e").collect()(0)
+    assert((e.getLong(1), e.getLong(2)) == ((0L, 0L)) && e.isNullAt(3))
+    val clean = Seq((10L, 1L), (11L, 2L)).toDF("id", "fk")
+    val c = graft.ops.Profile.fkAudit(clean, "fk", parent, "pk", "c").collect()(0)
+    assert((c.getLong(1), c.getLong(2)) == ((2L, 0L)) && c.isNullAt(3))
+    val orphan = Seq((10L, 7L), (11L, 8L)).toDF("id", "fk")
+    val o = graft.ops.Profile.fkAudit(orphan, "fk", parent, "pk", "o").collect()(0)
+    assert((o.getLong(1), o.getLong(2), o.getLong(3), o.getLong(4)) ==
+      ((2L, 2L, 7L, 8L)))
+  }
+
   test("TimeSeries.acf: exact lag correlations vs driver reference; short series NULL-safe") {
     // period-2 alternating series: r_1 = -1, r_2 = +1 exactly
     val alt = (0 until 10).map(t => ("a", t.toLong, if (t % 2 == 0) 10L else 20L))

@@ -417,4 +417,35 @@ class StreamingSpec extends SparkSpec {
     badQ.stop()
     assert(e.getMessage != null, "out-of-order batch must fail the stream")
   }
+
+  test("StreamingDebounce: kept-flags equal the batch islands across a mid-burst split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{EventsStream, StreamingDebounce}
+    // one key; bursts [0,5,9] (chain of ≤5-gaps), [30], [36] (gap 6 > eps=5)
+    val us = Seq(0L, 5L, 9L, 30L, 36L)
+    val ev = us.zipWithIndex
+      .map { case (t, i) => (1L, "c", t * 1000000L, 100L + i) }
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val batchKept = graft.streaming.EventsOps
+      .debounce(ev.select($"user_id", $"event_type",
+        timestamp_micros($"ts_us").as("ts"), $"event_id"), epsSec = 5L)
+      .select($"event_id", $"kept")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    // split MID-BURST: the 9s event arrives a batch after its 5s chain-end
+    val stream = EventsStream.replayOrdered(Seq(
+      ev.filter($"ts_us" <= 5000000L), ev.filter($"ts_us" > 5000000L)))
+    val kept = StreamingDebounce.debounce(spark,
+      stream.as[StreamingDebounce.Ev], epsSec = 5L)
+    spark.catalog.dropTempView("sd_sink")
+    val q = EventsStream.toMemorySink(kept.toDF(), "sd_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sd_sink").select($"event_id", $"kept")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(streamed == batchKept, s"streamed=$streamed batch=$batchKept")
+    // the mid-burst chain decision: 9s is DROPPED (4s gap) even though
+    // its chain-end lived in the previous micro-batch
+    assert(streamed.contains((102L, false)) && streamed.contains((103L, true)))
+  }
 }
