@@ -478,6 +478,13 @@ object PlanCheck {
       mustNotContain = Seq(
         "no join" -> "Join",
         "no window" -> "Window")),
+    // weighted pagerank: rounds checkpoint; final plan is the top-20
+    // TakeOrdered over node-sized ranks
+    Want("q175_weighted_pagerank", Seq(
+      "bounded top-k" -> "TakeOrderedAndProject"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested loop" -> "BroadcastNestedLoopJoin")),
     // join-size estimate: two depth×width counter builds (map-side
     // combined) + an answer-sized counter⋈counter product; the exact
     // ground-truth leg is the only corpus join and it is an equi-join

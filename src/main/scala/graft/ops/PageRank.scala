@@ -83,6 +83,58 @@ object PageRank {
     ranks.select(col("node"), col("r").as("rank_mu"))
   }
 
+  /** WEIGHTED PageRank — rank mass distributes proportionally to edge
+    * weight instead of uniformly:
+    *
+    *   rₜ₊₁(v) = 150_000 + (85 · Σ_{u→v} ((rₜ(u) · w_e) div W_u)) div 100
+    *
+    * with W_u = Σ out-edge weights of u — the realistic form for trade
+    * and link graphs, where q100's `.distinct()` throws away exactly
+    * the multiplicity this variant consumes. Same all-integer
+    * recurrence discipline (truncating div; order-free long sums), so
+    * the fixpoint stays oracle-checkable (q175 unrolls it in SQL).
+    * Weights must be POSITIVE integers — rejected loudly (a zero-total
+    * node would divide by zero; negative mass never converges).
+    * Overflow headroom: per-term r·w ≤ (1e6·|V|)·max-w must stay ≪ 2⁶³
+    * — ~1e4 max-w at a billion nodes, stated. Same 2-shuffle round
+    * shape and lineage truncation as [[run]]. */
+  def runWeighted(edges: DataFrame, nIters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(nIters >= 0, "nIters must be non-negative")
+    requireSameKeyType(edges)
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach { d =>
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bad = e0.filter(col("w") <= 0L).limit(1).collect() // bounded check
+    require(bad.isEmpty,
+      s"runWeighted: non-positive edge weight ${bad.headOption.map(_.get(2))} — " +
+        "weights must be positive integers")
+    val wsum = e0.groupBy("src").agg(sum(col("w")).as("wtot"))
+    val eW = truncate(e0.join(wsum, "src"))
+    val nodes = truncate(
+      e0.select(col("src").as("node")).unionByName(e0.select(col("dst").as("node")))
+        .distinct())
+    e0.unpersist(false)
+    val spine = nodes.withColumn("tele", lit(150000L))
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to nIters) {
+      val sums = eW.join(ranks, eW("src") === ranks("node"))
+        .select(eW("dst"), expr("(r * w) div wtot").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = truncate(
+        spine.join(sums, spine("node") === sums("dst"), "left")
+          .select(spine("node"),
+            (spine("tele") + expr("(85 * coalesce(s, 0L)) div 100")).as("r")))
+    }
+    ranks.select(col("node"), col("r").as("rank_mu"))
+  }
+
   /** Personalized PageRank — relevance TO a seed set rather than global
     * authority (crawl-seed expansion: "which domains matter from these
     * trusted starting points?"): the teleport mass returns ONLY to the

@@ -1676,6 +1676,52 @@ object RelationalQueries {
       JOIN r ON r.brand = p.brand AND r.rn = 1
       ORDER BY p.brand""")),
 
+    // Weighted PageRank (PageRank.runWeighted): rank mass distributes
+    // proportionally to edge weight — the weight IS the trade
+    // multiplicity q100's .distinct() throws away (a supplier that
+    // ships a customer 40 lineitems matters more than one that ships
+    // 1). Same all-integer recurrence; the oracle unrolls 3 weighted
+    // rounds as chained CTEs.
+    QueryDef("q175_weighted_pagerank", (s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"l_suppkey" * 2).as("a"), ($"o_custkey" * 2 + 1).as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
+      val edges = pairs.select($"a".as("src"), $"b".as("dst"), $"w")
+        .unionByName(pairs.select($"b".as("src"), $"a".as("dst"), $"w"))
+      PageRank.runWeighted(edges, nIters = 3)
+        .orderBy(desc("rank_mu"), $"node")
+        .limit(20)
+    }, Some("""
+      WITH pairs AS (
+        SELECT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b, COUNT(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      edges AS (SELECT a AS src, b AS dst, w FROM pairs
+                UNION ALL SELECT b, a, w FROM pairs),
+      wt AS (SELECT src, SUM(w) AS wtot FROM edges GROUP BY 1),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      r1 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(c.s, 0)) // 100) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst, SUM((p.r * e.w) // d.wtot) AS s
+               FROM edges e JOIN wt d ON e.src = d.src JOIN r0 p ON p.node = e.src
+               GROUP BY e.dst) c ON c.dst = n.node),
+      r2 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(c.s, 0)) // 100) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst, SUM((p.r * e.w) // d.wtot) AS s
+               FROM edges e JOIN wt d ON e.src = d.src JOIN r1 p ON p.node = e.src
+               GROUP BY e.dst) c ON c.dst = n.node),
+      r3 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(c.s, 0)) // 100) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst, SUM((p.r * e.w) // d.wtot) AS s
+               FROM edges e JOIN wt d ON e.src = d.src JOIN r2 p ON p.node = e.src
+               GROUP BY e.dst) c ON c.dst = n.node)
+      SELECT node, r AS rank_mu FROM r3
+      ORDER BY rank_mu DESC, node LIMIT 20""")),
+
     // Join-size estimation without joining (Sketches.cmsJoinSizeByDepth
     // — Cormode's count-min inner product): "how big would the
     // lineitem⋈lineitem self-join on part be under this predicate?"

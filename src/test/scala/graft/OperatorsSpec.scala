@@ -1378,6 +1378,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got((3, 1L)) == regsOf(Set(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("PageRank.runWeighted: weight-proportional distribution; guards non-positive weights") {
+    // hub 1 points at 2 (w=9) and 3 (w=1); back-edges make it recurrent
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got = graft.ops.PageRank.runWeighted(e, nIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driver reference: r1 = tele + 85% of weighted shares of r0 = 1e6
+    // node2 r1: 150000 + 85*(1e6*9 div 10)/100 = 150000 + 765000
+    // node2 r2: 150000 + 85*((r1(1)*9) div 10) div 100
+    val r1 = Map(
+      1L -> (150000L + 85L * (1000000L + 1000000L) / 100L), // from 2 and 3 (w=1/1)
+      2L -> (150000L + 85L * (1000000L * 9L / 10L) / 100L),
+      3L -> (150000L + 85L * (1000000L * 1L / 10L) / 100L))
+    val r2 = Map(
+      1L -> (150000L + 85L * (r1(2L) + r1(3L)) / 100L),
+      2L -> (150000L + 85L * (r1(1L) * 9L / 10L) / 100L),
+      3L -> (150000L + 85L * (r1(1L) * 1L / 10L) / 100L))
+    assert(got == r2, s"got=$got want=$r2")
+    // the 9:1 asymmetry is visible (uniform PageRank would tie 2 and 3)
+    assert(got(2L) > got(3L))
+    val bad = Seq((1L, 2L, 0L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      graft.ops.PageRank.runWeighted(bad, nIters = 1)
+    }
+  }
+
   test("BandJoin: randomized cross-check vs the quadratic definition; boundary pairs") {
     // deterministic pseudo-random values (md5-derived, no RNG state)
     def v(i: Int): Double = {
