@@ -2594,27 +2594,10 @@ object LlmPipelineQueries {
         concat($"text", when($"doc_id" % 2 === 1 && $"doc_id" % 11 === 0,
           lit(" spamtokenone spamtokentwo spamtokenone")).otherwise(lit("")))
           .as("text"))
-      val norm = regexp_replace(lower($"text"), "[^a-z0-9 ]", " ")
-      val toks = docs
-        .select(($"doc_id" % 2).as("side"),
-          explode(split(trim(regexp_replace(norm, "\\s+", " ")), " ", -1)).as("tok"))
-        .filter(length($"tok") > 0)
-      val counts = toks.groupBy($"tok").agg(
-        sum(when($"side" === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when($"side" === 1, 1L).otherwise(0L)).as("n_b"))
-      val totals = broadcast(counts.agg(
-        sum($"n_a").cast("decimal(18,0)").as("ta"),
-        sum($"n_b").cast("decimal(18,0)").as("tb")))
-      val scored = counts.crossJoin(totals) // 1-row broadcast scalar join
-        .select($"tok", $"n_a", $"n_b",
-          abs($"n_a".cast("decimal(19,0)") * $"tb" - $"n_b".cast("decimal(19,0)") * $"ta")
-            .cast("decimal(38,0)").as("drift"))
-      val top = scored.orderBy($"drift".desc, $"tok").limit(10)
-      val global = scored.agg(sum($"drift").cast("decimal(38,0)").as("drift"))
-        .crossJoin(totals)
-        .select(lit("__tvd").as("tok"), $"ta".cast("long").as("n_a"),
-          $"tb".cast("long").as("n_b"), $"drift")
-      top.unionByName(global).orderBy($"drift".desc, $"tok")
+      TextAnalysis.vocabDrift(
+          docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+          "text", topK = 10)
+        .orderBy($"drift".desc, $"tok")
     }, Some("""
       WITH docs AS (
         SELECT doc_id,
@@ -2684,18 +2667,8 @@ object LlmPipelineQueries {
     // as in q165). One token-count shuffle + one per-source rollup.
     QueryDef("q173_lexical_diversity", (s, dir) => {
       import s.implicits._
-      val norm = regexp_replace(lower($"text"), "[^a-z0-9 ]", " ")
-      val toks = Tables.load(s, dir, "documents")
-        .select($"source",
-          explode(split(trim(regexp_replace(norm, "\\s+", " ")), " ", -1)).as("tok"))
-        .filter(length($"tok") > 0)
-      toks.groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
-        .groupBy($"source")
-        .agg(sum($"n").as("n_tok"), count(lit(1)).as("n_distinct"),
-          sum($"n".cast("decimal(19,0)") * $"n".cast("decimal(18,0)"))
-            .cast("decimal(38,0)").as("sum_sq"))
-        .select($"source", $"n_tok", $"n_distinct",
-          expr("(n_distinct * 1000000L) div n_tok").as("ttr_u"), $"sum_sq")
+      TextAnalysis.lexicalDiversity(
+          Tables.load(s, dir, "documents"), "text", "source")
         .orderBy($"source")
     }, Some("""
       WITH toks AS (

@@ -1056,21 +1056,8 @@ object EventQueries {
 
   private val transitionsDef = QueryDef("q164_transitions", (s, dir) => {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val pairs = Tables.load(s, dir, "events")
-      .select($"user_id", $"ts", $"event_id", $"event_type".as("src"),
-        lead($"event_type", 1).over(w).as("dst"))
-      .filter($"dst".isNotNull)
-      .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
-    val out = pairs.groupBy($"src").agg(sum($"n").as("n_src"))
-      .join(pairs, "src")
-      .select($"src", $"dst", $"n", $"n_src",
-        // exact truncating integer division (Spark `div` == DuckDB `//`
-        // on non-negatives — the q100 discipline; Column `/` would be a
-        // DOUBLE division with ulp-boundary off-by-one risk)
-        expr("(n * 1000000L) div n_src").as("p_u"))
-    out.orderBy($"src", $"dst")
+    EventsOps.transitions(Tables.load(s, dir, "events"))
+      .orderBy($"src", $"dst")
   }, Some(TRANSITIONS_ORACLE_SQL))
 
   /** STREAMING event-sequence transitions (StreamingTransitions ∘ the

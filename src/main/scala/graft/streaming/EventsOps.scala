@@ -46,6 +46,24 @@ object EventsOps {
       .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** Markov transition matrix of the per-user event sequence (q164's
+    * operator form): consecutive (type → next type) pairs within each
+    * user's (ts, event_id)-ordered stream; p_u = n_ab·1e6 div n_a, an
+    * EXACT truncating integer division. One map-side-combined pair
+    * shuffle; per-user lead() windows bounded by one user's activity. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    pairs.groupBy(col("src")).agg(sum(col("n")).as("n_src"))
+      .join(pairs, "src")
+      .select(col("src"), col("dst"), col("n"), col("n_src"),
+        expr("(n * 1000000L) div n_src").as("p_u"))
+  }
+
   /** Burst-collapse debounce — telemetry cleaning: within each
     * (user_id, event_type) stream, events separated from their
     * predecessor by ≤ `epsSec` belong to one BURST (retry storms,

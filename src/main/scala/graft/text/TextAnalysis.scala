@@ -98,6 +98,62 @@ object TextAnalysis {
         regexp_replace(c, EmailRe, "[EMAIL]"),
         PhoneRe, "[PHONE]"),
       Ipv4Re, "[IP]")
+
+  /** (group, tok) rows under the alnum-word convention (lower, strip
+    * non-[a-z0-9 ], collapse, split, drop empties) — the q127/q165
+    * tokenization. One generator pass. */
+  private def alnumTokenRows(df: org.apache.spark.sql.DataFrame,
+      textCol: String, keyCol: Column): org.apache.spark.sql.DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " ")
+    df.select(keyCol.as("__g"),
+        explode(split(trim(regexp_replace(norm, "\\s+", " ")), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+  }
+
+  /** Lexical diversity per group (q173's operator form): exact
+    * type-token ratio (truncating integer division) + the Σ n_tok²
+    * Gini-impurity sufficient statistic as decimal(38,0). One
+    * token-count shuffle + one per-group rollup. */
+  def lexicalDiversity(df: org.apache.spark.sql.DataFrame, textCol: String,
+      groupCol: String): org.apache.spark.sql.DataFrame =
+    alnumTokenRows(df, textCol, col(groupCol))
+      .groupBy(col("__g").as(groupCol), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n_tok"), count(lit(1)).as("n_distinct"),
+        sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(18,0)"))
+          .cast("decimal(38,0)").as("sum_sq"))
+      .select(col(groupCol), col("n_tok"), col("n_distinct"),
+        expr("(n_distinct * 1000000L) div n_tok").as("ttr_u"), col("sum_sq"))
+
+  /** Vocabulary drift between corpora A and B (q165's operator form):
+    * per-token exact TVD numerator |n_a·B − n_b·A| as decimal(38,0);
+    * top-k drifting tokens (bounded TakeOrdered) + a '__tvd' row with
+    * the Σ and both totals — the caller is one division from
+    * TVD = Σ/(2AB), the engine never rounds. */
+  def vocabDrift(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val toks = alnumTokenRows(a, textCol, lit(0L))
+      .unionByName(alnumTokenRows(b, textCol, lit(1L)))
+    val counts = toks.groupBy(col("tok")).agg(
+      sum(when(col("__g") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__g") === 1L, 1L).otherwise(0L)).as("n_b"))
+    val totals = broadcast(counts.agg(
+      sum(col("n_a")).cast("decimal(18,0)").as("ta"),
+      sum(col("n_b")).cast("decimal(18,0)").as("tb")))
+    val scored = counts.crossJoin(totals) // 1-row broadcast scalar join
+      .select(col("tok"), col("n_a"), col("n_b"),
+        abs(col("n_a").cast("decimal(19,0)") * col("tb")
+          - col("n_b").cast("decimal(19,0)") * col("ta"))
+          .cast("decimal(38,0)").as("drift"))
+    val top = scored.orderBy(col("drift").desc, col("tok")).limit(topK)
+    val global = scored.agg(sum(col("drift")).cast("decimal(38,0)").as("drift"))
+      .crossJoin(totals)
+      .select(lit("__tvd").as("tok"), col("ta").cast("long").as("n_a"),
+        col("tb").cast("long").as("n_b"), col("drift"))
+    top.unionByName(global)
+  }
 }
 
 /** Word k-shingling shared by text fingerprints and MinHash dedup. */
@@ -113,4 +169,5 @@ object Shingling {
           i => array_join(slice(toks, i, lit(k)), " ")))
         .otherwise(array(array_join(toks, " "))))
   }
+
 }

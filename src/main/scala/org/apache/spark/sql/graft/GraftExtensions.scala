@@ -409,6 +409,61 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("graft_transitions"),
+      info("graft_transitions",
+        "graft_transitions(events) - per-user event-sequence Markov transition matrix over (user_id, event_type, ts, event_id): (src, dst, n, n_src, p_u = n*1e6 div n_src, exact integer)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_transitions(events) takes 1 argument")
+        graft.streaming.EventsOps.transitions(tableArg(args(0)))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_lexical_diversity"),
+      info("graft_lexical_diversity",
+        "graft_lexical_diversity(table, textCol, groupCol) - per-group exact type-token ratio + Gini-impurity sufficient statistic: (group, n_tok, n_distinct, ttr_u, sum_sq)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_lexical_diversity(table, textCol, groupCol) takes 3 arguments")
+        graft.text.TextAnalysis.lexicalDiversity(tableArg(args(0)),
+          strArg(args(1), "textCol"), strArg(args(2), "groupCol"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_vocab_drift"),
+      info("graft_vocab_drift",
+        "graft_vocab_drift(tableA, tableB, textCol, topK) - token-distribution drift between two corpora as exact total-variation sufficient statistics: top-k (tok, n_a, n_b, drift = |n_a*B - n_b*A|) + a '__tvd' summary row."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_vocab_drift(tableA, tableB, textCol, topK) takes 4 arguments")
+        require(args(3).foldable, "topK must be a literal")
+        graft.text.TextAnalysis.vocabDrift(tableArg(args(0)), tableArg(args(1)),
+          strArg(args(2), "textCol"),
+          args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_join_size"),
+      info("graft_join_size",
+        "graft_join_size(tableA, keyColA, tableB, keyColB, depth, width) - count-min inner-product join-size estimate per depth row (i, est as exact decimal); min(est) is the estimator, always >= the true |A join B| on the key."),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "graft_join_size(tableA, keyColA, tableB, keyColB, depth, width) takes 6 arguments")
+        require(args(4).foldable && args(5).foldable, "depth and width must be literals")
+        val depth = args(4).eval().asInstanceOf[Number].intValue()
+        val width = args(5).eval().asInstanceOf[Number].intValue()
+        val ca = graft.ops.Sketches.cmsCounters(tableArg(args(0)),
+          org.apache.spark.sql.functions.col(strArg(args(1), "keyColA")),
+          org.apache.spark.sql.functions.lit(1L), depth, width)
+        val cb = graft.ops.Sketches.cmsCounters(tableArg(args(2)),
+          org.apache.spark.sql.functions.col(strArg(args(3), "keyColB")),
+          org.apache.spark.sql.functions.lit(1L), depth, width)
+        graft.ops.Sketches.cmsJoinSizeByDepth(ca, cb).queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("graft_profile"),
       info("graft_profile",
         "graft_profile(table) - single-pass column profile with schema-driven type routing: (col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)."),

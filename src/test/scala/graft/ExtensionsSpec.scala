@@ -236,6 +236,47 @@ class ExtensionsSpec extends AnyFunSuite {
            ORDER BY doc_id""").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       assert(ph.toSeq == Seq(("a b c", 1L, 2L), ("a b c", 2L, 1L)), ph.mkString(";"))
 
+      // transitions: a->b twice, b->a once for one user
+      Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L),
+          (1L, "b", java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 2L),
+          (1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 3L),
+          (1L, "b", java.sql.Timestamp.valueOf("2024-01-01 00:00:04"), 4L))
+        .toDF("user_id", "event_type", "ts", "event_id")
+        .createOrReplaceTempView("tf_trn")
+      val trn = spark.sql(
+        """SELECT src, dst, n, p_u FROM graft_transitions('tf_trn') ORDER BY src""")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(trn.toSeq == Seq(("a", "b", 2L, 1000000L), ("b", "a", 1L, 1000000L)),
+        trn.mkString(";"))
+
+      // lexical diversity: 'x x x y' -> D=2 N=4 ttr 500000, sumsq 9+1
+      Seq(("s1", "x x x y")).toDF("g", "text").createOrReplaceTempView("tf_lex")
+      val lx = spark.sql(
+        """SELECT n_tok, n_distinct, ttr_u, CAST(sum_sq AS BIGINT)
+           FROM graft_lexical_diversity('tf_lex', 'text', 'g')""").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(lx.toSeq == Seq((4L, 2L, 500000L, 10L)), lx.mkString(";"))
+
+      // vocab drift: B gains 'spam' -> top drifting token; A=3, B=4 tokens
+      Seq(Tuple1("x y z")).toDF("text").createOrReplaceTempView("tf_vda")
+      Seq(Tuple1("x y z spam")).toDF("text").createOrReplaceTempView("tf_vdb")
+      val vd = spark.sql(
+        """SELECT tok, n_a, n_b, CAST(drift AS BIGINT)
+           FROM graft_vocab_drift('tf_vda', 'tf_vdb', 'text', 1)
+           ORDER BY tok""").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // spam: |0*3 - 1*3| = 3; each of x/y/z: |1*3 - 1*4| = 1 -> tvd sum 6
+      assert(vd.toSeq == Seq(("__tvd", 3L, 4L, 6L), ("spam", 0L, 1L, 3L)),
+        vd.mkString(";"))
+
+      // join size: exact when width has no collisions — Sum f_a*f_b = 2*1+1*2 = 4
+      Seq(Tuple1(1L), Tuple1(1L), Tuple1(2L)).toDF("k").createOrReplaceTempView("tf_jsa")
+      Seq(Tuple1(1L), Tuple1(2L), Tuple1(2L)).toDF("k").createOrReplaceTempView("tf_jsb")
+      val jsz = spark.sql(
+        """SELECT CAST(MIN(est) AS BIGINT) FROM graft_join_size('tf_jsa', 'k', 'tf_jsb', 'k', 4, 1024)""")
+        .collect().map(_.getLong(0))
+      assert(jsz.toSeq == Seq(4L), jsz.mkString(";"))
+
       // r11 table functions
       // profile: nulls/distinct/min/max with type routing
       Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
