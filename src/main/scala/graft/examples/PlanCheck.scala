@@ -478,6 +478,13 @@ object PlanCheck {
       mustNotContain = Seq(
         "no join" -> "Join",
         "no window" -> "Window")),
+    // neyman sampling: moments one map-side agg; targets broadcast
+    // back; selection one per-group rank (the exact-count price)
+    Want("q176_neyman_sample", Seq(
+      "targets broadcast back" -> "BroadcastHashJoin",
+      "per-group rank" -> "row_number"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct")),
     // weighted pagerank: rounds checkpoint; final plan is the top-20
     // TakeOrdered over node-sized ranks
     Want("q175_weighted_pagerank", Seq(

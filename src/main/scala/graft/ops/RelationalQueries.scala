@@ -1676,6 +1676,46 @@ object RelationalQueries {
       JOIN r ON r.brand = p.brand AND r.rn = 1
       ORDER BY p.brand""")),
 
+    // Neyman-allocated stratified sampling (Sampling.neymanSample —
+    // Neyman 1934): a fixed audit budget split ∝ N_h·σ_h over account
+    // balances per market segment — the survey-sampling optimum q154's
+    // size-only weights cannot express. Exact integer moments in
+    // micro-units; ONE IEEE sqrt per stratum; byte-identical selection.
+    QueryDef("q176_neyman_sample", (s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      Sampling.neymanSample(cust, "c_mktsegment", "c_custkey",
+          ($"c_acctbal".cast("decimal(18,4)") * 10000).cast("long"),
+          budget = lit(300L))
+        .orderBy($"c_mktsegment", $"c_custkey")
+    }, Some("""
+      WITH v AS (
+        SELECT c_mktsegment AS g, c_custkey AS id,
+               CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT) AS m
+        FROM customer),
+      mo AS (
+        SELECT g, COUNT(*) AS n_grp,
+               SUM(CAST(m AS HUGEINT)) AS s,
+               SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS q
+        FROM v GROUP BY 1),
+      w AS (
+        SELECT g, n_grp,
+               GREATEST(1, CAST(floor(sqrt(CAST(n_grp * q - s * s AS DOUBLE))) AS BIGINT)) AS w_l
+        FROM mo),
+      tot AS (SELECT SUM(w_l) AS sw FROM w),
+      t AS (SELECT g, n_grp,
+                   CAST(LEAST(n_grp, (300 * w_l) // tot.sw) AS BIGINT) AS t_grp
+            FROM w CROSS JOIN tot),
+      rk AS (
+        SELECT g, id,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY
+                 CAST(('0x' || substr(md5('neyman:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)) AS r
+        FROM v)
+      SELECT rk.g AS c_mktsegment, rk.id AS c_custkey, t.n_grp, t.t_grp
+      FROM rk JOIN t ON t.g = rk.g
+      WHERE rk.r <= t.t_grp
+      ORDER BY c_mktsegment, c_custkey""")),
+
     // Weighted PageRank (PageRank.runWeighted): rank mass distributes
     // proportionally to edge weight — the weight IS the trade
     // multiplicity q100's .distinct() throws away (a supplier that

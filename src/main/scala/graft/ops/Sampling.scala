@@ -88,6 +88,49 @@ object Sampling {
       budget: Column, salt: String = "temp"): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_grp"))
       .withColumn("w_l", floor(sqrt(col("n_grp"))).cast("long"))
+    allocSample(df, groupCol, idCol, counts, budget, salt)
+  }
+
+  /** Neyman-allocated stratified sampling (Neyman 1934; the survey-
+    * sampling optimum): a fixed budget split ∝ N_h·σ_h — a large
+    * HOMOGENEOUS stratum needs few rows (its mean is already pinned);
+    * a small VOLATILE one needs many. The complement of
+    * [[temperatureSample]] (which weighs by size alone): here the
+    * weight is w_h = max(1, ⌊√(N_h·Q_h − S_h²)⌋) over EXACT integer
+    * moments of `valueMicros` (N·Q − S² = N²·Var, so √ of it is
+    * N_h·σ_h) — decimal-exact inside, ONE double sqrt of an exactly-
+    * represented integer (IEEE correctly rounded → the floor is
+    * portable); max(1,·) keeps Σw positive (an all-constant corpus
+    * would otherwise divide by zero) — a zero-variance stratum can
+    * still be ALLOCATED 0 rows, which is Neyman's actual answer
+    * (its mean is pinned), stated rather than papered over.
+    * Selection = the t_h smallest md5 key hashes per group (byte-
+    * identical rows + exact counts across engines/partitionings, the
+    * q154 contract). Headroom: N·Q − S² must fit decimal(38,0) —
+    * ≲ 1e38, i.e. micro-unit values to ~1e12 at a billion rows per
+    * stratum, stated. Returns (groupCol, idCol, n_grp, t_grp). */
+  def neymanSample(df: DataFrame, groupCol: String, idCol: String,
+      valueMicros: Column, budget: Column, salt: String = "neyman"): DataFrame = {
+    val counts = df
+      .select(col(groupCol), valueMicros.as("__m"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_grp"),
+        sum(col("__m").cast("decimal(19,0)")).as("__s"),
+        sum(col("__m").cast("decimal(19,0)") * col("__m").cast("decimal(18,0)"))
+          .as("__q"))
+      .select(col(groupCol), col("n_grp"),
+        greatest(lit(1L),
+          floor(sqrt((col("n_grp").cast("decimal(18,0)") * col("__q")
+            - col("__s") * col("__s")).cast("decimal(38,0)").cast("double")))
+            .cast("long")).as("w_l"))
+    allocSample(df, groupCol, idCol, counts, budget, salt)
+  }
+
+  /** Shared allocation core: given per-group weights (groupCol, n_grp,
+    * w_l), targets t_h = min(n_h, budget·w_h ⌊/⌋ Σw) in pure long
+    * arithmetic, then each group's t_h smallest md5 key hashes. */
+  private def allocSample(df: DataFrame, groupCol: String, idCol: String,
+      counts: DataFrame, budget: Column, salt: String): DataFrame = {
     val sw = counts.agg(sum(col("w_l")).as("sw"))
     val targets = counts.crossJoin(broadcast(sw))
       .withColumn("__bw", (budget.cast("long") * col("w_l")))

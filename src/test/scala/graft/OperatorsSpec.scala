@@ -1378,6 +1378,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got((3, 1L)) == regsOf(Set(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("Sampling.neymanSample: variance-weighted allocation; zero-variance stratum gets 0") {
+    // 'big': 100 constant rows (sigma = 0); 'small': 5 zeros + 5 at 1e6
+    // micro-units — N*Q - S^2 = 10*5e12 - (5e6)^2 = 2.5e13 = (5e6)^2 exactly
+    val rows = (0 until 100).map(i => ("big", i.toLong, 50L)) ++
+      (0 until 10).map(i => ("small", 1000L + i, if (i % 2 == 0) 0L else 1000000L))
+    val df = rows.toDF("g", "id", "m")
+    import org.apache.spark.sql.functions.{col, lit}
+    val got = graft.ops.Sampling.neymanSample(df, "g", "id", col("m"), lit(20L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // w_big = max(1, 0) = 1; w_small = 5e6; sw = 5000001
+    // t_small = min(10, 20*5e6 div 5000001) = 10 (all); t_big = 0
+    assert(got.forall(_._1 == "small") && got.length == 10, got.mkString(";"))
+    assert(got.forall(r => r._3 == 10L && r._4 == 10L))
+  }
+
   test("PageRank.runWeighted: weight-proportional distribution; guards non-positive weights") {
     // hub 1 points at 2 (w=9) and 3 (w=1); back-edges make it recurrent
     val e = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
