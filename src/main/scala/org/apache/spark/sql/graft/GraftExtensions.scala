@@ -409,6 +409,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("graft_neyman_sample"),
+      info("graft_neyman_sample",
+        "graft_neyman_sample(table, groupCol, idCol, valueMicrosCol, budget) - Neyman-allocated stratified sample (budget split proportional to N_h*sigma_h over exact integer moments): the selected rows as (group, id, n_grp, t_grp)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_neyman_sample(table, groupCol, idCol, valueMicrosCol, budget) takes 5 arguments")
+        require(args(4).foldable, "budget must be a literal")
+        graft.ops.Sampling.neymanSample(tableArg(args(0)),
+          strArg(args(1), "groupCol"), strArg(args(2), "idCol"),
+          org.apache.spark.sql.functions.col(strArg(args(3), "valueMicrosCol")),
+          org.apache.spark.sql.functions.lit(
+            args(4).eval().asInstanceOf[Number].longValue()))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("graft_transitions"),
       info("graft_transitions",
         "graft_transitions(events) - per-user event-sequence Markov transition matrix over (user_id, event_type, ts, event_id): (src, dst, n, n_src, p_u = n*1e6 div n_src, exact integer)."),

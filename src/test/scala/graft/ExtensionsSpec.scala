@@ -236,6 +236,16 @@ class ExtensionsSpec extends AnyFunSuite {
            ORDER BY doc_id""").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       assert(ph.toSeq == Seq(("a b c", 1L, 2L), ("a b c", 2L, 1L)), ph.mkString(";"))
 
+      // neyman: the volatile stratum takes the whole budget
+      (Seq(("big", 1L, 50L), ("big", 2L, 50L), ("big", 3L, 50L)) ++
+        Seq(("sm", 10L, 0L), ("sm", 11L, 1000000L)))
+        .toDF("g", "id", "m").createOrReplaceTempView("tf_ney")
+      // w_sm = 1e6, w_big = 1: t_sm = min(2, 3e6 div 1000001) = 2, t_big = 0
+      val ny = spark.sql(
+        """SELECT g, id FROM graft_neyman_sample('tf_ney', 'g', 'id', 'm', 3)
+           ORDER BY id""").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(ny.forall(_._1 == "sm") && ny.length == 2, ny.mkString(";"))
+
       // transitions: a->b twice, b->a once for one user
       Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L),
           (1L, "b", java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 2L),
