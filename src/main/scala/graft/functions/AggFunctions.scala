@@ -11,4 +11,10 @@ object AggFunctions {
     * top-k shuffles |tasks|×|groups|×k entries instead of every row. */
   def scoredTopK(score: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.graft.ScoredTopK(score, id, k)
+
+  /** Element-wise max over array<int> rows — the HLL register-union
+    * semilattice as ONE aggregate expression (constant-size plan at any
+    * register count; map-side partial; mergeable/streamable). */
+  def regMax(regs: Column): Column =
+    org.apache.spark.sql.graft.RegMaxInts(regs)
 }

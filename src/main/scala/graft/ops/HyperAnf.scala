@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   *
   * Layout: registers travel as ONE array<int> column of 2^p entries per
   * node — never 2^p long-form rows through the per-round shuffle (16×
-  * the rows for p=4) — and the per-node union is 2^p independent MAX
-  * aggregates re-packed into the array, all partial-aggregated
-  * map-side. The edge table is hash-partitioned ONCE by dst (the join
-  * key every round reuses; the q100 write-once discipline) and lineage
-  * is truncated per round.
+  * the rows for p=4) — and the per-node union is ONE native reg_max
+  * aggregate (element-wise max semilattice, map-side partial): the plan
+  * carries one aggregate expression at ANY register count, where the
+  * previous 2^p-separate-max shape grew the expression tree with p
+  * (256 aggregates at p = 8 — the r11 verdict's honesty note, closed by
+  * the kernel). The edge table is hash-partitioned ONCE by dst (the
+  * join key every round reuses; the q100 write-once discipline) and
+  * lineage is truncated per round.
   *
   * Portability (§5): node hashes are the md5-prefix convention and
   * register ranks derive from length(bin(q)) — exactly q128's register
@@ -68,17 +71,13 @@ object HyperAnf {
             jj => when(jj.cast("long") === pmod(h, lit(m.toLong)), rank)
               .otherwise(lit(0)).cast("int")).as("regs")))
 
-    val maxes = (0 until m).map(j => max(element_at(col("regs"), j + 1)).as(s"m$j"))
-    val repack = array((0 until m).map(j => col(s"m$j")): _*)
-
     val perRound = Iterator.iterate(init) { prev =>
       val contrib = e0.join(prev.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("regs"))
       truncate(
         prev.unionByName(contrib)
           .groupBy(col("node"))
-          .agg(maxes.head, maxes.tail: _*)
-          .select(col("node"), repack.as("regs")))
+          .agg(graft.functions.AggFunctions.regMax(col("regs")).as("regs")))
     }.take(rounds + 1).toSeq
 
     e0.unpersist()

@@ -490,11 +490,13 @@ object IntegrationQueries {
              WHERE o_custkey NOT IN (SELECT c_custkey FROM pc))
       SELECT 'lineitem.l_orderkey->orders' AS fk,
              (SELECT COUNT(*) FROM lineitem) AS n_child,
+             (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_keys,
              COUNT(*) AS n_orphans, MIN(k) AS min_key, MAX(k) AS max_key
       FROM o1
       UNION ALL
       SELECT 'orders.o_custkey->customer',
              (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
              COUNT(*), MIN(k), MAX(k)
       FROM o2
       ORDER BY fk"""))

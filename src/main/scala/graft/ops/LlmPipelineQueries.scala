@@ -2485,12 +2485,17 @@ object LlmPipelineQueries {
           SELECT id, unnest([{'s': CAST(i AS BIGINT), 'k': ($key) % $P}
                              FOR i IN range(0, n - 7)]) AS p
           FROM cd)),
+      dupk AS (SELECT key FROM occ GROUP BY key HAVING COUNT(*) >= 2),
+      ver AS (
+        SELECT o.id, o.start,
+               md5(array_to_string(s2.toks[o.start+1 : o.start+8], ' ')) AS wkey
+        FROM occ o JOIN dupk USING (key) JOIN sp2 s2 ON s2.id = o.id),
       rem AS (
         SELECT id, start, start + 8 AS e FROM (
           SELECT id, start,
-                 ROW_NUMBER() OVER (PARTITION BY key ORDER BY id, start) AS rn,
-                 COUNT(*) OVER (PARTITION BY key) AS cnt
-          FROM occ)
+                 ROW_NUMBER() OVER (PARTITION BY wkey ORDER BY id, start) AS rn,
+                 COUNT(*) OVER (PARTITION BY wkey) AS cnt
+          FROM ver)
         WHERE cnt >= 2 AND rn >= 2),
       brk AS (
         SELECT id, start, e,
@@ -2594,10 +2599,16 @@ object LlmPipelineQueries {
         concat($"text", when($"doc_id" % 2 === 1 && $"doc_id" % 11 === 0,
           lit(" spamtokenone spamtokentwo spamtokenone")).otherwise(lit("")))
           .as("text"))
+      // §5 surface rule (r12): drift stays decimal(38,0) internally
+      // (n_a·B products overflow long at corpus scale) and through the
+      // ORDER BY (numeric, not lexicographic), then SURFACES as a
+      // string — wide decimals in a final output trip the driver's
+      // cross-engine hash canonicalization.
       TextAnalysis.vocabDrift(
           docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
           "text", topK = 10)
         .orderBy($"drift".desc, $"tok")
+        .select($"tok", $"n_a", $"n_b", $"drift".cast("string").as("drift"))
     }, Some("""
       WITH docs AS (
         SELECT doc_id,
@@ -2630,9 +2641,10 @@ object LlmPipelineQueries {
         SELECT '__tvd' AS tok, CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
                CAST((SELECT SUM(drift) FROM scored) AS DECIMAL(38,0)) AS drift
         FROM totals t)
-      SELECT tok, n_a, n_b, drift FROM (
-        SELECT * FROM top UNION ALL SELECT * FROM gl)
-      ORDER BY drift DESC, tok""")),
+      SELECT tok, n_a, n_b, CAST(drift0 AS VARCHAR) AS drift FROM (
+        SELECT tok, n_a, n_b, drift AS drift0 FROM top
+        UNION ALL SELECT tok, n_a, n_b, drift FROM gl)
+      ORDER BY drift0 DESC, tok""")),
 
     // --- q172: JSONL ingestion roundtrip — newline-delimited JSON is
     // how LLM corpora actually arrive (CommonCrawl derivatives, vendor
@@ -2667,8 +2679,13 @@ object LlmPipelineQueries {
     // as in q165). One token-count shuffle + one per-source rollup.
     QueryDef("q173_lexical_diversity", (s, dir) => {
       import s.implicits._
+      // §5 surface rule (r12): Σn² stays decimal(38,0) internally (it
+      // outgrows long at corpus scale) but SURFACES as a string — wide
+      // decimals in a final output trip the driver's cross-engine hash.
       TextAnalysis.lexicalDiversity(
           Tables.load(s, dir, "documents"), "text", "source")
+        .select($"source", $"n_tok", $"n_distinct", $"ttr_u",
+          $"sum_sq".cast("string").as("sum_sq"))
         .orderBy($"source")
     }, Some("""
       WITH toks AS (
@@ -2681,7 +2698,7 @@ object LlmPipelineQueries {
       SELECT source, CAST(SUM(n) AS BIGINT) AS n_tok,
              COUNT(*) AS n_distinct,
              CAST(COUNT(*) * 1000000 // SUM(n) AS BIGINT) AS ttr_u,
-             CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sum_sq
+             CAST(CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_sq
       FROM cnt GROUP BY source ORDER BY source"""))
   )
 

@@ -111,9 +111,12 @@ object PageRank {
     val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bad = e0.filter(col("w") <= 0L).limit(1).collect() // bounded check
+    // bounded check; isNull clause because null <= 0 is null (filtered
+    // out) — a NULL weight must fail as loudly as a non-positive one,
+    // not silently deflate ranks through sum()'s null-dropping
+    val bad = e0.filter(col("w").isNull || col("w") <= 0L).limit(1).collect()
     require(bad.isEmpty,
-      s"runWeighted: non-positive edge weight ${bad.headOption.map(_.get(2))} — " +
+      s"runWeighted: null or non-positive edge weight ${bad.headOption.map(_.get(2))} — " +
         "weights must be positive integers")
     val wsum = e0.groupBy("src").agg(sum(col("w")).as("wtot"))
     val eW = truncate(e0.join(wsum, "src"))

@@ -68,7 +68,12 @@ object Profile {
     * conditional aggregation (parent keys must be unique — the join
     * never multiplies child rows; a separate anti-join pass + scalar
     * crossJoin would scan the child twice and plan a nested loop).
-    * Returns one row: (fk, n_child, n_orphans, min_key, max_key). */
+    * A NULL child key is NOT an orphan — NULL means "no reference",
+    * which SQL's NOT IN / referential-integrity semantics never flag —
+    * so nulls surface in their own n_null_keys column instead of
+    * silently inflating (or, under NOT IN, deflating) the orphan count.
+    * Returns one row:
+    * (fk, n_child, n_null_keys, n_orphans, min_key, max_key). */
   def fkAudit(child: DataFrame, key: String, parent: DataFrame, pkey: String,
       label: String): DataFrame =
     child.join(parent.select(parent(pkey).as("__pk")),
@@ -76,10 +81,12 @@ object Profile {
       .agg(count(lit(1)).as("n_child"),
         // sum over ZERO rows is NULL, not 0 — an empty child table must
         // still report 0 orphans
-        coalesce(sum(when(col("__pk").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("n_orphans"),
+        coalesce(sum(when(child(key).isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_null_keys"),
+        coalesce(sum(when(child(key).isNotNull && col("__pk").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_orphans"),
         min(when(col("__pk").isNull, child(key))).as("min_key"),
         max(when(col("__pk").isNull, child(key))).as("max_key"))
-      .select(lit(label).as("fk"), col("n_child"), col("n_orphans"),
-        col("min_key"), col("max_key"))
+      .select(lit(label).as("fk"), col("n_child"), col("n_null_keys"),
+        col("n_orphans"), col("min_key"), col("max_key"))
 }

@@ -1549,7 +1549,12 @@ object RelationalQueries {
     // (n_nodes·α·m²·2^R / s_u) — for probes the true HyperANF ball
     // estimate, for '__global' the mean-ball normalization of the exact
     // sum (a float SUM of per-node estimates would be order-dependent
-    // and is out of protocol, stated in the scaladoc).
+    // and is out of protocol, stated in the scaladoc). s_u SURFACES as
+    // a string: the internal arithmetic stays decimal(38,0) — per-node
+    // s_u < 2^61 sums overflow long at 4 nodes — but wide decimals in a
+    // query's FINAL output hash differently across engines in the
+    // driver's canonicalization (§5 surface rule, r12); digits are
+    // digits in every engine.
     QueryDef("q159_hyperanf", (s, dir) => {
       import s.implicits._
       val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
@@ -1565,17 +1570,18 @@ object RelationalQueries {
       val probe = balls.filter($"node" % 41 === 0)
         .select($"r", $"node".cast("string").as("grp"),
           lit(1L).as("n_nodes"), su.cast("decimal(38,0)").as("s_u"), csv.as("regs"))
-      val gMaxes = (0 until 16).map(j => max(element_at($"regs", j + 1)).as(s"g$j"))
+      // register union = ONE reg_max aggregate (constant-size plan at
+      // any p — the r11 verdict's 16-separate-max shape, retired)
       val global = balls
         .select($"r", su.cast("decimal(38,0)").as("su1"), $"regs")
         .groupBy($"r")
-        .agg(count(lit(1)).as("n_nodes"),
-          (sum($"su1").as("s_u") +: gMaxes): _*)
+        .agg(count(lit(1)).as("n_nodes"), sum($"su1").as("s_u"),
+          graft.functions.AggFunctions.regMax($"regs").as("gregs"))
         .select($"r", lit("__global").as("grp"), $"n_nodes",
           $"s_u".cast("decimal(38,0)").as("s_u"),
-          concat_ws(",", (0 until 16).map(j => col(s"g$j").cast("string")): _*).as("regs"))
+          concat_ws(",", transform($"gregs", _.cast("string"))).as("regs"))
       probe.unionByName(global)
-        .select($"r", $"grp", $"n_nodes", $"s_u", $"regs",
+        .select($"r", $"grp", $"n_nodes", $"s_u".cast("string").as("s_u"), $"regs",
           (lit(0.673) * lit(256.0) * lit(144115188075855872.0)
             * $"n_nodes".cast("double") / $"s_u".cast("double")).as("est"))
         .orderBy($"r", $"grp")
@@ -1638,7 +1644,7 @@ object RelationalQueries {
         UNION ALL
         SELECT gl.r, '__global' AS grp, gl.n_nodes, gl.s_u, gregs.regs
         FROM gl JOIN gregs ON gregs.r = gl.r)
-      SELECT r, grp, n_nodes, s_u, regs,
+      SELECT r, grp, n_nodes, CAST(s_u AS VARCHAR) AS s_u, regs,
              0.673 * 256.0 * 144115188075855872.0 * CAST(n_nodes AS DOUBLE)
                / CAST(s_u AS DOUBLE) AS est
       FROM uni ORDER BY r, grp""")),
@@ -1770,7 +1776,10 @@ object RelationalQueries {
     // Surface: per-depth estimates, their min (the estimator, always ≥
     // true), and the exact ground truth Σ_k f_A·f_B (computed here so
     // the overestimate property is oracle-VISIBLE; production keeps
-    // only the sketch side, stated). All integer/decimal exact.
+    // only the sketch side, stated). All integer/decimal exact; est
+    // SURFACES as a string (§5 surface rule, r12: wide decimals in a
+    // final output trip the driver's cross-engine hash — internal
+    // products stay decimal(38,0), they genuinely overflow long).
     QueryDef("q170_join_size", (s, dir) => {
       import s.implicits._
       val a0 = t(s, dir, "lineitem").select($"l_partkey".as("k"))
@@ -1787,7 +1796,9 @@ object RelationalQueries {
         .join(b0.groupBy($"k").agg(count(lit(1)).cast("decimal(18,0)").as("fb")), "k")
         .agg(sum($"fa" * $"fb").cast("decimal(38,0)").as("est"))
         .select(lit("__true").as("stat"), $"est")
-      est.unionByName(mn).unionByName(tru).orderBy($"stat")
+      est.unionByName(mn).unionByName(tru)
+        .select($"stat", $"est".cast("string").as("est"))
+        .orderBy($"stat")
     }, Some("""
       WITH a0 AS (SELECT l_partkey AS k FROM lineitem),
       b0 AS (SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 25),
@@ -1810,7 +1821,7 @@ object RelationalQueries {
         SELECT CAST(SUM(CAST(fa.n AS DECIMAL(19,0)) * CAST(fb.n AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS est
         FROM (SELECT k, COUNT(*) AS n FROM a0 GROUP BY 1) fa
         JOIN (SELECT k, COUNT(*) AS n FROM b0 GROUP BY 1) fb ON fb.k = fa.k)
-      SELECT stat, est FROM (
+      SELECT stat, CAST(est AS VARCHAR) AS est FROM (
         SELECT 'depth_' || CAST(i AS VARCHAR) AS stat, est FROM prod
         UNION ALL SELECT '__min', CAST(MIN(est) AS DECIMAL(38,0)) FROM prod
         UNION ALL SELECT '__true', est FROM tru)

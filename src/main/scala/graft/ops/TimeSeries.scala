@@ -102,4 +102,39 @@ object TimeSeries {
         col(tCol).as("t_star"), col("s").as("s_star"),
         abs(col("s")).as("s_abs"))
   }
+
+  /** One-pass diagnostics composition (q177): a real monitoring job
+    * asks all four series questions together — trend (q120 OLS),
+    * anomaly screen (q121 trailing window), persistence (q161 lag-1
+    * ACF), and change-point (q162 CUSUM) — yet each query alone
+    * rebuilds the daily spine. Here the spine materializes ONCE (eager
+    * localCheckpoint — it is groups × days, answer-sized by the q103
+    * contract) and the four diagnostics read the materialized table;
+    * the per-group headline row assembles by group-key joins of four
+    * answer-sized results (Catalyst broadcasts them all).
+    *
+    * Surface per group: (grp, n_pts, slope, intercept, n_flags,
+    * acf1_u, t_star, s_star) — each column under its parent operator's
+    * exactness protocol; the CUSUM statistic string-surfaced per the
+    * §5 wide-decimal rule. A degenerate ACF margin (constant series)
+    * carries NULL acf1_u via the left join rather than dropping the
+    * group's whole row. */
+  def diagnose(series: DataFrame, grpCol: String, tCol: String, yCol: String,
+      anomWindow: Int = 7): DataFrame = {
+    val spine = series.select(col(grpCol), col(tCol), col(yCol))
+      .localCheckpoint(true)
+    val trend = Trend.linearTrend(spine, grpCol, tCol, yCol)
+    val anom = Trend.anomalyFlags(spine, grpCol, tCol, yCol, anomWindow)
+      .groupBy(col(grpCol))
+      .agg(sum(when(col("flag"), 1L).otherwise(0L)).as("n_flags"))
+    val acf1 = acf(spine, grpCol, tCol, yCol, maxLag = 1)
+      .select(col(grpCol), col("acf_u").as("acf1_u"))
+    val cus = cusum(spine, grpCol, tCol, yCol)
+      .select(col(grpCol), col("t_star"),
+        col("s_star").cast("string").as("s_star"))
+    trend
+      .join(anom, Seq(grpCol), "left")
+      .join(acf1, Seq(grpCol), "left")
+      .join(cus, Seq(grpCol), "left")
+  }
 }

@@ -39,8 +39,17 @@ object Mmr {
     import graft.functions.VectorFunctions.dotF
     val spark = emb.sparkSession
 
+    // the float-dot exactness claim (each partial sum < 2^24) holds
+    // only while d·127² < 2^24, i.e. d ≤ 1024 — enforced per row,
+    // inline on the scan the relevance pass already makes (a wider
+    // vector raises loudly instead of silently rounding the greedy)
+    val dimOk = when(size(col(vecCol)) <= 1024, col(vecCol)).otherwise(
+      raise_error(concat(lit("Mmr.rerank: vector dim "),
+        size(col(vecCol)).cast("string"),
+        lit(" > 1024 breaks the exact-float-dot bound (d*127^2 < 2^24)")))
+        .cast(emb.schema(emb.schema.fieldIndex(vecCol)).dataType))
     val coded = emb.select(col(idCol).as("n_id"),
-      transform(Quantize.codes(col(vecCol), Quantize.scaleOf(col(vecCol))),
+      transform(Quantize.codes(dimOk, Quantize.scaleOf(dimOk)),
         _.cast("float")).as("codes"))
     val probe = broadcast(coded.filter(col("n_id") === queryId)
       .select(col("codes").as("q_codes")))

@@ -933,7 +933,14 @@ object EventQueries {
         .select($"event_type", $"d",
           when($"event_type" === "click" && $"d" >= 16, $"n0" + 40)
             .otherwise($"n0").as("n"))
+      // §5 surface rule (r12): the CUSUM statistic is decimal(38,0)
+      // internally (n·P_t − t·Σy genuinely outgrows long at corpus
+      // scale) but SURFACES as a string — wide decimals in a final
+      // output trip the driver's cross-engine hash canonicalization.
       graft.ops.TimeSeries.cusum(daily, "event_type", "d", "n")
+        .select($"event_type", $"n_obs", $"t_star",
+          $"s_star".cast("string").as("s_star"),
+          $"s_abs".cast("string").as("s_abs"))
         .orderBy($"event_type")
     }, Some("""
       WITH daily0 AS (
@@ -964,9 +971,148 @@ object EventQueries {
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY abs(s) DESC, d) AS rn
         FROM sc)
       SELECT top.event_type, CAST(t.nn AS BIGINT) AS n_obs, top.d AS t_star,
-             top.s AS s_star, abs(top.s) AS s_abs
+             CAST(top.s AS VARCHAR) AS s_star, CAST(abs(top.s) AS VARCHAR) AS s_abs
       FROM top JOIN tot t ON t.event_type = top.event_type
-      WHERE rn = 1 ORDER BY top.event_type"""))
+      WHERE rn = 1 ORDER BY top.event_type""")),
+
+    // Time-series diagnostics composition (TimeSeries.diagnose): the
+    // monitoring pass a pipeline actually runs — trend (q120), anomaly
+    // screen (q121), lag-1 ACF (q161), and CUSUM change-point (q162)
+    // over ONE materialized daily spine instead of four rebuilds; the
+    // headline table is one row per event type. Both planted specimens
+    // ride the shared spine (day-15 ×3 spike → n_flags non-degenerate;
+    // click +40/day from day 16 → the CUSUM argmax lands at the
+    // boundary), so every diagnostic column carries signal at every sf.
+    // Each column keeps its parent operator's exactness protocol; the
+    // CUSUM statistic is string-surfaced (§5 wide-decimal rule).
+    QueryDef("q177_ts_diagnose", (s, dir) => {
+      import s.implicits._
+      val daily = Tables.load(s, dir, "events")
+        .groupBy($"event_type",
+          datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+            .cast("long").as("d"))
+        .agg(count(lit(1)).as("n0"))
+        .select($"event_type", $"d",
+          (when($"d" === 15, $"n0" * 3).otherwise($"n0") +
+            when($"event_type" === "click" && $"d" >= 16, 40L).otherwise(0L))
+            .as("n"))
+      graft.ops.TimeSeries.diagnose(daily, "event_type", "d", "n",
+          anomWindow = 7)
+        .orderBy($"event_type")
+    }, Some("""
+      WITH daily0 AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               COUNT(*) AS n0
+        FROM events GROUP BY 1, 2),
+      daily AS (
+        SELECT event_type, d,
+               (CASE WHEN d = 15 THEN n0 * 3 ELSE n0 END)
+                 + (CASE WHEN event_type = 'click' AND d >= 16 THEN 40 ELSE 0 END) AS n
+        FROM daily0),
+      tm AS (
+        SELECT event_type, COUNT(*) AS np,
+               SUM(d) AS sx, SUM(n) AS sy, SUM(d*d) AS sxx, SUM(d*n) AS sxy
+        FROM daily GROUP BY 1),
+      trend AS (
+        SELECT event_type, np AS n_pts,
+               CASE WHEN np*sxx - sx*sx <> 0
+                    THEN CAST(np*sxy - sx*sy AS DOUBLE) / CAST(np*sxx - sx*sx AS DOUBLE)
+               END AS slope,
+               CASE WHEN np*sxx - sx*sx <> 0
+                    THEN CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(np*sxx - sx*sx AS DOUBLE)
+               END AS intercept
+        FROM tm),
+      win AS (
+        SELECT event_type, d, n,
+               COUNT(*) OVER wdw AS w, SUM(n) OVER wdw AS s, SUM(n*n) OVER wdw AS q
+        FROM daily
+        WINDOW wdw AS (PARTITION BY event_type ORDER BY d
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      anom AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN (w*n - s)*(w*n - s) > 4*(w*q - s*s)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flags
+        FROM win GROUP BY 1),
+      lagged AS (
+        SELECT event_type,
+               CAST(n AS DECIMAL(19,0)) AS xa, CAST(n AS DECIMAL(18,0)) AS xb,
+               LEAD(n, 1) OVER (PARTITION BY event_type ORDER BY d) AS y1
+        FROM daily),
+      pairs AS (
+        SELECT event_type, xa, xb,
+               CAST(y1 AS DECIMAL(19,0)) AS ya, CAST(y1 AS DECIMAL(18,0)) AS yb
+        FROM lagged WHERE y1 IS NOT NULL),
+      mo AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(xa) AS sx, SUM(ya) AS sy,
+               SUM(xa * xb) AS sxx, SUM(ya * yb) AS syy, SUM(xa * yb) AS sxy
+        FROM pairs GROUP BY 1
+        HAVING CAST(COUNT(*) AS DOUBLE) * CAST(SUM(xa * xb) AS DOUBLE)
+                 - CAST(SUM(xa) AS DOUBLE) * CAST(SUM(xa) AS DOUBLE) > 0
+           AND CAST(COUNT(*) AS DOUBLE) * CAST(SUM(ya * yb) AS DOUBLE)
+                 - CAST(SUM(ya) AS DOUBLE) * CAST(SUM(ya) AS DOUBLE) > 0),
+      acf1 AS (
+        SELECT event_type,
+               CAST(floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                  sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1e6) AS BIGINT) AS acf1_u
+        FROM mo),
+      ctot AS (
+        SELECT event_type, CAST(COUNT(*) AS DECIMAL(18,0)) AS nn,
+               CAST(SUM(CAST(n AS DECIMAL(18,0))) AS DECIMAL(28,0)) AS tt
+        FROM daily GROUP BY 1),
+      cpre AS (
+        SELECT event_type, d,
+               SUM(CAST(n AS DECIMAL(19,0))) OVER wdw AS p,
+               CAST(ROW_NUMBER() OVER wdw AS DECIMAL(19,0)) AS idx
+        FROM daily
+        WINDOW wdw AS (PARTITION BY event_type ORDER BY d)),
+      csc AS (
+        SELECT cpre.event_type, cpre.d,
+               CAST(cpre.p * t.nn - cpre.idx * t.tt AS DECIMAL(38,0)) AS s
+        FROM cpre JOIN ctot t ON t.event_type = cpre.event_type),
+      cus AS (
+        SELECT event_type, d AS t_star, CAST(s AS VARCHAR) AS s_star FROM (
+          SELECT event_type, d, s,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY abs(s) DESC, d) AS rn
+          FROM csc)
+        WHERE rn = 1)
+      SELECT t.event_type, t.n_pts, t.slope, t.intercept,
+             a.n_flags, f.acf1_u, c.t_star, c.s_star
+      FROM trend t
+      LEFT JOIN anom a ON a.event_type = t.event_type
+      LEFT JOIN acf1 f ON f.event_type = t.event_type
+      LEFT JOIN cus c ON c.event_type = t.event_type
+      ORDER BY t.event_type""")),
+
+    // Retention-cohort matrix (EventsOps.retentionCohorts): users
+    // cohorted by first active week, re-counted at each later weekly
+    // offset — the growth/engagement table behind every retention
+    // chart. TWO shuffles, NO self-join: per-user collect_set of active
+    // weeks (bounded by the CALENDAR, not the corpus), cohort =
+    // array_min, one explode, one (cohort, offset) count. Raw exact
+    // counts; rates are the caller's division (§5). Activity = purchase
+    // events (any-event activity is so dense every user cohorts into
+    // week 0 — a one-row matrix checks nothing; the sparser conversion
+    // signal spreads first-activity across cohorts at every sf). The
+    // oracle takes the textbook distinct-user-weeks ⋈ first-week shape
+    // — same answer, independently derived.
+    QueryDef("q178_retention", (s, dir) => {
+      import s.implicits._
+      EventsOps.retentionCohorts(
+          Tables.load(s, dir, "events").filter($"event_type" === "purchase"),
+          epoch = "2024-01-01", periodDays = 7)
+        .orderBy($"cohort", $"offset")
+    }, Some("""
+      WITH uw AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) // 7 AS w
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      f AS (SELECT user_id, MIN(w) AS cohort FROM uw GROUP BY 1)
+      SELECT f.cohort, uw.w - f.cohort AS offset, COUNT(*) AS n_users
+      FROM uw JOIN f ON f.user_id = uw.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** Markov transition matrix of the per-user event sequence — "what do

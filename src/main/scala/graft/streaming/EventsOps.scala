@@ -89,4 +89,33 @@ object EventsOps {
       .withColumn("kept", col("__nb") === 1)
       .drop("__nb")
   }
+
+  /** Retention-cohort matrix (q178's operator form) — the product
+    * analytics every events table eventually answers: users cohorted by
+    * their FIRST active period, counted again at each later period
+    * offset. `periodDays` buckets the day index (7 = weekly cohorts).
+    *
+    * Shape: TWO shuffles total and NO self-join — per user, one
+    * map-side-combined collect_set of active periods (bounded by the
+    * TIMELINE length, not the corpus: a user has at most
+    * days-since-launch/periodDays distinct periods — a calendar bound,
+    * the strongest kind), cohort = array_min, then one explode →
+    * (cohort, offset) count. The textbook first-activity-join shape
+    * (distinct user-periods ⋈ per-user min) would shuffle the user-
+    * period table twice more for the same answer. Surfaces raw exact
+    * counts (n_users per cell); retention RATES are one division the
+    * caller owns (§5 — the cell over the offset-0 cell of its row). */
+  def retentionCohorts(events: DataFrame, epoch: String = "2024-01-01",
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val period = (datediff(to_date(col("ts")), lit(epoch).cast("date"))
+      .cast("long") / periodDays).cast("long") // non-negative: floor==truncate
+    events
+      .select(col("user_id"), period.as("w"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("w")).as("ws"))
+      .select(array_min(col("ws")).as("cohort"), explode(col("ws")).as("w"))
+      .groupBy(col("cohort"), (col("w") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -491,7 +491,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((
       FunctionIdentifier("graft_fk_audit"),
       info("graft_fk_audit",
-        "graft_fk_audit(child, keyCol, parent, parentKeyCol) - referential-integrity audit for one FK edge (parent keys must be unique): one row (fk, n_child, n_orphans, min_key, max_key)."),
+        "graft_fk_audit(child, keyCol, parent, parentKeyCol) - referential-integrity audit for one FK edge (parent keys must be unique): one row (fk, n_child, n_null_keys, n_orphans, min_key, max_key); NULL child keys are counted apart, never as orphans."),
       (args: Seq[Expression]) => {
         require(args.length == 4,
           "graft_fk_audit(child, keyCol, parent, parentKeyCol) takes 4 arguments")

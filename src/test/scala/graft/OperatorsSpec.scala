@@ -1343,6 +1343,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("AggFunctions.regMax: element-wise max across groups; width mismatch fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", Seq(1, 5, 0)), ("a", Seq(3, 2, 4)), ("b", Seq(7, 0, 1)))
+      .toDF("g", "regs")
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.AggFunctions.regMax(col("regs")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toVector).toMap
+    assert(got == Map("a" -> Vector(3, 5, 4), "b" -> Vector(7, 0, 1)))
+    val bad = Seq(("a", Seq(1, 2)), ("a", Seq(1, 2, 3))).toDF("g", "regs")
+    val e = intercept[Exception] {
+      bad.groupBy(col("g"))
+        .agg(graft.functions.AggFunctions.regMax(col("regs")).as("m")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("HyperAnf: ball registers equal the HLL of the exact BFS ball at every radius") {
     // directed path with a branch: 1 -> 2 -> 3 -> 4, plus 2 -> 5
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("src", "dst")
@@ -1447,18 +1463,26 @@ class OperatorsSpec extends SparkSpec {
     assert(ep == Set((1L, 2L)), ep.toString)
   }
 
-  test("Profile.fkAudit: empty child, clean child, all-orphans") {
+  test("Profile.fkAudit: empty child, clean child, all-orphans, null keys") {
     val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("pk")
     val empty = Seq.empty[(Long, Long)].toDF("id", "fk")
+    // row: (fk, n_child, n_null_keys, n_orphans, min_key, max_key)
     val e = graft.ops.Profile.fkAudit(empty, "fk", parent, "pk", "e").collect()(0)
-    assert((e.getLong(1), e.getLong(2)) == ((0L, 0L)) && e.isNullAt(3))
+    assert((e.getLong(1), e.getLong(2), e.getLong(3)) == ((0L, 0L, 0L)) && e.isNullAt(4))
     val clean = Seq((10L, 1L), (11L, 2L)).toDF("id", "fk")
     val c = graft.ops.Profile.fkAudit(clean, "fk", parent, "pk", "c").collect()(0)
-    assert((c.getLong(1), c.getLong(2)) == ((2L, 0L)) && c.isNullAt(3))
+    assert((c.getLong(1), c.getLong(2), c.getLong(3)) == ((2L, 0L, 0L)) && c.isNullAt(4))
     val orphan = Seq((10L, 7L), (11L, 8L)).toDF("id", "fk")
     val o = graft.ops.Profile.fkAudit(orphan, "fk", parent, "pk", "o").collect()(0)
-    assert((o.getLong(1), o.getLong(2), o.getLong(3), o.getLong(4)) ==
-      ((2L, 2L, 7L, 8L)))
+    assert((o.getLong(1), o.getLong(2), o.getLong(3), o.getLong(4), o.getLong(5)) ==
+      ((2L, 0L, 2L, 7L, 8L)))
+    // a NULL child key is "no reference", not an orphan — it lands in
+    // n_null_keys and never inflates n_orphans (NOT IN symmetry)
+    val withNull = Seq((10L, Some(1L)), (11L, None), (12L, Some(9L)))
+      .toDF("id", "fk")
+    val n = graft.ops.Profile.fkAudit(withNull, "fk", parent, "pk", "n").collect()(0)
+    assert((n.getLong(1), n.getLong(2), n.getLong(3), n.getLong(4), n.getLong(5)) ==
+      ((3L, 1L, 1L, 9L, 9L)))
   }
 
   test("TimeSeries.acf: exact lag correlations vs driver reference; short series NULL-safe") {
