@@ -13,19 +13,31 @@ import graft.sources.Tables
   * produce the same delta-touching pair set (asserted).
   *
   * Run: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.examples.DeltaProbe"
+  *
+  * Scale-triple mode (SURVEY §6, VERDICT r11 #6): `DeltaProbe fixed N`
+  * restricts the delta to source docs with doc_id < N. GenData texts are
+  * pure functions of doc_id, so the SAME absolute delta rides against
+  * corpora of any scale — the architectural claim under test is that
+  * probe cost follows the DELTA (fixed here), while the no-index
+  * full-repair baseline follows the CORPUS.
   */
 object DeltaProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val fixedCut: Option[Long] = args.toSeq match {
+      case Seq("fixed", n) => Some(n.toLong)
+      case _ => None
+    }
     val spark = GraftSession()
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"text")
     val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
-    val delta = docs
+    val srcDocs = fixedCut.map(c => docs.filter($"doc_id" < c)).getOrElse(docs)
+    val delta = srcDocs
       .filter($"doc_id" % 13 === 0 && size(split(norm, " ")) >= 20)
       .select(($"doc_id" + 3000000).as("doc_id"),
         concat($"text", lit(" fresh crawl revision tag")).as("text"))
-      .unionByName(docs.filter($"doc_id" % 19 === 0)
+      .unionByName(srcDocs.filter($"doc_id" % 19 === 0)
         .select(($"doc_id" + 4000000).as("doc_id"),
           concat($"text", lit("  ")).as("text")))
     val osBean = java.lang.management.ManagementFactory

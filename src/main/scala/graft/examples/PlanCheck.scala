@@ -607,6 +607,25 @@ object PlanCheck {
         "keep-first is an aggregate, not a rank window" -> "row_number",
         "no cartesian" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // diagnostics composition: the four per-group results are
+    // answer-sized (groups × a handful of columns) and assemble by
+    // broadcast joins; the moment sums partial-aggregate map-side
+    Want("q177_ts_diagnose", Seq(
+      "headline assembly is broadcast joins" -> "BroadcastHashJoin",
+      "map-side moment sums" -> "partial_sum"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // retention cohorts: per-user set + explode + count — two shuffles,
+    // NO self-join of user-weeks against first-weeks, no rank window
+    Want("q178_retention", Seq(
+      "map-side user-week set build" -> "partial_collect_set",
+      "map-side cohort-cell count" -> "partial_count"),
+      mustNotContain = Seq(
+        "no first-activity self-join" -> "SortMergeJoin",
+        "no broadcast self-join" -> "BroadcastHashJoin",
+        "no shuffled hash self-join" -> "ShuffledHashJoin",
+        "no rank window" -> "Window")),
     // k-core: the peel rounds run inside eager per-round checkpoints,
     // so the final plan is one map-side-combined degree aggregate over
     // the converged edge set

@@ -1086,13 +1086,19 @@ object EventQueries {
       LEFT JOIN cus c ON c.event_type = t.event_type
       ORDER BY t.event_type""")),
 
-    // Retention-cohort matrix (EventsOps.retentionCohorts): users
-    // cohorted by first active week, re-counted at each later weekly
-    // offset — the growth/engagement table behind every retention
-    // chart. TWO shuffles, NO self-join: per-user collect_set of active
-    // weeks (bounded by the CALENDAR, not the corpus), cohort =
-    // array_min, one explode, one (cohort, offset) count. Raw exact
-    // counts; rates are the caller's division (§5). Activity = purchase
+    // Retention-cohort matrix, the SCALE SHAPE (EventsOps
+    // .retentionCohorts): q76 computes daily retention in the textbook
+    // form — distinct user-days self-joined against per-user first
+    // days (3 shuffles, the user-day table crossing the exchange
+    // twice). This is the same family rewritten the way a 100 TB
+    // events table needs it: TWO shuffles, NO self-join — per-user
+    // collect_set of active weeks (bounded by the CALENDAR, not the
+    // corpus: at most weeks-since-launch entries per user, the
+    // strongest kind of bound), cohort = array_min, one explode, one
+    // (cohort, offset) count. The oracle deliberately takes q76's
+    // textbook join shape — same answer, independently derived, so the
+    // rewrite's equivalence is driver-checked. Raw exact counts; rates
+    // are the caller's division (§5). Activity = purchase
     // events (any-event activity is so dense every user cohorts into
     // week 0 — a one-row matrix checks nothing; the sparser conversion
     // signal spreads first-activity across cohorts at every sf). The
