@@ -92,4 +92,42 @@ object HyperAnf {
   def suOf(regs: Column, p: Int): Column =
     aggregate(regs, lit(0L),
       (acc, mj) => acc + pow(lit(2.0), lit(Sketches.maxRank(p)) - mj).cast("long"))
+
+  /** Per-node EXACT ball statistics by radius: (node, s0..sR) with sR =
+    * s_u of B(v, r) — one conditional-max pivot over [[ballRegisters]]
+    * (longs: a single node's s_u < 2^61). */
+  def suByRadius(edges: DataFrame, rounds: Int, p: Int = 4,
+      salt: String = "anf"): DataFrame = {
+    val su = suOf(col("regs"), p)
+    val pivots = (0 to rounds).map(r =>
+      max(when(col("r") === r, su)).as(s"s$r"))
+    ballRegisters(edges, rounds, p, salt)
+      .groupBy(col("node"))
+      .agg(pivots.head, pivots.tail: _*)
+  }
+
+  /** Harmonic centrality from the ball sketches (Boldi & Vigna, "Axioms
+    * for Centrality" — the application HyperANF exists for):
+    * H(v) = Σ_{u≠v} 1/d(u,v) ≈ Σ_{r=1..R} (|B(v,r)| − |B(v,r−1)|)/r —
+    * nodes first reached at distance r contribute 1/r. Exact harmonic
+    * centrality is all-pairs distances (|V| BFS traversals); this is
+    * per-node 2^p ints of state. Surface: (node, s0..sR, harmonic); the
+    * score is ONE fixed-order double chain over the exact longs (each
+    * |B| the q128 single-division raw-HLL estimate — no low-range
+    * correction, consistent on both engines, stated; ball growth is
+    * monotone so every term ≥ 0). */
+  def harmonicCentrality(edges: DataFrame, rounds: Int, p: Int = 4,
+      salt: String = "anf"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val m = 1 << p
+    val c = lit(Sketches.alpha(m)) * lit(m.toDouble * m) *
+      lit(math.pow(2, Sketches.maxRank(p)))
+    def est(r: Int) = c / col(s"s$r").cast("double")
+    val h = (1 to rounds)
+      .map(r => (est(r) - est(r - 1)) / lit(r.toDouble))
+      .reduce(_ + _)
+    val per = suByRadius(edges, rounds, p, salt)
+    per.select(
+      (col("node") +: (0 to rounds).map(r => col(s"s$r"))) :+ h.as("harmonic"): _*)
+  }
 }

@@ -1825,7 +1825,92 @@ object RelationalQueries {
         SELECT 'depth_' || CAST(i AS VARCHAR) AS stat, est FROM prod
         UNION ALL SELECT '__min', CAST(MIN(est) AS DECIMAL(38,0)) FROM prod
         UNION ALL SELECT '__true', est FROM tru)
-      ORDER BY stat"""))
+      ORDER BY stat""")),
+
+    // Harmonic centrality from the q159 ball sketches (Boldi & Vigna,
+    // "Axioms for Centrality" — THE application HyperANF exists for):
+    // H(v) = Σ_{u≠v} 1/d(u,v) ≈ Σ_r (|B(v,r)| − |B(v,r−1)|)/r, i.e.
+    // nodes first reached at distance r contribute 1/r. Exact harmonic
+    // centrality needs all-pairs distances (|V| BFS traversals); the
+    // sketch answers it per node from 2^p ints of state. Surface: the
+    // EXACT per-radius sufficient statistics s_0..s_3 (longs — a single
+    // node's s_u < 2^61) and the harmonic score as ONE fixed-order
+    // double chain over them (each |B| is the q128 single-division
+    // estimate; the chain is written identically in both engines, the
+    // q159 'est' precedent — no reorderable accumulation). Top-20 via
+    // bounded TakeOrdered, ties to the smaller node id. Estimates are
+    // raw-HLL (no low-range correction) on BOTH sides — consistent,
+    // stated; ball growth is monotone so every term is ≥ 0.
+    QueryDef("q179_harmonic_centrality", (s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"l_suppkey" * 2).as("a"), ($"o_custkey" * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      HyperAnf.harmonicCentrality(edges, rounds = 3, p = 4)
+        .orderBy(desc("harmonic"), $"node").limit(20)
+    }, Some("""
+      WITH pairs AS (
+        SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      h AS (SELECT node,
+                   CAST(('0x' || substr(md5('anf:' || CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM nodes),
+      b0 AS (SELECT node, h % 16 AS j,
+                    CASE WHEN h // 16 = 0 THEN 57
+                         ELSE 57 - length(bin(h // 16)) END AS m
+             FROM h),
+      b1 AS (SELECT node, j, MAX(m) AS m FROM (
+               SELECT node, j, m FROM b0
+               UNION ALL
+               SELECT e.src AS node, b.j, b.m FROM edges e JOIN b0 b ON b.node = e.dst)
+             GROUP BY 1, 2),
+      b2 AS (SELECT node, j, MAX(m) AS m FROM (
+               SELECT node, j, m FROM b1
+               UNION ALL
+               SELECT e.src AS node, b.j, b.m FROM edges e JOIN b1 b ON b.node = e.dst)
+             GROUP BY 1, 2),
+      b3 AS (SELECT node, j, MAX(m) AS m FROM (
+               SELECT node, j, m FROM b2
+               UNION ALL
+               SELECT e.src AS node, b.j, b.m FROM edges e JOIN b2 b ON b.node = e.dst)
+             GROUP BY 1, 2),
+      allb AS (
+        SELECT 0 AS r, node, j, m FROM b0
+        UNION ALL SELECT 1, node, j, m FROM b1
+        UNION ALL SELECT 2, node, j, m FROM b2
+        UNION ALL SELECT 3, node, j, m FROM b3),
+      dense AS (
+        SELECT a.r, a.node, s.j, COALESCE(x.m, 0) AS m
+        FROM (SELECT DISTINCT r, node FROM allb) a
+        CROSS JOIN (SELECT unnest(range(16)) AS j) s
+        LEFT JOIN allb x ON x.r = a.r AND x.node = a.node AND x.j = s.j),
+      su AS (
+        SELECT r, node,
+               CAST(SUM((CAST(1 AS BIGINT) << 57) // (CAST(1 AS BIGINT) << m)) AS BIGINT) AS s_u
+        FROM dense GROUP BY 1, 2),
+      per AS (
+        SELECT node,
+               MAX(CASE WHEN r = 0 THEN s_u END) AS s0,
+               MAX(CASE WHEN r = 1 THEN s_u END) AS s1,
+               MAX(CASE WHEN r = 2 THEN s_u END) AS s2,
+               MAX(CASE WHEN r = 3 THEN s_u END) AS s3
+        FROM su GROUP BY 1)
+      SELECT node, s0, s1, s2, s3,
+             ((0.673 * 256.0 * 144115188075855872.0 / CAST(s1 AS DOUBLE)
+                 - 0.673 * 256.0 * 144115188075855872.0 / CAST(s0 AS DOUBLE))
+               + (0.673 * 256.0 * 144115188075855872.0 / CAST(s2 AS DOUBLE)
+                 - 0.673 * 256.0 * 144115188075855872.0 / CAST(s1 AS DOUBLE)) / 2.0
+               + (0.673 * 256.0 * 144115188075855872.0 / CAST(s3 AS DOUBLE)
+                 - 0.673 * 256.0 * 144115188075855872.0 / CAST(s2 AS DOUBLE)) / 3.0) AS harmonic
+      FROM per
+      ORDER BY harmonic DESC, node LIMIT 20"""))
   )
 
   /** The q151 oracle: `rounds` unrolled peel rounds over the trade

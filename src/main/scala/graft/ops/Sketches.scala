@@ -77,7 +77,7 @@ object Sketches {
       .select(lit(label).as(groupCol), col("j"), col("m_j"))
 
   /** The standard bias constant α_m. */
-  private def alpha(m: Int): Double = m match {
+  private[ops] def alpha(m: Int): Double = m match {
     case 16 => 0.673
     case 32 => 0.697
     case 64 => 0.709

@@ -527,6 +527,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("graft_ts_diagnose"),
+      info("graft_ts_diagnose",
+        "graft_ts_diagnose(table, groupCol, tCol, yCol[, anomWindow]) - one-pass series diagnostics over a shared materialized spine: (group, n_pts, slope, intercept, n_flags, acf1_u, t_star, s_star) = OLS trend + trailing-window anomaly count + lag-1 ACF + CUSUM change-point (statistic string-surfaced)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4 || args.length == 5,
+          "graft_ts_diagnose(table, groupCol, tCol, yCol[, anomWindow]) takes 4 or 5 arguments")
+        val w = if (args.length == 5) {
+          require(args(4).foldable, "anomWindow must be a literal")
+          args(4).eval().asInstanceOf[Number].intValue()
+        } else 7
+        graft.ops.TimeSeries.diagnose(tableArg(args(0)), strArg(args(1), "groupCol"),
+          strArg(args(2), "tCol"), strArg(args(3), "yCol"), anomWindow = w)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_retention"),
+      info("graft_retention",
+        "graft_retention(table[, epoch[, periodDays]]) - retention-cohort matrix over an events table (user_id, ts): (cohort, offset, n_users), cohort = first active period since epoch (default 2024-01-01, 7-day periods); two shuffles, no self-join."),
+      (args: Seq[Expression]) => {
+        require(args.length >= 1 && args.length <= 3,
+          "graft_retention(table[, epoch[, periodDays]]) takes 1 to 3 arguments")
+        val epoch = if (args.length >= 2) strArg(args(1), "epoch") else "2024-01-01"
+        val days = if (args.length == 3) {
+          require(args(2).foldable, "periodDays must be a literal")
+          args(2).eval().asInstanceOf[Number].intValue()
+        } else 7
+        graft.streaming.EventsOps.retentionCohorts(tableArg(args(0)), epoch, days)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_harmonic_centrality"),
+      info("graft_harmonic_centrality",
+        "graft_harmonic_centrality(edges, rounds, p) - per-node harmonic centrality from HyperANF ball sketches over a directed (src, dst) edge table: (node, harmonic) with H(v) ~= Sum_r (|B(v,r)|-|B(v,r-1)|)/r; 2^p registers of state per node."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_harmonic_centrality(edges, rounds, p) takes 3 arguments")
+        require(args(1).foldable && args(2).foldable, "rounds and p must be literals")
+        val rounds = args(1).eval().asInstanceOf[Number].intValue()
+        val p = args(2).eval().asInstanceOf[Number].intValue()
+        graft.ops.HyperAnf.harmonicCentrality(tableArg(args(0)), rounds, p)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("graft_band_join"),
       info("graft_band_join",
         "graft_band_join(table, idCol, groupCol, valCol, eps) - all unordered within-group pairs with |v_a - v_b| <= eps via bucket-probe equi-join (never a cross product): (grp, id_a, id_b, v_a, v_b, diff)."),

@@ -328,6 +328,38 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(cu.toSeq == Seq((2L, -27L)), cu.mkString(";"))
 
+      // ts_diagnose: the cusum series again — the composition surfaces
+      // its parents' answers (slope of the step series, the S'=-27
+      // change-point) in one row
+      val dg = spark.sql(
+        """SELECT n_pts, t_star, CAST(s_star AS BIGINT)
+           FROM graft_ts_diagnose('tf_cus', 'g', 't', 'y', 3)""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(dg.toSeq == Seq((6L, 2L, -27L)), dg.mkString(";"))
+
+      // retention: u1 active periods 0 and 1, u2 only period 0
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (1L, java.sql.Timestamp.valueOf("2024-01-09 00:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+        .toDF("user_id", "ts").createOrReplaceTempView("tf_ret")
+      val rt = spark.sql(
+        """SELECT cohort, offset, n_users FROM graft_retention('tf_ret')
+           ORDER BY cohort, offset""").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rt.toSeq == Seq((0L, 0L, 2L), (0L, 1L, 1L)), rt.mkString(";"))
+
+      // harmonic centrality: on a directed 2-path 1->2->3, node 1's
+      // ball keeps growing through radius 2 — its harmonic exceeds
+      // node 3's (empty out-ball, harmonic 0)
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+        .createOrReplaceTempView("tf_harm")
+      val hm = spark.sql(
+        """SELECT node, harmonic FROM graft_harmonic_centrality('tf_harm', 2, 4)
+           ORDER BY harmonic DESC, node""").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(hm.head._1 == 1L && hm.head._2 > 0.0 &&
+        hm.find(_._1 == 3L).get._2 == 0.0, hm.mkString(";"))
+
       // band join: only the 1.0/1.3 pair is within eps = 0.5
       Seq((1L, "g", 1.0), (2L, "g", 1.3), (3L, "g", 9.0))
         .toDF("id", "grp", "v").createOrReplaceTempView("tf_band")
