@@ -499,6 +499,84 @@ object IntegrationQueries {
              (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
              COUNT(*), MIN(k), MAX(k)
       FROM o2
-      ORDER BY fk"""))
+      ORDER BY fk""")),
+
+    // Schema/statistics drift between two loads (Profile.drift): the
+    // import-QC report an integration tool runs when the next vendor
+    // drop lands — q160 profiles ONE table, this diffs two profiles
+    // column-by-column with added/removed detection (full-outer on
+    // col_name). Snapshots are the deterministic orderkey-parity halves
+    // of orders; plants exercise every drift class in both engines:
+    // snapshot B drops o_orderstatus entirely (status='removed'), NULLs
+    // o_orderpriority on every 31st key (null_ppm drift), and shifts
+    // o_totalprice by +100000 (range_same=false beyond the trivial
+    // key-parity min/max offsets). Exact integer ppm (truncating div,
+    // §5); range_same is NULL (not false) on removed rows.
+    QueryDef("q180_schema_drift", (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val a = orders.filter($"o_orderkey" % 2 === 0)
+      val b = orders.filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderkey", $"o_custkey",
+          ($"o_totalprice" + 100000.0d).as("o_totalprice"),
+          $"o_orderdate",
+          when($"o_orderkey" % 31 === 0, lit(null).cast("string"))
+            .otherwise($"o_orderpriority").as("o_orderpriority"))
+      Profile.drift(a, b).orderBy($"col_name")
+    }, Some {
+      def prof(src: String, cols: Seq[(String, String)]): String = {
+        // kind: "num" -> min/max as double; "str" -> varchar; "date" -> formatted
+        val aggs = cols.zipWithIndex.map { case ((c, _), i) =>
+          s"COUNT($c) AS c$i, COUNT(DISTINCT $c) AS d$i, MIN($c) AS mn$i, MAX($c) AS mx$i"
+        }.mkString(",\n               ")
+        val rows = cols.zipWithIndex.map { case ((c, kind), i) =>
+          val (mnNum, mxNum, mnStr, mxStr) = kind match {
+            case "num" => (s"CAST(mn$i AS DOUBLE)", s"CAST(mx$i AS DOUBLE)",
+              "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+            case "date" => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+              s"strftime(mn$i, '%Y-%m-%d %H:%M:%S')", s"strftime(mx$i, '%Y-%m-%d %H:%M:%S')")
+            case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", s"mn$i", s"mx$i")
+          }
+          s"""SELECT '$c' AS col_name, nr AS n_rows, nr - c$i AS n_nulls, d$i AS n_distinct,
+               $mnNum AS min_num, $mxNum AS max_num, $mnStr AS min_str, $mxStr AS max_str FROM agg_$src"""
+        }.mkString("\n        UNION ALL\n        ")
+        s"""agg_$src AS (
+        SELECT COUNT(*) AS nr,
+               $aggs
+        FROM $src),
+      p_$src AS (
+        $rows)"""
+      }
+      val colsA = Seq("o_orderkey" -> "num", "o_custkey" -> "num",
+        "o_orderstatus" -> "str", "o_totalprice" -> "num",
+        "o_orderdate" -> "date", "o_orderpriority" -> "str")
+      val colsB = Seq("o_orderkey" -> "num", "o_custkey" -> "num",
+        "o_totalprice" -> "num", "o_orderdate" -> "date",
+        "o_orderpriority" -> "str")
+      s"""
+      WITH sa AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+      sb AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 100000.0 AS o_totalprice,
+               o_orderdate,
+               CASE WHEN o_orderkey % 31 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1),
+      ${prof("sa", colsA)},
+      ${prof("sb", colsB)}
+      SELECT COALESCE(a.col_name, b.col_name) AS col_name,
+             CASE WHEN b.col_name IS NULL THEN 'removed'
+                  WHEN a.col_name IS NULL THEN 'added'
+                  ELSE 'ok' END AS status,
+             a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+             a.n_nulls * 1000000 // a.n_rows AS null_ppm_a,
+             b.n_nulls * 1000000 // b.n_rows AS null_ppm_b,
+             a.n_distinct AS n_distinct_a, b.n_distinct AS n_distinct_b,
+             CASE WHEN a.col_name IS NULL OR b.col_name IS NULL THEN NULL
+                  ELSE (a.min_num IS NOT DISTINCT FROM b.min_num)
+                   AND (a.max_num IS NOT DISTINCT FROM b.max_num)
+                   AND (a.min_str IS NOT DISTINCT FROM b.min_str)
+                   AND (a.max_str IS NOT DISTINCT FROM b.max_str) END AS range_same
+      FROM p_sa a FULL OUTER JOIN p_sb b ON b.col_name = a.col_name
+      ORDER BY col_name"""
+    })
   )
 }

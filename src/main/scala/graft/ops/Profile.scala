@@ -64,6 +64,40 @@ object Profile {
       .select(col("e.*"))
   }
 
+  /** Schema/statistics drift between two snapshots of the "same" table
+    * (q180's operator form) — the import-QC question an integration
+    * tool asks after every load: did the new drop change shape? One
+    * [[profile]] pass per side, FULL-OUTER-joined on column name, so a
+    * column present on only one side surfaces as status
+    * 'added'/'removed' instead of silently vanishing from the report.
+    * Exact-integer drift surface: null rates as ppm (one truncating
+    * div each — §5), distinct counts raw, and range_same = null-safe
+    * equality of all four min/max slots (NULL, not false, on
+    * added/removed rows — absence is not a range change). Cost: two
+    * single-pass profiles + an answer-sized (one row per column) join. */
+  def drift(a: DataFrame, b: DataFrame): DataFrame = {
+    def side(df: DataFrame, s: String): DataFrame =
+      profile(df).select(col("col_name"),
+        col("n_rows").as(s"n_rows_$s"), col("n_nulls").as(s"n_nulls_$s"),
+        col("n_distinct").as(s"n_distinct_$s"),
+        col("min_num").as(s"min_num_$s"), col("max_num").as(s"max_num_$s"),
+        col("min_str").as(s"min_str_$s"), col("max_str").as(s"max_str_$s"))
+    val status = when(col("n_rows_b").isNull, lit("removed"))
+      .when(col("n_rows_a").isNull, lit("added"))
+      .otherwise(lit("ok"))
+    side(a, "a").join(side(b, "b"), Seq("col_name"), "full_outer")
+      .select(col("col_name"), status.as("status"),
+        col("n_rows_a"), col("n_rows_b"),
+        expr("n_nulls_a * 1000000L div n_rows_a").as("null_ppm_a"),
+        expr("n_nulls_b * 1000000L div n_rows_b").as("null_ppm_b"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        when(status === "ok",
+          col("min_num_a") <=> col("min_num_b") &&
+          col("max_num_a") <=> col("max_num_b") &&
+          col("min_str_a") <=> col("min_str_b") &&
+          col("max_str_a") <=> col("max_str_b")).as("range_same"))
+  }
+
   /** Referential-integrity audit for one FK edge: ONE left equi-join +
     * conditional aggregation (parent keys must be unique — the join
     * never multiplies child rows; a separate anti-join pass + scalar

@@ -527,6 +527,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("graft_profile_drift"),
+      info("graft_profile_drift",
+        "graft_profile_drift(tableA, tableB) - column-by-column schema/statistics drift between two snapshots: (col_name, status added/removed/ok, n_rows_a/b, null_ppm_a/b, n_distinct_a/b, range_same); full-outer on column name."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_profile_drift(tableA, tableB) takes 2 arguments")
+        graft.ops.Profile.drift(tableArg(args(0)), tableArg(args(1)))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("graft_ts_diagnose"),
       info("graft_ts_diagnose",
         "graft_ts_diagnose(table, groupCol, tCol, yCol[, anomWindow]) - one-pass series diagnostics over a shared materialized spine: (group, n_pts, slope, intercept, n_flags, acf1_u, t_star, s_star) = OLS trend + trailing-window anomaly count + lag-1 ACF + CUSUM change-point (statistic string-surfaced)."),

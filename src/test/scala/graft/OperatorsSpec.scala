@@ -1485,6 +1485,23 @@ class OperatorsSpec extends SparkSpec {
       ((3L, 1L, 1L, 9L, 9L)))
   }
 
+  test("Profile.drift: added/removed columns, null-ppm drift, range flags") {
+    val a = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "s", "v")
+    val b = Seq((1L, Some("x"), 1), (2L, None, 2), (3L, Some("z"), 3))
+      .toDF("id", "s", "extra")
+    val got = graft.ops.Profile.drift(a, b).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // v only in A -> removed, range_same NULL; extra only in B -> added
+    assert(got("v").getString(1) == "removed" && got("v").isNullAt(8))
+    assert(got("extra").getString(1) == "added")
+    // s: B has 1 null of 3 rows -> 333333 ppm (truncating), range drifts
+    val srow = got("s")
+    assert(srow.getString(1) == "ok" && srow.getLong(5) == 333333L
+      && srow.getBoolean(8) == false, srow.toString)
+    // id: ranges differ (max 2 vs 3)
+    assert(got("id").getBoolean(8) == false)
+  }
+
   test("TimeSeries.acf: exact lag correlations vs driver reference; short series NULL-safe") {
     // period-2 alternating series: r_1 = -1, r_2 = +1 exactly
     val alt = (0 until 10).map(t => ("a", t.toLong, if (t % 2 == 0) 10L else 20L))
