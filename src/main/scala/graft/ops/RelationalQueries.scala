@@ -1782,18 +1782,29 @@ object RelationalQueries {
     // products stay decimal(38,0), they genuinely overflow long).
     QueryDef("q170_join_size", (s, dir) => {
       import s.implicits._
-      val a0 = t(s, dir, "lineitem").select($"l_partkey".as("k"))
-      val b0 = t(s, dir, "lineitem").filter($"l_quantity" > 25)
-        .select($"l_partkey".as("k"))
-      val ca = graft.ops.Sketches.cmsCounters(a0, $"k", lit(1L), depth = 4, width = 8192)
-      val cb = graft.ops.Sketches.cmsCounters(b0, $"k", lit(1L), depth = 4, width = 8192)
-      val perDepth = graft.ops.Sketches.cmsJoinSizeByDepth(ca, cb)
+      // r12 shape: both sides' counters from ONE scan (cmsCountersPair
+      // — B is A under a predicate, so the conditional weight replaces
+      // the second scan) and the inner product reads (ca, cb) from one
+      // row — the r11 formulation's second lineitem scan AND the
+      // counter equi-join both gone; bit-identical estimates (a bucket
+      // absent from the filtered side carries cb = 0, contributing 0
+      // exactly as the join's absent row did). Ground truth fused the
+      // same way: one groupBy(k) with a conditional count, fb = 0 rows
+      // contributing 0 to Σ fa·fb.
+      val src = t(s, dir, "lineitem").select($"l_partkey".as("k"),
+        when($"l_quantity" > 25, 1L).otherwise(0L).as("inb"))
+      val fused = graft.ops.Sketches.cmsCountersPair(src, $"k", lit(1L),
+        $"inb", depth = 4, width = 8192)
+      val perDepth = fused.groupBy($"i")
+        .agg(sum($"ca".cast("decimal(19,0)") * $"cb".cast("decimal(18,0)"))
+          .cast("decimal(38,0)").as("est"))
       val est = perDepth.select(
         concat(lit("depth_"), $"i".cast("string")).as("stat"), $"est")
       val mn = perDepth.agg(min($"est").cast("decimal(38,0)").as("est"))
         .select(lit("__min").as("stat"), $"est")
-      val tru = a0.groupBy($"k").agg(count(lit(1)).cast("decimal(19,0)").as("fa"))
-        .join(b0.groupBy($"k").agg(count(lit(1)).cast("decimal(18,0)").as("fb")), "k")
+      val tru = src.groupBy($"k")
+        .agg(count(lit(1)).cast("decimal(19,0)").as("fa"),
+          sum($"inb").cast("decimal(18,0)").as("fb"))
         .agg(sum($"fa" * $"fb").cast("decimal(38,0)").as("est"))
         .select(lit("__true").as("stat"), $"est")
       est.unionByName(mn).unionByName(tru)

@@ -251,6 +251,29 @@ object Sketches {
       .agg(sum(col("__w")).as("c"))
   }
 
+  /** BOTH sides' counter tables from ONE scan — for the join-size-
+    * under-predicate question (q170), where A and B are the same source
+    * under different weight conditions: (i, bucket, ca, cb) with
+    * ca = Σ wa, cb = Σ wb. Same hash rows as two [[cmsCounters]] calls
+    * (a key hashes identically on both sides), so downstream estimates
+    * are bit-identical — but it halves the source scans AND removes the
+    * counter equi-join from the inner product (the per-bucket a·b
+    * product reads from one row; a bucket missing from the filtered
+    * side carries cb = 0 and contributes 0, exactly as the join's
+    * absent row did). One scan, one partial-aggregated shuffle. */
+  def cmsCountersPair(df: DataFrame, key: Column, wa: Column, wb: Column,
+      depth: Int = 4, width: Int = 32, salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad cms dims d=$depth w=$width")
+    df.select(key.as("__k"), wa.as("__wa"), wb.as("__wb"))
+      .select(col("__k"), col("__wa"), col("__wb"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .select(col("i"),
+        pmod(h60(salt, col("i"), col("__k")), lit(width.toLong)).as("bucket"),
+        col("__wa"), col("__wb"))
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(col("__wa")).as("ca"), sum(col("__wb")).as("cb"))
+  }
+
   /** Point estimates for `probes` (a small key batch) against a counter
     * table: est = min over depth rows of the key's bucket counter —
     * ≥ the true count always (collisions only add). The probe side
