@@ -2699,7 +2699,80 @@ object LlmPipelineQueries {
              COUNT(*) AS n_distinct,
              CAST(COUNT(*) * 1000000 // SUM(n) AS BIGINT) AS ttr_u,
              CAST(CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_sq
-      FROM cnt GROUP BY source ORDER BY source"""))
+      FROM cnt GROUP BY source ORDER BY source""")),
+
+    // --- q181: deterministic seeded corpus shuffle (Sampling
+    // .corpusShuffle) — the epoch-order pass every training run needs:
+    // a fresh but REPRODUCIBLE global order per seed. shard = md5 shard
+    // under the seed (one shard per training worker), pos = rank within
+    // the shard under an INDEPENDENT md5 draw. NO global sort (an
+    // ORDER BY rand() range-partitions the corpus through one skew-
+    // prone exchange): two md5s per row, one hash shuffle, per-shard
+    // rank windows each sorting corpus/nShards rows — nShards is the
+    // knob that keeps a shard file-sized at any corpus scale. Any
+    // engine re-derives the identical order from (seed, id) alone —
+    // which is exactly what the oracle proves.
+    QueryDef("q181_corpus_shuffle", (s, dir) => {
+      import s.implicits._
+      graft.ops.Sampling.corpusShuffle(
+          Tables.load(s, dir, "documents"), "doc_id", seed = "ep7", nShards = 8)
+        .orderBy($"shard", $"pos")
+    }, Some("""
+      WITH r AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('ep:ep7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 8 AS shard,
+               CAST(('0x' || substr(md5('pos:ep7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS rk
+        FROM documents)
+      SELECT doc_id, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos
+      FROM r ORDER BY shard, pos""")),
+
+    // --- q182: leakage-safe split (TrainingPrep.splitByCluster) — the
+    // assignment unit is the NEAR-DUP CLUSTER: a per-doc split plants
+    // eval contamination whenever a held-out doc's near-duplicate sits
+    // in train (the split-level q58 problem). Clusters = q69's verified
+    // connected components over the planted near-dup corpus; singleton
+    // docs are their own cluster; every member inherits the cluster
+    // rep's md5 bucket, so near-dups cannot straddle splits BY
+    // CONSTRUCTION — and the planted %17 copy pairs prove it at every
+    // sf (each copy lands in its original's split). 80/10/10.
+    QueryDef("q182_split_leakage_safe", (s, dir) => {
+      import s.implicits._
+      TrainingPrep.splitByCluster(nearDupDocs(s, dir), "doc_id",
+          jaccardPairs(s, dir), trainPct = 80, valPct = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH RECURSIVE docs AS ($NEAR_DUP_DOCS_SQL),
+      sh AS (${shingleSetsSqlFrom("docs")}),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         AND len(a.s) * 0.7 <= len(b.s) AND len(b.s) * 0.7 <= len(a.s)
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)) >= 0.7),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(u, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, rr.r FROM edges e JOIN reach rr ON e.v = rr.u),
+      cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+      base AS (
+        SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+        FROM docs d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      bk AS (
+        SELECT doc_id, cluster_id,
+               CAST(('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 100 AS b
+        FROM base)
+      SELECT doc_id, cluster_id,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM bk ORDER BY doc_id"""))
   )
 
   /** The documents corpus as a JSONL landing, written once per

@@ -28,6 +28,35 @@ object Sampling {
       salt: String = "shard"): Column =
     shard(key, buckets, salt) < pct
 
+  /** Deterministic seeded corpus shuffle (q181's operator form): the
+    * epoch-order pass every training run needs — a fresh but
+    * REPRODUCIBLE global order per seed, emitted as (id, shard, pos).
+    * shard = md5 shard of the id under the seed (each training worker
+    * reads one shard); pos = the row's rank within its shard under an
+    * INDEPENDENT md5 draw (different salt prefix, so shard membership
+    * and within-shard order are uncorrelated), 60-bit-collision ties
+    * broken by id.
+    *
+    * NO global sort: `ORDER BY rand()` would range-partition the whole
+    * corpus through one skew-prone exchange; here the only per-row work
+    * is two md5s, the single shuffle is the hash partition by shard,
+    * and each rank window sorts ONE shard — corpus/nShards rows, with
+    * nShards the knob that keeps a shard a file-sized unit at any
+    * corpus scale. Any engine (or a resumed job) re-derives the exact
+    * same order from (seed, id) alone — no persisted RNG state. */
+  def corpusShuffle(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val pos = conv(substring(md5(concat_ws(":", lit(s"pos:$seed"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    df.select(col(idCol), shard(col(idCol), nShards, s"ep:$seed").as("shard"),
+        pos.as("__r"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("__r"), col(idCol))).cast("long"))
+      .drop("__r")
+  }
+
   /** Weight-proportional SYSTEMATIC sampling: one row selected per full
     * `step` units of cumulative weight, walking the rows in a
     * deterministic md5 order — the curation pass that downsamples a

@@ -92,6 +92,36 @@ object TrainingPrep {
           .as("seq_id"))
   }
 
+  /** Leakage-safe train/val/test split (q182's operator form): the
+    * assignment unit is the NEAR-DUP CLUSTER, not the document — a
+    * held-out doc whose near-duplicate sits in train is contamination
+    * (the split-level form of the q58 decontamination problem), and a
+    * per-doc md5 split plants exactly that bug. Clusters come from the
+    * caller's verified near-dup pairs (q28/q69 machinery) as connected
+    * components; docs in no pair are their own singleton cluster. The
+    * cluster's md5 shard decides the bucket and every member inherits
+    * it, so near-dups can never straddle splits BY CONSTRUCTION.
+    * Deterministic and engine-portable (the [[Sampling.shard]]
+    * discipline — bucket is a pure md5 function of the cluster rep).
+    * Note the quota caveat: assignment ∝ clusters, so split sizes land
+    * within cluster-size noise of trainPct/valPct — the price of zero
+    * leakage, stated. Returns (id, cluster_id, split). */
+  def splitByCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10, salt: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"bad split percentages train=$trainPct val=$valPct")
+    val cl = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id"), col("cluster_id"))
+    val withCl = docs.select(col(idCol).as("id"))
+      .join(cl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val b = Sampling.shard(col("cluster_id"), 100, salt)
+    withCl.select(col("id"), col("cluster_id"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Domain-mixture resampling: keep each document with a per-source
     * probability (the "raise Wikipedia, downsample CommonCrawl" mixing
     * step), deterministically — the keep decision is a pure md5 function

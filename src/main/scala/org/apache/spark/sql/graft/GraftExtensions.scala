@@ -527,6 +527,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("graft_corpus_shuffle"),
+      info("graft_corpus_shuffle",
+        "graft_corpus_shuffle(table, idCol, seed, nShards) - deterministic seeded corpus shuffle: (id, shard, pos) with shard = md5 shard of the id under the seed and pos = rank within the shard under an independent md5 draw; no global sort, reproducible on any engine from (seed, id)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_corpus_shuffle(table, idCol, seed, nShards) takes 4 arguments")
+        require(args(3).foldable, "nShards must be a literal")
+        graft.ops.Sampling.corpusShuffle(tableArg(args(0)), strArg(args(1), "idCol"),
+          strArg(args(2), "seed"), args(3).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_split_by_cluster"),
+      info("graft_split_by_cluster",
+        "graft_split_by_cluster(docs, idCol, pairs[, trainPct, valPct]) - leakage-safe train/val/test split: near-dup clusters (connected components of the (id_a, id_b) pairs table) are the assignment unit, so near-duplicates never straddle splits; singletons split solo. Returns (id, cluster_id, split)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 || args.length == 5,
+          "graft_split_by_cluster(docs, idCol, pairs[, trainPct, valPct]) takes 3 or 5 arguments")
+        val (tr, va) = if (args.length == 5) {
+          require(args(3).foldable && args(4).foldable,
+            "trainPct and valPct must be literals")
+          (args(3).eval().asInstanceOf[Number].intValue(),
+            args(4).eval().asInstanceOf[Number].intValue())
+        } else (80, 10)
+        graft.ops.TrainingPrep.splitByCluster(tableArg(args(0)),
+          strArg(args(1), "idCol"), tableArg(args(2)), tr, va)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("graft_profile_drift"),
       info("graft_profile_drift",
         "graft_profile_drift(tableA, tableB) - column-by-column schema/statistics drift between two snapshots: (col_name, status added/removed/ok, n_rows_a/b, null_ppm_a/b, n_distinct_a/b, range_same); full-outer on column name."),

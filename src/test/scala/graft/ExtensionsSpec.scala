@@ -360,6 +360,23 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(hm.head._1 == 1L && hm.head._2 > 0.0 &&
         hm.find(_._1 == 3L).get._2 == 0.0, hm.mkString(";"))
 
+      // corpus shuffle: every id gets a shard + a 1..n per-shard position
+      spark.range(0, 20).toDF("id").createOrReplaceTempView("tf_shuf")
+      val sf = spark.sql(
+        """SELECT shard, COUNT(*) AS n, MAX(pos) AS mx
+           FROM graft_corpus_shuffle('tf_shuf', 'id', 'e1', 2)
+           GROUP BY shard""").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(sf.map(_._2).sum == 20L && sf.forall(t => t._2 == t._3), sf.mkString(";"))
+
+      // split by cluster: the 1-2 pair shares one split label
+      spark.range(0, 10).toDF("doc_id").createOrReplaceTempView("tf_spd")
+      Seq((1L, 2L)).toDF("id_a", "id_b").createOrReplaceTempView("tf_spp")
+      val spm = spark.sql(
+        """SELECT id, split FROM graft_split_by_cluster('tf_spd', 'doc_id', 'tf_spp')""")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(spm.size == 10 && spm(1L) == spm(2L), spm.toString)
+
       // band join: only the 1.0/1.3 pair is within eps = 0.5
       Seq((1L, "g", 1.0), (2L, "g", 1.3), (3L, "g", 9.0))
         .toDF("id", "grp", "v").createOrReplaceTempView("tf_band")

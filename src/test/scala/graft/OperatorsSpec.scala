@@ -1485,6 +1485,41 @@ class OperatorsSpec extends SparkSpec {
       ((3L, 1L, 1L, 9L, 9L)))
   }
 
+  test("Sampling.corpusShuffle: per-shard positions are a 1..n permutation; seeded and stable") {
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 200L).map(Tuple1(_)).toDF("id")
+    val a = graft.ops.Sampling.corpusShuffle(df, "id", seed = "s1", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.length == 200)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // same seed -> identical assignment; different seed -> a different order
+    val a2 = graft.ops.Sampling.corpusShuffle(df, "id", seed = "s1", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sorted.toSeq == a2.sorted.toSeq)
+    val b = graft.ops.Sampling.corpusShuffle(df, "id", seed = "s2", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sorted.toSeq != b.sorted.toSeq)
+  }
+
+  test("TrainingPrep.splitByCluster: pair members never straddle splits; singletons split solo") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 50L).map(Tuple1(_)).toDF("doc_id")
+    // chain 1-2-3 plus pair 10-11: one cluster of 3, one of 2, 45 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = graft.ops.TrainingPrep.splitByCluster(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got.length == 50)
+    val bySplit = got.map(t => t._1 -> t._3).toMap
+    assert(Set(bySplit(1L), bySplit(2L), bySplit(3L)).size == 1)
+    assert(bySplit(10L) == bySplit(11L))
+    val byCluster = got.map(t => t._1 -> t._2).toMap
+    assert(byCluster(3L) == 1L && byCluster(11L) == 10L && byCluster(42L) == 42L)
+    // every split label valid
+    assert(got.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("Profile.drift: added/removed columns, null-ppm drift, range flags") {
     val a = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "s", "v")
     val b = Seq((1L, Some("x"), 1), (2L, None, 2), (3L, Some("z"), 3))
