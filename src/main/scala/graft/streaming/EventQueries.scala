@@ -24,6 +24,19 @@ object EventQueries {
       SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM sess GROUP BY user_id ORDER BY user_id"""
 
+  /** The batch retention-cohort oracle — shared by q178 (the batch
+    * scale-shape operator) and q183 (the streaming first-sight
+    * extractor, whose landed rows must roll up to exactly this). */
+  private val RETENTION_ORACLE_SQL = """
+      WITH uw AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) // 7 AS w
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      f AS (SELECT user_id, MIN(w) AS cohort FROM uw GROUP BY 1)
+      SELECT f.cohort, uw.w - f.cohort AS offset, COUNT(*) AS n_users
+      FROM uw JOIN f ON f.user_id = uw.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // lazy: baseDefs/transitionsDef are declared below (object-init order)
   lazy val defs: Seq[QueryDef] =
     baseDefs ++ Seq(transitionsDef, debounceDef, streamTransitionsDef,
@@ -1110,15 +1123,42 @@ object EventQueries {
           Tables.load(s, dir, "events").filter($"event_type" === "purchase"),
           epoch = "2024-01-01", periodDays = 7)
         .orderBy($"cohort", $"offset")
-    }, Some("""
-      WITH uw AS (
-        SELECT user_id,
-               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) // 7 AS w
-        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
-      f AS (SELECT user_id, MIN(w) AS cohort FROM uw GROUP BY 1)
-      SELECT f.cohort, uw.w - f.cohort AS offset, COUNT(*) AS n_users
-      FROM uw JOIN f ON f.user_id = uw.user_id
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+    }, Some(RETENTION_ORACLE_SQL)),
+
+    // STREAMING retention (StreamingRetention.newUserPeriods): the
+    // (user, period) first-sight extractor as a live operator — per-user
+    // state is the CALENDAR-bounded set of active periods, and each
+    // (user, period) row is emitted exactly once, never retracted. The
+    // replay is deliberately ARBITRARY shuffled micro-batches (the q131
+    // discipline): first-sight is set membership — order-free — so the
+    // landed row set, rolled up to the cohort matrix, must equal q178's
+    // batch answer bit-for-bit; the oracle IS q178's, verbatim. The
+    // rollup over the landed distinct pairs is the answer-sized batch
+    // half (the q97 two-half pattern).
+    QueryDef("q183_stream_retention", (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"user_id",
+          (datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+            .cast("long") / 7).cast("long").as("w"))
+      val stream = EventsStream.replayShuffled(ev, nFiles = 4)
+        .as[StreamingRetention.UW]
+      val uw = StreamingRetention.newUserPeriods(s, stream)
+      val sink = s"q183_uw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = uw.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .groupBy($"user_id")
+        .agg(min($"w").as("cohort"), collect_list($"w").as("ws"))
+        .select($"cohort", explode($"ws").as("w"))
+        .groupBy($"cohort", ($"w" - $"cohort").as("offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort", $"offset")
+    }, Some(RETENTION_ORACLE_SQL))
   )
 
   /** Markov transition matrix of the per-user event sequence — "what do
