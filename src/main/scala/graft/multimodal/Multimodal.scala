@@ -146,6 +146,83 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Per-image augmentation statistics row — see [[augmentImages]]. */
+  final case class AugStat(doc_id: Long, aug_w: Int, aug_h: Int,
+    flip: Boolean, ox: Int, oy: Int, sum_rgb: Long, wsum: Long)
+
+  /** First 60 bits of md5("salt:v") mod m — the JVM-side mirror of
+    * [[graft.ops.Sampling.shard]], so per-image augmentation draws are
+    * the same pure md5 functions every other sampling decision uses. */
+  private def md5Mod(salt: String, v: Long, m: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$v".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % m).toInt
+  }
+
+  /** Deterministic per-epoch image augmentation (q184) — the vision-
+    * training transform pass, with every random choice a pure md5
+    * function of (epoch, id) so any worker (or a resumed job, or the
+    * oracle) re-derives the identical augmented pixel for free: crop
+    * (w−2)×(h−2) at offset (ox, oy) ∈ {0,1,2}², then horizontal flip
+    * on a fair md5 coin. The augmented image is RE-ENCODED to PNG and
+    * RE-DECODED before its statistics are read — the full codec
+    * roundtrip, not just an in-memory transform — and the surfaced
+    * sums are exact longs: sum_rgb = Σ(r+g+b) and the POSITION-WEIGHTED
+    * wsum = Σ(131·x + y)(r+g+b), which is flip-asymmetric on purpose (a
+    * plain sum cannot see an orientation bug). On the synthImages
+    * corpus every augmented pixel is a pure integer function of
+    * (id, x, y), so DuckDB predicts both sums arithmetically while
+    * Spark genuinely decodes, crops, flips, encodes, and decodes again
+    * (the q66/q111 trick applied to a TRANSFORM). Lossless formats only
+    * on the oracle path (PNG/BMP — JPEG pixels are codec-defined).
+    * Per-row JDK-codec kernel in mapPartitions (the house multimodal
+    * rule: no Catalyst expression decodes PNG). */
+  def augmentImages(spark: SparkSession, assets: DataFrame,
+      epoch: String): Dataset[AugStat] = {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = ImageCodec.decode(bytes).getOrElse(
+            throw new IllegalArgumentException(s"undecodable image for doc $id"))
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w >= 3 && h >= 3, s"image $id too small to crop ($w x $h)")
+          val flip = md5Mod(s"augf:$epoch", id, 2) == 1
+          val ox = md5Mod(s"augx:$epoch", id, 3)
+          val oy = md5Mod(s"augy:$epoch", id, 3)
+          val (cw, ch) = (w - 2, h - 2)
+          val out = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) {
+              val sx = if (flip) ox + (cw - 1 - x) else ox + x
+              out.setRGB(x, y, img.getRGB(sx, oy + y))
+              x += 1
+            }
+            y += 1
+          }
+          val dec = ImageCodec.decode(ImageCodec.encode(out, "png")).get
+          var sum = 0L; var wsum = 0L
+          y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) {
+              val rgb = dec.getRGB(x, y)
+              val s3 = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)).toLong
+              sum += s3
+              wsum += (131L * x + y) * s3
+              x += 1
+            }
+            y += 1
+          }
+          AugStat(id, cw, ch, flip, ox, oy, sum, wsum)
+        }
+      }
+  }
+
   /** Twin images for near-dup detection: `nPairs` pairs (base+2k,
     * base+2k+1), the twin pixel-identical to its base except ONE pixel
     * (0,0) with its color xor'd by 0x808080 — a perceptual near-dup the

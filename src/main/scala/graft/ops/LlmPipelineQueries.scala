@@ -2772,7 +2772,52 @@ object LlmPipelineQueries {
              CASE WHEN b < 80 THEN 'train'
                   WHEN b < 90 THEN 'val'
                   ELSE 'test' END AS split
-      FROM bk ORDER BY doc_id"""))
+      FROM bk ORDER BY doc_id""")),
+
+    // --- q184: deterministic image augmentation (Multimodal
+    // .augmentImages) — the vision-training transform pass: crop + md5-
+    // coin horizontal flip, every choice a pure function of (epoch, id)
+    // so any worker or resumed job re-derives identical pixels. Spark
+    // genuinely decodes the PNG/BMP, crops, flips, RE-ENCODES to PNG,
+    // re-decodes, and sums pixels; DuckDB predicts both sums
+    // arithmetically from the synthImages color formula (the q66/q111
+    // oracle trick applied to a TRANSFORM — a channel-order, offset, or
+    // orientation bug breaks the equality; wsum is position-weighted
+    // precisely because a plain sum is flip-blind). Lossless formats
+    // only (doc_id % 3 != 1 excludes JPEG).
+    QueryDef("q184_image_augment", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id").filter($"doc_id" % 3 =!= 1)
+      Multimodal.augmentImages(s, Multimodal.synthImages(s, docs), epoch = "ep3")
+        .toDF().orderBy($"doc_id")
+    }, Some("""
+      WITH ids AS (
+        SELECT doc_id AS id,
+               CAST(8 + doc_id % 9 AS BIGINT) AS w,
+               CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS h,
+               CAST(('0x' || substr(md5('augf:ep3:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 1 AS flip,
+               CAST(('0x' || substr(md5('augx:ep3:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS ox,
+               CAST(('0x' || substr(md5('augy:ep3:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS oy
+        FROM documents WHERE doc_id % 3 <> 1),
+      gx AS (SELECT *, unnest(range(w - 2)) AS x FROM ids),
+      gxy AS (SELECT *, unnest(range(h - 2)) AS y FROM gx),
+      v AS (
+        SELECT id, w, h, flip, ox, oy, x, y,
+               (id * 1103515245 + (CASE WHEN flip THEN ox + (w - 3 - x) ELSE ox + x END) * 12345
+                  + (oy + y) * 2654435761) & 16777215 AS rgb
+        FROM gxy),
+      s3s AS (
+        SELECT id, w, h, flip, ox, oy, x, y,
+               (rgb // 65536) + ((rgb // 256) % 256) + (rgb % 256) AS s3
+        FROM v)
+      SELECT id AS doc_id, CAST(w - 2 AS INTEGER) AS aug_w,
+             CAST(h - 2 AS INTEGER) AS aug_h, flip,
+             CAST(ox AS INTEGER) AS ox, CAST(oy AS INTEGER) AS oy,
+             CAST(SUM(s3) AS BIGINT) AS sum_rgb,
+             CAST(SUM((131 * x + y) * s3) AS BIGINT) AS wsum
+      FROM s3s GROUP BY 1, 2, 3, 4, 5, 6
+      ORDER BY doc_id"""))
   )
 
   /** The documents corpus as a JSONL landing, written once per
