@@ -591,7 +591,9 @@ object PlanCheck {
     // summary — register union a map-side max, Σ s_u an exact decimal
     // partial sum; nothing all-pairs anywhere
     Want("q159_hyperanf", Seq(
-      "map-side register union" -> "partial_max",
+      // r12: the union is the single native reg_max semilattice
+      // aggregate (map-side partial), not 2^p separate max expressions
+      "map-side register union" -> "partial_reg_max",
       "exact decimal global sum" -> "partial_sum"),
       mustNotContain = Seq(
         "no cartesian" -> "CartesianProduct",
