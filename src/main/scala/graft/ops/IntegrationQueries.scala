@@ -251,6 +251,78 @@ object IntegrationQueries {
       WHERE levenshtein(a.p_name, b.p_name) <= 2
       ORDER BY name_a, name_b""")),
 
+    // Golden-record survivorship (MDM merge) — the step AFTER q102's
+    // fuzzy matching that an integration tool actually ships: matched
+    // name variants close into entity clusters (q69's connected
+    // components; string names ride as md5_60 ids per the house
+    // portable-hashing discipline — birthday risk n²/2⁶¹, negligible at
+    // catalog scale, stated) and each cluster merges to ONE golden row:
+    // golden_name = min member name, attribute survivorship = most
+    // frequent value with a deterministic (n desc, value desc) tie-break
+    // (the q130 total-order-vote trick as max(struct)), ranges kept as
+    // min/max. Pairs and clusters are answer-sized (the q102 segment
+    // join, never O(n²) — the oracle runs the quadratic join + recursive
+    // closure).
+    QueryDef("q185_golden_record", (s, dir) => {
+      import s.implicits._
+      def h(c: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(lit("gr:"), c)), 1, 15), 16, 10)
+          .cast("long"), lit(1152921504606846976L))
+      val parts = Tables.load(s, dir, "part")
+      val names = parts.groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+      val pairs = graft.text.EditDistanceJoin
+        .selfJoin(names, "p_name", "p_name", k = 2)
+      val cl = graft.dedup.Dedup.connectedComponents(
+        pairs.select(h($"id_a").as("ha"), h($"id_b").as("hb")), "ha", "hb")
+      val members = pairs.select($"id_a".as("p_name"))
+        .unionByName(pairs.select($"id_b".as("p_name"))).distinct()
+        .join(cl, h($"p_name") === cl("id"))
+        .select($"p_name", $"cluster_id")
+        .join(parts, "p_name")
+      val brandMode = members.groupBy($"cluster_id", $"p_brand")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"cluster_id")
+        .agg(max(struct($"n", $"p_brand")).as("bm"))
+        .select($"cluster_id", $"bm.p_brand".as("brand_mode"))
+      members.groupBy($"cluster_id")
+        .agg(min($"p_name").as("golden_name"),
+          countDistinct($"p_name").as("n_names"),
+          count(lit(1)).as("n_parts"),
+          min($"p_retailprice").as("min_price"),
+          max($"p_retailprice").as("max_price"))
+        .join(brandMode, "cluster_id")
+        .select($"golden_name", $"n_names", $"n_parts", $"brand_mode",
+          $"min_price", $"max_price")
+        .orderBy($"golden_name")
+    }, Some("""
+      WITH RECURSIVE names AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY 1),
+      prs AS (
+        SELECT a.p_name AS u, b.p_name AS v
+        FROM names a JOIN names b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2),
+      edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+      reach(u, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, rr.r FROM edges e JOIN reach rr ON e.v = rr.u),
+      cl AS (SELECT u AS p_name, MIN(r) AS cluster_id FROM reach GROUP BY u),
+      mem AS (SELECT cl.cluster_id, p.p_name, p.p_brand, p.p_retailprice
+              FROM cl JOIN part p ON p.p_name = cl.p_name),
+      bm AS (SELECT cluster_id, p_brand, COUNT(*) AS n FROM mem GROUP BY 1, 2),
+      bmr AS (SELECT cluster_id, p_brand AS brand_mode FROM (
+                SELECT cluster_id, p_brand, n,
+                       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                         ORDER BY n DESC, p_brand DESC) AS rk
+                FROM bm) WHERE rk = 1),
+      ag AS (SELECT cluster_id, MIN(p_name) AS golden_name,
+                    COUNT(DISTINCT p_name) AS n_names, COUNT(*) AS n_parts,
+                    MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
+             FROM mem GROUP BY 1)
+      SELECT ag.golden_name, ag.n_names, ag.n_parts, bmr.brand_mode,
+             ag.min_price, ag.max_price
+      FROM ag JOIN bmr ON bmr.cluster_id = ag.cluster_id
+      ORDER BY ag.golden_name""")),
+
     // Snapshot diff (Merge.snapshotDiff): derive a v1 of orders by a
     // deterministic recipe both engines state identically (drop keys
     // %97==0, bump price on %13==0, append fresh keys for %101==0),

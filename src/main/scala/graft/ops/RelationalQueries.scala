@@ -23,6 +23,27 @@ object RelationalQueries {
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
+  /** The undirected trade-graph pair set (supplier node 2k ↔ customer
+    * node 2k+1, one row per distinct relationship), memoized per
+    * (dir, content fingerprint) and persisted — the q30 pair-set
+    * discipline applied to the GRAPH eight fixpoint queries share
+    * (q100/q104/q122/q130/q144/q151/q159/q179). Production lands this
+    * once as a table (the q100 write-once rule); in-process the memo is
+    * that materialization. The weighted variants (q142 min-quantity,
+    * q175 multiplicity) aggregate their own weights from the raw join
+    * — different tables, not derivable from this one. */
+  private def tradePairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "lineitem")) +
+      "+" + graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "orders"))
+    graft.dedup.DedupCache.memo(s"$dir@$fp#tradePairs") {
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("a"), (col("o_custkey") * 2 + 1).as("b"))
+        .distinct()
+    }
+  }
+
   // Shared oracle fragments
   private val SUM_DISC = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
   private def dsql(col: String) = s"CAST(SUM(CAST($col AS DECIMAL(18,4))) AS DOUBLE)"
@@ -764,12 +785,7 @@ object RelationalQueries {
     // same three rounds as chained CTEs.
     QueryDef("q100_pagerank", (s, dir) => {
       import s.implicits._
-      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .select(($"l_suppkey" * 2).as("a"),
-          ($"o_custkey" * 2 + 1).as("b"))
-        .distinct()
+      val pairs = tradePairs(s, dir)
       val edges = pairs.select($"a".as("src"), $"b".as("dst"))
         .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
       // fixpoint variant with tolMu = 0: a round whose L1 delta is zero
@@ -818,12 +834,7 @@ object RelationalQueries {
     // and BFS min-distance is engine-order-free.
     QueryDef("q104_bfs", (s, dir) => {
       import s.implicits._
-      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .select(($"l_suppkey" * 2).as("a"),
-          ($"o_custkey" * 2 + 1).as("b"))
-        .distinct()
+      val pairs = tradePairs(s, dir)
       val edges = pairs.select($"a".as("src"), $"b".as("dst"))
         .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
       // seed by key, not nation: every SF has suppkeys 1..n, while a
@@ -978,12 +989,7 @@ object RelationalQueries {
     // (the spine is built from edges on both sides).
     QueryDef("q122_ppr", (s, dir) => {
       import s.implicits._
-      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .select(($"l_suppkey" * 2).as("a"),
-          ($"o_custkey" * 2 + 1).as("b"))
-        .distinct()
+      val pairs = tradePairs(s, dir)
       val edges = pairs.select($"a".as("src"), $"b".as("dst"))
         .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
       val seeds = t(s, dir, "supplier").filter($"s_suppkey" <= 3)
@@ -1098,12 +1104,7 @@ object RelationalQueries {
     // q100/q122.
     QueryDef("q130_label_prop", (s, dir) => {
       import s.implicits._
-      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .select(($"l_suppkey" * 2).as("a"),
-          ($"o_custkey" * 2 + 1).as("b"))
-        .distinct()
+      val pairs = tradePairs(s, dir)
       val edges = pairs.select($"a".as("src"), $"b".as("dst"))
         .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
       graft.ops.LabelProp.run(edges, "src", "dst", nIters = 3)
@@ -1358,11 +1359,7 @@ object RelationalQueries {
     // path for dangling nodes is component-tested.
     QueryDef("q144_random_walks", (s, dir) => {
       import s.implicits._
-      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .select(($"l_suppkey" * 2).as("a"), ($"o_custkey" * 2 + 1).as("b"))
-        .distinct()
+      val pairs = tradePairs(s, dir)
       val edges = pairs.select($"a".as("src"), $"b".as("dst"))
         .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
       graft.ops.RandomWalk.walks(edges, "src", "dst", steps = 3)
@@ -1462,11 +1459,7 @@ object RelationalQueries {
     // identity, so fixed-round SQL == fixpoint operator.
     QueryDef("q151_kcore", (s, dir) => {
       import s.implicits._
-      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .select(($"l_suppkey" * 2).as("a"), ($"o_custkey" * 2 + 1).as("b"))
-        .distinct()
+      val pairs = tradePairs(s, dir)
       val path = s.range(11)
         .select(($"id" + 9000000L).as("a"), ($"id" + 9000001L).as("b"))
       val both = pairs.unionByName(path)
@@ -1557,11 +1550,7 @@ object RelationalQueries {
     // digits in every engine.
     QueryDef("q159_hyperanf", (s, dir) => {
       import s.implicits._
-      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .select(($"l_suppkey" * 2).as("a"), ($"o_custkey" * 2 + 1).as("b"))
-        .distinct()
+      val pairs = tradePairs(s, dir)
       val edges = pairs.select($"a".as("src"), $"b".as("dst"))
         .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
       val balls = HyperAnf.ballRegisters(edges, rounds = 3, p = 4)
@@ -1854,11 +1843,7 @@ object RelationalQueries {
     // stated; ball growth is monotone so every term is ≥ 0.
     QueryDef("q179_harmonic_centrality", (s, dir) => {
       import s.implicits._
-      val pairs = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .select(($"l_suppkey" * 2).as("a"), ($"o_custkey" * 2 + 1).as("b"))
-        .distinct()
+      val pairs = tradePairs(s, dir)
       val edges = pairs.select($"a".as("src"), $"b".as("dst"))
         .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
       HyperAnf.harmonicCentrality(edges, rounds = 3, p = 4)
