@@ -358,6 +358,63 @@ object Multimodal {
   def synthAudioFrames(id: Long): Int = 50 + (id % 100).toInt
   def synthAmp(id: Long): Int = 1000 + (id % 7).toInt * 1000
 
+  /** Per-clip augmentation statistics row — see [[augmentAudio]]. */
+  final case class AudioAugStat(doc_id: Long, sample_rate: Int, channels: Int,
+    gain: Int, off: Int, n_frames: Int, sum_abs: Long, wsigned: Long)
+
+  /** Deterministic per-epoch audio augmentation (q186) — [[augmentImages]]
+    * for the WAV path: integer gain ∈ {1,2,3} and a leading frame-crop
+    * offset ∈ {0,1,2} (clip shortened by 4 frames total), both pure md5
+    * functions of (epoch, id). The augmented PCM is RE-ENCODED through
+    * the RIFF writer and RE-DECODED by the JRE parser before its
+    * statistics are read — codec roundtrip on the transform path.
+    * Gain saturates at ±32767 (exact integer clip, stated). Surface:
+    * Σ|s| and the SIGNED position-weighted Σ(131·frame + chan)·s —
+    * the square wave's constant |s| makes any unsigned statistic
+    * offset-blind, while the sign pattern (o+j alternation) moves
+    * wsigned on every offset/interleave/endianness bug. */
+  def augmentAudio(spark: SparkSession, assets: DataFrame,
+      epoch: String): Dataset[AudioAugStat] = {
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val pcm = AudioCodec.decodeWav(bytes).getOrElse(
+            throw new IllegalArgumentException(s"undecodable audio for doc $id"))
+          val ch = pcm.channels
+          val frames = (pcm.samples.length / ch)
+          require(frames > 4, s"clip $id too short to crop ($frames frames)")
+          val gain = md5Mod(s"auga:$epoch", id, 3) + 1
+          val off = md5Mod(s"augo:$epoch", id, 3)
+          val cf = frames - 4
+          val outS = new Array[Short](cf * ch)
+          var j = 0
+          while (j < cf) {
+            var c = 0
+            while (c < ch) {
+              val v = pcm.samples((off + j) * ch + c).toInt * gain
+              outS(j * ch + c) =
+                math.max(-32767, math.min(32767, v)).toShort
+              c += 1
+            }
+            j += 1
+          }
+          val dec = AudioCodec.decodeWav(
+            AudioCodec.encodeWav(outS, pcm.sampleRate, ch)).get
+          var sumAbs = 0L; var wsigned = 0L
+          var i = 0
+          while (i < dec.samples.length) {
+            val s = dec.samples(i).toLong
+            sumAbs += math.abs(s)
+            wsigned += (131L * (i / ch) + (i % ch)) * s
+            i += 1
+          }
+          AudioAugStat(id, dec.sampleRate, dec.channels, gain, off,
+            (dec.samples.length / dec.channels), sumAbs, wsigned)
+        }
+      }
+  }
+
   /** Generate REAL audio (decodable PCM16 WAV bytes) per document id. */
   def synthAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

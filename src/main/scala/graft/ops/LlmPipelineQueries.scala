@@ -2817,6 +2817,48 @@ object LlmPipelineQueries {
              CAST(SUM(s3) AS BIGINT) AS sum_rgb,
              CAST(SUM((131 * x + y) * s3) AS BIGINT) AS wsum
       FROM s3s GROUP BY 1, 2, 3, 4, 5, 6
+      ORDER BY doc_id""")),
+
+    // --- q186: deterministic audio augmentation (Multimodal
+    // .augmentAudio) — q184's discipline on the WAV path: md5 gain
+    // ∈ {1,2,3} + leading frame-crop offset ∈ {0,1,2}, RE-ENCODED
+    // through the RIFF writer and RE-DECODED by the JRE parser before
+    // any statistic is read. The square wave's constant |s| makes
+    // unsigned sums offset-blind, so the surface adds the SIGNED
+    // position-weighted Σ(131·frame + chan)·s — the (off+j) sign
+    // alternation moves it on every offset/interleave/endianness bug.
+    // Gain never clips here (3·amp_max = 21000 < 32767 — the operator's
+    // saturation guard stays dormant, stated); the oracle collapses the
+    // channel sum arithmetically: Σ_c (131j + c) = 131·ch·j + ch(ch−1)/2.
+    QueryDef("q186_audio_augment", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id")
+      Multimodal.augmentAudio(s, Multimodal.synthAudio(s, docs), epoch = "ep3")
+        .toDF().orderBy($"doc_id")
+    }, Some("""
+      WITH ids AS (
+        SELECT doc_id AS id,
+               CAST(CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+               CAST(50 + doc_id % 100 AS BIGINT) AS frames,
+               CAST(1000 + (doc_id % 7) * 1000 AS BIGINT) AS amp,
+               CAST(('0x' || substr(md5('auga:ep3:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 + 1 AS gain,
+               CAST(('0x' || substr(md5('augo:ep3:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS off
+        FROM documents),
+      jf AS (SELECT *, unnest(range(frames - 4)) AS j FROM ids),
+      t AS (
+        SELECT id, sample_rate, ch, gain, off, frames, amp,
+               (CASE WHEN (off + j) % 2 = 0 THEN 1 ELSE -1 END)
+                 * (131 * ch * j + ch * (ch - 1) // 2) AS term
+        FROM jf)
+      SELECT id AS doc_id, sample_rate, CAST(ch AS INTEGER) AS channels,
+             CAST(gain AS INTEGER) AS gain, CAST(off AS INTEGER) AS off,
+             CAST(frames - 4 AS INTEGER) AS n_frames,
+             CAST((frames - 4) * ch * amp * gain AS BIGINT) AS sum_abs,
+             CAST(gain * amp * SUM(term) AS BIGINT) AS wsigned
+      FROM t
+      GROUP BY id, sample_rate, ch, gain, off, frames, amp
       ORDER BY doc_id"""))
   )
 
