@@ -2859,7 +2859,60 @@ object LlmPipelineQueries {
              CAST(gain * amp * SUM(term) AS BIGINT) AS wsigned
       FROM t
       GROUP BY id, sample_rate, ch, gain, off, frames, amp
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // --- q187: deterministic video augmentation — temporal crop
+    // (drop the first o ∈ {0,1,2} frames) + frame stride (every k-th,
+    // k ∈ {1,2}), the frame-subsampling transform a video training
+    // pipeline runs per epoch. Completes the augmentation triple
+    // (q184 image / q186 audio / here time axis) with a DIFFERENT
+    // shape on purpose: the only kernel is the existing sampleFrames
+    // demux + frameLuma byte-sum (binary payloads are opaque to
+    // Catalyst); the augmentation CHOICES ride as Sampling.shard
+    // column expressions and the offset/stride selection is a pure
+    // codegen filter — no new kernel, Spark-first. The oracle derives
+    // every frame luma arithmetically from the middle-square byte
+    // formula; wsum's per-frame weights catch offset/stride/
+    // re-indexing bugs (lumas vary per frame).
+    QueryDef("q187_video_augment", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id")
+      val lum = Multimodal.frameLuma(s, Multimodal.sampleFrames(s,
+          Multimodal.synthVideo(s, docs),
+          frameBytes = Multimodal.VideoFrameBytes, everyN = 1))
+        .filter($"frame_idx" < Multimodal.VideoFrames)
+      val o = graft.ops.Sampling.shard($"doc_id", 3, "vauo:ep3")
+      val k = graft.ops.Sampling.shard($"doc_id", 2, "vauk:ep3") + 1
+      lum.select($"doc_id", $"frame_idx".cast("long").as("f"), $"luma",
+          o.as("o"), k.as("k"))
+        .filter($"f" >= $"o" && pmod($"f" - $"o", $"k") === 0)
+        .select($"doc_id", $"o", $"k",
+          (($"f" - $"o") / $"k").cast("long").as("j"), $"luma")
+        .groupBy($"doc_id", $"o", $"k")
+        .agg(count(lit(1)).as("n_frames"), sum($"luma").as("sum_luma"),
+          sum($"j" * $"luma").as("wsum"))
+        .select($"doc_id", $"o".cast("int").as("off"),
+          $"k".cast("int").as("stride"), $"n_frames", $"sum_luma", $"wsum")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH ids AS (
+        SELECT doc_id AS id,
+               CAST(('0x' || substr(md5('vauo:ep3:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS o,
+               CAST(('0x' || substr(md5('vauk:ep3:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 + 1 AS k
+        FROM documents),
+      v AS (
+        SELECT id, o, k, i.i // 64 AS f,
+               ((((id * 1103515245 + i.i * 12345) & 65535)
+                  * ((id * 1103515245 + i.i * 12345) & 65535)) >> 8) & 255 AS b
+        FROM ids, range(4160) i(i)),
+      lum AS (SELECT id, o, k, f, SUM(b) AS luma FROM v GROUP BY 1, 2, 3, 4),
+      aug AS (
+        SELECT id, o, k, (f - o) // k AS j, luma
+        FROM lum WHERE f >= o AND (f - o) % k = 0)
+      SELECT id AS doc_id, CAST(o AS INTEGER) AS off, CAST(k AS INTEGER) AS stride,
+             COUNT(*) AS n_frames, CAST(SUM(luma) AS BIGINT) AS sum_luma,
+             CAST(SUM(j * luma) AS BIGINT) AS wsum
+      FROM aug GROUP BY 1, 2, 3 ORDER BY doc_id"""))
   )
 
   /** The documents corpus as a JSONL landing, written once per
