@@ -1017,7 +1017,7 @@ object LlmPipelineQueries {
     }, Some("""
       WITH td AS (SELECT DISTINCT doc_id, tok FROM (
           SELECT doc_id,
-                 unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+                 unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
           FROM documents)),
       agg AS (SELECT tok, COUNT(*) AS df FROM td GROUP BY 1),
       r AS (SELECT tok, doc_id,
@@ -1064,7 +1064,7 @@ object LlmPipelineQueries {
     }, Some("""
       WITH toks AS (
         SELECT doc_id,
-               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
         FROM documents),
       lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
       stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avg_len FROM lens),
@@ -1187,7 +1187,7 @@ object LlmPipelineQueries {
         .orderBy($"doc_id")
     }, Some("""
       WITH w AS (SELECT doc_id,
-                        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
                  FROM documents),
       b AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
             FROM w WHERE len(w) >= 2),
@@ -1954,7 +1954,7 @@ object LlmPipelineQueries {
     }, Some("""
       WITH w AS (
         SELECT doc_id, CAST(substr(source, 4) AS INTEGER) AS srcn,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
         FROM documents),
       b AS (
         SELECT doc_id, srcn,
@@ -2620,7 +2620,7 @@ object LlmPipelineQueries {
         SELECT doc_id % 2 AS side, unnest(
           list_filter(string_split(trim(regexp_replace(
             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-            '\\s+', ' ', 'g')), ' '), x -> len(x) > 0)) AS tok
+            '\s+', ' ', 'g')), ' '), x -> len(x) > 0)) AS tok
         FROM docs),
       counts AS (
         SELECT tok,
@@ -2692,7 +2692,7 @@ object LlmPipelineQueries {
         SELECT source, unnest(
           list_filter(string_split(trim(regexp_replace(
             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-            '\\s+', ' ', 'g')), ' '), x -> len(x) > 0)) AS tok
+            '\s+', ' ', 'g')), ' '), x -> len(x) > 0)) AS tok
         FROM documents),
       cnt AS (SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2)
       SELECT source, CAST(SUM(n) AS BIGINT) AS n_tok,
@@ -2912,7 +2912,61 @@ object LlmPipelineQueries {
       SELECT id AS doc_id, CAST(o AS INTEGER) AS off, CAST(k AS INTEGER) AS stride,
              COUNT(*) AS n_frames, CAST(SUM(luma) AS BIGINT) AS sum_luma,
              CAST(SUM(j * luma) AS BIGINT) AS wsum
-      FROM aug GROUP BY 1, 2, 3 ORDER BY doc_id"""))
+      FROM aug GROUP BY 1, 2, 3 ORDER BY doc_id""")),
+
+    // --- q188: the dataset card — the per-(source, lang) release
+    // summary every published training corpus ships (counts a reader
+    // can audit), plus the '__all' rollup (the q165 __tvd pattern).
+    // Exact integers only: docs, exact-duplicate docs (fingerprint
+    // seen ≥ 2 GLOBALLY — dup detection crosses sources, then the flag
+    // rolls up per cell), whitespace-convention tokens (empty-text
+    // guard stated — split('') is a phantom token), chars. Shape: one
+    // fingerprint count shuffle + one broadcastable dup-fp semi flag +
+    // one rollup — the corpus-governance sibling of q177's diagnostics
+    // composition.
+    QueryDef("q188_dataset_card", (s, dir) => {
+      import s.implicits._
+      val trimmed = trim(regexp_replace($"text", "\\s+", " "))
+      val base = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", $"lang", $"n_chars",
+          TextAnalysis.fingerprint($"text").as("fp"),
+          when(length(trimmed) > 0, size(split(trimmed, " ", -1)))
+            .otherwise(0).cast("long").as("n_tok"))
+      val dupFp = base.groupBy($"fp").agg(count(lit(1)).as("nf"))
+        .filter($"nf" >= 2).select($"fp", lit(1L).as("isdup"))
+      val flagged = base.join(dupFp, Seq("fp"), "left")
+        .select($"source", $"lang", coalesce($"isdup", lit(0L)).as("isdup"),
+          $"n_tok", $"n_chars")
+      def roll(src: org.apache.spark.sql.Column, lng: org.apache.spark.sql.Column) =
+        flagged.groupBy(src.as("source"), lng.as("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum($"isdup").as("n_dup_docs"),
+            sum($"n_tok").as("n_tokens"), sum($"n_chars").as("n_chars"))
+      roll($"source", $"lang").unionByName(roll(lit("__all"), lit("__all")))
+        .orderBy($"source", $"lang")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, source, lang, n_chars,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               CAST(len(list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                 x -> len(x) > 0)) AS BIGINT) AS n_tok
+        FROM documents),
+      dupf AS (SELECT fp FROM base GROUP BY fp HAVING COUNT(*) >= 2),
+      flagged AS (
+        SELECT b.source, b.lang,
+               CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END AS isdup,
+               b.n_tok, b.n_chars
+        FROM base b LEFT JOIN dupf d ON d.fp = b.fp)
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(isdup) AS BIGINT) AS n_dup_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM flagged GROUP BY 1, 2
+      UNION ALL
+      SELECT '__all', '__all', COUNT(*),
+             CAST(SUM(isdup) AS BIGINT), CAST(SUM(n_tok) AS BIGINT),
+             CAST(SUM(n_chars) AS BIGINT)
+      FROM flagged
+      ORDER BY source, lang"""))
   )
 
   /** The documents corpus as a JSONL landing, written once per
