@@ -448,4 +448,26 @@ class StreamingSpec extends SparkSpec {
     // its chain-end lived in the previous micro-batch
     assert(streamed.contains((102L, false)) && streamed.contains((103L, true)))
   }
+
+  test("StreamingRetention: first-sight emission exactly once across a mid-period split") {
+    import spark.implicits._
+    import graft.streaming.{EventsStream, StreamingRetention}
+    // user 1 active in periods 0 (twice, split across batches) and 2;
+    // user 2 only in period 0 — re-arrivals of a seen period emit nothing
+    val b1 = Seq((1L, 0L), (2L, 0L)).toDF("user_id", "w")
+    val b2 = Seq((1L, 0L), (1L, 2L), (2L, 0L)).toDF("user_id", "w")
+    val stream = EventsStream.replayOrdered(Seq(b1, b2))
+    val uw = StreamingRetention.newUserPeriods(spark,
+      stream.as[StreamingRetention.UW])
+    spark.catalog.dropTempView("sr_sink")
+    val q = EventsStream.toMemorySink(uw.toDF(), "sr_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("sr_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // EXACTLY once per (user, period) — a bag, not a set, so a double
+    // emission would fail here even though the set looks right
+    assert(rows.sorted == Seq((1L, 0L), (1L, 2L), (2L, 0L)),
+      rows.mkString(";"))
+  }
 }
