@@ -9,6 +9,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Bench owns its scratch dirs: Spark's shutdown-hook deleteRecursively
+    // can race another cleanup and print a stacktrace AFTER our result line
+    // (r12's driver bench record was emptied exactly this way — the tail
+    // capture saw the stacktrace, not the JSON). With spark.local.dir under
+    // a dir we create and delete ourselves, plus the halt(0) below that
+    // skips the hooks entirely, nothing can print after the result line.
+    val benchLocal =
+      java.nio.file.Files.createTempDirectory("graft-bench-local")
+    System.setProperty("spark.local.dir", benchLocal.toString)
     val spark = graft.GraftSession(s"local[$cpus]", cpus)
 
     // warm-up actions so JVM/codegen/parquet-reader startup isn't billed to
@@ -161,7 +170,7 @@ object Bench {
     // "stalled" prints AFTER queries: the driver keeps the line's TAIL,
     // so the flag survives any cut that the leading metadata wouldn't
     val stalledJson = stalled.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu":${r2(totalCpu)},"sf":"$sfShort","enc":"N:[mincs,cpuds]","queries":$compact,"stalled":$stalledJson}""")
+    val resultLine = s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu":${r2(totalCpu)},"sf":"$sfShort","enc":"N:[mincs,cpuds]","queries":$compact,"stalled":$stalledJson}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       def obj(f: ((String, Double, Double, Double)) => Double): String =
         results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
@@ -169,6 +178,29 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    // Handoff discipline: the driver records only the tail of this process's
+    // output, so the result line must be the LAST thing the process emits.
+    // Stop Spark first (its stop-time warnings land before the line), then
+    // delete our scratch dirs ourselves (so the skipped shutdown hooks leak
+    // nothing), print, flush, and halt — halt(0) exits with success WITHOUT
+    // running JVM shutdown hooks, which is the only way to guarantee Spark's
+    // hook-time deleteRecursively stacktraces can never follow the JSON.
     spark.stop()
+    def rmTree(p: java.nio.file.Path): Unit =
+      try {
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+                          catch { case scala.util.control.NonFatal(_) => () })
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    rmTree(benchLocal)
+    rmTree(java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}"))
+    System.err.flush()
+    println(resultLine)
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
   }
 }

@@ -35,7 +35,10 @@ object RelationalQueries {
   private def tradePairs(s: SparkSession, dir: String): DataFrame = {
     val fp = graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "lineitem")) +
       "+" + graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "orders"))
-    graft.dedup.DedupCache.memo(s"$dir@$fp#tradePairs") {
+    // memoVersioned, not plain memo: when the data under dir is rewritten
+    // the superseded fingerprint's persisted blocks are unpersisted on
+    // supersession instead of stranding MEMORY_AND_DISK for the session.
+    graft.dedup.DedupCache.memoVersioned(s"$dir#tradePairs", fp) {
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))

@@ -43,7 +43,11 @@ object Mmr {
     // only while d·127² < 2^24, i.e. d ≤ 1024 — enforced per row,
     // inline on the scan the relevance pass already makes (a wider
     // vector raises loudly instead of silently rounding the greedy)
-    val dimOk = when(size(col(vecCol)) <= 1024, col(vecCol)).otherwise(
+    // isNull first: size(null) is null, so without the guard a NULL vector
+    // would fall through to the error branch with a misleading dim message —
+    // nulls flow through quantization as nulls, as before the bound existed
+    val dimOk = when(col(vecCol).isNull || size(col(vecCol)) <= 1024,
+      col(vecCol)).otherwise(
       raise_error(concat(lit("Mmr.rerank: vector dim "),
         size(col(vecCol)).cast("string"),
         lit(" > 1024 breaks the exact-float-dot bound (d*127^2 < 2^24)")))

@@ -1140,8 +1140,8 @@ object EventQueries {
       val ev = Tables.load(s, dir, "events")
         .filter($"event_type" === "purchase")
         .select($"user_id",
-          (datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
-            .cast("long") / 7).cast("long").as("w"))
+          floor(datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+            .cast("double") / 7).cast("long").as("w")) // floor ÷, like EventsOps
       val stream = EventsStream.replayShuffled(ev, nFiles = 4)
         .as[StreamingRetention.UW]
       val uw = StreamingRetention.newUserPeriods(s, stream)

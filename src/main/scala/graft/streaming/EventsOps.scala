@@ -108,8 +108,13 @@ object EventsOps {
   def retentionCohorts(events: DataFrame, epoch: String = "2024-01-01",
       periodDays: Int = 7): DataFrame = {
     require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
-    val period = (datediff(to_date(col("ts")), lit(epoch).cast("date"))
-      .cast("long") / periodDays).cast("long") // non-negative: floor==truncate
+    // FLOOR division, not cast-truncation: truncate rounds toward zero, so
+    // an event BEFORE the caller-supplied epoch (day index −3, weekly) would
+    // bucket to period 0 instead of −1 — diverging from the oracle's `//`
+    // and silently merging pre-epoch activity into the first cohort. floor
+    // over double division is exact here (day indices ≪ 2^53).
+    val period = floor(datediff(to_date(col("ts")), lit(epoch).cast("date"))
+      .cast("double") / periodDays).cast("long")
     events
       .select(col("user_id"), period.as("w"))
       .groupBy(col("user_id"))

@@ -43,6 +43,10 @@ case class RegMaxInts(
       s"reg_max: register width changed mid-group (${buffer.regs.length} vs $n)")
     var j = 0
     while (j < n) {
+      // loud like the width check: inputTypes declares containsNull=false
+      // but Spark's type check ignores nullability, so a null element would
+      // otherwise read as 0 silently
+      require(!v.isNullAt(j), s"reg_max: null register element at index $j")
       val x = v.getInt(j)
       if (x > buffer.regs(j)) buffer.regs(j) = x
       j += 1
