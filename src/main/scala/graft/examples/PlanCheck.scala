@@ -618,6 +618,18 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // multimodal end-to-end: every corpus-sized stage lives behind the
+    // asset/fingerprint materializations, so the FINAL card plan reads
+    // only checkpoint scans — no parquet anywhere (the snapshot is read
+    // once, upstream); survivor selection is one broadcast anti-join
+    // against the duplicate-mass-sized dropped set (the deliberate
+    // asymmetry with q125's shuffle anti-join — see MultimodalPipeline)
+    Want("q189_multimodal_pipeline", Seq(
+      "downstream rides the materialized snapshots" -> "Scan ExistingRDD",
+      "survivor selection is a broadcast anti-join" -> "BroadcastHashJoin LeftAnti"),
+      mustNotContain = Seq(
+        "no parquet re-read past the snapshot" -> "Scan parquet",
+        "no cartesian" -> "CartesianProduct")),
     // retention cohorts: per-user set + explode + count — two shuffles,
     // NO self-join of user-weeks against first-weeks, no rank window
     Want("q178_retention", Seq(

@@ -1,0 +1,142 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The whole multimodal curation pipeline as one composition — the q125
+  * (CorpusPipeline) of BINARY columns, closing the family the same way
+  * corpus prep and the time-series diagnostics were closed:
+  *
+  *   asset snapshot → fingerprint (real decode) → near-dup components →
+  *   keep-one → augment survivors (real codec roundtrip) → one-row card
+  *
+  * Every stage is the already-tested operator ([[Multimodal.aHashBands]]/
+  * [[Multimodal.audioFingerprintBands]]/[[Multimodal.videoFingerprintBands]],
+  * [[Multimodal.imageNearDupPairs]], [[graft.dedup.Dedup.connectedComponents]],
+  * [[Multimodal.augmentImages]]/[[Multimodal.augmentAudio]] and the q187
+  * declarative frame-stride augment); this object owns only the composition
+  * discipline:
+  *
+  *  - The asset set MATERIALIZES once (eager localCheckpoint): it is
+  *    consumed by two separate decode passes — the fingerprint table and
+  *    the survivor augmentation — and without the checkpoint Spark re-runs
+  *    the payload synthesis/read per consumer. At 100 TB this snapshot IS
+  *    the landed raw-asset table a real pipeline reads from storage; the
+  *    final card plan reads NO parquet at all (PlanCheck pins it), because
+  *    everything downstream rides the snapshot.
+  *  - The fingerprint table also materializes once (three consumers: class
+  *    map, class-collapsed banded join, survivor rule) — one decode per
+  *    asset for the whole near-dup stage.
+  *  - Keep-one is CLUSTER semantics, like CorpusPipeline: identical-hash
+  *    class members collapse to their rep (min id), rep-level near pairs
+  *    (banded hamming ≤ 3, exact by the pigeonhole) close into connected
+  *    components, and the unique survivor of a component is its minimum
+  *    id. The DROPPED set — not the survivor set — drives the filter: it
+  *    is duplicate-mass-sized (tiny on a deduped corpus), so the survivor
+  *    selection is one BROADCAST anti-join against the snapshot, never a
+  *    corpus-sized join. (Note the asymmetry with CorpusPipeline, which
+  *    SHUFFLE-anti-joins its dup ids because text crawl dup mass scales
+  *    with the corpus; a curated asset store's near-dup tail is the small
+  *    side by construction — both shapes are deliberate.)
+  *  - The card is exact longs only: asset/survivor counts and the two
+  *    augmentation checksums (Σ stat, Σ position-weighted stat) whose
+  *    values prove the decode → transform → re-encode roundtrip on every
+  *    surviving payload.
+  *
+  * Domain note: assets that do not fingerprint (undecodable, or below the
+  * fingerprint's geometry floor) are never near-dup candidates and
+  * therefore never dropped — they flow to augmentation, which raises
+  * loudly on an undecodable payload. The q189 corpora fingerprint
+  * completely, and the card equality is what proves it.
+  */
+object MultimodalPipeline {
+
+  /** One modality end-to-end; returns the ONE-ROW card
+    * (modality, n_assets, n_dropped, n_kept, sum_stat, wsum_stat).
+    *
+    * @param fingerprint assets → (doc_id, b0..b3) band table (real decode)
+    * @param augment     surviving assets → (doc_id, stat, wstat) exact longs
+    */
+  def card(modality: String, assets: DataFrame,
+      fingerprint: DataFrame => DataFrame,
+      augment: DataFrame => DataFrame): DataFrame = {
+    // the landed asset snapshot: two decode passes consume it
+    val mat = assets.localCheckpoint(true)
+    // fingerprint table: one decode per asset, three consumers below
+    val bands = fingerprint(mat).localCheckpoint(true)
+    // id → identical-hash class rep (min id of the class)
+    val bandKey = Seq("b0", "b1", "b2", "b3")
+    val classes = bands.groupBy(bandKey.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"))
+    val idRep = bands.join(classes, bandKey).select(col("doc_id"), col("rep"))
+    // rep-level near pairs (hamming 1..3; the class-collapsed banded join)
+    val nearPairs = Multimodal.imageNearDupPairs(bands, maxHamming = 3)
+      .filter(col("id_a") =!= col("id_b")).select("id_a", "id_b")
+    // transitive closure on the answer-sized rep pair graph
+    val comps = graft.dedup.Dedup.connectedComponents(nearPairs, "id_a", "id_b")
+    // dropped = class non-reps ∪ non-keeper reps — duplicate-mass-sized
+    val dropped = idRep.filter(col("doc_id") =!= col("rep")).select("doc_id")
+      .unionByName(comps.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id")))
+      .distinct()
+    val survivors = mat.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+    // augment survivors: the second (intrinsic) decode pass, roundtripped
+    val aug = augment(survivors)
+    val nAssets = mat.agg(count(lit(1)).as("n_assets"))
+    val augAgg = aug.agg(count(lit(1)).as("n_kept"),
+      sum(col("stat")).as("sum_stat"), sum(col("wstat")).as("wsum_stat"))
+    nAssets.crossJoin(augAgg) // 1-row × 1-row scalar join
+      .select(lit(modality).as("modality"), col("n_assets"),
+        (col("n_assets") - col("n_kept")).as("n_dropped"), col("n_kept"),
+        col("sum_stat"), col("wsum_stat"))
+  }
+
+  /** All three modalities through [[card]] on the q111/q156/q157 corpora
+    * with the q184/q186/q187 epoch-"ep3" augmenters — the one-materialization
+    * release pass over every binary-column operator the family has. */
+  def prepare(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val img = {
+      val organic = docs.select(col("doc_id")).filter(col("doc_id") % 3 =!= 1)
+      val assets = Multimodal.synthImages(spark, organic)
+        .unionByName(Multimodal.synthTwinImages(spark, nPairs = 8, base = 3000000L))
+      card("image", assets,
+        a => Multimodal.aHashBands(spark, a),
+        a => Multimodal.augmentImages(spark, a, epoch = "ep3").toDF()
+          .select(col("doc_id"), col("sum_rgb").as("stat"), col("wsum").as("wstat")))
+    }
+    val aud = {
+      val organic = docs.select(col("doc_id")).filter(col("doc_id") % 3 =!= 2)
+      val assets = Multimodal.synthNoiseAudio(spark, organic)
+        .unionByName(Multimodal.synthTwinAudio(spark, nPairs = 8, base = 4000000L))
+      card("audio", assets,
+        a => Multimodal.audioFingerprintBands(spark, a),
+        a => Multimodal.augmentAudio(spark, a, epoch = "ep3").toDF()
+          .select(col("doc_id"), col("sum_abs").as("stat"), col("wsigned").as("wstat")))
+    }
+    val vid = {
+      val organic = docs.select(col("doc_id")).filter(col("doc_id") % 3 =!= 0)
+      val assets = Multimodal.synthVideo(spark, organic)
+        .unionByName(Multimodal.synthTwinVideo(spark, nPairs = 8, base = 5000000L))
+      // the q187 augment: temporal crop + stride as declarative filters
+      // over the existing frame demux — no new kernel
+      def augmentVideo(a: DataFrame): DataFrame = {
+        val lum = Multimodal.frameLuma(spark, Multimodal.sampleFrames(spark, a,
+            frameBytes = Multimodal.VideoFrameBytes, everyN = 1))
+          .filter(col("frame_idx") < Multimodal.VideoFrames)
+        val o: Column = graft.ops.Sampling.shard(col("doc_id"), 3, "vauo:ep3")
+        val k: Column = graft.ops.Sampling.shard(col("doc_id"), 2, "vauk:ep3") + 1
+        lum.select(col("doc_id"), col("frame_idx").cast("long").as("f"),
+            col("luma"), o.as("o"), k.as("k"))
+          .filter(col("f") >= col("o") && pmod(col("f") - col("o"), col("k")) === 0)
+          .select(col("doc_id"),
+            ((col("f") - col("o")) / col("k")).cast("long").as("j"), col("luma"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("luma")).as("stat"), sum(col("j") * col("luma")).as("wstat"))
+      }
+      card("video", assets, a => Multimodal.videoFingerprintBands(spark, a),
+        augmentVideo)
+    }
+    img.unionByName(aud).unionByName(vid)
+  }
+}

@@ -2966,8 +2966,245 @@ object LlmPipelineQueries {
              CAST(SUM(isdup) AS BIGINT), CAST(SUM(n_tok) AS BIGINT),
              CAST(SUM(n_chars) AS BIGINT)
       FROM flagged
-      ORDER BY source, lang"""))
+      ORDER BY source, lang""")),
+
+    // --- q189: the multimodal END-TO-END composition
+    // (MultimodalPipeline.prepare) — the q125 of binary columns, closing
+    // the family's compositional gap: for each of the three modalities,
+    // asset snapshot (ONE materialization, consumed by both decode
+    // passes) → fingerprint (real decode; q111/q156/q157's band tables)
+    // → near-dup components → keep-one (class non-reps + non-keeper
+    // reps, a duplicate-mass-sized DROPPED set driving one broadcast
+    // anti-join) → augment survivors (q184/q186/q187's codec-roundtrip
+    // transforms at epoch ep3) → a one-row card of exact longs. The
+    // oracle re-derives every pixel/sample/luma, hash bit, candidate,
+    // component, survivor, and augmented checksum arithmetically — one
+    // wrong drop or one recomputed/mis-transformed payload moves a
+    // checksum. PlanCheck pins the snapshot discipline: the final plan
+    // reads NO parquet (everything rides the materialized assets).
+    QueryDef("q189_multimodal_pipeline", (s, dir) => {
+      import s.implicits._
+      graft.multimodal.MultimodalPipeline
+        .prepare(s, Tables.load(s, dir, "documents"))
+        .orderBy($"modality")
+    }, Some(MM_PIPELINE_ORACLE_SQL))
   )
+
+  /** q189's shared keep-one SQL per modality prefix, mirroring
+    * [[graft.multimodal.MultimodalPipeline.card]]'s dropped-set rule:
+    * identical-hash classes collapse to their rep (min id), rep-level
+    * banded near pairs (hamming ≤ 3) close into components (recursive
+    * CTE — the q182 shape), survivor = its component's overall min.
+    * Expects `${p}wide(id, b0..b3)` upstream. */
+  private def mmKeepOneSql(p: String): String = s"""
+      ${p}classes AS (
+        SELECT MIN(id) AS rep, b0, b1, b2, b3 FROM ${p}wide GROUP BY b0, b1, b2, b3),
+      ${p}cb AS (
+        SELECT rep, 0 AS j, b0 AS v FROM ${p}classes
+        UNION ALL SELECT rep, 1, b1 FROM ${p}classes
+        UNION ALL SELECT rep, 2, b2 FROM ${p}classes
+        UNION ALL SELECT rep, 3, b3 FROM ${p}classes),
+      ${p}cand AS (
+        SELECT DISTINCT a.rep AS ra, b.rep AS rb
+        FROM ${p}cb a JOIN ${p}cb b ON a.j = b.j AND a.v = b.v AND a.rep < b.rep),
+      ${p}np AS (
+        SELECT ra, rb FROM ${p}cand
+        JOIN ${p}classes x ON x.rep = ra JOIN ${p}classes y ON y.rep = rb
+        WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+            + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3),
+      ${p}rp AS (SELECT ra AS u, rb AS v FROM ${p}np UNION SELECT rb, ra FROM ${p}np),
+      ${p}reach(u, r) AS (
+        SELECT u, u FROM ${p}rp
+        UNION
+        SELECT e.u, rr.r FROM ${p}rp e JOIN ${p}reach rr ON e.v = rr.u),
+      ${p}comp AS (SELECT u, MIN(r) AS keeper FROM ${p}reach GROUP BY u),
+      ${p}idrep AS (
+        SELECT w.id, c.rep FROM ${p}wide w JOIN ${p}classes c
+        ON c.b0 = w.b0 AND c.b1 = w.b1 AND c.b2 = w.b2 AND c.b3 = w.b3),
+      ${p}surv AS (
+        SELECT i.id FROM ${p}idrep i LEFT JOIN ${p}comp cp ON cp.u = i.rep
+        WHERE i.id = i.rep AND i.rep = COALESCE(cp.keeper, i.rep))"""
+
+  /** q189's per-modality one-row card SELECT over the prefix's CTEs. */
+  private def mmCardRowSql(p: String, modality: String): String = s"""
+      SELECT '$modality' AS modality,
+             (SELECT COUNT(*) FROM ${p}ids) AS n_assets,
+             (SELECT COUNT(*) FROM ${p}ids) - (SELECT COUNT(*) FROM ${p}surv) AS n_dropped,
+             (SELECT COUNT(*) FROM ${p}surv) AS n_kept,
+             (SELECT sum_stat FROM ${p}agg) AS sum_stat,
+             (SELECT wsum_stat FROM ${p}agg) AS wsum_stat"""
+
+  /** The q189 oracle: the q111/q156/q157 fingerprint derivations, the
+    * shared keep-one closure, and the q184/q186/q187 augmentation
+    * arithmetic restricted to survivors — all in one statement, three
+    * one-row modality cards unioned. Twin-aware throughout (the CASE in
+    * each sample/pixel/luma CTE), so the oracle stays correct for ANY
+    * survivor set the closure selects. */
+  // lazy: declared below `defs`, which captures it at object init
+  private lazy val MM_PIPELINE_ORACLE_SQL: String = s"""
+      WITH RECURSIVE
+      i_ids AS (
+        SELECT doc_id AS id, doc_id AS base, FALSE AS twin,
+               CAST(8 + doc_id % 9 AS BIGINT) AS w,
+               CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS h
+        FROM documents WHERE doc_id % 3 <> 1
+        UNION ALL
+        SELECT 3000000 + 2*i, 3000000 + 2*i, FALSE, 8, 8 FROM range(8) t(i)
+        UNION ALL
+        SELECT 3000000 + 2*i + 1, 3000000 + 2*i, TRUE, 8, 8 FROM range(8) t(i)),
+      i_px AS (
+        SELECT id, x, y,
+          CASE WHEN twin AND x = 0 AND y = 0
+               THEN xor((base * CAST(1103515245 AS BIGINT) + x*12345
+                         + y*CAST(2654435761 AS BIGINT)) & 16777215, 8421504)
+               ELSE (base * CAST(1103515245 AS BIGINT) + x*12345
+                     + y*CAST(2654435761 AS BIGINT)) & 16777215
+          END AS rgb
+        FROM i_ids, range(8) xs(x), range(8) ys(y)),
+      i_g AS (
+        SELECT id, (y*8 + x) AS pos,
+               (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587
+                + (rgb & 255) * 114) // 1000 AS gray
+        FROM i_px),
+      i_mn AS (SELECT id, SUM(gray) // 64 AS mean FROM i_g GROUP BY id),
+      i_bits AS (
+        SELECT g.id, pos // 16 AS j,
+               CASE WHEN gray > mean THEN (1 << (pos % 16)) ELSE 0 END AS bv
+        FROM i_g g JOIN i_mn mn ON mn.id = g.id),
+      i_bands AS (SELECT id, j, CAST(SUM(bv) AS BIGINT) AS v FROM i_bits GROUP BY 1, 2),
+      i_wide AS (
+        SELECT id,
+               MAX(CASE WHEN j = 0 THEN v END) AS b0,
+               MAX(CASE WHEN j = 1 THEN v END) AS b1,
+               MAX(CASE WHEN j = 2 THEN v END) AS b2,
+               MAX(CASE WHEN j = 3 THEN v END) AS b3
+        FROM i_bands GROUP BY id),
+      ${mmKeepOneSql("i_")},
+      i_par AS (
+        SELECT d.id, d.base, d.twin, d.w, d.h,
+               CAST(('0x' || substr(md5('augf:ep3:' || CAST(d.id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 1 AS flip,
+               CAST(('0x' || substr(md5('augx:ep3:' || CAST(d.id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS ox,
+               CAST(('0x' || substr(md5('augy:ep3:' || CAST(d.id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS oy
+        FROM i_ids d JOIN i_surv s ON s.id = d.id),
+      i_gx AS (SELECT *, unnest(range(w - 2)) AS x FROM i_par),
+      i_gxy AS (SELECT *, unnest(range(h - 2)) AS y FROM i_gx),
+      i_src AS (
+        SELECT id, base, twin, x, y,
+               CASE WHEN flip THEN ox + (w - 3 - x) ELSE ox + x END AS sx,
+               oy + y AS sy
+        FROM i_gxy),
+      i_v AS (
+        SELECT id, x, y,
+          CASE WHEN twin AND sx = 0 AND sy = 0
+               THEN xor((base * CAST(1103515245 AS BIGINT) + sx*12345
+                         + sy*CAST(2654435761 AS BIGINT)) & 16777215, 8421504)
+               ELSE (base * CAST(1103515245 AS BIGINT) + sx*12345
+                     + sy*CAST(2654435761 AS BIGINT)) & 16777215
+          END AS rgb
+        FROM i_src),
+      i_agg AS (
+        SELECT CAST(SUM(s3) AS BIGINT) AS sum_stat,
+               CAST(SUM((131*x + y) * s3) AS BIGINT) AS wsum_stat
+        FROM (SELECT x, y, (rgb // 65536) + ((rgb // 256) % 256) + (rgb % 256) AS s3
+              FROM i_v)),
+      a_ids AS (
+        SELECT doc_id AS id, doc_id AS base, FALSE AS twin
+        FROM documents WHERE doc_id % 3 <> 2
+        UNION ALL
+        SELECT 4000000 + 2*i, 4000000 + 2*i, FALSE FROM range(8) t(i)
+        UNION ALL
+        SELECT 4000000 + 2*i + 1, 4000000 + 2*i, TRUE FROM range(8) t(i)),
+      a_v AS (
+        SELECT id, t.t AS t, twin,
+               (base * CAST(1103515245 AS BIGINT) + t.t * 12345) & 65535 AS v
+        FROM a_ids, range(520) t(t)),
+      a_smp AS (
+        SELECT id, t,
+               CASE WHEN twin AND t = 0 THEN 0
+                    ELSE (((v * v) >> 8) & 65535) - 32768
+               END AS s
+        FROM a_v),
+      a_en AS (SELECT id, t // 8 AS w, SUM(CAST(s AS BIGINT) * s) AS e
+               FROM a_smp GROUP BY 1, 2),
+      a_bits AS (
+        SELECT a.id, (a.w - 1) // 16 AS j,
+               CASE WHEN a.e > b.e THEN (1 << CAST((a.w - 1) % 16 AS INTEGER)) ELSE 0 END AS bv
+        FROM a_en a JOIN a_en b ON b.id = a.id AND b.w = a.w - 1
+        WHERE a.w >= 1),
+      a_bands AS (SELECT id, j, CAST(SUM(bv) AS BIGINT) AS v FROM a_bits GROUP BY 1, 2),
+      a_wide AS (
+        SELECT id,
+               MAX(CASE WHEN j = 0 THEN v END) AS b0,
+               MAX(CASE WHEN j = 1 THEN v END) AS b1,
+               MAX(CASE WHEN j = 2 THEN v END) AS b2,
+               MAX(CASE WHEN j = 3 THEN v END) AS b3
+        FROM a_bands GROUP BY id),
+      ${mmKeepOneSql("a_")},
+      a_par AS (
+        SELECT d.id,
+               CAST(('0x' || substr(md5('auga:ep3:' || CAST(d.id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 + 1 AS gain,
+               CAST(('0x' || substr(md5('augo:ep3:' || CAST(d.id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS off
+        FROM a_ids d JOIN a_surv s ON s.id = d.id),
+      a_pj AS (SELECT p.id, p.gain, p.off, j.j AS j FROM a_par p, range(516) j(j)),
+      a_aug AS (
+        SELECT pj.id, pj.j,
+               GREATEST(-32767, LEAST(32767, sm.s * pj.gain)) AS g
+        FROM a_pj pj JOIN a_smp sm ON sm.id = pj.id AND sm.t = pj.off + pj.j),
+      a_agg AS (
+        SELECT CAST(SUM(ABS(g)) AS BIGINT) AS sum_stat,
+               CAST(SUM(131 * j * g) AS BIGINT) AS wsum_stat
+        FROM a_aug),
+      v_ids AS (
+        SELECT doc_id AS id, doc_id AS base, FALSE AS twin
+        FROM documents WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT 5000000 + 2*i, 5000000 + 2*i, FALSE FROM range(8) t(i)
+        UNION ALL
+        SELECT 5000000 + 2*i + 1, 5000000 + 2*i, TRUE FROM range(8) t(i)),
+      v_v AS (
+        SELECT id, i.i // 64 AS f, twin,
+               (base * CAST(1103515245 AS BIGINT) + i.i * 12345) & 65535 AS v
+        FROM v_ids, range(4160) i(i)),
+      v_lum AS (
+        SELECT id, f,
+               SUM(CASE WHEN twin AND f = 0 THEN 0
+                        ELSE ((v * v) >> 8) & 255 END) AS luma
+        FROM v_v GROUP BY 1, 2),
+      v_bits AS (
+        SELECT a.id, a.f // 16 AS j,
+               CASE WHEN b.luma > a.luma
+                    THEN (1 << CAST(a.f % 16 AS INTEGER)) ELSE 0 END AS bv
+        FROM v_lum a JOIN v_lum b ON b.id = a.id AND b.f = a.f + 1
+        WHERE a.f < 64),
+      v_bands AS (SELECT id, j, CAST(SUM(bv) AS BIGINT) AS v FROM v_bits GROUP BY 1, 2),
+      v_wide AS (
+        SELECT id,
+               MAX(CASE WHEN j = 0 THEN v END) AS b0,
+               MAX(CASE WHEN j = 1 THEN v END) AS b1,
+               MAX(CASE WHEN j = 2 THEN v END) AS b2,
+               MAX(CASE WHEN j = 3 THEN v END) AS b3
+        FROM v_bands GROUP BY id),
+      ${mmKeepOneSql("v_")},
+      v_par AS (
+        SELECT d.id,
+               CAST(('0x' || substr(md5('vauo:ep3:' || CAST(d.id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS o,
+               CAST(('0x' || substr(md5('vauk:ep3:' || CAST(d.id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 + 1 AS k
+        FROM v_ids d JOIN v_surv s ON s.id = d.id),
+      v_aug AS (
+        SELECT p.id, (l.f - p.o) // p.k AS j, l.luma
+        FROM v_par p JOIN v_lum l ON l.id = p.id
+        WHERE l.f >= p.o AND (l.f - p.o) % p.k = 0),
+      v_agg AS (
+        SELECT CAST(SUM(luma) AS BIGINT) AS sum_stat,
+               CAST(SUM(j * luma) AS BIGINT) AS wsum_stat
+        FROM v_aug)
+      SELECT * FROM (
+        ${mmCardRowSql("i_", "image")}
+        UNION ALL
+        ${mmCardRowSql("a_", "audio")}
+        UNION ALL
+        ${mmCardRowSql("v_", "video")})
+      ORDER BY modality"""
 
   /** The documents corpus as a JSONL landing, written once per
     * (corpus, content-fingerprint) per process — q172's import source
