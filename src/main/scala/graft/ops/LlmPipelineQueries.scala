@@ -2926,47 +2926,28 @@ object LlmPipelineQueries {
     // composition.
     QueryDef("q188_dataset_card", (s, dir) => {
       import s.implicits._
-      val trimmed = trim(regexp_replace($"text", "\\s+", " "))
-      val base = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"source", $"lang", $"n_chars",
-          TextAnalysis.fingerprint($"text").as("fp"),
-          when(length(trimmed) > 0, size(split(trimmed, " ", -1)))
-            .otherwise(0).cast("long").as("n_tok"))
-      val dupFp = base.groupBy($"fp").agg(count(lit(1)).as("nf"))
-        .filter($"nf" >= 2).select($"fp", lit(1L).as("isdup"))
-      val flagged = base.join(dupFp, Seq("fp"), "left")
-        .select($"source", $"lang", coalesce($"isdup", lit(0L)).as("isdup"),
-          $"n_tok", $"n_chars")
-      def roll(src: org.apache.spark.sql.Column, lng: org.apache.spark.sql.Column) =
-        flagged.groupBy(src.as("source"), lng.as("lang"))
-          .agg(count(lit(1)).as("n_docs"), sum($"isdup").as("n_dup_docs"),
-            sum($"n_tok").as("n_tokens"), sum($"n_chars").as("n_chars"))
-      roll($"source", $"lang").unionByName(roll(lit("__all"), lit("__all")))
+      DatasetCard.card(Tables.load(s, dir, "documents"))
         .orderBy($"source", $"lang")
-    }, Some("""
-      WITH base AS (
-        SELECT doc_id, source, lang, n_chars,
-               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-               CAST(len(list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
-                 x -> len(x) > 0)) AS BIGINT) AS n_tok
-        FROM documents),
-      dupf AS (SELECT fp FROM base GROUP BY fp HAVING COUNT(*) >= 2),
-      flagged AS (
-        SELECT b.source, b.lang,
-               CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END AS isdup,
-               b.n_tok, b.n_chars
-        FROM base b LEFT JOIN dupf d ON d.fp = b.fp)
-      SELECT source, lang, COUNT(*) AS n_docs,
-             CAST(SUM(isdup) AS BIGINT) AS n_dup_docs,
-             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-             CAST(SUM(n_chars) AS BIGINT) AS n_chars
-      FROM flagged GROUP BY 1, 2
-      UNION ALL
-      SELECT '__all', '__all', COUNT(*),
-             CAST(SUM(isdup) AS BIGINT), CAST(SUM(n_tok) AS BIGINT),
-             CAST(SUM(n_chars) AS BIGINT)
-      FROM flagged
-      ORDER BY source, lang""")),
+    }, Some(DATASET_CARD_ORACLE_SQL)),
+
+    // --- q190: the dataset card as a MERGEABLE artifact (DatasetCard
+    // .partials + .merge) — the 100 TB release story q188 lacks: each
+    // ingest shard lands two MATERIALIZED partial tables (answer-sized
+    // cell sums + the per-shard fp tally, the dup-detection boundary);
+    // the release card is their merge — cell sums by SUM, dup counts
+    // from ONE fp-keyed shuffle over the tallies. Shards are md5-drawn
+    // by DOCUMENT id, so exact copies of one text land in different
+    // shards and the cross-shard dup merge is genuinely exercised. The
+    // merge identity — merged partials == the from-scratch card — is
+    // what the driver gates: the oracle IS q188's, verbatim (the
+    // q178/q183 same-answer-independently-derived discipline); shard-
+    // count invariance (1 vs 8 shards) is unit-tested on top.
+    QueryDef("q190_card_merged", (s, dir) => {
+      import s.implicits._
+      val (cells, fps) = DatasetCard.partials(
+        Tables.load(s, dir, "documents"), nShards = 8)
+      DatasetCard.merge(cells, fps).orderBy($"source", $"lang")
+    }, Some(DATASET_CARD_ORACLE_SQL)),
 
     // --- q189: the multimodal END-TO-END composition
     // (MultimodalPipeline.prepare) — the q125 of binary columns, closing
@@ -2989,6 +2970,34 @@ object LlmPipelineQueries {
         .orderBy($"modality")
     }, Some(MM_PIPELINE_ORACLE_SQL))
   )
+
+  /** The from-scratch dataset-card oracle — q188's gate, and VERBATIM
+    * q190's (merged partials must equal the whole-corpus card). Plain
+    * (non-interpolated) string: '\s+' stays a single-backslash regex. */
+  private lazy val DATASET_CARD_ORACLE_SQL: String = """
+      WITH base AS (
+        SELECT doc_id, source, lang, n_chars,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               CAST(len(list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                 x -> len(x) > 0)) AS BIGINT) AS n_tok
+        FROM documents),
+      dupf AS (SELECT fp FROM base GROUP BY fp HAVING COUNT(*) >= 2),
+      flagged AS (
+        SELECT b.source, b.lang,
+               CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END AS isdup,
+               b.n_tok, b.n_chars
+        FROM base b LEFT JOIN dupf d ON d.fp = b.fp)
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(isdup) AS BIGINT) AS n_dup_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM flagged GROUP BY 1, 2
+      UNION ALL
+      SELECT '__all', '__all', COUNT(*),
+             CAST(SUM(isdup) AS BIGINT), CAST(SUM(n_tok) AS BIGINT),
+             CAST(SUM(n_chars) AS BIGINT)
+      FROM flagged
+      ORDER BY source, lang"""
 
   /** q189's shared keep-one SQL per modality prefix, mirroring
     * [[graft.multimodal.MultimodalPipeline.card]]'s dropped-set rule:

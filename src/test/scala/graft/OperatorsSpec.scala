@@ -1394,6 +1394,76 @@ class OperatorsSpec extends SparkSpec {
     assert(got((3, 1L)) == regsOf(Set(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("HyperAnf: p=8 ball registers match the exact-ball HLL; plan size is p-invariant") {
+    // RegMaxInts' claim is ONE constant-size aggregate at ANY p — this
+    // exercises the fixpoint end-to-end at the p = 8 bound (the kernel's
+    // width test alone doesn't drive the per-round union), and pins the
+    // KMeansInt tree-size discipline on the PLAN: 16x the registers must
+    // not grow the node+expression count (registers ride as array values
+    // and literals, never as per-register expressions).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("src", "dst")
+    def md5_60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val adj = Map(1L -> Set(2L), 2L -> Set(3L, 5L), 3L -> Set(4L))
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    def ball(v: Long, r: Int): Set[Long] =
+      if (r == 0) Set(v)
+      else ball(v, r - 1) ++ ball(v, r - 1).flatMap(w => adj.getOrElse(w, Set.empty))
+    def regsOf(members: Set[Long], p: Int): Vector[Int] = {
+      val m = new Array[Int](1 << p)
+      members.foreach { v =>
+        val h = md5_60(s"anf:$v")
+        val j = (h % (1 << p)).toInt
+        val q = h >>> p
+        val rank = if (q == 0) 61 - p else 61 - p - java.lang.Long.toBinaryString(q).length
+        m(j) = math.max(m(j), rank)
+      }
+      m.toVector
+    }
+    val df8 = graft.ops.HyperAnf.ballRegisters(edges, rounds = 3, p = 8)
+    val got8 = df8.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Int](2).toVector)).toMap
+    for (r <- 0 to 3; v <- nodes)
+      assert(got8((r, v)) == regsOf(ball(v, r), 8), s"node $v radius $r (p=8)")
+    def planSize(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case n =>
+        1 + n.expressions.map(e => e.collect { case x => x }.size).sum
+      }.sum
+    val df4 = graft.ops.HyperAnf.ballRegisters(edges, rounds = 3, p = 4)
+    assert(planSize(df8) == planSize(df4),
+      s"plan grew with p: p8=${planSize(df8)} p4=${planSize(df4)}")
+  }
+
+  test("DatasetCard: merged partials equal the from-scratch card at every shard count") {
+    import org.apache.spark.sql.DataFrame
+    // docs 1, 2, 3 share a normalized fingerprint ACROSS sources (and,
+    // under doc_id sharding, across shards) — the cross-shard dup merge
+    // is the part a per-shard recompute cannot get right; doc 5 pins the
+    // empty-text phantom-token guard through the partial path.
+    val docs = Seq(
+      (1L, "web", "en", "hello world", 11L),
+      (2L, "web", "en", "  hello   World ", 16L),
+      (3L, "wiki", "en", "hello world", 11L),
+      (4L, "wiki", "de", "etwas anderes", 13L),
+      (5L, "web", "de", "", 0L)
+    ).toDF("doc_id", "source", "lang", "text", "n_chars")
+    def cardMap(df: DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val scratch = cardMap(graft.ops.DatasetCard.card(docs))
+    // sanity on the fixture itself: 3 dup docs globally, visible per cell
+    assert(scratch(("__all", "__all")) == (5L, 3L, 8L, 51L))
+    assert(scratch(("web", "en")) == (2L, 2L, 4L, 27L))
+    assert(scratch(("wiki", "en")) == (1L, 1L, 2L, 11L))
+    assert(scratch(("web", "de"))._3 == 0L) // empty text -> 0 tokens
+    for (n <- Seq(1, 3, 8)) {
+      val (cells, fps) = graft.ops.DatasetCard.partials(docs, n)
+      assert(cardMap(graft.ops.DatasetCard.merge(cells, fps)) == scratch,
+        s"nShards=$n")
+    }
+  }
+
   test("Sampling.neymanSample: variance-weighted allocation; zero-variance stratum gets 0") {
     // 'big': 100 constant rows (sigma = 0); 'small': 5 zeros + 5 at 1e6
     // micro-units — N*Q - S^2 = 10*5e12 - (5e6)^2 = 2.5e13 = (5e6)^2 exactly
