@@ -601,6 +601,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectTableFunction((
+      FunctionIdentifier("graft_dataset_card"),
+      info("graft_dataset_card",
+        "graft_dataset_card(table) - release dataset card over a documents table (doc_id, source, lang, text, n_chars): per-(source, lang) + '__all' exact integers (n_docs, n_dup_docs, n_tokens, n_chars); dup = normalized fingerprint repeated globally."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_dataset_card(table) takes 1 argument")
+        graft.ops.DatasetCard.card(tableArg(args(0)))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_card_merged"),
+      info("graft_card_merged",
+        "graft_card_merged(table, nShards) - the dataset card computed the mergeable way: per-shard partial cards (cell sums + fp tallies, materialized) merged into the release card; identical output to graft_dataset_card at any shard count. Executes eagerly (partials land - procedure semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_card_merged(table, nShards) takes 2 arguments")
+        require(args(1).foldable, "nShards must be a literal")
+        val (cells, fps) = graft.ops.DatasetCard.partials(tableArg(args(0)),
+          args(1).eval().asInstanceOf[Number].intValue())
+        graft.ops.DatasetCard.merge(cells, fps)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
       FunctionIdentifier("graft_harmonic_centrality"),
       info("graft_harmonic_centrality",
         "graft_harmonic_centrality(edges, rounds, p) - per-node harmonic centrality from HyperANF ball sketches over a directed (src, dst) edge table: (node, harmonic) with H(v) ~= Sum_r (|B(v,r)|-|B(v,r-1)|)/r; 2^p registers of state per node."),

@@ -348,6 +348,24 @@ class ExtensionsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(rt.toSeq == Seq((0L, 0L, 2L), (0L, 1L, 1L)), rt.mkString(";"))
 
+      // dataset card + its mergeable twin: two cross-source exact dups,
+      // one unique; graft_card_merged must equal graft_dataset_card
+      Seq((1L, "web", "en", "same text", 9L),
+        (2L, "wiki", "en", "Same   text", 11L),
+        (3L, "web", "de", "anders", 6L))
+        .toDF("doc_id", "source", "lang", "text", "n_chars")
+        .createOrReplaceTempView("tf_card")
+      def cardRows(q: String) = spark.sql(q).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      val cd = cardRows(
+        """SELECT * FROM graft_dataset_card('tf_card') ORDER BY source, lang""")
+      assert(cd.contains(("__all", "__all", 3L, 2L, 5L, 26L)), cd.mkString(";"))
+      assert(cd.contains(("wiki", "en", 1L, 1L, 2L, 11L)), cd.mkString(";"))
+      val cdm = cardRows(
+        """SELECT * FROM graft_card_merged('tf_card', 4) ORDER BY source, lang""")
+      assert(cdm == cd, s"merged=$cdm scratch=$cd")
+
       // harmonic centrality: on a directed 2-path 1->2->3, node 1's
       // ball keeps growing through radius 2 — its harmonic exceeds
       // node 3's (empty out-ball, harmonic 0)
