@@ -74,13 +74,21 @@ object DatasetCard {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val facts = docFacts(docs)
       .withColumn("shard", Sampling.shard(col("doc_id"), nShards, salt))
+    val (cells, fps) = partialTables(facts)
+    (cells.localCheckpoint(true), fps.localCheckpoint(true))
+  }
+
+  /** The two partial-card aggregations over a facts table that already
+    * carries its `shard` column — the single definition [[partials]]
+    * (md5 shards) and the streaming ingest path (shard = micro-batch id)
+    * both land. LAZY: the caller owns materialization (checkpoint or
+    * parquet write — whatever artifact boundary it is landing). */
+  def partialTables(facts: DataFrame): (DataFrame, DataFrame) = {
     val cells = facts.groupBy(col("shard"), col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
-      .localCheckpoint(true)
     val fps = facts.groupBy(col("shard"), col("fp"), col("source"), col("lang"))
       .agg(count(lit(1)).as("nf"))
-      .localCheckpoint(true)
     (cells, fps)
   }
 

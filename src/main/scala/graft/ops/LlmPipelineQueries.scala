@@ -2949,6 +2949,28 @@ object LlmPipelineQueries {
       DatasetCard.merge(cells, fps).orderBy($"source", $"lang")
     }, Some(DATASET_CARD_ORACLE_SQL)),
 
+    // --- q191: STREAMING dataset-card maintenance (StreamingCard) —
+    // q190's ingest half as a live operator: each micro-batch of
+    // documents lands its two partial-card tables (shard = batch id)
+    // and the release card is the q190 merge over the landed artifacts,
+    // never re-reading an old batch's documents. NOTHING sits in
+    // streaming state (the landed parquet IS the state — restart-safe
+    // by construction). Both partials are SUM/tally-mergeable, so the
+    // replay is deliberately ARBITRARY shuffled micro-batches (the
+    // q131/q183 discipline) and the merged card must equal the batch
+    // card bit-for-bit: the oracle is q188's, verbatim — the third
+    // query on one oracle, pinning from-scratch == merged == streamed.
+    QueryDef("q191_stream_card", (s, dir) => {
+      import s.implicits._
+      val stream = graft.streaming.EventsStream.replayShuffled(
+        Tables.load(s, dir, "documents"), nFiles = 4)
+      val out = java.nio.file.Files.createTempDirectory("graft_q191").toString
+      val (cellsDir, fpsDir) =
+        graft.streaming.StreamingCard.landPartials(s, stream, out)
+      DatasetCard.merge(s.read.parquet(cellsDir), s.read.parquet(fpsDir))
+        .orderBy($"source", $"lang")
+    }, Some(DATASET_CARD_ORACLE_SQL)),
+
     // --- q189: the multimodal END-TO-END composition
     // (MultimodalPipeline.prepare) — the q125 of binary columns, closing
     // the family's compositional gap: for each of the three modalities,
