@@ -115,6 +115,11 @@ object DatasetCard {
       .crossJoin(fpTot.agg(coalesce(sum(col("nfg")), lit(0L)).as("n_dup_docs")))
       .select(lit("__all").as("source"), lit("__all").as("lang"),
         col("n_docs"), col("n_dup_docs"), col("n_tokens"), col("n_chars"))
+      // empty-partials consistency: card() of zero documents is ZERO rows
+      // (the groupBy has nothing to group); without this filter the merge
+      // path would emit one null-sum '__all' row and the identity breaks
+      // at the degenerate boundary
+      .filter(col("n_docs").isNotNull)
     perCell.unionByName(allRow)
   }
 }

@@ -1462,6 +1462,41 @@ class OperatorsSpec extends SparkSpec {
       assert(cardMap(graft.ops.DatasetCard.merge(cells, fps)) == scratch,
         s"nShards=$n")
     }
+    // degenerate boundary: the identity holds at ZERO documents too —
+    // card() of an empty corpus is zero rows, and merge of its (empty)
+    // partials must be as well, not a null-sum '__all' row
+    val none = docs.filter(org.apache.spark.sql.functions.lit(false))
+    assert(graft.ops.DatasetCard.card(none).count() == 0L)
+    val (ec, ef) = graft.ops.DatasetCard.partials(none, 4)
+    assert(graft.ops.DatasetCard.merge(ec, ef).count() == 0L)
+  }
+
+  test("MultimodalPipeline.card: keep-one is CLUSTER semantics across a hamming chain") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, lit}
+    // Stub fingerprint/augment stages isolate the composition logic the
+    // oracle corpus can't pin in isolation: a near-dup CHAIN 1–3–4 where
+    // (1,4) is itself beyond the hamming radius — greedy pairwise drop
+    // would keep 4 (its only ≤3 partner, 3, got dropped); components must
+    // drop it. 2 is an identical-hash twin of 1 (class collapse); 5 is
+    // far from everything (shares no band). Survivors = {1, 5} exactly.
+    val assets = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+      .withColumn("payload", lit(Array.emptyByteArray))
+    val bands = Seq(
+      (1L, 0, 0, 0, 0),
+      (2L, 0, 0, 0, 0),          // same hash as 1 -> class {1, 2}, rep 1
+      (3L, 7, 0, 0, 0),          // hamming(1,3) = 3 -> near pair
+      (4L, 7, 7, 0, 0),          // hamming(3,4) = 3, hamming(1,4) = 6
+      (5L, 9999, 8888, 7777, 6666)) // no shared band with anyone
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+    val card = graft.multimodal.MultimodalPipeline.card("stub", assets,
+      fingerprint = a => bands.join(a.select(col("doc_id")), Seq("doc_id")),
+      augment = a => a.select(col("doc_id"), (col("doc_id") * 10).as("stat"),
+        (col("doc_id") * 100).as("wstat")))
+    val r = card.collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ("stub", 5L, 3L, 2L, 60L, 600L),
+      r.toString)
   }
 
   test("Sampling.neymanSample: variance-weighted allocation; zero-variance stratum gets 0") {
