@@ -32,12 +32,13 @@ import org.apache.spark.sql.functions._
   *    (banded hamming ≤ 3, exact by the pigeonhole) close into connected
   *    components, and the unique survivor of a component is its minimum
   *    id. The DROPPED set — not the survivor set — drives the filter: it
-  *    is duplicate-mass-sized (tiny on a deduped corpus), so the survivor
+  *    is duplicate-mass-sized (ids only, 8 bytes a row), so the survivor
   *    selection is one BROADCAST anti-join against the snapshot, never a
   *    corpus-sized join. (Note the asymmetry with CorpusPipeline, which
   *    SHUFFLE-anti-joins its dup ids because text crawl dup mass scales
-  *    with the corpus; a curated asset store's near-dup tail is the small
-  *    side by construction — both shapes are deliberate.)
+  *    with the corpus; both shapes are deliberate. The hint is right
+  *    while dup mass ≪ corpus — a dup-heavy ingest drops the broadcast()
+  *    call, one line, and AQE plans the anti-join as a shuffle.)
   *  - The card is exact longs only: asset/survivor counts and the two
   *    augmentation checksums (Σ stat, Σ position-weighted stat) whose
   *    values prove the decode → transform → re-encode roundtrip on every
@@ -64,7 +65,10 @@ object MultimodalPipeline {
     val mat = assets.localCheckpoint(true)
     // fingerprint table: one decode per asset, three consumers below
     val bands = fingerprint(mat).localCheckpoint(true)
-    // id → identical-hash class rep (min id of the class)
+    // id → identical-hash class rep (min id of the class). One extra
+    // asset-sized groupBy vs reusing imageNearDupPairs' internal class
+    // table (not exposed; a sliver next to the decode) — both read the
+    // same checkpointed bands.
     val bandKey = Seq("b0", "b1", "b2", "b3")
     val classes = bands.groupBy(bandKey.map(col): _*)
       .agg(min(col("doc_id")).as("rep"))

@@ -40,8 +40,15 @@ object StreamingCard {
           .persist()
         try {
           val (cells, fps) = graft.ops.DatasetCard.partialTables(facts)
-          cells.write.mode("append").parquet(cellsDir)
-          fps.write.mode("append").parquet(fpsDir)
+          // idempotent landing: foreachBatch is at-least-once, so a
+          // retried batch must REPLACE its own partials, never append a
+          // second copy — each batch owns one shard=<id> directory
+          // (partition discovery hands the column back on read; the
+          // merge never reads an old batch's documents either way)
+          cells.drop("shard").write.mode("overwrite")
+            .parquet(s"$cellsDir/shard=$batchId")
+          fps.drop("shard").write.mode("overwrite")
+            .parquet(s"$fpsDir/shard=$batchId")
         } finally facts.unpersist()
         ()
       }
