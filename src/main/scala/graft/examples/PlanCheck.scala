@@ -630,6 +630,17 @@ object PlanCheck {
       mustNotContain = Seq(
         "no parquet re-read past the snapshot" -> "Scan parquet",
         "no cartesian" -> "CartesianProduct")),
+    // incremental multimodal ingest: the banded pairing, the class-index
+    // semi join, and the component closure all run behind eager
+    // checkpoints (answer-sized — their shapes are pinned by the
+    // deltaVerdicts unit test); the FINAL plan is the delta fingerprint
+    // pass joined to broadcast verdict tables — no nested loop or
+    // cartesian anywhere
+    Want("q192_multimodal_delta", Seq(
+      "verdict assembly over broadcast answer-sized tables" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
     // retention cohorts: per-user set + explode + count — two shuffles,
     // NO self-join of user-weeks against first-weeks, no rank window
     Want("q178_retention", Seq(

@@ -231,12 +231,16 @@ object Multimodal {
     * PIXELS: every gray value, the mean, and the hash bits are pure
     * integer functions of (baseId, x, y) an oracle reproduces, while
     * Spark recovers them by genuinely decoding the PNG. */
-  def synthTwinImages(spark: SparkSession, nPairs: Int, base: Long): DataFrame = {
+  def synthTwinImages(spark: SparkSession, nPairs: Int, base: Long,
+      idOffset: Long = 0L): DataFrame = {
     import spark.implicits._
     import java.awt.image.BufferedImage
     spark.range(0, nPairs * 2L).as[Long].mapPartitions { idxs =>
       idxs.map { i =>
-        val id = base + i
+        // idOffset splits asset identity from pixel identity: a nonzero
+        // offset mints NEW ids carrying the SAME pixel streams — the
+        // guaranteed-attachment plant the delta-ingest row (q192) needs
+        val id = base + idOffset + i
         val baseId = base + (i / 2) * 2
         val twin = i % 2 == 1
         val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)

@@ -95,6 +95,89 @@ object MultimodalPipeline {
         col("sum_stat"), col("wsum_stat"))
   }
 
+  /** Incremental ingest verdicts — the DeltaDedup discipline applied to
+    * the modality fingerprints: which DELTA assets survive against an
+    * already-ingested corpus, touching standing data only through its
+    * CLASS INDEX (b0..b3, rep = min standing id per hash) — never
+    * re-fingerprinting, re-pairing, or re-deciding a standing asset.
+    * First-writer-wins, and because asset ids are MONOTONE across
+    * ingests (standing < delta), the batch keep-one over the union —
+    * q189's exact rule — restricted to delta ids IS this incremental
+    * answer: that identity is what q192's oracle checks (it recomputes
+    * the full union closure; this function never does).
+    *
+    * A delta asset is kept iff (a) its hash class contains no standing
+    * asset and no smaller delta asset, (b) its class rep's delta-pair
+    * component contains no rep attached to standing (exact hash hit or
+    * banded hamming ≤ 3 to a standing class rep), and (c) its rep is
+    * the component minimum.
+    *
+    * Work shape: one delta-sized exact collapse; ONE banded join of
+    * delta reps against standing-class ∪ delta-class reps — NEVER
+    * standing × standing (the term a full recompute pays and the whole
+    * point of the index); components over the answer-sized delta-delta
+    * pair graph; broadcast attachment flags. Returns (doc_id, kept). */
+  def deltaVerdicts(standingClasses: DataFrame, deltaBands: DataFrame): DataFrame = {
+    val bk = Seq("b0", "b1", "b2", "b3")
+    val dClasses = deltaBands.groupBy(bk.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"))
+      .localCheckpoint(true) // consumed four times below
+    val sc = standingClasses.select(
+      (bk.map(col) :+ col("rep")): _*).withColumn("standing", lit(true))
+    val union = sc.unionByName(dClasses.withColumn("standing", lit(false)))
+    // classes whose exact hash already stands
+    val exactAttached = dClasses
+      .join(standingClasses.select(bk.map(col): _*), bk, "left_semi")
+      .select(col("rep"))
+    // banded candidates: delta reps vs all reps (one shared band)
+    val allBand = union.select(col("rep"), col("standing"),
+      posexplode(array(bk.map(col): _*)).as(Seq("j", "v")))
+    val cand = allBand.filter(!col("standing"))
+      .select(col("j"), col("v"), col("rep").as("ra"))
+      .join(allBand.select(col("j"), col("v"), col("rep").as("rb"),
+        col("standing")), Seq("j", "v"))
+      .filter(col("ra") =!= col("rb"))
+      .select("ra", "rb", "standing").distinct()
+    val ca = dClasses.select((Seq(col("rep").as("ra")) ++
+      bk.zipWithIndex.map { case (b, i) => col(b).as(s"a$i") }): _*)
+    val cb = union.select((Seq(col("rep").as("rb"), col("standing").as("sb")) ++
+      bk.zipWithIndex.map { case (b, i) => col(b).as(s"c$i") }): _*)
+    val near = cand.drop("standing").join(ca, "ra").join(cb, "rb")
+      .withColumn("hamming", (
+        bit_count(col("a0").bitwiseXOR(col("c0"))) +
+        bit_count(col("a1").bitwiseXOR(col("c1"))) +
+        bit_count(col("a2").bitwiseXOR(col("c2"))) +
+        bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("ra"), col("rb"), col("sb"))
+      .localCheckpoint(true) // consumed twice (attachment + delta pairs)
+    val nearToStanding = near.filter(col("sb")).select(col("ra").as("rep"))
+    val deltaPairs = near.filter(!col("sb") && col("ra") < col("rb"))
+      .select(col("ra").as("id_a"), col("rb").as("id_b"))
+    val comps = graft.dedup.Dedup.connectedComponents(deltaPairs, "id_a", "id_b")
+    val attachedReps = exactAttached.unionByName(nearToStanding).distinct()
+      .localCheckpoint(true)
+    val attachedClusters = comps
+      .join(attachedReps.withColumnRenamed("rep", "id"), Seq("id"))
+      .select(col("cluster_id")).distinct()
+    // per-rep verdict: not attached (directly or through its component)
+    // and the component minimum (a rep outside any pair is its own comp)
+    val repVerdict = dClasses.select(col("rep"))
+      .join(broadcast(attachedReps.withColumn("att", lit(true))), Seq("rep"), "left")
+      .join(broadcast(comps.withColumnRenamed("id", "rep")), Seq("rep"), "left")
+      .join(broadcast(attachedClusters.withColumn("catt", lit(true))),
+        Seq("cluster_id"), "left")
+      .select(col("rep"),
+        (coalesce(col("att"), lit(false)) === false &&
+         coalesce(col("catt"), lit(false)) === false &&
+         (col("cluster_id").isNull || col("cluster_id") === col("rep")))
+          .as("rep_kept"))
+    deltaBands.join(dClasses, bk)
+      .join(broadcast(repVerdict), Seq("rep"))
+      .select(col("doc_id"),
+        (col("doc_id") === col("rep") && col("rep_kept")).as("kept"))
+  }
+
   /** All three modalities through [[card]] on the q111/q156/q157 corpora
     * with the q184/q186/q187 epoch-"ep3" augmenters — the one-materialization
     * release pass over every binary-column operator the family has. */

@@ -2971,6 +2971,42 @@ object LlmPipelineQueries {
         .orderBy($"source", $"lang")
     }, Some(DATASET_CARD_ORACLE_SQL)),
 
+    // --- q192: incremental multimodal ingest (MultimodalPipeline
+    // .deltaVerdicts) — the q147 delta-dedup discipline applied to the
+    // fingerprint family: a NEW asset batch is adjudicated against the
+    // standing corpus touching only its CLASS INDEX (hash → min id) —
+    // never re-fingerprinting or re-pairing standing×standing, the term
+    // a full recompute pays. First-writer-wins; ids are monotone across
+    // ingests, so the batch keep-one over the union (q189's exact rule)
+    // restricted to delta ids IS the incremental answer — and that
+    // identity is precisely what the oracle checks by recomputing the
+    // FULL union closure the operator never runs. Delta corpus: a
+    // fresh organic slice (new ids 7000000+d, JPEG excluded by the
+    // shifted modulus) that attaches only by natural hash collision,
+    // plus re-minted twins carrying the STANDING 3000000-plant pixel
+    // streams (synthTwinImages idOffset) — 16 guaranteed attachments
+    // at every sf.
+    QueryDef("q192_multimodal_delta", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val standing = Multimodal.synthImages(s,
+          docs.select($"doc_id").filter($"doc_id" % 3 =!= 1))
+        .unionByName(Multimodal.synthTwinImages(s, nPairs = 8, base = 3000000L))
+      // the standing INDEX — in production landed once per ingested
+      // corpus; everything standing is touched only through it
+      val standingClasses = Multimodal.aHashBands(s, standing)
+        .groupBy($"b0", $"b1", $"b2", $"b3").agg(min($"doc_id").as("rep"))
+        .localCheckpoint(true)
+      val delta = Multimodal.synthImages(s,
+          docs.select($"doc_id").filter($"doc_id" % 5 === 2 && $"doc_id" % 3 =!= 0)
+            .select(($"doc_id" + 7000000L).as("doc_id")))
+        .unionByName(Multimodal.synthTwinImages(s, nPairs = 8, base = 3000000L,
+          idOffset = 3000000L))
+      graft.multimodal.MultimodalPipeline.deltaVerdicts(standingClasses,
+          Multimodal.aHashBands(s, delta))
+        .orderBy($"doc_id")
+    }, Some(MM_DELTA_ORACLE_SQL)),
+
     // --- q189: the multimodal END-TO-END composition
     // (MultimodalPipeline.prepare) — the q125 of binary columns, closing
     // the family's compositional gap: for each of the three modalities,
@@ -3021,6 +3057,34 @@ object LlmPipelineQueries {
       FROM flagged
       ORDER BY source, lang"""
 
+  /** q192's oracle: the FULL union closure (standing ∪ delta through the
+    * q189 keep-one machinery) the incremental operator deliberately never
+    * runs — a delta asset is kept iff it is a union survivor; every
+    * standing touch (exact class, direct near pair, or a path through
+    * the component graph) must therefore produce `kept = false`, and any
+    * divergence between the incremental shape and the batch closure
+    * breaks the row set. */
+  private lazy val MM_DELTA_ORACLE_SQL: String = s"""
+      WITH RECURSIVE
+      u_ids AS (
+        SELECT doc_id AS id, doc_id AS base, FALSE AS twin
+        FROM documents WHERE doc_id % 3 <> 1
+        UNION ALL
+        SELECT 3000000 + 2*i, 3000000 + 2*i, FALSE FROM range(8) t(i)
+        UNION ALL
+        SELECT 3000000 + 2*i + 1, 3000000 + 2*i, TRUE FROM range(8) t(i)
+        UNION ALL
+        SELECT 6000000 + i, 3000000 + (i // 2) * 2, i % 2 = 1 FROM range(16) t(i)
+        UNION ALL
+        SELECT 7000000 + doc_id, 7000000 + doc_id, FALSE
+        FROM documents WHERE doc_id % 5 = 2 AND doc_id % 3 <> 0),
+      ${mmImageWideSql("u_")},
+      ${mmKeepOneSql("u_")}
+      SELECT i.id AS doc_id, s.id IS NOT NULL AS kept
+      FROM u_ids i LEFT JOIN u_surv s ON s.id = i.id
+      WHERE i.id >= 6000000
+      ORDER BY doc_id"""
+
   /** q189's shared keep-one SQL per modality prefix, mirroring
     * [[graft.multimodal.MultimodalPipeline.card]]'s dropped-set rule:
     * identical-hash classes collapse to their rep (min id), rep-level
@@ -3056,6 +3120,38 @@ object LlmPipelineQueries {
         SELECT i.id FROM ${p}idrep i LEFT JOIN ${p}comp cp ON cp.u = i.rep
         WHERE i.id = i.rep AND i.rep = COALESCE(cp.keeper, i.rep))"""
 
+  /** The image aHash derivation (q111's px → wide pipeline) over
+    * `${p}ids(id, base, twin[, …])` — shared by q189's image leg and
+    * q192's standing ∪ delta union. Twin-aware ((0,0) xor). */
+  private def mmImageWideSql(p: String): String = s"""
+      ${p}px AS (
+        SELECT id, x, y,
+          CASE WHEN twin AND x = 0 AND y = 0
+               THEN xor((base * CAST(1103515245 AS BIGINT) + x*12345
+                         + y*CAST(2654435761 AS BIGINT)) & 16777215, 8421504)
+               ELSE (base * CAST(1103515245 AS BIGINT) + x*12345
+                     + y*CAST(2654435761 AS BIGINT)) & 16777215
+          END AS rgb
+        FROM ${p}ids, range(8) xs(x), range(8) ys(y)),
+      ${p}g AS (
+        SELECT id, (y*8 + x) AS pos,
+               (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587
+                + (rgb & 255) * 114) // 1000 AS gray
+        FROM ${p}px),
+      ${p}mn AS (SELECT id, SUM(gray) // 64 AS mean FROM ${p}g GROUP BY id),
+      ${p}bits AS (
+        SELECT g.id, pos // 16 AS j,
+               CASE WHEN gray > mean THEN (1 << (pos % 16)) ELSE 0 END AS bv
+        FROM ${p}g g JOIN ${p}mn mn ON mn.id = g.id),
+      ${p}bands AS (SELECT id, j, CAST(SUM(bv) AS BIGINT) AS v FROM ${p}bits GROUP BY 1, 2),
+      ${p}wide AS (
+        SELECT id,
+               MAX(CASE WHEN j = 0 THEN v END) AS b0,
+               MAX(CASE WHEN j = 1 THEN v END) AS b1,
+               MAX(CASE WHEN j = 2 THEN v END) AS b2,
+               MAX(CASE WHEN j = 3 THEN v END) AS b3
+        FROM ${p}bands GROUP BY id)"""
+
   /** q189's per-modality one-row card SELECT over the prefix's CTEs. */
   private def mmCardRowSql(p: String, modality: String): String = s"""
       SELECT '$modality' AS modality,
@@ -3083,33 +3179,7 @@ object LlmPipelineQueries {
         SELECT 3000000 + 2*i, 3000000 + 2*i, FALSE, 8, 8 FROM range(8) t(i)
         UNION ALL
         SELECT 3000000 + 2*i + 1, 3000000 + 2*i, TRUE, 8, 8 FROM range(8) t(i)),
-      i_px AS (
-        SELECT id, x, y,
-          CASE WHEN twin AND x = 0 AND y = 0
-               THEN xor((base * CAST(1103515245 AS BIGINT) + x*12345
-                         + y*CAST(2654435761 AS BIGINT)) & 16777215, 8421504)
-               ELSE (base * CAST(1103515245 AS BIGINT) + x*12345
-                     + y*CAST(2654435761 AS BIGINT)) & 16777215
-          END AS rgb
-        FROM i_ids, range(8) xs(x), range(8) ys(y)),
-      i_g AS (
-        SELECT id, (y*8 + x) AS pos,
-               (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587
-                + (rgb & 255) * 114) // 1000 AS gray
-        FROM i_px),
-      i_mn AS (SELECT id, SUM(gray) // 64 AS mean FROM i_g GROUP BY id),
-      i_bits AS (
-        SELECT g.id, pos // 16 AS j,
-               CASE WHEN gray > mean THEN (1 << (pos % 16)) ELSE 0 END AS bv
-        FROM i_g g JOIN i_mn mn ON mn.id = g.id),
-      i_bands AS (SELECT id, j, CAST(SUM(bv) AS BIGINT) AS v FROM i_bits GROUP BY 1, 2),
-      i_wide AS (
-        SELECT id,
-               MAX(CASE WHEN j = 0 THEN v END) AS b0,
-               MAX(CASE WHEN j = 1 THEN v END) AS b1,
-               MAX(CASE WHEN j = 2 THEN v END) AS b2,
-               MAX(CASE WHEN j = 3 THEN v END) AS b3
-        FROM i_bands GROUP BY id),
+      ${mmImageWideSql("i_")},
       ${mmKeepOneSql("i_")},
       i_par AS (
         SELECT d.id, d.base, d.twin, d.w, d.h,

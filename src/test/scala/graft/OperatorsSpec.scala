@@ -1499,6 +1499,27 @@ class OperatorsSpec extends SparkSpec {
       r.toString)
   }
 
+  test("MultimodalPipeline.deltaVerdicts: first-writer-wins against the standing index") {
+    // standing index: hashes H1 = (0,0,0,0) rep 10, H2 = (100,...) rep 20
+    val standing = Seq((0, 0, 0, 0, 10L), (100, 100, 100, 100, 20L))
+      .toDF("b0", "b1", "b2", "b3", "rep")
+    // delta: 30 exact-matches H1; 31 is hamming-1 to H1 (direct attach);
+    // 32/33 share a fresh hash (intra-delta exact pair); 34 is hamming-1
+    // to 32 (unattached delta component -> keeper 32); 35 is hamming-3
+    // to 31's hash but hamming-4 to H1 — attached only THROUGH its
+    // component (the propagation a per-rep check would miss); 36 far.
+    val delta = Seq(
+      (0, 0, 0, 0, 30L), (1, 0, 0, 0, 31L),
+      (7, 7, 7, 7, 32L), (7, 7, 7, 7, 33L), (7, 7, 7, 15, 34L),
+      (1, 7, 0, 0, 35L), (1000, 1001, 1002, 1003, 36L))
+      .toDF("b0", "b1", "b2", "b3", "doc_id")
+    val got = graft.multimodal.MultimodalPipeline
+      .deltaVerdicts(standing, delta)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(30L -> false, 31L -> false, 32L -> true, 33L -> false,
+      34L -> false, 35L -> false, 36L -> true), got.toString)
+  }
+
   test("Sampling.neymanSample: variance-weighted allocation; zero-variance stratum gets 0") {
     // 'big': 100 constant rows (sigma = 0); 'small': 5 zeros + 5 at 1e6
     // micro-units — N*Q - S^2 = 10*5e12 - (5e6)^2 = 2.5e13 = (5e6)^2 exactly
