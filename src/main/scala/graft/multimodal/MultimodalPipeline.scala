@@ -117,8 +117,11 @@ object MultimodalPipeline {
     * standing × standing (the term a full recompute pays and the whole
     * point of the index); components over the answer-sized delta-delta
     * pair graph; broadcast attachment flags. Returns (doc_id, kept). */
-  def deltaVerdicts(standingClasses: DataFrame, deltaBands: DataFrame): DataFrame = {
+  def deltaVerdicts(standingClasses: DataFrame, deltaBands0: DataFrame): DataFrame = {
     val bk = Seq("b0", "b1", "b2", "b3")
+    // one fingerprint decode of the delta: the band table is consumed by
+    // the class build AND the final verdict join
+    val deltaBands = deltaBands0.localCheckpoint(true)
     val dClasses = deltaBands.groupBy(bk.map(col): _*)
       .agg(min(col("doc_id")).as("rep"))
       .localCheckpoint(true) // consumed four times below
