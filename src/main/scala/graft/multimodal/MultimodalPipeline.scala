@@ -181,6 +181,26 @@ object MultimodalPipeline {
         (col("doc_id") === col("rep") && col("rep_kept")).as("kept"))
   }
 
+  /** Advance the standing class index past an adjudicated delta — the
+    * IvfPq.appendToIndex discipline for the fingerprint index: every
+    * delta hash class enters keyed by its min delta id, DROPPED classes
+    * included (the index's job is dup detection — first-writer-wins must
+    * remember a hash was seen even if its bearer was rejected, the q190
+    * fp-tally argument); hashes already standing keep their standing rep
+    * (min wins — id monotonicity makes the result the batch-built union
+    * index EXACTLY, so chained ingests never drift from a from-scratch
+    * rebuild: the identity the unit test pins). One delta-sized groupBy
+    * + one index-keyed merge; the old index is never re-derived from
+    * payloads. */
+  def advanceIndex(standingClasses: DataFrame, deltaBands: DataFrame): DataFrame = {
+    val bk = Seq("b0", "b1", "b2", "b3")
+    val dClasses = deltaBands.groupBy(bk.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"))
+    standingClasses.select((bk.map(col) :+ col("rep")): _*)
+      .unionByName(dClasses)
+      .groupBy(bk.map(col): _*).agg(min(col("rep")).as("rep"))
+  }
+
   /** All three modalities through [[card]] on the q111/q156/q157 corpora
     * with the q184/q186/q187 epoch-"ep3" augmenters — the one-materialization
     * release pass over every binary-column operator the family has. */

@@ -1518,6 +1518,24 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got == Map(30L -> false, 31L -> false, 32L -> true, 33L -> false,
       34L -> false, 35L -> false, 36L -> true), got.toString)
+
+    // index maintenance closes the ingest loop: advancing past the delta
+    // equals the batch-built union index (chained ingests can't drift),
+    // and DROPPED classes are remembered — a later re-submission of 33's
+    // hash must adjudicate against rep 32, not pass as novel
+    import graft.multimodal.MultimodalPipeline.advanceIndex
+    def idx(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getLong(4)).toMap
+    val advanced = advanceIndex(standing, delta)
+    val batch = advanceIndex(
+      standing.limit(0), // empty index
+      standing.withColumnRenamed("rep", "doc_id").unionByName(delta))
+    assert(idx(advanced) == idx(batch), s"${idx(advanced)} vs ${idx(batch)}")
+    assert(idx(advanced)((7, 7, 7, 7)) == 32L) // dropped 33's hash remembered via rep 32
+    val resubmit = Seq((7, 7, 7, 7, 50L)).toDF("b0", "b1", "b2", "b3", "doc_id")
+    val v2 = graft.multimodal.MultimodalPipeline.deltaVerdicts(advanced, resubmit)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v2 == Map(50L -> false), v2.toString)
   }
 
   test("Sampling.neymanSample: variance-weighted allocation; zero-variance stratum gets 0") {
