@@ -229,8 +229,12 @@ object LlmPipelineQueries {
     // an in-process overwrite of documents.parquet must rebuild, never
     // serve the previous corpus's pair set
     val fp = graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "documents"))
-    DedupCache.memo(s"$dir@$fp#jaccard3@0.7+planted17") {
-      val ordered = DedupCache.memo(s"$dir@$fp#shingleProjection3+planted17")(
+    // memoVersioned (not plain memo with fp in the key): a rewrite of
+    // documents.parquet must rebuild AND unpersist the superseded pair
+    // set's blocks — the tradePairs r13 fix applied to both levels here
+    DedupCache.memoVersioned(s"$dir#jaccard3@0.7+planted17", fp) {
+      val ordered = DedupCache.memoVersioned(
+        s"$dir#shingleProjection3+planted17", fp)(
         Dedup.shingleProjection(nearDupDocs(s, dir), "text", "doc_id"))
       Dedup.jaccardJoinOrdered(ordered, threshold = 0.7)
     }
