@@ -52,10 +52,15 @@ object Sssp {
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val e = truncate(edges
       .select(col("src"), col("dst"),
-        // fail loudly on a negative weight instead of looping forever
-        // in runToFixpoint or returning a non-shortest label
-        when(col("w") < 0, raise_error(concat(lit("Sssp: negative edge weight "),
-          col("w").cast("string")))).otherwise(col("w").cast("long")).as("w"))
+        // fail loudly on a negative weight (would loop forever in
+        // runToFixpoint / return a non-shortest label) AND on NULL —
+        // min() ignores nulls, so a NULL-weight edge would silently
+        // relax nothing, as if the edge did not exist (the PageRank
+        // r12 null-rejection discipline)
+        when(col("w").isNull || col("w") < 0,
+          raise_error(concat(lit("Sssp: negative or NULL edge weight "),
+            coalesce(col("w").cast("string"), lit("NULL")))))
+          .otherwise(col("w").cast("long")).as("w"))
       .repartition(col("src")))
     // the source label keeps the edge key type — a long literal against
     // int keys would ride implicit coercion through every round's join
@@ -91,8 +96,10 @@ object Sssp {
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val e = truncate(edges
       .select(col("src"), col("dst"),
-        when(col("w") < 0, raise_error(concat(lit("Sssp: negative edge weight "),
-          col("w").cast("string")))).otherwise(col("w").cast("long")).as("w"))
+        when(col("w").isNull || col("w") < 0,
+          raise_error(concat(lit("Sssp: negative or NULL edge weight "),
+            coalesce(col("w").cast("string"), lit("NULL")))))
+          .otherwise(col("w").cast("long")).as("w"))
       .repartition(col("src")))
     var dist = truncate(e.sparkSession.range(1)
       .select(lit(source).cast(edges.schema("src").dataType).as("node"),

@@ -1216,6 +1216,13 @@ class OperatorsSpec extends SparkSpec {
     intercept[Exception] {
       graft.ops.Sssp.runRounds(neg, 1L, 1).collect()
     }
+    // NULL weights fail loudly too — min() ignores nulls, so without the
+    // guard a NULL-weight edge silently relaxes nothing (edge vanishes)
+    val nul = Seq((1L, 2L, Some(4L)), (1L, 3L, Option.empty[Long]))
+      .toDF("src", "dst", "w")
+    intercept[Exception] {
+      graft.ops.Sssp.runRounds(nul, 1L, 1).collect()
+    }
   }
 
   test("Skyline.skyline2d: equals brute-force dominance on random points; ties survive") {
