@@ -630,6 +630,15 @@ object PlanCheck {
       mustNotContain = Seq(
         "no parquet re-read past the snapshot" -> "Scan parquet",
         "no cartesian" -> "CartesianProduct")),
+    // markup extraction is a map-only codegen chain: no hash shuffle,
+    // no join, no window anywhere (the trailing range exchange is the
+    // oracle protocol's determinism sort)
+    Want("q193_html_extract", Seq(
+      "regex chain lives in the scan projection" -> "regexp_replace"),
+      mustNotContain = Seq(
+        "no hash shuffle" -> "Exchange hashpartitioning",
+        "no join" -> "Join",
+        "no window" -> "Window")),
     // incremental multimodal ingest: the banded pairing, the class-index
     // semi join, and the component closure all run behind eager
     // checkpoints (answer-sized — their shapes are pinned by the

@@ -6,7 +6,7 @@ import graft.dedup.{Dedup, DedupCache, SubstringDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.{Ann, Ivf, IvfPq}
 import graft.sources.Tables
-import graft.text.TextAnalysis
+import graft.text.{TextAnalysis, TextExtract}
 
 /** LLM training-data pipeline operators bound to the documents/embeddings
   * tables: dedup (exact/MinHash/SimHash/n-gram/embedding), similarity
@@ -2974,6 +2974,56 @@ object LlmPipelineQueries {
       DatasetCard.merge(s.read.parquet(cellsDir), s.read.parquet(fpsDir))
         .orderBy($"source", $"lang")
     }, Some(DATASET_CARD_ORACLE_SQL)),
+
+    // --- q193: crawl-to-text markup extraction (TextExtract) — the C4/
+    // CCNet step ZERO the text family lacked: every doc is wrapped in a
+    // deterministic HTML shell (script + style + comment + tags +
+    // planted entities — both engines CONSTRUCT the same markup from
+    // documents.text, the transparency-oracle discipline), and the
+    // extractor must drop the script/style SUBTREES, strip tags, decode
+    // entities single-pass, and collapse whitespace. Surface: the md5
+    // of the cleaned prose + its exact length — one wrong regex, decode
+    // order, or collapse detail moves the hash on every row. Pure
+    // codegen chain, zero shuffle (the q34 cost class).
+    QueryDef("q193_html_extract", (s, dir) => {
+      import s.implicits._
+      val html = concat(lit("<html><head><script>var x="), $"doc_id",
+        lit(";</script><style>p {color:red}</style></head><body><h1>Doc "),
+        $"doc_id", lit("""</h1><!-- meta --><p id="t">"""), $"text",
+        lit(" &lt;tag&gt; &amp; fin</p></body></html>"))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", TextExtract.title(html).as("title"),
+          TextExtract.extractText(html).as("clean"))
+        .select($"doc_id", $"title",
+          length($"clean").cast("long").as("n_chars_clean"),
+          md5($"clean").as("fp"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH html AS (
+        SELECT doc_id,
+          '<html><head><script>var x=' || CAST(doc_id AS VARCHAR) ||
+          ';</script><style>p {color:red}</style></head><body><h1>Doc ' ||
+          CAST(doc_id AS VARCHAR) || '</h1><!-- meta --><p id="t">' || text ||
+          ' &lt;tag&gt; &amp; fin</p></body></html>' AS h
+        FROM documents),
+      stripped AS (
+        SELECT doc_id,
+          regexp_extract(h, '<h1>(.*?)</h1>', 1) AS title,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(h, '(?s)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                    '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g'),
+                '<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+            '\s+', ' ', 'g')) AS clean
+        FROM html)
+      SELECT doc_id, title, CAST(length(clean) AS BIGINT) AS n_chars_clean,
+             md5(clean) AS fp
+      FROM stripped ORDER BY doc_id""")),
 
     // --- q192: incremental multimodal ingest (MultimodalPipeline
     // .deltaVerdicts) — the q147 delta-dedup discipline applied to the

@@ -1478,6 +1478,25 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.ops.DatasetCard.merge(ec, ef).count() == 0L)
   }
 
+  test("TextExtract: script/style subtrees drop, tags strip, entities decode once") {
+    import org.apache.spark.sql.functions.col
+    // script body contains a '<div>' string and a comparison 'a<b'; the
+    // style body contains the '>' combinator; '&amp;lt;' must decode
+    // exactly ONCE (to the literal '&lt;'); entity-decoding happens
+    // AFTER tag-strip, so decoded '<two>' survives as prose
+    val html = "<html><head><script type=\"x\">if (a<b) { emit(\"<div>\") }" +
+      "</script>\n<style>a>b {}</style></head><body><h1>T &amp; U</h1>\n" +
+      "<p class=\"x\">one &lt;two&gt; &amp;lt; three&#39;s &quot;q&quot;</p>" +
+      "<br/></body></html>"
+    val df = Seq((1L, html)).toDF("id", "h")
+    val got = df.select(
+      graft.text.TextExtract.extractText(col("h")).as("c"),
+      graft.text.TextExtract.title(col("h")).as("t")).head
+    assert(got.getString(0) == "T & U one <two> &lt; three's \"q\"",
+      s"[${got.getString(0)}]")
+    assert(got.getString(1) == "T &amp; U", got.getString(1)) // title is raw
+  }
+
   test("MultimodalPipeline.card: keep-one is CLUSTER semantics across a hamming chain") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{col, lit}
