@@ -2114,35 +2114,9 @@ object LlmPipelineQueries {
             ELSE 'http://site-'||g||'.com:80/Art/p'||g||'?id='||g||'&z='||g
           END AS url
         FROM u0),
-      c0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
-      c1 AS (SELECT doc_id, nofrag,
-                    regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1) AS auth
-             FROM c0),
-      c2 AS (SELECT doc_id,
-                    substr(nofrag, length(auth) + 1) AS rest,
-                    regexp_replace(regexp_replace(lower(auth),
-                      '^(https://[^/?]*):443$', '\1'),
-                      '^(http://[^/?]*):80$', '\1') AS noport
-             FROM c1),
-      c3 AS (SELECT doc_id, rest,
-                    regexp_replace(noport, '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS nowww,
-                    instr(rest, '?') AS qpos
-             FROM c2),
-      c4 AS (SELECT doc_id, nowww,
-                    CASE WHEN qpos > 0 THEN substr(rest, 1, qpos - 1) ELSE rest END AS path0,
-                    CASE WHEN qpos > 0 THEN substr(rest, qpos + 1) ELSE '' END AS query0
-             FROM c3),
-      c5 AS (SELECT doc_id, nowww,
-                    CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
-                         THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS pathn,
-                    array_to_string(list_sort([p FOR p IN string_split(query0, '&')
-                      IF p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid|msclkid)=')]), '&') AS qnorm
-             FROM c4),
-      c AS (SELECT doc_id,
-                   nowww || pathn || CASE WHEN length(qnorm) > 0 THEN '?' || qnorm ELSE '' END AS canonical_url
-            FROM c5)
+      """ + urlCanonSqlFrom("u") + """
       SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants, MIN(doc_id) AS min_doc
-      FROM c GROUP BY 1 ORDER BY 1""")),
+      FROM canon GROUP BY 1 ORDER BY 1""")),
 
     // Content-defined chunking (text/CdcChunk.scala — the LBFS/rsync
     // dedup-storage family, Muthitacharoen SOSP'01): boundaries where a
@@ -3025,6 +2999,69 @@ object LlmPipelineQueries {
              md5(clean) AS fp
       FROM stripped ORDER BY doc_id""")),
 
+    // --- q194: link extraction for the crawl frontier — the companion
+    // of q193 (extract TEXT) and q145 (canonicalize URLs): harvest every
+    // href from the markup, canonicalize it with the SAME UrlNormalize
+    // rules q145 gates, and count links per canonical target (the
+    // frontier/link-graph build step). Each doc's shell embeds its
+    // q145-style variant URL (so canonicalization must collapse the four
+    // surface forms per group) plus one hub link shared by EVERY doc
+    // (the heavy-hitter row: n_links = corpus size, min_doc = 0) — and
+    // the raw text rides inside the shell, so any accidental href-shaped
+    // text is adjudicated identically by both engines. Map-side: one
+    // regexp_extract_all + explode (bounded fan-out) + the codegen
+    // canonicalizer; one (canonical_url) count shuffle — nothing else.
+    QueryDef("q194_link_extract", (s, dir) => {
+      import s.implicits._
+      val u0 = Tables.load(s, dir, "documents").select($"doc_id", $"text",
+        expr("CAST(doc_id DIV 4 AS STRING)").as("g"),
+        pmod($"doc_id", lit(4)).as("v"))
+      val variant =
+        when($"v" === 0, concat(lit("HTTPS://WWW.Site-"), $"g",
+            lit(".com:443/Art/p"), $"g", lit("/?utm_source=x&z="), $"g",
+            lit("&id="), $"g", lit("#top")))
+          .when($"v" === 1, concat(lit("https://site-"), $"g",
+            lit(".com/Art/p"), $"g", lit("?z="), $"g", lit("&id="), $"g",
+            lit("&utm_campaign=y")))
+          .when($"v" === 2, concat(lit("https://www.site-"), $"g",
+            lit(".com/Art/p"), $"g", lit("?ref=rss&id="), $"g",
+            lit("&z="), $"g"))
+          .otherwise(concat(lit("http://site-"), $"g",
+            lit(".com:80/Art/p"), $"g", lit("?id="), $"g", lit("&z="), $"g"))
+      val html = concat(lit("<html><body><a href=\""), variant,
+        lit("\">v</a><p>"), $"text",
+        lit("</p><a href=\"HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f\">hub</a></body></html>"))
+      u0.select($"doc_id", html.as("h"))
+        .select($"doc_id", explode(
+          regexp_extract_all($"h", lit("href=\"([^\"]*)\""), lit(1))).as("url"))
+        .select($"doc_id",
+          graft.text.UrlNormalize.canonicalUrl($"url").as("canonical_url"))
+        .groupBy($"canonical_url")
+        .agg(count(lit(1)).cast("long").as("n_links"), min($"doc_id").as("min_doc"))
+        .orderBy($"canonical_url")
+    }, Some("""
+      WITH u0 AS (
+        SELECT doc_id, text, CAST(doc_id // 4 AS VARCHAR) AS g, doc_id % 4 AS v
+        FROM documents),
+      hh AS (
+        SELECT doc_id,
+          '<html><body><a href="' ||
+          CASE v
+            WHEN 0 THEN 'HTTPS://WWW.Site-'||g||'.com:443/Art/p'||g||'/?utm_source=x&z='||g||'&id='||g||'#top'
+            WHEN 1 THEN 'https://site-'||g||'.com/Art/p'||g||'?z='||g||'&id='||g||'&utm_campaign=y'
+            WHEN 2 THEN 'https://www.site-'||g||'.com/Art/p'||g||'?ref=rss&id='||g||'&z='||g
+            ELSE 'http://site-'||g||'.com:80/Art/p'||g||'?id='||g||'&z='||g
+          END ||
+          '">v</a><p>' || text ||
+          '</p><a href="HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f">hub</a></body></html>' AS h
+        FROM u0),
+      u AS (
+        SELECT doc_id, unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS url
+        FROM hh),
+      """ + urlCanonSqlFrom("u") + """
+      SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_links, MIN(doc_id) AS min_doc
+      FROM canon GROUP BY 1 ORDER BY 1""")),
+
     // --- q192: incremental multimodal ingest (MultimodalPipeline
     // .deltaVerdicts) — the q147 delta-dedup discipline applied to the
     // fingerprint family: a NEW asset batch is adjudicated against the
@@ -3173,6 +3210,42 @@ object LlmPipelineQueries {
       ${p}surv AS (
         SELECT i.id FROM ${p}idrep i LEFT JOIN ${p}comp cp ON cp.u = i.rep
         WHERE i.id = i.rep AND i.rep = COALESCE(cp.keeper, i.rep))"""
+
+  /** The DuckDB mirror of [[graft.text.UrlNormalize.canonicalUrl]] as a
+    * CTE chain over a relation `src(doc_id, url)`, ending in
+    * `canon(doc_id, canonical_url)` — shared by q145 (variant collapse)
+    * and q194 (link extraction). Built by token replacement, NOT
+    * interpolation: the chain carries `\1` backrefs and `\.` classes
+    * that an s-interpolator would reject/mangle (the r12 backslash
+    * rule). */
+  private def urlCanonSqlFrom(src: String): String = """
+      c0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM __SRC__),
+      c1 AS (SELECT doc_id, nofrag,
+                    regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1) AS auth
+             FROM c0),
+      c2 AS (SELECT doc_id,
+                    substr(nofrag, length(auth) + 1) AS rest,
+                    regexp_replace(regexp_replace(lower(auth),
+                      '^(https://[^/?]*):443$', '\1'),
+                      '^(http://[^/?]*):80$', '\1') AS noport
+             FROM c1),
+      c3 AS (SELECT doc_id, rest,
+                    regexp_replace(noport, '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS nowww,
+                    instr(rest, '?') AS qpos
+             FROM c2),
+      c4 AS (SELECT doc_id, nowww,
+                    CASE WHEN qpos > 0 THEN substr(rest, 1, qpos - 1) ELSE rest END AS path0,
+                    CASE WHEN qpos > 0 THEN substr(rest, qpos + 1) ELSE '' END AS query0
+             FROM c3),
+      c5 AS (SELECT doc_id, nowww,
+                    CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+                         THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS pathn,
+                    array_to_string(list_sort([p FOR p IN string_split(query0, '&')
+                      IF p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid|msclkid)=')]), '&') AS qnorm
+             FROM c4),
+      canon AS (SELECT doc_id,
+                   nowww || pathn || CASE WHEN length(qnorm) > 0 THEN '?' || qnorm ELSE '' END AS canonical_url
+            FROM c5)""".replace("__SRC__", src)
 
   /** The image aHash derivation (q111's px → wide pipeline) over
     * `${p}ids(id, base, twin[, …])` — shared by q189's image leg and
