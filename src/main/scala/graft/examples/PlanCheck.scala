@@ -639,6 +639,14 @@ object PlanCheck {
         "no hash shuffle" -> "Exchange hashpartitioning",
         "no join" -> "Join",
         "no window" -> "Window")),
+    // link extraction: one generator fan-out (bounded hrefs per doc) +
+    // ONE map-side-combined canonical count — no join anywhere
+    Want("q194_link_extract", Seq(
+      "href fan-out is a generator" -> "Generate",
+      "map-side-combined link counts" -> "partial_count"),
+      mustNotContain = Seq(
+        "no join" -> "Join",
+        "no window" -> "Window")),
     // incremental multimodal ingest: the banded pairing, the class-index
     // semi join, and the component closure all run behind eager
     // checkpoints (answer-sized — their shapes are pinned by the
