@@ -35,3 +35,17 @@ Test / parallelExecution := false
 // Sandboxed container blocks the JDK-17 posix_spawn helper; fall back to
 // plain fork so Hadoop's shell-outs (chmod on checkpoint dirs) work.
 javaOptions += "-Djdk.lang.Process.launchMechanism=FORK"
+
+// The driver parses the LAST line of `sbt "runMain graft.Bench"` output as
+// the bench result JSON. Two sbt behaviors broke that for two rounds
+// running (r12/r13 BENCH parsed=null): (1) the forked JVM's stdout is
+// re-logged with an "[info] " prefix by the default LoggedOutput strategy;
+// (2) sbt prints "[success] Total time..." AFTER the run, so the JSON is
+// never the final line. StdoutOutput passes the child's stdout/stderr
+// through raw, and showSuccess drops the trailer — together the result
+// JSON printed by Bench (which halt(0)s immediately after) is the last
+// thing on stdout.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false

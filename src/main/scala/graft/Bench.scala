@@ -15,9 +15,30 @@ object Bench {
     // capture saw the stacktrace, not the JSON). With spark.local.dir under
     // a dir we create and delete ourselves, plus the halt(0) below that
     // skips the hooks entirely, nothing can print after the result line.
-    val benchLocal =
-      java.nio.file.Files.createTempDirectory("graft-bench-local")
+    //
+    // java.io.tmpdir is ALSO pointed under benchLocal: Spark resolves the
+    // property at call time wherever it roots driver temp dirs (whose
+    // hook-time cleanup halt(0) skips), and graft.Scratch — the factory
+    // behind every per-query scratch dir (q191 landed partials, stream
+    // replay dirs, IVF/LSH index caches) — re-reads it per call precisely
+    // because the JDK's own Files.createTempDirectory(prefix) does NOT
+    // (TempFileHelper latches the original /tmp in a static initializer).
+    // Net effect: everything this run creates lands under benchLocal and
+    // the single rmTree below sweeps it, instead of accumulating in /tmp.
+    val benchLocal = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-bench-local-${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(benchLocal)
+    System.setProperty("java.io.tmpdir", benchLocal.toString)
     System.setProperty("spark.local.dir", benchLocal.toString)
+    // Loud probe: if the redirect ever stops covering Scratch the sweep
+    // silently loses coverage — fail the assumption visibly instead.
+    locally {
+      val probe = graft.Scratch.dir("graft_probe")
+      if (!probe.startsWith(benchLocal))
+        System.err.println(s"[bench] WARN tmpdir redirect ineffective: $probe")
+      java.nio.file.Files.deleteIfExists(probe)
+    }
     val spark = graft.GraftSession(s"local[$cpus]", cpus)
 
     // warm-up actions so JVM/codegen/parquet-reader startup isn't billed to
@@ -164,25 +185,49 @@ object Bench {
     // tail window with room for future rounds (three fields overflowed
     // it at 114, eating the leading metadata).
     def ds(x: Double): Long = math.round(x * 10)
-    // r13: at 192 queries the two-field object (~2800 chars) no longer
-    // fits the 2000-char tail window — a cut eats the LEADING entries.
-    // Degrade by dropping the cpu field (min-wall is the §6-primary
-    // statistic; cpu stays on stderr and in SPARK_GRAFT_BENCH_OUT) the
-    // moment the two-field form would overflow; "enc" self-describes
-    // whichever form shipped.
-    val compact2 = results
-      .map(r => "\"" + shortName(r._1) + "\":[" + cs(r._3) + "," + ds(r._4) + "]")
-      .mkString("{", ",", "}")
-    val compact1 = results
-      .map(r => "\"" + shortName(r._1) + "\":" + cs(r._3))
-      .mkString("{", ",", "}")
-    val twoFieldFits = compact2.length <= 1750 // window 2000 − ~200 metadata
-    val compact = if (twoFieldFits) compact2 else compact1
-    val enc = if (twoFieldFits) "N:[mincs,cpuds]" else "N:mincs"
+    // r14 encoding: the r13 artifact shipped min-wall only because the
+    // two-field JSON-OBJECT form (quoted keys + bracketed pairs, ~2800
+    // chars at 194 queries) overflowed the tail window, and the one-field
+    // fallback dropped cpu — the one statistic the repo's own protocol
+    // names as the cross-round signal. Pack the per-query data as ONE JSON
+    // STRING of comma-separated `id:minds:cpuds` triples instead (both
+    // fields deciseconds): no per-entry quotes or brackets, ~9 chars/entry,
+    // ~1.8k chars at 194 queries — cpu fits again. "enc" self-describes the
+    // form; json.loads still parses the line (queries is just a string).
+    // Degrade chain, each level chosen by MEASURED line length:
+    //   A `csv id:minds:cpuds` — min-wall + cpu, deciseconds
+    //   B `csv id:mincs`       — min-wall only, centiseconds
+    //   C B truncated to the LEADING entries that fit, with an explicit
+    //     `trunc K/N` marker in enc — never a silent tail cut (the r13
+    //     failure mode this chain exists to prevent).
+    val csvA = results
+      .map(r => shortName(r._1) + ":" + ds(r._3) + ":" + ds(r._4))
+      .mkString(",")
+    val csvB = results.map(r => shortName(r._1) + ":" + cs(r._3)).mkString(",")
     // "stalled" prints AFTER queries: the driver keeps the line's TAIL,
     // so the flag survives any cut that the leading metadata wouldn't
     val stalledJson = stalled.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val resultLine = s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu":${r2(totalCpu)},"sf":"$sfShort","enc":"$enc","queries":$compact,"stalled":$stalledJson}"""
+    def line(enc: String, csv: String): String =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu":${r2(totalCpu)},"sf":"$sfShort","enc":"$enc","queries":"$csv","stalled":$stalledJson}"""
+    val LINE_BUDGET = 1950 // driver tail window 2000 − margin
+    val resultLine = {
+      val a = line("csv id:minds:cpuds", csvA)
+      if (a.length <= LINE_BUDGET) a
+      else {
+        val b = line("csv id:mincs", csvB)
+        if (b.length <= LINE_BUDGET) b
+        else {
+          val parts = csvB.split(',')
+          val overhead = line(s"csv id:mincs trunc ${parts.length}/${parts.length}", "").length
+          var kept = 0; var len = 0
+          while (kept < parts.length && len + parts(kept).length + 1 <= LINE_BUDGET - overhead) {
+            len += parts(kept).length + 1; kept += 1
+          }
+          line(s"csv id:mincs trunc $kept/${parts.length}",
+            parts.take(kept).mkString(","))
+        }
+      }
+    }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       def obj(f: ((String, Double, Double, Double)) => Double): String =
         results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")

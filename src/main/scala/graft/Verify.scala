@@ -10,6 +10,15 @@ object Verify {
       case Array(s, o, ps @ _*) => (s, o, ps) // name-prefix filters, dev loops
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Own this run's temp dirs (same discipline as Bench): point
+    // java.io.tmpdir at a per-pid dir BEFORE the first createTempDirectory
+    // loads TempFileHelper, so Spark driver dirs, the scratch warehouse,
+    // and per-query graft_* dirs all land somewhere one sweep deletes —
+    // instead of accumulating in /tmp across verify runs.
+    val scratch = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-verify-local-${ProcessHandle.current().pid()}")
+    Files.createDirectories(scratch)
+    System.setProperty("java.io.tmpdir", scratch.toString)
     val spark = graft.GraftSession(s"local[$cpus]", cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
@@ -37,5 +46,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    try {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(scratch))
+        Files.walk(scratch).iterator().asScala.toSeq.reverse
+          .foreach(f => try Files.deleteIfExists(f)
+                        catch { case scala.util.control.NonFatal(_) => () })
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

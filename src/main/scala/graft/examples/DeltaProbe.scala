@@ -60,7 +60,7 @@ object DeltaProbe {
         .filter($"id_a" >= 3000000 || $"id_b" >= 3000000)
         .as[(Long, Long, Double)].collect().toSet
     }
-    val path = java.nio.file.Files.createTempDirectory("graft_lsh_probe").toString
+    val path = graft.Scratch.dir("graft_lsh_probe").toString
     time("index build (once/corpus)") {
       graft.dedup.DeltaDedup.buildIndex(docs, "text", "doc_id", path)
     }

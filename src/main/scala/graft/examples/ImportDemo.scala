@@ -14,7 +14,7 @@ import graft.sources.{ColumnSpec, MappedImport, SpreadsheetDir}
 object ImportDemo {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("local[4]", 4)
-    val wb = Files.createTempDirectory("workbook").toString
+    val wb = graft.Scratch.dir("workbook").toString
     Files.write(Paths.get(s"$wb/sales.csv"),
       "id,region,amount,internal_note\n1,EMEA,10.50,x\n2,APAC,20.00,y\n3,,15.25,z\n".getBytes)
     Files.write(Paths.get(s"$wb/refunds.json"),
@@ -28,7 +28,7 @@ object ImportDemo {
       ColumnSpec("amount", "amount", castTo = Some("double"))))
     println("MAPPED-SCHEMA: " + mapped.schema.simpleString)
 
-    val target = Files.createTempDirectory("warehouse").toString + "/sales.parquet"
+    val target = graft.Scratch.dir("warehouse").toString + "/sales.parquet"
     MappedImport.appendTo(mapped, target)
     MappedImport.appendTo(
       MappedImport(SpreadsheetDir.loadSheet(spark, wb, "refunds.json"), Seq(

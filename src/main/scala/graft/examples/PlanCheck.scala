@@ -745,7 +745,7 @@ object PlanCheck {
     // must prune at planning time (PartitionFilters) AND at the file level
     // (inputFiles strictly smaller than the full layout).
     if (args.isEmpty) {
-      val pdir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events_by_day"
+      val pdir = graft.Scratch.dir("graft_part").toString + "/events_by_day"
       graft.sources.Partitioned.writeEventsByDay(spark, dir, pdir)
       val all = spark.read.parquet(pdir)
       // partition-column type inference reads day=YYYY-MM-DD back as DATE
@@ -776,7 +776,7 @@ object PlanCheck {
     if (args.isEmpty) {
       import org.apache.spark.sql.functions.col
       val emb = graft.sources.Tables.load(spark, dir, "embeddings")
-      val ipath = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      val ipath = graft.Scratch.dir("graft_ivfpq").toString
       graft.similarity.IvfPq.buildIndex(emb, "embedding", "vec_id",
         dim = 64, nCells = 16, m = 8, kCodes = 16, path = ipath)
       val probe = graft.similarity.IvfPq.probeTopK(spark, ipath,

@@ -28,7 +28,7 @@ object IvfIndexCache {
   def getOrBuild(spark: SparkSession, dir: String, dim: Int = 64,
       nCells: Int = 8)(corpus: => DataFrame): String =
     built.getOrElseUpdate(keyFor(spark, dir), {
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      val path = graft.Scratch.dir("graft_ivf").toString
       graft.similarity.Ivf.buildIndex(corpus, "embedding", "vec_id",
         dim = dim, nCells = nCells, path = path)
       path
@@ -44,7 +44,7 @@ object IvfIndexCache {
   def getOrBuildPq(spark: SparkSession, dir: String, dim: Int = 64,
       nCells: Int = 8, m: Int = 8, kCodes: Int = 32)(corpus: => DataFrame): String =
     builtPq.getOrElseUpdate(keyFor(spark, dir), {
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      val path = graft.Scratch.dir("graft_ivfpq").toString
       graft.similarity.IvfPq.buildIndex(corpus, "embedding", "vec_id",
         dim = dim, nCells = nCells, m = m, kCodes = kCodes, path = path)
       path
@@ -61,7 +61,7 @@ object IvfIndexCache {
     builtLsh.getOrElseUpdate(
       dir + "@" + graft.sources.Layout.dirFingerprint(
         spark, graft.sources.Tables.path(dir, "documents")), {
-        val path = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+        val path = graft.Scratch.dir("graft_lsh").toString
         graft.dedup.DeltaDedup.buildIndex(corpus, "text", "doc_id", path)
         path
       })

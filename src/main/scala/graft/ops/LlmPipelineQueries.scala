@@ -2942,7 +2942,7 @@ object LlmPipelineQueries {
       import s.implicits._
       val stream = graft.streaming.EventsStream.replayShuffled(
         Tables.load(s, dir, "documents"), nFiles = 4)
-      val out = java.nio.file.Files.createTempDirectory("graft_q191").toString
+      val out = graft.Scratch.dir("graft_q191").toString
       val (cellsDir, fpsDir) =
         graft.streaming.StreamingCard.landPartials(s, stream, out)
       DatasetCard.merge(s.read.parquet(cellsDir), s.read.parquet(fpsDir))
@@ -3440,7 +3440,7 @@ object LlmPipelineQueries {
   def jsonlDocs(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val fp = graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "documents"))
     jsonl.getOrElseUpdate(s"$dir@$fp", {
-      val path = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val path = graft.Scratch.dir("graft_jsonl").toString
       Tables.load(s, dir, "documents").coalesce(4)
         .write.mode("overwrite").json(path)
       path

@@ -1976,7 +1976,7 @@ object RelationalQueries {
     import s.implicits._
     val fp = graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "lineitem"))
     clustered.getOrElseUpdate(s"$dir@$fp", {
-      val path = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+      val path = graft.Scratch.dir("graft_clustered").toString
       graft.sources.Layout.writeClustered(
         t(s, dir, "lineitem").select($"l_orderkey", $"l_returnflag",
           $"l_extendedprice", $"l_quantity"),
@@ -1994,7 +1994,7 @@ object RelationalQueries {
     import s.implicits._
     val fp = graft.sources.Layout.dirFingerprint(s, Tables.path(dir, "orders"))
     bloomed.getOrElseUpdate(s"$dir@$fp", {
-      val base = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+      val base = graft.Scratch.dir("graft_bloom").toString
       val data = s"$base/data"
       val manifest = s"$base/manifest"
       t(s, dir, "orders")

@@ -258,8 +258,8 @@ object EventQueries {
       val log = Tables.load(s, dir, "orders")
         .select($"o_custkey", $"o_orderdate", $"o_orderkey", $"o_totalprice")
       val updates = EventsStream.replayShuffled(log, nFiles = 4)
-      val target = java.nio.file.Files.createTempDirectory("q96_tgt").toString + "/table"
-      val ckpt = java.nio.file.Files.createTempDirectory("q96_ck").toString
+      val target = graft.Scratch.dir("q96_tgt").toString + "/table"
+      val ckpt = graft.Scratch.dir("q96_ck").toString
       val q = StreamMerge.upsertSink(updates, "o_custkey", "o_orderdate", target, ckpt)
       q.awaitTermination() // AvailableNow: self-terminates after the last file
       s.read.parquet(target)

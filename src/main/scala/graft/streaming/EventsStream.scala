@@ -260,7 +260,7 @@ object EventsStream {
     * just single-batch agreement. */
   def replayShuffled(df: DataFrame, nFiles: Int): DataFrame = {
     val spark = df.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val dir = graft.Scratch.dir("graft_replay").toString
     df.repartition(nFiles).write.mode("overwrite").parquet(dir)
     spark.readStream.schema(spark.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
@@ -280,7 +280,7 @@ object EventsStream {
   def replayOrdered(batches: Seq[DataFrame]): DataFrame = {
     require(batches.nonEmpty, "need at least one batch")
     val spark = batches.head.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_replay2").toString
+    val dir = graft.Scratch.dir("graft_replay2").toString
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles = fs.listStatus(p).filter(s => s.isFile &&

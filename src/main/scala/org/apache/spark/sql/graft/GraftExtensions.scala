@@ -965,7 +965,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_delta_dedup(corpusTable, deltaTable, textCol, idCol, threshold) takes 5 arguments")
         val textCol = strArg(args(2), "textCol")
         val idCol = strArg(args(3), "idCol")
-        val path = java.nio.file.Files.createTempDirectory("graft_lsh_sql").toString
+        val path = graft.Scratch.dir("graft_lsh_sql").toString
         graft.dedup.DeltaDedup.buildIndex(tableArg(args(0)), textCol, idCol, path)
         graft.dedup.DeltaDedup.deltaPairs(SparkSession.active, path,
           tableArg(args(1)), textCol, idCol, dblArg(args(4), "threshold"))
