@@ -647,6 +647,19 @@ object PlanCheck {
       mustNotContain = Seq(
         "no join" -> "Join",
         "no window" -> "Window")),
+    // C4 line cleaning: line+page filters are map-side array lambdas
+    // (no explode of dropped lines); the keep-first vote is a map-side-
+    // combined min/count aggregate on md5(line) — a nav line shared by
+    // EVERY page partially aggregates before it moves, never funnels
+    // into one rank-window task; the repeated-line set (boilerplate
+    // vocabulary, answer-sized) broadcasts back
+    Want("q195_c4_line_clean", Seq(
+      "map-side-combined keep-first vote" -> "partial_min",
+      "repeated-line set broadcasts back" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "keep-first is an aggregate, not a rank window" -> "Window",
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
     // incremental multimodal ingest: the banded pairing, the class-index
     // semi join, and the component closure all run behind eager
     // checkpoints (answer-sized — their shapes are pinned by the

@@ -223,6 +223,28 @@ object LlmPipelineQueries {
     * the pair computation runs once per corpus per process instead of once
     * per query. At 100 TB both would be durable lake tables written by the
     * corpus-snapshot job; see the DedupCache scaladoc. */
+  /** Fixture-validity guard for the multimodal plant bases (q189/q192):
+    * the synthetic twin plants sit at doc_id 3000000+, adjudicated twins
+    * at 6000000+, and the q192 delta organics at 7000000+doc_id — and
+    * both the operators' first-writer-wins identity and the oracles'
+    * `WHERE i.id >= 6000000` delta selection assume organic ids stay
+    * BELOW every base. At a corpus with ≥3M documents the bases would
+    * silently collide with real ids and diverge the gate; fail loudly
+    * instead. One max() over the id column — at fixture scale a
+    * metadata-cheap scan, and the check exists precisely to stop the
+    * fixture from being run far beyond fixture scale.
+    */
+  private def assertPlantBasesClear(
+      docs: org.apache.spark.sql.DataFrame): Unit = {
+    val mx = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head.getLong(0)
+    require(mx < 3000000L,
+      s"multimodal fixture invalid: max(doc_id)=$mx >= plant base 3000000 " +
+        "— organic ids would collide with synthetic twin/delta id ranges; " +
+        "re-derive the plant bases from the corpus max id before scaling " +
+        "this fixture")
+  }
+
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     // memo keys carry the corpus CONTENT fingerprint, not just the dir:
@@ -3080,6 +3102,7 @@ object LlmPipelineQueries {
     QueryDef("q192_multimodal_delta", (s, dir) => {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
+      assertPlantBasesClear(docs)
       val standing = Multimodal.synthImages(s,
           docs.select($"doc_id").filter($"doc_id" % 3 =!= 1))
         .unionByName(Multimodal.synthTwinImages(s, nPairs = 8, base = 3000000L))
@@ -3098,6 +3121,93 @@ object LlmPipelineQueries {
         .orderBy($"doc_id")
     }, Some(MM_DELTA_ORACLE_SQL)),
 
+    // --- q195: C4 line-level cleaning (C4LineClean) — the public step
+    // AFTER q193's tag strip (Raffel et al. JMLR'20 §2.2): line-local
+    // keep rules (terminal punctuation, ≥3 words, no "javascript"),
+    // page-level drops (brace / lorem-ipsum pages; <4 surviving lines),
+    // then corpus-wide boilerplate-LINE dedup keep-first — the line-
+    // granularity sibling of q158's passage excision. The fixture
+    // builds a page per doc that exercises every rule deterministically
+    // at every sf: an all-corpus share-bar line (deduped to doc 0), a
+    // per-group-of-10 copyright footer (deduped to each group's first
+    // doc), a javascript line, a 2-word line, a no-terminal-punct line,
+    // content sentences from the doc's own words, and per-modulus
+    // plants for the two page-level drops (%7==3 braces, %11==5 lorem)
+    // plus a %13==7 sentence omission that trips the min-lines gate.
+    // Scale shape (PlanCheck-pinned): line+page filters are map-side
+    // array lambdas; ONE corpus-linear shuffle on md5(line) with a
+    // map-side-combinable min/count aggregate (no window on the hot
+    // all-corpus key); the repeated-line set broadcasts back.
+    QueryDef("q195_c4_line_clean", (s, dir) => {
+      import s.implicits._
+      val ws = split($"text", " ", -1)
+      val page = concat_ws("\n",
+        lit("Share this article with your friends."),
+        concat(concat_ws(" ", slice(ws, 1, 15)), lit(".")),
+        lit("Please enable JavaScript to continue."),
+        when($"doc_id" % 7 === 3, lit("if (x) { return; }")),
+        lit("Too short."),
+        when($"doc_id" % 13 =!= 7,
+          concat(concat_ws(" ", slice(ws, 16, 15)), lit("?"))),
+        lit("no terminal punctuation boilerplate line"),
+        when($"doc_id" % 11 === 5, lit("Lorem ipsum dolor sit amet.")),
+        concat(lit("Copyright group "), expr("CAST(doc_id DIV 10 AS STRING)"),
+          lit(" Example Press. All rights reserved.")))
+      graft.text.C4LineClean.clean(
+          Tables.load(s, dir, "documents").select($"doc_id", page.as("page")),
+          "page", "doc_id")
+        .select($"doc_id", $"n_lines", $"n_kept",
+          length($"clean").cast("long").as("n_chars_clean"),
+          md5($"clean").as("fp"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      page AS (SELECT doc_id, concat_ws(chr(10),
+          'Share this article with your friends.',
+          array_to_string(ws[1:15], ' ') || '.',
+          'Please enable JavaScript to continue.',
+          CASE WHEN doc_id % 7 = 3 THEN 'if (x) { return; }' END,
+          'Too short.',
+          CASE WHEN doc_id % 13 <> 7 THEN array_to_string(ws[16:30], ' ') || '?' END,
+          'no terminal punctuation boilerplate line',
+          CASE WHEN doc_id % 11 = 5 THEN 'Lorem ipsum dolor sit amet.' END,
+          'Copyright group ' || CAST(doc_id // 10 AS VARCHAR) ||
+            ' Example Press. All rights reserved.') AS page
+        FROM w),
+      lines0 AS (
+        SELECT doc_id,
+               unnest(list_transform(string_split(page, chr(10)), x -> trim(x))) AS t,
+               unnest(range(0, len(string_split(page, chr(10))))) AS line_no
+        FROM page),
+      kept AS (
+        SELECT doc_id, line_no, t FROM lines0
+        WHERE length(t) > 0 AND regexp_matches(t, '[.!?"]$')
+          AND len(string_split(t, ' ')) >= 3
+          AND NOT contains(lower(t), 'javascript')),
+      npl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM kept GROUP BY 1),
+      pages AS (
+        SELECT p.doc_id, n.n_lines FROM page p JOIN npl n USING (doc_id)
+        WHERE NOT contains(p.page, '{')
+          AND NOT contains(lower(p.page), 'lorem ipsum')
+          AND n.n_lines >= 4),
+      kl AS (SELECT k.doc_id, k.line_no, k.t
+             FROM kept k JOIN pages USING (doc_id)),
+      win AS (SELECT doc_id, line_no, t,
+                ROW_NUMBER() OVER (PARTITION BY t ORDER BY doc_id, line_no) AS rn,
+                COUNT(*) OVER (PARTITION BY t) AS df
+              FROM kl),
+      surv AS (SELECT doc_id, line_no, t FROM win WHERE df < 2 OR rn = 1),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                string_agg(t, chr(10) ORDER BY line_no) AS clean
+              FROM surv GROUP BY 1)
+      SELECT p.doc_id, p.n_lines,
+             COALESCE(a.n_kept, 0) AS n_kept,
+             CAST(length(COALESCE(a.clean, '')) AS BIGINT) AS n_chars_clean,
+             md5(COALESCE(a.clean, '')) AS fp
+      FROM pages p LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id""")),
+
     // --- q189: the multimodal END-TO-END composition
     // (MultimodalPipeline.prepare) — the q125 of binary columns, closing
     // the family's compositional gap: for each of the three modalities,
@@ -3114,8 +3224,10 @@ object LlmPipelineQueries {
     // reads NO parquet (everything rides the materialized assets).
     QueryDef("q189_multimodal_pipeline", (s, dir) => {
       import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      assertPlantBasesClear(docs)
       graft.multimodal.MultimodalPipeline
-        .prepare(s, Tables.load(s, dir, "documents"))
+        .prepare(s, docs)
         .orderBy($"modality")
     }, Some(MM_PIPELINE_ORACLE_SQL))
   )

@@ -1497,6 +1497,38 @@ class OperatorsSpec extends SparkSpec {
     assert(got.getString(1) == "T &amp; U", got.getString(1)) // title is raw
   }
 
+  test("C4LineClean: line rules, page gates, corpus keep-first line dedup") {
+    import org.apache.spark.sql.functions.col
+    def page(ls: String*): String = ls.mkString("\n")
+    val docs = Seq(
+      // doc 0: nav boilerplate + unique content; a 2-word line and a
+      // no-terminal-punct line fall to the line rules
+      0L -> page("Nav bar here.", "Unique alpha sentence one.",
+        "Too short.", "no terminal punct"),
+      // doc 1: nav repeats (doc 0 keeps it), javascript line drops
+      1L -> page("Nav bar here.", "Unique beta sentence two!",
+        "Requires JavaScript to view."),
+      // docs 2/3: page-level drops (brace, lorem ipsum)
+      2L -> page("A curly { brace snippet.", "Valid line stays here.",
+        "Another valid line here."),
+      3L -> page("Lorem Ipsum filler text.", "Valid line stays here.",
+        "Another valid line here."),
+      // doc 4: only ONE line survives the line rules -> minLines gate
+      4L -> page("Single surviving sentence four.", "nope", "x."),
+      // doc 5: a WITHIN-doc duplicate keeps only its first occurrence
+      5L -> page("Echo echo line.", "Echo echo line.",
+        "Unique delta line five."))
+      .toDF("doc_id", "page")
+    val got = graft.text.C4LineClean
+      .clean(docs, "page", "doc_id", minWords = 3, minLines = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, "Nav bar here.\nUnique alpha sentence one."),
+      (1L, 2L, 1L, "Unique beta sentence two!"),
+      (5L, 3L, 2L, "Echo echo line.\nUnique delta line five.")))
+  }
+
   test("MultimodalPipeline.card: keep-one is CLUSTER semantics across a hamming chain") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{col, lit}
