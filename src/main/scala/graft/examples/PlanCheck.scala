@@ -647,6 +647,18 @@ object PlanCheck {
       mustNotContain = Seq(
         "no join" -> "Join",
         "no window" -> "Window")),
+    // warc-path extraction: the wire records surface as one RDD scan
+    // (one task per archive — gzip members force sequential decode
+    // within a file), and the whole body-split + extraction chain is
+    // map-side projection — no shuffle, join, or window anywhere (the
+    // trailing range exchange is the oracle determinism sort)
+    Want("q196_warc_extract", Seq(
+      "wire records ride one RDD scan" -> "Scan ExistingRDD",
+      "regex chain lives in the scan projection" -> "regexp_replace"),
+      mustNotContain = Seq(
+        "no hash shuffle" -> "Exchange hashpartitioning",
+        "no join" -> "Join",
+        "no window" -> "Window")),
     // C4 line cleaning: line+page filters are map-side array lambdas
     // (no explode of dropped lines); the keep-first vote is a map-side-
     // combined min/count aggregate on md5(line) — a nav line shared by

@@ -2983,10 +2983,7 @@ object LlmPipelineQueries {
     // codegen chain, zero shuffle (the q34 cost class).
     QueryDef("q193_html_extract", (s, dir) => {
       import s.implicits._
-      val html = concat(lit("<html><head><script>var x="), $"doc_id",
-        lit(";</script><style>p {color:red}</style></head><body><h1>Doc "),
-        $"doc_id", lit("""</h1><!-- meta --><p id="t">"""), $"text",
-        lit(" &lt;tag&gt; &amp; fin</p></body></html>"))
+      val html = htmlShell($"doc_id", $"text")
       Tables.load(s, dir, "documents")
         .select($"doc_id", TextExtract.title(html).as("title"),
           TextExtract.extractText(html).as("clean"))
@@ -2994,32 +2991,34 @@ object LlmPipelineQueries {
           length($"clean").cast("long").as("n_chars_clean"),
           md5($"clean").as("fp"))
         .orderBy($"doc_id")
-    }, Some("""
-      WITH html AS (
-        SELECT doc_id,
-          '<html><head><script>var x=' || CAST(doc_id AS VARCHAR) ||
-          ';</script><style>p {color:red}</style></head><body><h1>Doc ' ||
-          CAST(doc_id AS VARCHAR) || '</h1><!-- meta --><p id="t">' || text ||
-          ' &lt;tag&gt; &amp; fin</p></body></html>' AS h
-        FROM documents),
-      stripped AS (
-        SELECT doc_id,
-          regexp_extract(h, '<h1>(.*?)</h1>', 1) AS title,
-          trim(regexp_replace(
-            replace(replace(replace(replace(replace(
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(
-                    regexp_replace(h, '(?s)<script\b[^>]*>.*?</script>', ' ', 'g'),
-                    '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
-                  '(?s)<!--.*?-->', ' ', 'g'),
-                '<[^>]*>', ' ', 'g'),
-              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-            '\s+', ' ', 'g')) AS clean
-        FROM html)
-      SELECT doc_id, title, CAST(length(clean) AS BIGINT) AS n_chars_clean,
-             md5(clean) AS fp
-      FROM stripped ORDER BY doc_id""")),
+    }, Some(HTML_EXTRACT_ORACLE_SQL)),
+
+    // --- q196: the q193 chain over the WIRE format (sources/Warc) —
+    // crawl corpora land as WARC (ISO 28500), not as a parquet text
+    // column; this row closes that boundary with a ROUNDTRIP gate: the
+    // engine serializes every doc's q193 HTML shell as an HTTP response
+    // record into per-partition `.warc.gz` shards (each record its own
+    // gzip member, the spec shape — written ONCE per corpus content,
+    // the IvfIndexCache memo discipline), reads them back with the
+    // from-spec reader, re-derives doc_id from WARC-Target-URI, splits
+    // the HTTP body, and runs the identical extraction chain. The
+    // oracle is q193's VERBATIM — one definition, two gates (the
+    // q145/q194 precedent): any framing, member, header, body-split, or
+    // decode defect anywhere in the warc path moves a hash or drops a
+    // row.
+    QueryDef("q196_warc_extract", (s, dir) => {
+      import s.implicits._
+      val warcDir = warcShardsFor(s, dir)
+      val resp = graft.sources.Warc.responses(s, warcDir)
+      val docId = regexp_extract($"target_uri", "/([0-9]+)$", 1).cast("long")
+      resp.select(docId.as("doc_id"), $"body")
+        .select($"doc_id", TextExtract.title($"body").as("title"),
+          TextExtract.extractText($"body").as("clean"))
+        .select($"doc_id", $"title",
+          length($"clean").cast("long").as("n_chars_clean"),
+          md5($"clean").as("fp"))
+        .orderBy($"doc_id")
+    }, Some(HTML_EXTRACT_ORACLE_SQL)),
 
     // --- q194: link extraction for the crawl frontier — the companion
     // of q193 (extract TEXT) and q145 (canonicalize URLs): harvest every
@@ -3231,6 +3230,85 @@ object LlmPipelineQueries {
         .orderBy($"modality")
     }, Some(MM_PIPELINE_ORACLE_SQL))
   )
+
+  /** The deterministic markup shell both crawl-boundary gates build
+    * around each doc's text — q193 runs the extractor on it directly,
+    * q196 first roundtrips it through WARC framing. */
+  private def htmlShell(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("<html><head><script>var x="), docId,
+      lit(";</script><style>p {color:red}</style></head><body><h1>Doc "),
+      docId, lit("""</h1><!-- meta --><p id="t">"""), text,
+      lit(" &lt;tag&gt; &amp; fin</p></body></html>"))
+
+  /** One oracle, two gates (q193 parquet-column path, q196 WARC wire
+    * path): the full extraction chain re-run in DuckDB over the same
+    * constructed shell. Plain (non-interpolated) string: '\s+' and
+    * '\b' stay single-backslash regexes. */
+  private lazy val HTML_EXTRACT_ORACLE_SQL: String = """
+      WITH html AS (
+        SELECT doc_id,
+          '<html><head><script>var x=' || CAST(doc_id AS VARCHAR) ||
+          ';</script><style>p {color:red}</style></head><body><h1>Doc ' ||
+          CAST(doc_id AS VARCHAR) || '</h1><!-- meta --><p id="t">' || text ||
+          ' &lt;tag&gt; &amp; fin</p></body></html>' AS h
+        FROM documents),
+      stripped AS (
+        SELECT doc_id,
+          regexp_extract(h, '<h1>(.*?)</h1>', 1) AS title,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(h, '(?s)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                    '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g'),
+                '<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+            '\s+', ' ', 'g')) AS clean
+        FROM html)
+      SELECT doc_id, title, CAST(length(clean) AS BIGINT) AS n_chars_clean,
+             md5(clean) AS fp
+      FROM stripped ORDER BY doc_id"""
+
+  /** q196's wire fixture: every doc's shell serialized as an HTTP
+    * response record into per-partition `.warc.gz` shards (per-record
+    * gzip members, the spec shape), written ONCE per corpus content —
+    * the [[IvfIndexCache]] memo discipline (bench repeats measure the
+    * READ path, the lifecycle the row exists to show; the write is the
+    * ingest job's cost). The scratch path must be task-writable shared
+    * storage — trivially true on local[*]; a cluster deploy lands
+    * shards on the lake exactly like a fetcher fleet does. */
+  private val warcShards = new scala.collection.concurrent.TrieMap[String, String]()
+  private def warcShardsFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    warcShards.getOrElseUpdate(
+      dir + "@" + graft.sources.Layout.dirFingerprint(
+        s, Tables.path(dir, "documents")), {
+        val out = graft.Scratch.dir("graft_warc").toString
+        val shards = math.max(1, math.min(8,
+          s.sparkContext.defaultParallelism / 4))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), htmlShell(col("doc_id"), col("text")).as("h"))
+          .repartition(shards, col("doc_id"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(s"$out/part-$pid.warc.gz"), 1 << 16)
+            try it.foreach { r =>
+              val id = r.getLong(0)
+              val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+                r.getString(1)).getBytes("UTF-8")
+              f.write(graft.sources.Warc.gzipMember(
+                graft.sources.Warc.recordBytes("response",
+                  s"http://docs.example/$id", "2026-08-15T00:00:00Z",
+                  s"<urn:uuid:doc-$id>", "application/http;msgtype=response",
+                  payload)))
+            } finally f.close()
+          }
+        out
+      })
 
   /** The from-scratch dataset-card oracle — q188's gate, and VERBATIM
     * q190's (merged partials must equal the whole-corpus card). Plain
