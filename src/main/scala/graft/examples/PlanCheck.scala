@@ -647,6 +647,19 @@ object PlanCheck {
       mustNotContain = Seq(
         "no join" -> "Join",
         "no window" -> "Window")),
+    // frontier delta: the bloom membership predicate runs in the scan
+    // stage (revisit mass never reaches the count exchange); the exact
+    // FP kill is broadcast semi + anti — the standing visited set is
+    // never shuffled (no sort-merge join anywhere), and the count
+    // aggregates partial map-side
+    Want("q197_frontier_delta", Seq(
+      "bloom prune in the scan stage" -> "might_contain",
+      "exact FP kill is a broadcast anti-join" -> "BroadcastHashJoin LeftAnti",
+      "map-side-combined link counts" -> "partial_count"),
+      mustNotContain = Seq(
+        "visited is never shuffled" -> "SortMergeJoin",
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
     // warc-path extraction: the wire records surface as one RDD scan
     // (one task per archive — gzip members force sequential decode
     // within a file), and the whole body-split + extraction chain is

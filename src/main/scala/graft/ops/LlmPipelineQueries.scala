@@ -3020,6 +3020,66 @@ object LlmPipelineQueries {
         .orderBy($"doc_id")
     }, Some(HTML_EXTRACT_ORACLE_SQL)),
 
+    // --- q197: crawl frontier maintenance (Frontier.additions) — the
+    // q147/q192 delta discipline on canonical URLs, closing the loop
+    // q194 opened: the standing crawl's links build the VISITED index
+    // (canonical, distinct, landed once); a delta batch's links are
+    // adjudicated against it — bloom prune in the scan stage
+    // (q136's sketch; visited mass never reaches the count shuffle),
+    // exact FP kill via broadcast semi/anti (the visited side is never
+    // shuffled) — and only genuinely new targets come back. Fixture:
+    // standing docs (doc_id%5≠2) emit their q194 variant + the hub;
+    // delta docs emit (a) their own group's variant — VISITED, every
+    // group has a standing member, (b) a shifted-site variant (fresh
+    // group 'n'||g, still a noisy surface form the canonicalizer must
+    // normalize), (c) a per-doc fresh url, (d) the hub — VISITED. The
+    // oracle recomputes the FULL union closure (canonicalize both
+    // batches, set-difference, re-count) — the identity the operator
+    // never materializes.
+    QueryDef("q197_frontier_delta", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id",
+        expr("CAST(doc_id DIV 4 AS STRING)").as("g"),
+        pmod($"doc_id", lit(4)).as("v"))
+      val hub = lit("HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f")
+      val visited = docs.filter($"doc_id" % 5 =!= 2)
+        .select(explode(array(urlVariant($"g", $"v"), hub)).as("url"))
+        .select(graft.text.UrlNormalize.canonicalUrl($"url").as("canonical_url"))
+        .distinct()
+        .localCheckpoint(true) // the standing INDEX — landed once per round
+      val delta = docs.filter($"doc_id" % 5 === 2)
+        .select($"doc_id", explode(array(
+          urlVariant($"g", $"v"),
+          urlVariant(concat(lit("n"), $"g"), $"v"),
+          concat(lit("https://fresh-"), $"doc_id", lit(".example/p?id="),
+            $"doc_id"),
+          hub)).as("url"))
+      Frontier.additions(visited, delta).orderBy($"canonical_url")
+    }, Some("""
+      WITH d0 AS (
+        SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS g, doc_id % 4 AS v
+        FROM documents),
+      links AS (
+        SELECT doc_id, unnest([
+          """ + urlVariantSqlCase("g", "v") + """,
+          'HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f']) AS url
+        FROM d0 WHERE doc_id % 5 <> 2
+        UNION ALL
+        SELECT doc_id, unnest([
+          """ + urlVariantSqlCase("g", "v") + """,
+          """ + urlVariantSqlCase("('n'||g)", "v") + """,
+          'https://fresh-'||CAST(doc_id AS VARCHAR)||'.example/p?id='||CAST(doc_id AS VARCHAR),
+          'HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f']) AS url
+        FROM d0 WHERE doc_id % 5 = 2),
+      """ + urlCanonSqlFrom("links") + """,
+      vis AS (SELECT DISTINCT canonical_url FROM canon WHERE doc_id % 5 <> 2),
+      del AS (SELECT doc_id, canonical_url FROM canon WHERE doc_id % 5 = 2)
+      SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_links,
+             MIN(doc_id) AS min_doc
+      FROM del
+      WHERE canonical_url NOT IN (SELECT canonical_url FROM vis)
+      GROUP BY 1 ORDER BY 1""")),
+
     // --- q194: link extraction for the crawl frontier — the companion
     // of q193 (extract TEXT) and q145 (canonicalize URLs): harvest every
     // href from the markup, canonicalize it with the SAME UrlNormalize
@@ -3037,18 +3097,7 @@ object LlmPipelineQueries {
       val u0 = Tables.load(s, dir, "documents").select($"doc_id", $"text",
         expr("CAST(doc_id DIV 4 AS STRING)").as("g"),
         pmod($"doc_id", lit(4)).as("v"))
-      val variant =
-        when($"v" === 0, concat(lit("HTTPS://WWW.Site-"), $"g",
-            lit(".com:443/Art/p"), $"g", lit("/?utm_source=x&z="), $"g",
-            lit("&id="), $"g", lit("#top")))
-          .when($"v" === 1, concat(lit("https://site-"), $"g",
-            lit(".com/Art/p"), $"g", lit("?z="), $"g", lit("&id="), $"g",
-            lit("&utm_campaign=y")))
-          .when($"v" === 2, concat(lit("https://www.site-"), $"g",
-            lit(".com/Art/p"), $"g", lit("?ref=rss&id="), $"g",
-            lit("&z="), $"g"))
-          .otherwise(concat(lit("http://site-"), $"g",
-            lit(".com:80/Art/p"), $"g", lit("?id="), $"g", lit("&z="), $"g"))
+      val variant = urlVariant($"g", $"v")
       val html = concat(lit("<html><body><a href=\""), variant,
         lit("\">v</a><p>"), $"text",
         lit("</p><a href=\"HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f\">hub</a></body></html>"))
@@ -3067,12 +3116,7 @@ object LlmPipelineQueries {
       hh AS (
         SELECT doc_id,
           '<html><body><a href="' ||
-          CASE v
-            WHEN 0 THEN 'HTTPS://WWW.Site-'||g||'.com:443/Art/p'||g||'/?utm_source=x&z='||g||'&id='||g||'#top'
-            WHEN 1 THEN 'https://site-'||g||'.com/Art/p'||g||'?z='||g||'&id='||g||'&utm_campaign=y'
-            WHEN 2 THEN 'https://www.site-'||g||'.com/Art/p'||g||'?ref=rss&id='||g||'&z='||g
-            ELSE 'http://site-'||g||'.com:80/Art/p'||g||'?id='||g||'&z='||g
-          END ||
+          """ + urlVariantSqlCase("g", "v") + """ ||
           '">v</a><p>' || text ||
           '</p><a href="HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f">hub</a></body></html>' AS h
         FROM u0),
@@ -3408,6 +3452,32 @@ object LlmPipelineQueries {
     * interpolation: the chain carries `\1` backrefs and `\.` classes
     * that an s-interpolator would reject/mangle (the r12 backslash
     * rule). */
+  /** The four surface forms one logical page arrives under in the crawl
+    * fixtures (case/port/www/tracking/trailing-slash/param-order noise
+    * that [[graft.text.UrlNormalize]] must collapse) — one definition
+    * serving q194's harvest gate and q197's frontier gate. */
+  private def urlVariant(g: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(v === 0, concat(lit("HTTPS://WWW.Site-"), g,
+        lit(".com:443/Art/p"), g, lit("/?utm_source=x&z="), g,
+        lit("&id="), g, lit("#top")))
+      .when(v === 1, concat(lit("https://site-"), g,
+        lit(".com/Art/p"), g, lit("?z="), g, lit("&id="), g,
+        lit("&utm_campaign=y")))
+      .when(v === 2, concat(lit("https://www.site-"), g,
+        lit(".com/Art/p"), g, lit("?ref=rss&id="), g,
+        lit("&z="), g))
+      .otherwise(concat(lit("http://site-"), g,
+        lit(".com:80/Art/p"), g, lit("?id="), g, lit("&z="), g))
+
+  /** [[urlVariant]]'s DuckDB spelling, over column expressions. */
+  private def urlVariantSqlCase(g: String, v: String): String = s"""CASE $v
+            WHEN 0 THEN 'HTTPS://WWW.Site-'||$g||'.com:443/Art/p'||$g||'/?utm_source=x&z='||$g||'&id='||$g||'#top'
+            WHEN 1 THEN 'https://site-'||$g||'.com/Art/p'||$g||'?z='||$g||'&id='||$g||'&utm_campaign=y'
+            WHEN 2 THEN 'https://www.site-'||$g||'.com/Art/p'||$g||'?ref=rss&id='||$g||'&z='||$g
+            ELSE 'http://site-'||$g||'.com:80/Art/p'||$g||'?id='||$g||'&z='||$g
+          END"""
+
   private def urlCanonSqlFrom(src: String): String = """
       c0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM __SRC__),
       c1 AS (SELECT doc_id, nofrag,

@@ -1497,6 +1497,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got.getString(1) == "T &amp; U", got.getString(1)) // title is raw
   }
 
+  test("Frontier.additions: exact set difference, FP-safe, empty-index edge") {
+    import org.apache.spark.sql.functions.col
+    val visited = Seq("https://a.example/x", "https://b.example/y")
+      .toDF("canonical_url")
+    // raw delta links: a revisit under a NOISY surface form (must
+    // canonicalize before adjudication), a fresh url seen twice from two
+    // docs, and another fresh one
+    val delta = Seq(
+      (10L, "HTTPS://WWW.A.Example:443/x?utm_source=z"),
+      (11L, "https://c.example/new?b=2&a=1"),
+      (12L, "https://c.example/new?a=1&b=2"),
+      (13L, "https://d.example/other")).toDF("doc_id", "url")
+    // fpp=0.5 forces bloom false positives through the exact path often
+    val got = graft.ops.Frontier.additions(visited, delta, fpp = 0.5)
+      .orderBy("canonical_url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("https://c.example/new?a=1&b=2", 2L, 11L),
+      ("https://d.example/other", 1L, 13L)))
+    // empty standing index: every delta target is new
+    val none = visited.filter(col("canonical_url").isNull)
+    assert(graft.ops.Frontier.additions(none, delta).count() == 3L)
+  }
+
   test("C4LineClean: line rules, page gates, corpus keep-first line dedup") {
     import org.apache.spark.sql.functions.col
     def page(ls: String*): String = ls.mkString("\n")
