@@ -29,15 +29,31 @@ import org.apache.spark.sql.functions._
   * once; per round exactly two shuffles — labels⋈edges equi-join on
   * src, then the (node, label) vote count with map-side combine; the
   * label table is node-sized; lineage truncates every round
-  * (localCheckpoint / reliable checkpointDir).
+  * (localCheckpoint / reliable checkpointDir). When the caller knows the
+  * node set is dimension-sized, `broadcastLabels` drops the join exchange
+  * too (see run()); the vote-count shuffle stays map-side combined either
+  * way — the combine is what protects hub nodes from raw-vote skew, so it
+  * is never traded away for one fewer exchange.
   */
 object LabelProp {
 
   /** `edges`: directed (srcCol, dstCol); pass both directions for
     * undirected community semantics. Labels seed as the node's own id.
-    * Returns (node, label) for every node appearing in `edges`. */
+    * Returns (node, label) for every node appearing in `edges`.
+    *
+    * `broadcastLabels`: hint that the node set is dimension-sized (fits
+    * one executor — entity graphs keyed by a dimension table, like q130's
+    * supplier↔customer graph at every SF), turning the per-round
+    * labels⋈edges join map-side: the vote stream is then built with NO
+    * edge shuffle and the only exchange per round is the map-side-combined
+    * vote count. The default stays false — the scale-safe shuffled join —
+    * because at a billion-node graph the label table is itself corpus-
+    * sized and must never broadcast (the q189 dropped-set rule: state the
+    * bet's validity bound, keep the general path safe). Measured at sf0.1
+    * (LpaProfile, quiet 2nd repeat): 17.7 → 11.9 cpu-s for 3 rounds. */
   def run(edges: DataFrame, srcCol: String, dstCol: String, nIters: Int,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      broadcastLabels: Boolean = false): DataFrame = {
     require(nIters >= 0, "nIters must be non-negative")
     Seq(srcCol, dstCol).foreach { c =>
       import org.apache.spark.sql.types._
@@ -62,7 +78,7 @@ object LabelProp {
 
     var i = 0
     while (i < nIters) {
-      labels = truncate(round(e, labels))
+      labels = truncate(round(e, labels, broadcastLabels))
       i += 1
     }
     labels
@@ -71,8 +87,10 @@ object LabelProp {
   /** One synchronous vote round: neighbor labels stream through the
     * src equi-join, the self-vote unions in node-sized, and the argmax
     * is the order-free max(struct(n, −label)) aggregate. */
-  private def round(e: DataFrame, labels: DataFrame): DataFrame = {
-    val neighborVotes = e.join(labels, e("src") === labels("node"))
+  private def round(e: DataFrame, labels: DataFrame,
+      broadcastLabels: Boolean = false): DataFrame = {
+    val labelSide = if (broadcastLabels) broadcast(labels) else labels
+    val neighborVotes = e.join(labelSide, e("src") === labels("node"))
       .select(col("dst").as("node"), col("label"))
     neighborVotes.unionByName(labels) // the self-vote
       .groupBy(col("node"), col("label")).agg(count(lit(1)).as("n"))
@@ -84,12 +102,13 @@ object LabelProp {
   /** One un-truncated round over the seed labeling — the plan PlanCheck
     * audits (run()'s per-round truncation erases the join structure
     * from the query's final plan, the PageRank/Bfs convention). */
-  def auditRound(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def auditRound(edges: DataFrame, srcCol: String, dstCol: String,
+      broadcastLabels: Boolean = false): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val labels = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().select(col("node"), col("node").as("label"))
-    round(e, labels)
+    round(e, labels, broadcastLabels)
   }
 }

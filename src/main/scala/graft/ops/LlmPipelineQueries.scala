@@ -3251,6 +3251,296 @@ object LlmPipelineQueries {
       FROM pages p LEFT JOIN agg a USING (doc_id)
       ORDER BY doc_id""")),
 
+    // --- q198: STREAMING fingerprint-index maintenance (StreamingMmIndex)
+    // — q192's ingest as a live operator, the q191 treatment for the
+    // multimodal class index: each micro-batch is fingerprinted once,
+    // adjudicated against the index AS LANDED by its predecessors, and
+    // lands its verdicts plus a DELTA-sized class partial (shard = batch
+    // id, idempotent overwrite under at-least-once foreachBatch); the
+    // index as of batch N is a min-merge over the seed + partials < N —
+    // order-free, so the chain can never drift from advanceIndex or the
+    // from-scratch union index (unit-pinned). The delta is q192's fixture
+    // split into FOUR id-ordered ingest slices (monotone ids across
+    // batches — the documented ingest contract; no keep-retracting bridge
+    // spans a slice boundary: every delta twin attaches to a standing
+    // class and organics are singletons), so the union of the per-batch
+    // verdicts must equal the full union closure — the oracle is q192's
+    // VERBATIM: the second gate on one oracle, streamed == incremental ==
+    // batch closure.
+    QueryDef("q198_stream_mm_index", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      assertPlantBasesClear(docs)
+      val standing = Multimodal.synthImages(s,
+          docs.select($"doc_id").filter($"doc_id" % 3 =!= 1))
+        .unionByName(Multimodal.synthTwinImages(s, nPairs = 8, base = 3000000L))
+      val standingClasses = Multimodal.aHashBands(s, standing)
+        .groupBy($"b0", $"b1", $"b2", $"b3").agg(min($"doc_id").as("rep"))
+        .localCheckpoint(true)
+      val deltaTwins = Multimodal.synthTwinImages(s, nPairs = 8,
+        base = 3000000L, idOffset = 3000000L)
+      val organics = Multimodal.synthImages(s,
+        docs.select($"doc_id").filter($"doc_id" % 5 === 2 && $"doc_id" % 3 =!= 0)
+          .select(($"doc_id" + 7000000L).as("doc_id")))
+      // id-ordered slice boundaries: twins split mid-range; organics split
+      // at their median id (fixture construction, one tiny agg)
+      val mid = organics.agg(
+        coalesce(percentile_approx($"doc_id", lit(0.5), lit(100)),
+          lit(7000000L))).head.getLong(0)
+      val stream = graft.streaming.EventsStream.replayOrdered(Seq(
+        deltaTwins.filter($"doc_id" < 6000008L),
+        deltaTwins.filter($"doc_id" >= 6000008L),
+        organics.filter($"doc_id" <= mid),
+        organics.filter($"doc_id" > mid)))
+      val out = graft.Scratch.dir("graft_q198").toString
+      val (vDir, _) = graft.streaming.StreamingMmIndex.drain(
+        s, standingClasses, stream, b => Multimodal.aHashBands(s, b), out)
+      s.read.parquet(vDir).select($"doc_id", $"kept").orderBy($"doc_id")
+    }, Some(MM_DELTA_ORACLE_SQL)),
+
+    // --- q199: Gopher repetition battery (GopherRepetition.metrics) —
+    // the repetition-quality signals AFTER q195's C4 line pass (Rae et
+    // al. 2021 Table A1): per-doc duplicate-line fraction, duplicate-line
+    // character fraction, top-2/3/4-gram character fractions, and
+    // duplicated-5/10-gram character fractions, with the published
+    // thresholds as the keep verdict — all integer micro-units. The
+    // fixture plants each trip deterministically on its own modulus
+    // (4× repeated marker line %9==4; a 2-gram spam line %4==1; a
+    // repeated 5-word phrase %6==2; a repeated 10-word phrase %8==5)
+    // around content lines from the doc's own words, so every rule fires
+    // at every sf and overlapping moduli just produce docs that trip
+    // several rules at once — both engines construct the same page and
+    // must agree on every fraction. Scale shape (PlanCheck-pinned): ZERO
+    // shuffle — per-row array sorts + folds; gram counting never
+    // explodes (corpus × n_tokens explode-groupBy would be the job's
+    // largest shuffle at 100 TB; the oracle pays it, the engine never).
+    QueryDef("q199_gopher_repetition", (s, dir) => {
+      import s.implicits._
+      val ws = split($"text", " ", -1)
+      val marker = when($"doc_id" % 9 === 4,
+        lit("Repeated boilerplate marker line."))
+      val p5 = concat_ws(" ", slice(ws, 1, 5))
+      val p10 = concat_ws(" ", slice(ws, 1, 10))
+      val page = concat_ws("\n",
+        concat_ws(" ", slice(ws, 1, 25)),
+        marker, marker, marker, marker,
+        when($"doc_id" % 4 === 1, expr("rtrim(repeat('spam ham ', 12))")),
+        when($"doc_id" % 6 === 2, concat(p5, lit(" q7z "), p5)),
+        when($"doc_id" % 8 === 5, concat(p10, lit(" zq "), p10)),
+        // NULL (skipped by concat_ws) when the doc has no 26th word —
+        // DuckDB's array_to_string([]) is NULL while Spark's concat_ws of
+        // an empty array is '', so the empty line must never be born
+        when(size(ws) >= 26, concat_ws(" ", slice(ws, 26, 25))),
+        concat(lit("Footer group "), expr("CAST(doc_id DIV 10 AS STRING)"), lit(".")))
+      graft.text.GopherRepetition.metrics(
+          Tables.load(s, dir, "documents").select($"doc_id", page.as("page")),
+          "page", "doc_id")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      pg AS (SELECT doc_id, concat_ws(chr(10),
+          array_to_string(ws[1:25], ' '),
+          CASE WHEN doc_id % 9 = 4 THEN 'Repeated boilerplate marker line.' END,
+          CASE WHEN doc_id % 9 = 4 THEN 'Repeated boilerplate marker line.' END,
+          CASE WHEN doc_id % 9 = 4 THEN 'Repeated boilerplate marker line.' END,
+          CASE WHEN doc_id % 9 = 4 THEN 'Repeated boilerplate marker line.' END,
+          CASE WHEN doc_id % 4 = 1 THEN rtrim(repeat('spam ham ', 12)) END,
+          CASE WHEN doc_id % 6 = 2 THEN array_to_string(ws[1:5], ' ') || ' q7z ' || array_to_string(ws[1:5], ' ') END,
+          CASE WHEN doc_id % 8 = 5 THEN array_to_string(ws[1:10], ' ') || ' zq ' || array_to_string(ws[1:10], ' ') END,
+          array_to_string(ws[26:50], ' '),
+          'Footer group ' || CAST(doc_id // 10 AS VARCHAR) || '.') AS page
+        FROM w0),
+      tok AS (SELECT doc_id, page,
+          string_split(page, chr(10)) AS lines,
+          string_split(replace(page, chr(10), ' '), ' ') AS ws
+        FROM pg),
+      base AS (SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+          GREATEST(CAST(length(replace(replace(page, chr(10), ''), ' ', '')) AS BIGINT), 1) AS wchars,
+          GREATEST(CAST(length(page) - len(lines) + 1 AS BIGINT), 1) AS lchars
+        FROM tok),
+      lcnt AS (SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS c,
+          CAST(length(line) AS BIGINT) AS ln
+        FROM (SELECT doc_id, unnest(lines) AS line FROM tok) GROUP BY 1, 2),
+      ldup AS (SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN (c - 1) * ln ELSE 0 END) AS BIGINT) AS dupc
+        FROM lcnt GROUP BY 1),
+      g2 AS (SELECT doc_id, array_to_string(ws[i+1:i+2], ' ') AS g
+        FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 1, 0))) AS i FROM tok)),
+      c2 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c,
+          CAST(length(g) - 1 AS BIGINT) AS cl FROM g2 GROUP BY 1, 2),
+      s2 AS (SELECT doc_id, MAX(c * cl) AS top FROM c2 GROUP BY 1),
+      g3 AS (SELECT doc_id, array_to_string(ws[i+1:i+3], ' ') AS g
+        FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 2, 0))) AS i FROM tok)),
+      c3 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c,
+          CAST(length(g) - 2 AS BIGINT) AS cl FROM g3 GROUP BY 1, 2),
+      s3 AS (SELECT doc_id, MAX(c * cl) AS top FROM c3 GROUP BY 1),
+      g4 AS (SELECT doc_id, array_to_string(ws[i+1:i+4], ' ') AS g
+        FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 3, 0))) AS i FROM tok)),
+      c4 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c,
+          CAST(length(g) - 3 AS BIGINT) AS cl FROM g4 GROUP BY 1, 2),
+      s4 AS (SELECT doc_id, MAX(c * cl) AS top FROM c4 GROUP BY 1),
+      g5 AS (SELECT doc_id, array_to_string(ws[i+1:i+5], ' ') AS g
+        FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 4, 0))) AS i FROM tok)),
+      c5 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c,
+          CAST(length(g) - 4 AS BIGINT) AS cl FROM g5 GROUP BY 1, 2),
+      s5 AS (SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN c * cl ELSE 0 END) AS BIGINT) AS dup
+        FROM c5 GROUP BY 1),
+      g10 AS (SELECT doc_id, array_to_string(ws[i+1:i+10], ' ') AS g
+        FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 9, 0))) AS i FROM tok)),
+      c10 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c,
+          CAST(length(g) - 9 AS BIGINT) AS cl FROM g10 GROUP BY 1, 2),
+      s10 AS (SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN c * cl ELSE 0 END) AS BIGINT) AS dup
+        FROM c10 GROUP BY 1),
+      m AS (SELECT b.doc_id, b.n_lines,
+          (b.n_dup_lines * 1000000) // b.n_lines AS dup_line_u,
+          (COALESCE(ld.dupc, 0) * 1000000) // b.lchars AS dup_line_char_u,
+          (COALESCE(s2.top, 0) * 1000000) // b.wchars AS top2_u,
+          (COALESCE(s3.top, 0) * 1000000) // b.wchars AS top3_u,
+          (COALESCE(s4.top, 0) * 1000000) // b.wchars AS top4_u,
+          (COALESCE(s5.dup, 0) * 1000000) // b.wchars AS dup5_u,
+          (COALESCE(s10.dup, 0) * 1000000) // b.wchars AS dup10_u
+        FROM base b
+        LEFT JOIN ldup ld USING (doc_id) LEFT JOIN s2 USING (doc_id)
+        LEFT JOIN s3 USING (doc_id) LEFT JOIN s4 USING (doc_id)
+        LEFT JOIN s5 USING (doc_id) LEFT JOIN s10 USING (doc_id))
+      SELECT m.*, NOT (dup_line_u > 300000 OR dup_line_char_u > 200000 OR
+          top2_u > 200000 OR top3_u > 180000 OR top4_u > 160000 OR
+          dup5_u > 150000 OR dup10_u > 100000) AS keep
+      FROM m ORDER BY doc_id""")),
+
+    // --- q200: robots.txt exclusion gate (RobotsTxt — RFC 9309, from
+    // spec) — the politeness step between q197's frontier additions and
+    // the fetcher, completing the crawl ring: extract (q193/q196) →
+    // links (q194) → frontier (q197) → THIS. Per-host robots bodies are
+    // constructed from the host id in both engines (transparency-oracle
+    // discipline) and exercise the spec's load-bearing corners at every
+    // sf: multi-UA runs forming one group, case-insensitive agent match,
+    // MERGED same-agent groups, specific-agent-beats-*, empty rule
+    // values, `*` wildcards, the `$` end anchor, and longest-match-wins
+    // with Allow breaking ties. Scale shape (PlanCheck-pinned): the rule
+    // table collapses to one array per HOST (dimension-sized) and
+    // BROADCASTS; the URL stream is adjudicated by a per-row fold —
+    // never shuffled, never exploded against rules.
+    QueryDef("q200_robots_gate", (s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+        .select($"doc_id", ($"doc_id" % 7).as("h"))
+      def hostOf(h: org.apache.spark.sql.Column) =
+        concat(lit("site"), h.cast("string"), lit(".example"))
+      val robots = d.select($"h").distinct()
+        .select(hostOf($"h").as("host"), concat_ws("\n",
+          lit("# fixture"),
+          lit("User-agent: otherbot"),
+          lit("User-agent: oldbot"),
+          lit("Disallow: /"),
+          when($"h" % 2 === 0, lit("User-agent: GraftBot")),
+          when($"h" % 2 === 0, lit("Disallow: /private/")),
+          when($"h" % 2 === 0, lit("Allow: /private/pub*")),
+          when($"h" % 2 === 0, lit("Disallow: /tmp/*.log$")),
+          when($"h" % 2 === 0, lit("Allow:")),
+          lit("User-agent: *"),
+          lit("Disallow: /all/"),
+          lit("Allow: /all/open"),
+          when($"h" % 3 === 0, lit("User-agent: graftbot")),
+          when($"h" % 3 === 0, lit("Disallow: /merge/")),
+          when($"h" % 5 === 3, lit("User-agent: specialbot")),
+          when($"h" % 5 === 3, lit("User-agent: graftbot")),
+          when($"h" % 5 === 3, lit("Disallow: /shared/"))).as("txt"))
+      val rules = graft.text.RobotsTxt.agentRules(robots, "host", "txt", "graftbot")
+      val urls = d.select($"doc_id", hostOf($"h").as("host"),
+        explode(array(
+          concat(lit("/private/x"), $"doc_id"),
+          concat(lit("/private/pub"), $"doc_id"),
+          concat(lit("/tmp/f"), $"doc_id", lit(".log")),
+          concat(lit("/tmp/f"), $"doc_id", lit(".txt")),
+          concat(lit("/all/q"), $"doc_id"),
+          concat(lit("/all/open"), $"doc_id"),
+          concat(lit("/merge/m"), $"doc_id"),
+          concat(lit("/shared/s"), $"doc_id"),
+          concat(lit("/ok/"), $"doc_id"))).as("path"))
+      graft.text.RobotsTxt.adjudicate(urls, rules)
+        .orderBy($"doc_id", $"path")
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id % 7 AS h FROM documents),
+      hosts AS (SELECT DISTINCT h, 'site' || CAST(h AS VARCHAR) || '.example' AS host FROM d),
+      rob AS (SELECT host, concat_ws(chr(10),
+          '# fixture',
+          'User-agent: otherbot',
+          'User-agent: oldbot',
+          'Disallow: /',
+          CASE WHEN h % 2 = 0 THEN 'User-agent: GraftBot' END,
+          CASE WHEN h % 2 = 0 THEN 'Disallow: /private/' END,
+          CASE WHEN h % 2 = 0 THEN 'Allow: /private/pub*' END,
+          CASE WHEN h % 2 = 0 THEN 'Disallow: /tmp/*.log$' END,
+          CASE WHEN h % 2 = 0 THEN 'Allow:' END,
+          'User-agent: *',
+          'Disallow: /all/',
+          'Allow: /all/open',
+          CASE WHEN h % 3 = 0 THEN 'User-agent: graftbot' END,
+          CASE WHEN h % 3 = 0 THEN 'Disallow: /merge/' END,
+          CASE WHEN h % 5 = 3 THEN 'User-agent: specialbot' END,
+          CASE WHEN h % 5 = 3 THEN 'User-agent: graftbot' END,
+          CASE WHEN h % 5 = 3 THEN 'Disallow: /shared/' END) AS txt
+        FROM hosts),
+      lines0 AS (SELECT host, unnest(string_split(txt, chr(10))) AS raw,
+          unnest(range(0, len(string_split(txt, chr(10))))) AS line_no
+        FROM rob),
+      lines1 AS (SELECT host, line_no,
+          trim(regexp_replace(raw, '#.*$', '')) AS ln FROM lines0),
+      lns AS (SELECT host, line_no,
+          lower(trim(regexp_extract(ln, '^([^:]+):', 1))) AS field,
+          trim(regexp_extract(ln, '^[^:]+:(.*)$', 1)) AS value
+        FROM lines1 WHERE length(ln) > 0),
+      fl AS (SELECT * FROM lns WHERE field IN ('user-agent', 'allow', 'disallow')),
+      g0 AS (SELECT *, (field = 'user-agent') AS is_ua,
+          (field = 'user-agent') AND NOT COALESCE(
+            LAG(field = 'user-agent') OVER (PARTITION BY host ORDER BY line_no),
+            FALSE) AS ua_start
+        FROM fl),
+      g1 AS (SELECT *, SUM(CASE WHEN ua_start THEN 1 ELSE 0 END)
+            OVER (PARTITION BY host ORDER BY line_no) AS grp
+        FROM g0),
+      ga AS (SELECT host, grp,
+          MAX(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END) AS named,
+          MAX(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS star
+        FROM g1 WHERE is_ua GROUP BY 1, 2),
+      hn AS (SELECT host, MAX(named) AS has_named FROM ga GROUP BY 1),
+      rules AS (SELECT g1.host, (field = 'allow') AS is_allow, value AS rule,
+          CAST(length(value) AS BIGINT) AS spec
+        FROM g1 JOIN ga USING (host, grp) JOIN hn USING (host)
+        WHERE NOT is_ua AND length(value) > 0
+          AND CASE WHEN has_named = 1 THEN named = 1 ELSE star = 1 END),
+      rre AS (SELECT host, is_allow, rule, spec,
+          CASE WHEN rule LIKE '%$'
+            THEN '^' || substr(e, 1, length(e) - 2) || '$'
+            ELSE '^' || e END AS re
+        FROM (SELECT *, replace(replace(replace(rule, '.', '\.'), '$', '\$'), '*', '.*') AS e
+              FROM rules)),
+      urls AS (SELECT doc_id, 'site' || CAST(h AS VARCHAR) || '.example' AS host,
+          unnest(['/private/x' || CAST(doc_id AS VARCHAR),
+                  '/private/pub' || CAST(doc_id AS VARCHAR),
+                  '/tmp/f' || CAST(doc_id AS VARCHAR) || '.log',
+                  '/tmp/f' || CAST(doc_id AS VARCHAR) || '.txt',
+                  '/all/q' || CAST(doc_id AS VARCHAR),
+                  '/all/open' || CAST(doc_id AS VARCHAR),
+                  '/merge/m' || CAST(doc_id AS VARCHAR),
+                  '/shared/s' || CAST(doc_id AS VARCHAR),
+                  '/ok/' || CAST(doc_id AS VARCHAR)]) AS path
+        FROM d),
+      cand AS (SELECT u.doc_id, u.host, u.path, r.is_allow, r.rule, r.spec
+        FROM urls u JOIN rre r ON u.host = r.host AND regexp_matches(u.path, r.re)),
+      best AS (SELECT doc_id, host, path, is_allow, rule, spec,
+          ROW_NUMBER() OVER (PARTITION BY doc_id, host, path
+            ORDER BY spec DESC, is_allow DESC, rule ASC) AS rn
+        FROM cand)
+      SELECT u.doc_id, u.host, u.path,
+          COALESCE(b.is_allow, TRUE) AS allowed, b.rule AS rule,
+          COALESCE(b.spec, 0) AS spec
+      FROM urls u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        USING (doc_id, host, path)
+      ORDER BY doc_id, path""")),
+
     // --- q189: the multimodal END-TO-END composition
     // (MultimodalPipeline.prepare) — the q125 of binary columns, closing
     // the family's compositional gap: for each of the three modalities,

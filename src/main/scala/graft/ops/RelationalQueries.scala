@@ -1110,7 +1110,12 @@ object RelationalQueries {
       val pairs = tradePairs(s, dir)
       val edges = pairs.select($"a".as("src"), $"b".as("dst"))
         .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
-      graft.ops.LabelProp.run(edges, "src", "dst", nIters = 3)
+      // broadcastLabels: the node set here is suppliers+customers — a
+      // dimension-sized table at every SF (the label side must never
+      // broadcast on a corpus-sized node set; LabelProp's default stays
+      // shuffled for that case)
+      graft.ops.LabelProp.run(edges, "src", "dst", nIters = 3,
+        broadcastLabels = true)
         .withColumn("comm_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy($"label")))
         .orderBy($"node")

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming maintenance of the multimodal fingerprint index — the q191
+  * treatment applied to q192: incremental near-dup adjudication as a LIVE
+  * ingest, with the landed parquet partials as the ONLY state.
+  *
+  * Each arriving micro-batch of assets is fingerprinted once, adjudicated
+  * with [[graft.multimodal.MultimodalPipeline.deltaVerdicts]] against the
+  * index AS LANDED BY ITS PREDECESSORS, and then lands two artifacts of its
+  * own, each under an idempotent `shard=<batchId>` directory:
+  *
+  *   - `verdicts/shard=<id>`: the batch's (doc_id, kept) rows — the
+  *     incremental answer, final at arrival;
+  *   - `index/shard=<id>`: the batch's OWN hash classes (b0..b3,
+  *     rep = min batch doc_id) — a DELTA-sized mergeable partial, the
+  *     q190 cells/fps discipline applied to the class index. The index
+  *     as of batch N is `min(rep) GROUP BY bands` over the seed partial
+  *     (`shard=-1`, the standing index landed once) plus every partial
+  *     with `shard < N` — min is associative and commutative, so the
+  *     merged read-back equals [[graft.multimodal.MultimodalPipeline
+  *     .advanceIndex]] chained batch-by-batch, and equals the
+  *     from-scratch batch-built union index (the identity the unit test
+  *     pins). DROPPED assets' classes are landed too — first-writer-wins
+  *     must remember a hash was seen even when its bearer was rejected.
+  *
+  * Restart/at-least-once safety by construction: a retried batch reads the
+  * same predecessor partial set (`shard < batchId` — partition-pruned, its
+  * own possibly-half-landed shard excluded), recomputes byte-identical
+  * verdicts, and OVERWRITES its own two shards; nothing lives in streaming
+  * state, so a restart resumes from whatever shards already landed.
+  *
+  * Ordering contract (stated, not assumed away): verdicts are
+  * adjudicate-at-arrival — batch order must follow ingest order, and asset
+  * ids must be monotone across batches (the documented q192 ingest
+  * contract, guarded by the plant-base assert). Under that contract a
+  * later batch can only ATTACH to earlier classes, never retract an
+  * earlier keep — which is the only deployable semantics anyway: a kept
+  * asset has already shipped downstream. The per-batch verdict union then
+  * equals the full union closure restricted to delta ids exactly when no
+  * keep-retracting bridge spans a batch boundary; q198's fixture (every
+  * delta twin attaches to a standing class; organics are singletons) has
+  * none, so its oracle IS q192's verbatim — the second gate on one oracle.
+  *
+  * Scale shape per batch: one fingerprint decode of the batch, one
+  * index-sized merge read (partition-pruned to predecessors), ONE banded
+  * join of batch reps against the merged index — never standing×standing;
+  * the landed write is DELTA-sized. A long-running ingest compacts the
+  * partial chain offline (rewrite shards ≤ K as one `shard=K` partial —
+  * min-merge makes compaction a no-op semantically), exactly the LSM
+  * discipline the landed-artifact shape exists for.
+  */
+object StreamingMmIndex {
+
+  private val BandCols = Seq("b0", "b1", "b2", "b3")
+
+  /** Merged index from landed partials (seed + every shard < `upTo`). */
+  def indexAsOf(spark: SparkSession, indexDir: String, upTo: Long): DataFrame =
+    spark.read.parquet(indexDir)
+      .filter(col("shard") < upTo)
+      .groupBy(BandCols.map(col): _*)
+      .agg(min(col("rep")).as("rep"))
+
+  /** Drains `assetStream` (AvailableNow; ordered micro-batches of
+    * (doc_id, payload)), seeding the landed index chain from
+    * `standingClasses`; returns (verdictsDir, indexDir). */
+  def drain(spark: SparkSession, standingClasses: DataFrame,
+      assetStream: DataFrame, fingerprint: DataFrame => DataFrame,
+      dir: String): (String, String) = {
+    val verdictsDir = s"$dir/verdicts"
+    val indexDir = s"$dir/index"
+    // the standing index lands ONCE, as the seed partial — the same
+    // mergeable shape as every batch partial, so the merge is uniform
+    standingClasses.select((BandCols.map(col) :+ col("rep")): _*)
+      .write.mode("overwrite").parquet(s"$indexDir/shard=-1")
+    val q = assetStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // one fingerprint decode per arriving asset; consumed by the
+        // adjudication AND the landed class partial
+        val bands = fingerprint(batch.toDF()).localCheckpoint(true)
+        val idx = indexAsOf(spark, indexDir, batchId)
+        graft.multimodal.MultimodalPipeline.deltaVerdicts(idx, bands)
+          .write.mode("overwrite").parquet(s"$verdictsDir/shard=$batchId")
+        bands.groupBy(BandCols.map(col): _*)
+          .agg(min(col("doc_id")).as("rep"))
+          .write.mode("overwrite").parquet(s"$indexDir/shard=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    (verdictsDir, indexDir)
+  }
+}

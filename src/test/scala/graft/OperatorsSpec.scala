@@ -1620,6 +1620,53 @@ class OperatorsSpec extends SparkSpec {
     assert(v2 == Map(50L -> false), v2.toString)
   }
 
+  test("deltaVerdicts/advanceIndex band-source-generic: audio and video legs == batch closure") {
+    import graft.multimodal.{Multimodal, MultimodalPipeline}
+    import org.apache.spark.sql.DataFrame
+    // q192 runs the machinery on image bands only; these legs run the SAME
+    // functions on the REAL audio (Haitsma–Kalker energy-delta) and video
+    // (temporal luma-delta) band tables. Per modality: standing = the even
+    // halves of 4 twin pairs; delta = the odd twins (hamming ≤ 1 to a
+    // standing asset — exact class or near pair, dropped either way) + 4
+    // fresh organics (far fingerprints — kept). Pins three identities:
+    // (a) the expected verdicts; (b) chained ingest == batch closure —
+    // deltaVerdicts against an EMPTY index over the UNION is the
+    // from-scratch keep-one, and its restriction to delta ids must equal
+    // the incremental answer; (c) advanceIndex == batch-built union index.
+    val legs: Seq[(String, DataFrame => DataFrame, DataFrame, DataFrame, Long, Long)] = Seq(
+      ("audio", (a: DataFrame) => Multimodal.audioFingerprintBands(spark, a),
+        Multimodal.synthTwinAudio(spark, nPairs = 4, base = 1000L),
+        Multimodal.synthNoiseAudio(spark, spark.range(2000L, 2004L).toDF("doc_id")),
+        1000L, 2000L),
+      ("video", (a: DataFrame) => Multimodal.videoFingerprintBands(spark, a),
+        Multimodal.synthTwinVideo(spark, nPairs = 4, base = 3000L),
+        Multimodal.synthVideo(spark, spark.range(4000L, 4004L).toDF("doc_id")),
+        3000L, 4000L))
+    val bk = Seq("b0", "b1", "b2", "b3")
+    for ((name, bands, twins, organics, twinBase, orgBase) <- legs) {
+      val standingAssets = twins.filter(col("doc_id") % 2 === 0)
+      val deltaAssets = twins.filter(col("doc_id") % 2 === 1).unionByName(organics)
+      val idx = bands(standingAssets).groupBy(bk.map(col): _*)
+        .agg(min(col("doc_id")).as("rep"))
+      val got = MultimodalPipeline.deltaVerdicts(idx, bands(deltaAssets))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val want = (0 until 4).map(i => (twinBase + 2 * i + 1) -> false).toMap ++
+        (0 until 4).map(i => (orgBase + i) -> true).toMap
+      assert(got == want, s"$name verdicts: $got")
+      val unionBands = bands(standingAssets.unionByName(deltaAssets))
+      val closure = MultimodalPipeline.deltaVerdicts(idx.limit(0), unionBands)
+        .filter(col("doc_id") % 2 === 1 || col("doc_id") >= orgBase)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(closure == got, s"$name chained != batch closure: $closure vs $got")
+      def asMap(df: DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getLong(4)).toMap
+      val chainedIdx = MultimodalPipeline.advanceIndex(idx, bands(deltaAssets))
+      val batchIdx = MultimodalPipeline.advanceIndex(idx.limit(0),
+        unionBands)
+      assert(asMap(chainedIdx) == asMap(batchIdx), s"$name index drift")
+    }
+  }
+
   test("Sampling.neymanSample: variance-weighted allocation; zero-variance stratum gets 0") {
     // 'big': 100 constant rows (sigma = 0); 'small': 5 zeros + 5 at 1e6
     // micro-units — N*Q - S^2 = 10*5e12 - (5e6)^2 = 2.5e13 = (5e6)^2 exactly

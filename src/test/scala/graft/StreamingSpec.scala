@@ -470,4 +470,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows.sorted == Seq((1L, 0L), (1L, 2L), (2L, 0L)),
       rows.mkString(";"))
   }
+
+  test("StreamingMmIndex: landed chain merges to the from-scratch index; verdicts final at arrival") {
+    import graft.multimodal.{Multimodal, MultimodalPipeline}
+    import graft.streaming.StreamingMmIndex
+    import org.apache.spark.sql.functions.{col, min}
+    val bk = Seq("b0", "b1", "b2", "b3")
+    def bands(a: org.apache.spark.sql.DataFrame) =
+      Multimodal.audioFingerprintBands(spark, a)
+    // standing = even halves of 3 twin pairs; two ordered ingest slices:
+    // the odd twins (all attach -> dropped), then 3 fresh organics (kept)
+    val twins = Multimodal.synthTwinAudio(spark, nPairs = 3, base = 500L)
+    val standingAssets = twins.filter(col("doc_id") % 2 === 0)
+    val idx0 = bands(standingAssets).groupBy(bk.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"))
+    val b1 = twins.filter(col("doc_id") % 2 === 1)
+    val b2 = Multimodal.synthNoiseAudio(spark,
+      spark.range(900L, 903L).toDF("doc_id"))
+    val out = graft.Scratch.dir("graft_smi_test").toString
+    val (vDir, iDir) = StreamingMmIndex.drain(spark, idx0,
+      graft.streaming.EventsStream.replayOrdered(Seq(b1, b2)),
+      bands, out)
+    val verdicts = spark.read.parquet(vDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("kept"))).toMap
+    val want = Seq(501L -> false, 503L -> false, 505L -> false,
+      900L -> true, 901L -> true, 902L -> true).toMap
+    assert(verdicts == want, verdicts.toString)
+    // the min-merged landed chain IS the from-scratch union index — no
+    // drift however the ingest was batched
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getLong(4)).toMap
+    val merged = StreamingMmIndex.indexAsOf(spark, iDir, Long.MaxValue)
+    val batch = MultimodalPipeline.advanceIndex(idx0.limit(0),
+      bands(standingAssets.unionByName(b1).unionByName(b2)))
+    assert(asMap(merged) == asMap(batch), "landed chain drifted from batch index")
+    // re-running a batch against its predecessor set reproduces its landed
+    // verdicts byte-for-byte (the at-least-once retry path): batch 1's
+    // verdicts recomputed from indexAsOf(1) == the landed shard=1
+    val landed1 = spark.read.parquet(vDir).filter(col("shard") === 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("kept"))).toMap
+    val recomputed = MultimodalPipeline.deltaVerdicts(
+        StreamingMmIndex.indexAsOf(spark, iDir, 1L), bands(b2))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(landed1 == recomputed && landed1.nonEmpty, s"$landed1 vs $recomputed")
+  }
 }
