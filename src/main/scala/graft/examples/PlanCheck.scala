@@ -685,6 +685,60 @@ object PlanCheck {
         "keep-first is an aggregate, not a rank window" -> "Window",
         "no cartesian" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // streaming fingerprint-index maintenance: the per-batch adjudication
+    // plans are deltaVerdicts' (pinned by its unit tests and q192's
+    // audit); the FINAL plan must be nothing but the landed verdict
+    // shards — a parquet scan plus the oracle determinism sort, with no
+    // recomputation of any batch (no join, no hash shuffle, no window)
+    Want("q198_stream_mm_index", Seq(
+      "result is the landed verdict shards" -> "Scan parquet"),
+      mustNotContain = Seq(
+        "no recomputation joins" -> "Join",
+        "no hash shuffle" -> "Exchange hashpartitioning",
+        "no window" -> "Window")),
+    // politeness scheduler: per-host top-BUDGET rides the bounded heap
+    // (map-side partial top-k — the shuffle carries tasks×hosts×K, never
+    // every frontier row into a hot host's sort task) and the
+    // answer-sized schedule broadcasts back; no rank window anywhere
+    Want("q202_crawl_schedule", Seq(
+      "per-host budget via the bounded heap" -> "scored_top_k",
+      "answer-sized schedule broadcasts back" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no rank window over the frontier" -> "Window",
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // streaming frontier: the per-batch adjudication plans are
+    // Frontier.additions' (pinned by q197's audit); the FINAL plan must
+    // be nothing but the landed addition shards — a parquet scan plus
+    // the determinism sort, no recomputation of any batch
+    Want("q201_stream_frontier", Seq(
+      "result is the landed addition shards" -> "Scan parquet"),
+      mustNotContain = Seq(
+        "no recomputation joins" -> "Join",
+        "no hash shuffle" -> "Exchange hashpartitioning",
+        "no window" -> "Window")),
+    // Gopher repetition battery: every metric is a per-row array
+    // sort + fold in the scan projection — zero shuffle, zero fan-out
+    // (the oracle pays the explode-groupBy; the engine never does)
+    Want("q199_gopher_repetition", Seq(
+      "per-row sorted-gram folds in the projection" -> "array_sort"),
+      mustNotContain = Seq(
+        "no hash shuffle" -> "Exchange hashpartitioning",
+        "no gram explode" -> "Generate",
+        "no join" -> "Join",
+        "no window" -> "Window")),
+    // robots.txt gate: host-dimension rule arrays BROADCAST onto the URL
+    // stream and the match/argmax is a per-row fold — the URL corpus is
+    // never shuffled against rules (no sort-merge join, no cartesian,
+    // no per-URL rank window; the only window sits in the robots-sized
+    // group parse)
+    Want("q200_robots_gate", Seq(
+      "rule arrays broadcast onto the URL stream" -> "BroadcastHashJoin",
+      "URL fan-out is a generator" -> "Generate"),
+      mustNotContain = Seq(
+        "URL corpus never shuffle-joined" -> "SortMergeJoin",
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
     // incremental multimodal ingest: the banded pairing, the class-index
     // semi join, and the component closure all run behind eager
     // checkpoints (answer-sized — their shapes are pinned by the

@@ -3080,6 +3080,81 @@ object LlmPipelineQueries {
       WHERE canonical_url NOT IN (SELECT canonical_url FROM vis)
       GROUP BY 1 ORDER BY 1""")),
 
+    // --- q201: STREAMING frontier maintenance (StreamingFrontier) — the
+    // q198 landed-artifact treatment applied to q197's visited index:
+    // per micro-batch, Frontier.additions adjudicates the batch's links
+    // against the visited set AS LANDED by predecessors; the batch lands
+    // its additions (the answer, FINAL at arrival — a target is emitted
+    // once, at its first-sighting batch, with that batch's counts: the
+    // production enqueue semantics) plus its addition keys as the
+    // visited partial (addition-sized — revisit mass never lands). The
+    // oracle computes the SAME arrival semantics analytically: batch
+    // assignment is a pure function of doc_id ((doc_id DIV 10) % 3), so
+    // first_batch = min batch over a target's unvisited links and the
+    // counts confine to it. Fixture = q197's link surface plus two
+    // cross-batch shared fresh targets (newhub-0/1, linked by every
+    // delta doc — the rows that prove a target emits ONCE at first
+    // sighting, not once per batch) and the hub (visited — never emits).
+    QueryDef("q201_stream_frontier", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id",
+        expr("CAST(doc_id DIV 4 AS STRING)").as("g"),
+        pmod($"doc_id", lit(4)).as("v"))
+      val hub = lit("HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f")
+      val visited0 = docs.filter($"doc_id" % 5 =!= 2)
+        .select(explode(array(urlVariant($"g", $"v"), hub)).as("url"))
+        .select(graft.text.UrlNormalize.canonicalUrl($"url").as("canonical_url"))
+        .distinct()
+        .localCheckpoint(true)
+      val delta = docs.filter($"doc_id" % 5 === 2)
+        .select($"doc_id", expr("(doc_id DIV 10) % 3").as("b"),
+          explode(array(
+            urlVariant($"g", $"v"),
+            urlVariant(concat(lit("n"), $"g"), $"v"),
+            concat(lit("https://fresh-"), $"doc_id", lit(".example/p?id="),
+              $"doc_id"),
+            concat(lit("https://newhub-"), pmod($"doc_id", lit(2)),
+              lit(".example/")),
+            hub)).as("url"))
+      val stream = graft.streaming.EventsStream.replayOrdered(
+        Seq(0, 1, 2).map(b =>
+          delta.filter($"b" === b).select($"doc_id", $"url")))
+      val out = graft.Scratch.dir("graft_q201").toString
+      val (aDir, _) = graft.streaming.StreamingFrontier.drain(
+        s, visited0, stream, out)
+      s.read.parquet(aDir)
+        .select($"canonical_url", $"shard".cast("long").as("first_batch"),
+          $"n_links", $"min_doc")
+        .orderBy($"canonical_url")
+    }, Some("""
+      WITH d0 AS (
+        SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS g, doc_id % 4 AS v
+        FROM documents),
+      links AS (
+        SELECT doc_id, unnest([
+          """ + urlVariantSqlCase("g", "v") + """,
+          'HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f']) AS url
+        FROM d0 WHERE doc_id % 5 <> 2
+        UNION ALL
+        SELECT doc_id, unnest([
+          """ + urlVariantSqlCase("g", "v") + """,
+          """ + urlVariantSqlCase("('n'||g)", "v") + """,
+          'https://fresh-'||CAST(doc_id AS VARCHAR)||'.example/p?id='||CAST(doc_id AS VARCHAR),
+          'https://newhub-'||CAST(doc_id % 2 AS VARCHAR)||'.example/',
+          'HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f']) AS url
+        FROM d0 WHERE doc_id % 5 = 2),
+      """ + urlCanonSqlFrom("links") + """,
+      vis AS (SELECT DISTINCT canonical_url FROM canon WHERE doc_id % 5 <> 2),
+      nv AS (SELECT doc_id, (doc_id // 10) % 3 AS b, canonical_url
+             FROM canon WHERE doc_id % 5 = 2
+               AND canonical_url NOT IN (SELECT canonical_url FROM vis)),
+      fb AS (SELECT canonical_url, MIN(b) AS first_batch FROM nv GROUP BY 1)
+      SELECT n.canonical_url, CAST(f.first_batch AS BIGINT) AS first_batch,
+             CAST(COUNT(*) AS BIGINT) AS n_links, MIN(n.doc_id) AS min_doc
+      FROM nv n JOIN fb f
+        ON n.canonical_url = f.canonical_url AND n.b = f.first_batch
+      GROUP BY 1, 2 ORDER BY 1""")),
+
     // --- q194: link extraction for the crawl frontier — the companion
     // of q193 (extract TEXT) and q145 (canonicalize URLs): harvest every
     // href from the markup, canonicalize it with the SAME UrlNormalize
@@ -3266,7 +3341,14 @@ object LlmPipelineQueries {
     // class and organics are singletons), so the union of the per-batch
     // verdicts must equal the full union closure — the oracle is q192's
     // VERBATIM: the second gate on one oracle, streamed == incremental ==
-    // batch closure.
+    // batch closure. Slice choice is load-bearing: the twins split across
+    // two ordered slices (every twin attaches to a STANDING class, so a
+    // pair spanning the boundary stays closure-consistent), but the
+    // organics land as ONE slice — a natural banded collision between two
+    // organics CAN bridge a kept-at-arrival asset to standing through a
+    // LATER arrival (observed at sf0.1: one such bridge), and
+    // adjudicate-at-arrival never retracts a shipped keep; within one
+    // slice the component closes exactly as q192's single call does.
     QueryDef("q198_stream_mm_index", (s, dir) => {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
@@ -3282,16 +3364,10 @@ object LlmPipelineQueries {
       val organics = Multimodal.synthImages(s,
         docs.select($"doc_id").filter($"doc_id" % 5 === 2 && $"doc_id" % 3 =!= 0)
           .select(($"doc_id" + 7000000L).as("doc_id")))
-      // id-ordered slice boundaries: twins split mid-range; organics split
-      // at their median id (fixture construction, one tiny agg)
-      val mid = organics.agg(
-        coalesce(percentile_approx($"doc_id", lit(0.5), lit(100)),
-          lit(7000000L))).head.getLong(0)
       val stream = graft.streaming.EventsStream.replayOrdered(Seq(
         deltaTwins.filter($"doc_id" < 6000008L),
         deltaTwins.filter($"doc_id" >= 6000008L),
-        organics.filter($"doc_id" <= mid),
-        organics.filter($"doc_id" > mid)))
+        organics))
       val out = graft.Scratch.dir("graft_q198").toString
       val (vDir, _) = graft.streaming.StreamingMmIndex.drain(
         s, standingClasses, stream, b => Multimodal.aHashBands(s, b), out)
@@ -3540,6 +3616,69 @@ object LlmPipelineQueries {
       FROM urls u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
         USING (doc_id, host, path)
       ORDER BY doc_id, path""")),
+
+    // --- q202: politeness-budgeted crawl scheduling — the step after
+    // q201's frontier and q200's robots gate: each host fetches serially
+    // (politeness), so the scheduler assigns each host's top-BUDGET
+    // targets a WAVE number (1..K, by links desc — the value order) and
+    // reports the host's total backlog (the makespan diagnostic: the
+    // hottest host bounds crawl time). The 100 TB shape is the point:
+    // per-host ranking via the scored_top_k BOUNDED HEAP (map-side
+    // partial top-k — a million-URL host reduces to K entries per map
+    // task before anything shuffles; the shuffle carries tasks×hosts×K),
+    // never a rank window over the full frontier — the window form
+    // funnels every candidate of a hot host into one sort task. URL
+    // strings ride as md5_60 longs through the heap (the q185 house
+    // discipline; ties prefer the smaller hash — deterministic in both
+    // engines, birthday risk n²/2⁶¹ stated) and join back answer-sized.
+    QueryDef("q202_crawl_schedule", (s, dir) => {
+      import s.implicits._
+      def h60(c: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(lit("sch:"), c)), 1, 15), 16, 10)
+          .cast("long"), lit(1152921504606846976L))
+      val links = Tables.load(s, dir, "documents")
+        .select($"doc_id", ($"doc_id" % 7).as("hh"))
+        .select($"doc_id",
+          concat(lit("site"), $"hh", lit(".example")).as("host"),
+          concat(lit("https://site"), $"hh", lit(".example/p"),
+            pmod($"doc_id", lit(23))).as("url"))
+      val counts = links.groupBy($"host", $"url")
+        .agg(count(lit(1)).cast("long").as("n_links"), min($"doc_id").as("min_doc"))
+        .withColumn("uid", h60($"url"))
+      val topk = counts.groupBy($"host")
+        .agg(graft.functions.AggFunctions
+            .scoredTopK($"n_links".cast("double"), $"uid", 4).as("top"),
+          count(lit(1)).cast("long").as("backlog"))
+        .select($"host", $"backlog", posexplode($"top").as(Seq("pos", "e")))
+        .select($"host", $"backlog", ($"pos" + 1).cast("long").as("wave"),
+          $"e.id".as("uid"))
+      // answer-sized (hosts × budget) schedule broadcasts back onto the
+      // target stats — the big counts table is never re-shuffled
+      counts.join(broadcast(topk), Seq("host", "uid"))
+        .select($"host", $"wave", $"url", $"n_links", $"min_doc", $"backlog")
+        .orderBy($"host", $"wave")
+    }, Some("""
+      WITH l AS (SELECT doc_id, doc_id % 7 AS hh FROM documents),
+      links AS (SELECT doc_id,
+          'site' || CAST(hh AS VARCHAR) || '.example' AS host,
+          'https://site' || CAST(hh AS VARCHAR) || '.example/p' ||
+            CAST(doc_id % 23 AS VARCHAR) AS url
+        FROM l),
+      counts AS (SELECT host, url, CAST(COUNT(*) AS BIGINT) AS n_links,
+          MIN(doc_id) AS min_doc
+        FROM links GROUP BY 1, 2),
+      u AS (SELECT *, ('0x' || substr(md5('sch:' || url), 1, 15))::BIGINT
+              % 1152921504606846976 AS uid
+        FROM counts),
+      bl AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS backlog
+        FROM counts GROUP BY 1),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+          ORDER BY n_links DESC, uid ASC) AS wave
+        FROM u)
+      SELECT r.host, CAST(r.wave AS BIGINT) AS wave, r.url, r.n_links,
+          r.min_doc, b.backlog
+      FROM rk r JOIN bl b USING (host) WHERE r.wave <= 4
+      ORDER BY host, wave""")),
 
     // --- q189: the multimodal END-TO-END composition
     // (MultimodalPipeline.prepare) — the q125 of binary columns, closing

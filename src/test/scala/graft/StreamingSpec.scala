@@ -514,4 +514,40 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
     assert(landed1 == recomputed && landed1.nonEmpty, s"$landed1 vs $recomputed")
   }
+
+  test("StreamingFrontier: emit once at first sighting; visited chain disjoint; retry idempotent") {
+    import graft.streaming.{EventsStream, StreamingFrontier}
+    import org.apache.spark.sql.functions.{col, lit}
+    def canon(u: String): String = Seq(u).toDF("url")
+      .select(graft.text.UrlNormalize.canonicalUrl(col("url"))).head.getString(0)
+    val (ua, ub, uc, ud) = ("https://x.example/a", "https://x.example/b",
+      "https://x.example/c", "https://x.example/d")
+    val visited0 = Seq(canon(ua)).toDF("canonical_url")
+    // batch 0: a revisit of `a`, two sightings of `b`, one of `c`;
+    // batch 1: `b` again (a revisit BY NOW — must not re-emit) + new `d`
+    val b0 = Seq((1L, ua), (1L, ub), (2L, ub), (2L, uc)).toDF("doc_id", "url")
+    val b1 = Seq((3L, ub), (3L, ud)).toDF("doc_id", "url")
+    val out = graft.Scratch.dir("graft_sfr_test").toString
+    val (aDir, vDir) = StreamingFrontier.drain(spark, visited0,
+      EventsStream.replayOrdered(Seq(b0, b1)), out)
+    val adds = spark.read.parquet(aDir).collect()
+      .map(r => (r.getAs[String]("canonical_url"), r.getAs[Int]("shard"),
+        r.getAs[Long]("n_links"), r.getAs[Long]("min_doc"))).toSet
+    assert(adds == Set((canon(ub), 0, 2L, 1L), (canon(uc), 0, 1L, 2L),
+      (canon(ud), 1, 1L, 3L)), adds.toString)
+    // visited partials are DISJOINT and addition-sized: the plain union
+    // (no distinct) has exactly seed + 3 rows
+    val vis = spark.read.parquet(vDir).select("canonical_url").collect()
+      .map(_.getString(0))
+    assert(vis.length == 4 && vis.distinct.length == 4, vis.mkString(";"))
+    // at-least-once retry: batch 1 recomputed from its predecessor set
+    // reproduces its landed additions exactly
+    val landed1 = spark.read.parquet(aDir).filter(col("shard") === 1)
+      .select("canonical_url", "n_links", "min_doc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val recomputed = graft.ops.Frontier.additions(
+        StreamingFrontier.visitedAsOf(spark, vDir, 1L), b1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(landed1 == recomputed && landed1.nonEmpty, s"$landed1 vs $recomputed")
+  }
 }
