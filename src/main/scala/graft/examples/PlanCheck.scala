@@ -696,6 +696,18 @@ object PlanCheck {
         "no recomputation joins" -> "Join",
         "no hash shuffle" -> "Exchange hashpartitioning",
         "no window" -> "Window")),
+    // sitemap seed discovery: <url> blocks fan out through a generator,
+    // loc/lastmod extraction is map-side regex, and the visited check is
+    // the q197 shape — bloom prune in the scan stage, exact FP kill via
+    // broadcast semi + anti; the visited set is never shuffled
+    Want("q203_sitemap_seeds", Seq(
+      "block fan-out is a generator" -> "Generate",
+      "bloom prune in the scan stage" -> "might_contain",
+      "exact FP kill is a broadcast anti-join" -> "BroadcastHashJoin LeftAnti"),
+      mustNotContain = Seq(
+        "visited is never shuffled" -> "SortMergeJoin",
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
     // politeness scheduler: per-host top-BUDGET rides the bounded heap
     // (map-side partial top-k — the shuffle carries tasks×hosts×K, never
     // every frontier row into a hot host's sort task) and the

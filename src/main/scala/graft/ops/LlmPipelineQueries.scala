@@ -3680,6 +3680,93 @@ object LlmPipelineQueries {
       FROM rk r JOIN bl b USING (host) WHERE r.wave <= 4
       ORDER BY host, wave""")),
 
+    // --- q203: sitemap seed discovery (text/Sitemap — the sitemaps.org
+    // protocol, from the public spec): the crawl ring's missing
+    // crawl-control file (robots.txt points at it via `Sitemap:`). Both
+    // engines CONSTRUCT each host's sitemap XML from the corpus's
+    // distinct (host, page) pairs — entries sorted by page key, noisy
+    // uppercase-scheme/port locs (the q145 canonicalizer is
+    // load-bearing), lastmod on most entries (absent on %5 — the
+    // optional-field contract), a <priority> field on %4 the parser must
+    // SKIP (named-field extraction, not positional). The operator
+    // harvests <url> blocks (bounded generator fan-out), extracts
+    // loc/lastmod map-side, canonicalizes, and drops already-visited
+    // seeds with the q197 discipline (Bloom prune + broadcast exact
+    // kill — the visited set never shuffles). The oracle builds the
+    // SAME XML with string_agg, re-parses it with the same regexes, and
+    // threads BOTH the sitemap locs and the visited surfaces through
+    // ONE shared canonicalization chain keyed by a deterministic row
+    // key derived from the url itself (never row_number-over-nothing).
+    QueryDef("q203_sitemap_seeds", (s, dir) => {
+      import s.implicits._
+      val hk = Tables.load(s, dir, "documents")
+        .select(($"doc_id" % 7).as("h"), ($"doc_id" % 23).as("k")).distinct()
+      val surface = concat(lit("HTTPS://site"), $"h",
+        lit(".example:443/p"), $"k")
+      val entry = concat(
+        lit("<url><loc>"), surface, lit("</loc>"),
+        when($"k" % 5 =!= 0, concat(lit("<lastmod>2026-0"),
+          ($"k" % 8) + 1, lit("-15</lastmod>"))).otherwise(lit("")),
+        when($"k" % 4 === 0, concat(lit("<priority>0."), $"k" % 9,
+          lit("</priority>"))).otherwise(lit("")),
+        lit("</url>"))
+      val maps = hk.select($"h", struct($"k", entry.as("e")).as("se"))
+        .groupBy($"h")
+        .agg(array_sort(collect_list($"se")).as("arr"))
+        .select(concat(lit("site"), $"h", lit(".example")).as("host"),
+          concat(
+            lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+            array_join(transform($"arr", x => x.getField("e")), ""),
+            lit("</urlset>")).as("xml"))
+      val visited = hk.filter($"k" % 3 === 0)
+        .select(graft.text.UrlNormalize.canonicalUrl(surface).as("canonical_url"))
+        .distinct().localCheckpoint(true)
+      val e = graft.text.Sitemap.entries(maps, "host", "xml")
+      graft.text.Sitemap.seeds(e, visited)
+        .orderBy($"host", $"canonical_url")
+    }, Some("""
+      WITH hk AS (SELECT DISTINCT doc_id % 7 AS h, doc_id % 23 AS k FROM documents),
+      ent AS (SELECT h, k,
+          '<url><loc>HTTPS://site' || CAST(h AS VARCHAR) || '.example:443/p' ||
+            CAST(k AS VARCHAR) || '</loc>' ||
+          CASE WHEN k % 5 <> 0 THEN '<lastmod>2026-0' ||
+            CAST(k % 8 + 1 AS VARCHAR) || '-15</lastmod>' ELSE '' END ||
+          CASE WHEN k % 4 = 0 THEN '<priority>0.' || CAST(k % 9 AS VARCHAR) ||
+            '</priority>' ELSE '' END ||
+          '</url>' AS e
+        FROM hk),
+      maps AS (SELECT h, 'site' || CAST(h AS VARCHAR) || '.example' AS host,
+          '<?xml version="1.0" encoding="UTF-8"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' ||
+          string_agg(e, '' ORDER BY k) || '</urlset>' AS xml
+        FROM hk JOIN ent USING (h, k) GROUP BY 1, 2),
+      blocks AS (SELECT host,
+          unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS b
+        FROM maps),
+      locs AS (SELECT host,
+          regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS raw_url,
+          NULLIF(regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
+        FROM blocks),
+      src AS (
+        SELECT CAST(regexp_extract(raw_url, 'site([0-9]+)', 1) AS BIGINT) * 1000
+             + CAST(regexp_extract(raw_url, '/p([0-9]+)$', 1) AS BIGINT) AS doc_id,
+             raw_url AS url
+        FROM locs
+        UNION ALL
+        SELECT -(h * 1000 + k) - 1 AS doc_id,
+               'HTTPS://site' || CAST(h AS VARCHAR) || '.example:443/p' ||
+                 CAST(k AS VARCHAR) AS url
+        FROM hk WHERE k % 3 = 0),
+      """ + urlCanonSqlFrom("src") + """,
+      vis AS (SELECT DISTINCT canonical_url FROM canon WHERE doc_id < 0),
+      ce AS (SELECT l.host, c.canonical_url, l.lastmod
+        FROM locs l JOIN canon c
+          ON c.doc_id = CAST(regexp_extract(l.raw_url, 'site([0-9]+)', 1) AS BIGINT) * 1000
+                      + CAST(regexp_extract(l.raw_url, '/p([0-9]+)$', 1) AS BIGINT))
+      SELECT host, canonical_url, lastmod FROM ce
+      WHERE canonical_url NOT IN (SELECT canonical_url FROM vis)
+      ORDER BY host, canonical_url""")),
+
     // --- q189: the multimodal END-TO-END composition
     // (MultimodalPipeline.prepare) — the q125 of binary columns, closing
     // the family's compositional gap: for each of the three modalities,
