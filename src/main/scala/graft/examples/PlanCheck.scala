@@ -696,6 +696,15 @@ object PlanCheck {
         "no recomputation joins" -> "Join",
         "no hash shuffle" -> "Exchange hashpartitioning",
         "no window" -> "Window")),
+    // charset sniff: one per-row decode kernel (binary bytes are opaque
+    // to Catalyst — the audioFingerprintBands precedent), zero shuffle
+    // (the trailing range exchange is the oracle determinism sort)
+    Want("q204_charset_sniff", Seq(
+      "per-row decode kernel" -> "MapPartitions"),
+      mustNotContain = Seq(
+        "no hash shuffle" -> "Exchange hashpartitioning",
+        "no join" -> "Join",
+        "no window" -> "Window")),
     // sitemap seed discovery: <url> blocks fan out through a generator,
     // loc/lastmod extraction is map-side regex, and the visited check is
     // the q197 shape — bloom prune in the scan stage, exact FP kill via

@@ -3767,6 +3767,50 @@ object LlmPipelineQueries {
       WHERE canonical_url NOT IN (SELECT canonical_url FROM vis)
       ORDER BY host, canonical_url""")),
 
+    // --- q204: charset sniffing (text/CharsetSniff — RFC 3629 from
+    // spec): the decode step between the wire (q196 WARC bodies are
+    // BYTES) and every text operator — BOM dispatch, hand-rolled UTF-8
+    // well-formedness validation, Latin-1 fallback (the CCNet/C4-class
+    // "is this page UTF-8?" gate). The fixture builds four payload
+    // classes per doc: valid UTF-8 with planted non-ASCII (é €), a
+    // BOM'd UTF-8 page (BOM must strip), UTF-8 + a stray 0xFF byte
+    // (invalid — the latin-1 fallback decodes EVERY byte: 0xFF → ÿ),
+    // and a BOM'd UTF-16LE page. The oracle never sees the bytes — it
+    // predicts enc, char count, and the md5 of the DECODED text purely
+    // from the modulus and codepoint arithmetic (chr(233)/chr(8364)/
+    // chr(255) — both engines hash the same UTF-8 re-encoding), so any
+    // validator, BOM, or transcoding defect moves a hash. RFC edges
+    // (overlongs, surrogates, F5–FF leads, U+10FFFF, truncated tails)
+    // are unit-pinned. Pure per-row kernel, zero shuffle.
+    QueryDef("q204_charset_sniff", (s, dir) => {
+      import s.implicits._
+      val bomU8 = lit(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+      val bomLE = lit(Array[Byte](0xFF.toByte, 0xFE.toByte))
+      val junk = lit(Array[Byte](0xFF.toByte, 0x41.toByte))
+      val m = $"doc_id" % 4
+      val payload = when(m === 0,
+          encode(concat($"text", lit("é€")), "UTF-8"))
+        .when(m === 1, concat(bomU8, encode($"text", "UTF-8")))
+        .when(m === 2, concat(encode($"text", "UTF-8"), junk))
+        .otherwise(concat(bomLE, encode($"text", "UTF-16LE")))
+      val assets = Tables.load(s, dir, "documents")
+        .select($"doc_id", payload.as("payload"))
+      graft.text.CharsetSniff.sniff(s, assets)
+        .select($"doc_id", $"enc", $"n_chars", md5($"text").as("fp"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, text, doc_id % 4 AS m FROM documents),
+      p AS (SELECT doc_id,
+          CASE m WHEN 2 THEN 'latin-1' WHEN 3 THEN 'utf-16le'
+                 ELSE 'utf-8' END AS enc,
+          CASE m WHEN 0 THEN text || chr(233) || chr(8364)
+                 WHEN 2 THEN text || chr(255) || 'A'
+                 ELSE text END AS txt
+        FROM t)
+      SELECT doc_id, enc, CAST(length(txt) AS BIGINT) AS n_chars,
+             md5(txt) AS fp
+      FROM p ORDER BY doc_id""")),
+
     // --- q189: the multimodal END-TO-END composition
     // (MultimodalPipeline.prepare) — the q125 of binary columns, closing
     // the family's compositional gap: for each of the three modalities,

@@ -1667,6 +1667,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("CharsetSniff.validUtf8 pins the RFC 3629 edges; decode dispatches BOMs") {
+    import graft.text.CharsetSniff.{validUtf8, decode}
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // accepts: ASCII, 2/3/4-byte minima and maxima, U+D7FF, U+10FFFF
+    for (ok <- Seq(b(0x41), b(0xC2, 0x80), b(0xDF, 0xBF), b(0xE0, 0xA0, 0x80),
+        b(0xED, 0x9F, 0xBF), b(0xEF, 0xBF, 0xBF), b(0xF0, 0x90, 0x80, 0x80),
+        b(0xF4, 0x8F, 0xBF, 0xBF), Array.emptyByteArray))
+      assert(validUtf8(ok), ok.map(x => f"${x & 0xFF}%02X").mkString(" "))
+    // rejects: overlongs (C0/C1, E0 80, F0 80), surrogates (ED A0),
+    // beyond U+10FFFF (F4 90, F5..FF leads), stray continuation,
+    // truncated tails
+    for (bad <- Seq(b(0xC0, 0x80), b(0xC1, 0xBF), b(0xE0, 0x80, 0x80),
+        b(0xED, 0xA0, 0x80), b(0xF0, 0x80, 0x80, 0x80), b(0xF4, 0x90, 0x80, 0x80),
+        b(0xF5, 0x80, 0x80, 0x80), b(0x80), b(0xC3), b(0xE2, 0x82),
+        b(0xF0, 0x90, 0x80), b(0x41, 0xFF)))
+      assert(!validUtf8(bad), bad.map(x => f"${x & 0xFF}%02X").mkString(" "))
+    // BOM dispatch + strip; latin-1 fallback decodes every byte
+    assert(decode(b(0xEF, 0xBB, 0xBF, 0x68, 0x69)) == ("utf-8", "hi"))
+    assert(decode(b(0xFF, 0xFE, 0x68, 0x00, 0x69, 0x00)) == ("utf-16le", "hi"))
+    assert(decode(b(0xFE, 0xFF, 0x00, 0x68, 0x00, 0x69)) == ("utf-16be", "hi"))
+    assert(decode("hé".getBytes("UTF-8")) == ("utf-8", "hé"))
+    assert(decode(b(0x68, 0xFF)) == ("latin-1", "hÿ"))
+  }
+
   test("Sampling.neymanSample: variance-weighted allocation; zero-variance stratum gets 0") {
     // 'big': 100 constant rows (sigma = 0); 'small': 5 zeros + 5 at 1e6
     // micro-units — N*Q - S^2 = 10*5e12 - (5e6)^2 = 2.5e13 = (5e6)^2 exactly
