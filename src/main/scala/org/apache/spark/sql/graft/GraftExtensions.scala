@@ -1029,6 +1029,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_gopher_repetition"),
+      info("graft_gopher_repetition",
+        "graft_gopher_repetition(table, textCol, idCol) - Gopher repetition battery (Rae et al. 2021 Table A1) over newline-separated page text: per-row (id, n_lines, dup_line_u, dup_line_char_u, top2_u, top3_u, top4_u, dup5_u, dup10_u, keep), fractions in integer micro-units, keep = the published thresholds. Zero-shuffle per-row folds."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_gopher_repetition(table, textCol, idCol) takes 3 arguments")
+        graft.text.GopherRepetition.metrics(tableArg(args(0)),
+          strArg(args(1), "textCol"), strArg(args(2), "idCol"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_robots_gate"),
+      info("graft_robots_gate",
+        "graft_robots_gate(robotsTable, hostCol, textCol, urlsTable, agent) - RFC 9309 robots.txt gate: parses per-host robots bodies into the MERGED rule set for `agent` (specific-agent groups beat *), then adjudicates urlsTable's (host, path) rows - longest matching rule wins, Allow breaks ties, no match = allowed: urls columns + (allowed, rule, spec). Rule arrays broadcast; the URL side never shuffles."),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_robots_gate(robotsTable, hostCol, textCol, urlsTable, agent) takes 5 arguments")
+        val rules = graft.text.RobotsTxt.agentRules(tableArg(args(0)),
+          strArg(args(1), "hostCol"), strArg(args(2), "textCol"),
+          strArg(args(4), "agent"))
+        graft.text.RobotsTxt.adjudicate(tableArg(args(3)), rules)
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_sitemap_seeds"),
+      info("graft_sitemap_seeds",
+        "graft_sitemap_seeds(sitemapTable, hostCol, xmlCol, visitedTable) - sitemaps.org seed discovery: harvest <url> blocks from per-host sitemap XML (loc required, lastmod optional, unknown fields skipped), canonicalize the locations, and drop seeds already in visitedTable(canonical_url) via bloom prune + broadcast exact kill: (host, canonical_url, lastmod)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_sitemap_seeds(sitemapTable, hostCol, xmlCol, visitedTable) takes 4 arguments")
+        graft.text.Sitemap.seeds(
+          graft.text.Sitemap.entries(tableArg(args(0)),
+            strArg(args(1), "hostCol"), strArg(args(2), "xmlCol")),
+          tableArg(args(3)))
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

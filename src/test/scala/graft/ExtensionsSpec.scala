@@ -369,9 +369,41 @@ class ExtensionsSpec extends AnyFunSuite {
       // the graft_* registry count, pinned at runtime so SURVEY's prose
       // can never drift from the registry again (a standing verdict nit:
       // r12 prose said 62, the judge counted 63 — the truth was 62 table
-      // functions + 3 scalar kernels; r13 adds the two card faces -> 64)
+      // functions + 3 scalar kernels; r13 adds the two card faces -> 64;
+      // r14 adds gopher_repetition, robots_gate, sitemap_seeds -> 67)
       val nFaces = spark.sql("SHOW FUNCTIONS LIKE 'graft_*'").count()
-      assert(nFaces == 64L, s"graft_* registry count drifted: $nFaces")
+      assert(nFaces == 67L, s"graft_* registry count drifted: $nFaces")
+
+      // r14 crawl faces: gopher keep flag, robots adjudication, sitemap
+      // seeds — each one smoke-pinned on a hand row
+      Seq((1L, "aa bb aa bb\ncc.\ncc.\ncc.")).toDF("doc_id", "page")
+        .createOrReplaceTempView("tf_gopher")
+      val gk = spark.sql(
+        """SELECT dup_line_u, keep FROM graft_gopher_repetition('tf_gopher', 'page', 'doc_id')""")
+        .head()
+      assert((gk.getLong(0), gk.getBoolean(1)) == (500000L, false), gk.toString)
+      Seq(("h1", "User-agent: bot\nDisallow: /x/\nAllow: /x/pub"))
+        .toDF("host", "txt").createOrReplaceTempView("tf_robots")
+      Seq(("h1", "/x/a"), ("h1", "/x/pub1"), ("h1", "/ok"))
+        .toDF("host", "path").createOrReplaceTempView("tf_urls")
+      val rg = spark.sql(
+        """SELECT path, allowed FROM graft_robots_gate('tf_robots', 'host', 'txt', 'tf_urls', 'bot') ORDER BY path""")
+        .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+      assert(rg == Seq(("/ok", true), ("/x/a", false), ("/x/pub1", true)),
+        rg.toString)
+      Seq(("h1", "<urlset><url><loc>https://s.example/p1</loc></url>" +
+          "<url><loc>https://s.example/p2</loc><lastmod>2026-02-02</lastmod></url></urlset>"))
+        .toDF("host", "xml").createOrReplaceTempView("tf_sitemap")
+      spark.sql("SELECT 'https://s.example/p1' AS canonical_url")
+        .select(graft.text.UrlNormalize.canonicalUrl(
+            org.apache.spark.sql.functions.col("canonical_url"))
+          .as("canonical_url"))
+        .createOrReplaceTempView("tf_visited")
+      val smSeeds = spark.sql(
+        """SELECT canonical_url, lastmod FROM graft_sitemap_seeds('tf_sitemap', 'host', 'xml', 'tf_visited')""")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(smSeeds.length == 1 && smSeeds.head._1.endsWith("/p2") &&
+        smSeeds.head._2 == "2026-02-02", smSeeds.toString)
 
       // harmonic centrality: on a directed 2-path 1->2->3, node 1's
       // ball keeps growing through radius 2 — its harmonic exceeds

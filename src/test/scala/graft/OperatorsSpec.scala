@@ -1667,6 +1667,94 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("RobotsTxt: group merging, agent specificity, longest-match with Allow tie-break") {
+    import graft.text.RobotsTxt
+    val txt = Seq(
+      "# comment",
+      "User-agent: A",          // multi-UA run: A and GraftBot share a group
+      "User-agent: GraftBot",   // case-insensitive agent match
+      "Disallow: /x/",
+      "User-agent: *",
+      "Disallow: /y/",
+      "User-agent: graftbot",   // SECOND graftbot group — must MERGE
+      "Allow: /x/pub",
+      "Disallow: /z*q$",        // wildcard + end anchor
+      "Allow: /t/",
+      "Disallow: /t/",          // equal-spec tie — Allow must win
+      "Allow:").mkString("\n")  // empty value: no rule
+    val robots = Seq(("h1", txt), ("h2", "User-agent: *\nDisallow: /y/"))
+      .toDF("host", "txt")
+    val rules = RobotsTxt.agentRules(robots, "host", "txt", "graftbot")
+    val r1 = rules.filter(col("host") === "h1").collect()
+      .map(r => (r.getBoolean(1), r.getString(2))).toSet
+    // named groups exist → * rules EXCLUDED; both graftbot groups merged
+    assert(r1 == Set((false, "/x/"), (true, "/x/pub"), (false, "/z*q$"),
+      (true, "/t/"), (false, "/t/")), r1.toString)
+    val r2 = rules.filter(col("host") === "h2").collect()
+      .map(r => (r.getBoolean(1), r.getString(2))).toSet
+    assert(r2 == Set((false, "/y/")), r2.toString)
+    val urls = Seq(("h1", "/x/a"), ("h1", "/x/pub1"), ("h1", "/zabcq"),
+      ("h1", "/zabcq2"), ("h1", "/t/u"), ("h1", "/other"),
+      ("h2", "/y/k"), ("h2", "/x/a"), ("h3", "/norules"))
+      .toDF("host", "path")
+    val got = RobotsTxt.adjudicate(urls, rules).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      ("h1", "/x/a", false),     // Disallow /x/
+      ("h1", "/x/pub1", true),   // Allow /x/pub beats /x/ on length
+      ("h1", "/zabcq", false),   // wildcard + $ anchor match
+      ("h1", "/zabcq2", true),   // $ anchor: q not last → no match
+      ("h1", "/t/u", true),      // equal spec → Allow wins
+      ("h1", "/other", true),    // no rule → allowed
+      ("h2", "/y/k", false),     // * group applies (no named group)
+      ("h2", "/x/a", true),      // h1's rules don't leak to h2
+      ("h3", "/norules", true)), // host without robots → allowed
+      got.toString)
+  }
+
+  test("Sitemap: named-field extraction skips unknown fields; seeds drop visited") {
+    import graft.text.Sitemap
+    def canon(u: String): String = Seq(u).toDF("u")
+      .select(graft.text.UrlNormalize.canonicalUrl(col("u"))).head.getString(0)
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>HTTP://A.example:80/p1</loc><lastmod>2026-01-01</lastmod>" +
+      "<priority>0.5</priority></url>" +
+      "<url><changefreq>daily</changefreq><loc>https://a.example/p2</loc></url>" +
+      "</urlset>"
+    val e = Sitemap.entries(Seq(("a.example", xml)).toDF("host", "xml"),
+      "host", "xml")
+    val got = e.collect()
+      .map(r => (r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (canon("HTTP://A.example:80/p1"), Some("2026-01-01")),
+      (canon("https://a.example/p2"), None)), got.toString)
+    val visited = Seq(canon("https://a.example/p2")).toDF("canonical_url")
+    val s2 = Sitemap.seeds(e, visited).collect()
+      .map(r => (r.getString(1), Option(r.getString(2))))
+    assert(s2.toSeq == Seq((canon("HTTP://A.example:80/p1"), Some("2026-01-01"))),
+      s2.mkString(";"))
+  }
+
+  test("GopherRepetition.metrics: hand-computed micro-fractions on a tiny page") {
+    // page: lines ["aa bb aa bb", "cc.", "cc.", "cc."]
+    //   dup_line_u     = (4-2)*1e6 DIV 4 = 500000
+    //   lchars = 23-3 = 20; dup line chars beyond first = 2*3 = 6 → 300000
+    //   tokens [aa,bb,aa,bb,cc.,cc.,cc.], wchars = 17
+    //   top2 = max(2*4 "aa bb", 2*6 "cc. cc.") = 12 → 705882
+    //   top3 = all count-1 → densest "cc. cc. cc." charlen 9 → 529411
+    //   top4 = densest "bb cc. cc. cc." charlen 11 → 647058
+    //   5-grams all distinct → dup5 = 0; <10 tokens → dup10 = 0
+    //   keep = false (dup_line_u 0.50 > 0.30)
+    val df = Seq((1L, "aa bb aa bb\ncc.\ncc.\ncc.")).toDF("doc_id", "page")
+    val r = graft.text.GopherRepetition.metrics(df, "page", "doc_id")
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+      r.getBoolean(9)) ==
+      (4L, 500000L, 300000L, 705882L, 529411L, 647058L, 0L, 0L, false),
+      r.toString)
+  }
+
   test("CharsetSniff.validUtf8 pins the RFC 3629 edges; decode dispatches BOMs") {
     import graft.text.CharsetSniff.{validUtf8, decode}
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
