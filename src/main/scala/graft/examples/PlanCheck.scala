@@ -696,6 +696,15 @@ object PlanCheck {
         "no recomputation joins" -> "Join",
         "no hash shuffle" -> "Exchange hashpartitioning",
         "no window" -> "Window")),
+    // WET export roundtrip: the re-read side is one RDD scan over the
+    // emitted conversion shards + map-side projection — no shuffle,
+    // join, or window (the write side runs eagerly before this plan)
+    Want("q205_wet_export", Seq(
+      "wet records ride one RDD scan" -> "Scan ExistingRDD"),
+      mustNotContain = Seq(
+        "no hash shuffle" -> "Exchange hashpartitioning",
+        "no join" -> "Join",
+        "no window" -> "Window")),
     // charset sniff: one per-row decode kernel (binary bytes are opaque
     // to Catalyst — the audioFingerprintBands precedent), zero shuffle
     // (the trailing range exchange is the oracle determinism sort)

@@ -3020,6 +3020,50 @@ object LlmPipelineQueries {
         .orderBy($"doc_id")
     }, Some(HTML_EXTRACT_ORACLE_SQL)),
 
+    // --- q205: WET conversion export — the WRITE half of the WARC
+    // boundary (q196 proved the read): extracted text re-emitted as the
+    // standard derived artifact real crawl pipelines ship (WET-style
+    // `WARC-Type: conversion` records, text/plain payloads, per-record
+    // gzip members), then RE-READ with the same from-spec reader and
+    // gated on q193's oracle (minus the title column — a conversion
+    // record carries the prose, not the markup): the THIRD gate on one
+    // extraction definition, and a roundtrip that moves a hash on any
+    // writer framing, Content-Length, member, or transcoding defect.
+    // Scale shape: read one-task-per-archive, extraction map-side,
+    // export one conversion file per partition — the emit path a 100 TB
+    // job uses to land WET shards next to the crawl.
+    QueryDef("q205_wet_export", (s, dir) => {
+      import s.implicits._
+      val warcDir = warcShardsFor(s, dir)
+      val resp = graft.sources.Warc.responses(s, warcDir)
+      val docId = regexp_extract($"target_uri", "/([0-9]+)$", 1).cast("long")
+      val clean = resp.select(docId.as("doc_id"), $"target_uri",
+        TextExtract.extractText($"body").as("clean"))
+      val out = graft.Scratch.dir("graft_wet").toString
+      clean.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(s"$out/part-$pid.warc.gz"), 1 << 16)
+        try it.foreach { r =>
+          f.write(graft.sources.Warc.gzipMember(
+            graft.sources.Warc.recordBytes("conversion",
+              r.getString(1), "2026-08-16T00:00:00Z",
+              s"<urn:uuid:conv-${r.getLong(0)}>", "text/plain",
+              r.getString(2).getBytes("UTF-8"))))
+        } finally f.close()
+      }
+      graft.sources.Warc.read(s, out)
+        .filter($"warc_type" === "conversion")
+        .select(
+          regexp_extract($"target_uri", "/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          decode($"payload", "UTF-8").as("t"))
+        .select($"doc_id", length($"t").cast("long").as("n_chars_clean"),
+          md5($"t").as("fp"))
+        .orderBy($"doc_id")
+    }, Some("SELECT doc_id, n_chars_clean, fp FROM (" +
+      HTML_EXTRACT_ORACLE_SQL + ") wet_sub ORDER BY doc_id")),
+
     // --- q197: crawl frontier maintenance (Frontier.additions) — the
     // q147/q192 delta discipline on canonical URLs, closing the loop
     // q194 opened: the standing crawl's links build the VISITED index
