@@ -3041,16 +3041,20 @@ object LlmPipelineQueries {
         TextExtract.extractText($"body").as("clean"))
       val out = graft.Scratch.dir("graft_wet").toString
       clean.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.BufferedOutputStream(
-          new java.io.FileOutputStream(s"$out/part-$pid.warc.gz"), 1 << 16)
-        try it.foreach { r =>
-          f.write(graft.sources.Warc.gzipMember(
-            graft.sources.Warc.recordBytes("conversion",
-              r.getString(1), "2026-08-16T00:00:00Z",
-              s"<urn:uuid:conv-${r.getLong(0)}>", "text/plain",
-              r.getString(2).getBytes("UTF-8"))))
-        } finally f.close()
+        // a 0-byte .warc.gz is not a valid archive (no gzip member) and
+        // the reader rejects it loudly — an empty partition emits nothing
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(s"$out/part-$pid.warc.gz"), 1 << 16)
+          try it.foreach { r =>
+            f.write(graft.sources.Warc.gzipMember(
+              graft.sources.Warc.recordBytes("conversion",
+                r.getString(1), "2026-08-16T00:00:00Z",
+                s"<urn:uuid:conv-${r.getLong(0)}>", "text/plain",
+                r.getString(2).getBytes("UTF-8"))))
+          } finally f.close()
+        }
       }
       graft.sources.Warc.read(s, out)
         .filter($"warc_type" === "conversion")
