@@ -757,6 +757,15 @@ object PlanCheck {
         "no gram explode" -> "Generate",
         "no join" -> "Join",
         "no window" -> "Window")),
+    // Gopher quality battery: per-row lambdas over the token/line
+    // arrays — zero shuffle, zero fan-out (the q199 cost class)
+    Want("q206_gopher_quality", Seq(
+      "per-row rule lambdas in the projection" -> "filter(_lines"),
+      mustNotContain = Seq(
+        "no hash shuffle" -> "Exchange hashpartitioning",
+        "no explode" -> "Generate",
+        "no join" -> "Join",
+        "no window" -> "Window")),
     // robots.txt gate: host-dimension rule arrays BROADCAST onto the URL
     // stream and the match/argmax is a per-row fold — the URL corpus is
     // never shuffled against rules (no sort-merge join, no cartesian,

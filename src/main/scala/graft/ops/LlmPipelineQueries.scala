@@ -3533,6 +3533,77 @@ object LlmPipelineQueries {
           dup5_u > 150000 OR dup10_u > 100000) AS keep
       FROM m ORDER BY doc_id""")),
 
+    // --- q206: Gopher quality battery (GopherQuality) — the
+    // NON-repetition half of Rae et al. Table A1 (q199 is the
+    // repetition half): word-count bounds, mean-word-length bounds,
+    // symbol-to-word ratio (# and ...), bullet/ellipsis line ratios,
+    // alpha-word fraction, stop-word presence — integer micro-units,
+    // published thresholds as the keep verdict. Fixture: content from
+    // the doc's own words (docs span 10–99 words, so the 50-word floor
+    // fires naturally in both directions) plus per-modulus plants for
+    // each rule (a # spam line %6, bullet/ellipsis lines %7, a numeric
+    // line %8, a stop-word line %2 — the GenData tech vocabulary has NO
+    // natural stop words, so the %2 plant keeps rule 6 non-degenerate).
+    // Same scale class as q199: per-row lambdas, ZERO shuffle.
+    QueryDef("q206_gopher_quality", (s, dir) => {
+      import s.implicits._
+      val ws = split($"text", " ", -1)
+      val page = concat_ws("\n",
+        concat_ws(" ", slice(ws, 1, 60)),
+        when($"doc_id" % 6 === 1, lit("# # # # # # # #")),
+        when($"doc_id" % 7 === 2, lit("• first item")),
+        when($"doc_id" % 7 === 2, lit("• second item")),
+        when($"doc_id" % 7 === 2, lit("- third item...")),
+        when($"doc_id" % 8 === 3, lit("123 456 789 012 345 678")),
+        when($"doc_id" % 2 === 0, lit("of the and that with more.")),
+        lit("End."))
+      graft.text.GopherQuality.metrics(
+          Tables.load(s, dir, "documents").select($"doc_id", page.as("page")),
+          "page", "doc_id")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      pg AS (SELECT doc_id, concat_ws(chr(10),
+          array_to_string(ws[1:60], ' '),
+          CASE WHEN doc_id % 6 = 1 THEN '# # # # # # # #' END,
+          CASE WHEN doc_id % 7 = 2 THEN '• first item' END,
+          CASE WHEN doc_id % 7 = 2 THEN '• second item' END,
+          CASE WHEN doc_id % 7 = 2 THEN '- third item...' END,
+          CASE WHEN doc_id % 8 = 3 THEN '123 456 789 012 345 678' END,
+          CASE WHEN doc_id % 2 = 0 THEN 'of the and that with more.' END,
+          'End.') AS page
+        FROM w0),
+      t AS (SELECT doc_id, page,
+          string_split(page, chr(10)) AS lines,
+          string_split(replace(page, chr(10), ' '), ' ') AS words
+        FROM pg),
+      m AS (SELECT doc_id,
+          CAST(len(words) AS BIGINT) AS nw,
+          CAST(len(lines) AS BIGINT) AS nl,
+          CAST(length(replace(replace(page, chr(10), ''), ' ', '')) AS BIGINT) AS wchars,
+          CAST(length(page) - length(replace(page, '#', '')) AS BIGINT) AS nhash,
+          CAST((length(page) - length(replace(page, '...', ''))) // 3 AS BIGINT) AS nell,
+          CAST(len(list_filter(lines, x -> starts_with(x, '•') OR starts_with(x, '- '))) AS BIGINT) AS nbullet,
+          CAST(len(list_filter(lines, x -> ends_with(x, '...'))) AS BIGINT) AS nelline,
+          CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+          CAST(len(list_filter(words, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) AS BIGINT) AS nstop
+        FROM t)
+      SELECT doc_id, nw AS n_words,
+          (wchars * 1000000) // nw AS mean_word_len_u,
+          ((nhash + nell) * 1000000) // nw AS symbol_ratio_u,
+          (nbullet * 1000000) // nl AS bullet_line_u,
+          (nelline * 1000000) // nl AS ellipsis_line_u,
+          (nalpha * 1000000) // nw AS alpha_word_u,
+          nstop AS n_stopwords,
+          (nw BETWEEN 50 AND 100000
+           AND (wchars * 1000000) // nw BETWEEN 3000000 AND 10000000
+           AND ((nhash + nell) * 1000000) // nw <= 100000
+           AND (nbullet * 1000000) // nl <= 100000
+           AND (nelline * 1000000) // nl <= 300000
+           AND (nalpha * 1000000) // nw >= 800000
+           AND nstop >= 2) AS keep
+      FROM m ORDER BY doc_id""")),
+
     // --- q200: robots.txt exclusion gate (RobotsTxt — RFC 9309, from
     // spec) — the politeness step between q197's frontier additions and
     // the fetcher, completing the crawl ring: extract (q193/q196) →
