@@ -766,6 +766,44 @@ object PlanCheck {
         "no explode" -> "Generate",
         "no join" -> "Join",
         "no window" -> "Window")),
+    // CCNet perplexity bucketing: the tercile cutoffs come from a
+    // map-side-combined (lang, bin) HISTOGRAM (the cumulative walk runs
+    // over the answer-sized bin table — the only Window in the plan) and
+    // the per-language cut bins BROADCAST back onto the doc stream; the
+    // anti-pattern this row exists to avoid — an ntile over a language's
+    // whole corpus, funneling it into one sort task — must be absent
+    Want("q207_ccnet_bucket", Seq(
+      "map-side histogram combine" -> "partial_count",
+      "cut bins broadcast onto the doc stream" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no corpus ntile" -> "ntile",
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // anchor-text harvest: one bounded generator fans out the <a>
+    // elements, the (target, term) count map-side combines, and the
+    // per-target top-k runs through the scored_top_k bounded heap —
+    // never a rank window funneling a hub target's whole anchor
+    // vocabulary into one sort task
+    Want("q208_anchor_text", Seq(
+      "anchor-element fan-out is a generator" -> "Generate",
+      "map-side (target, term) combine" -> "partial_count",
+      "per-target top-k via the bounded heap" -> "scored_top_k"),
+      mustNotContain = Seq(
+        "no rank window over the counts" -> "Window",
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // DSIR importance weights: both bucket histograms build in one
+    // map-side-combined pass (1024 rows by construction), the ratio
+    // table broadcasts onto the feature stream (the 1-row totals join
+    // is the only nested-loop), and the per-doc weight is the only
+    // corpus-keyed exchange — no corpus-sized join anywhere
+    Want("q209_dsir_weights", Seq(
+      "bucket histogram map-side combine" -> "partial_count",
+      "ratio table broadcasts onto the feature stream" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no corpus-keyed sort-merge join" -> "SortMergeJoin",
+        "no window" -> "Window",
+        "no cartesian" -> "CartesianProduct")),
     // robots.txt gate: host-dimension rule arrays BROADCAST onto the URL
     // stream and the match/argmax is a per-row fold — the URL corpus is
     // never shuffled against rules (no sort-merge join, no cartesian,

@@ -3951,7 +3951,183 @@ object LlmPipelineQueries {
       graft.multimodal.MultimodalPipeline
         .prepare(s, docs)
         .orderBy($"modality")
-    }, Some(MM_PIPELINE_ORACLE_SQL))
+    }, Some(MM_PIPELINE_ORACLE_SQL)),
+
+    // --- q207: CCNet perplexity bucketing (text/CcNetBucket — Wenzek
+    // et al., LREC 2020): the quality-triage step AFTER the crawl
+    // cleaning path — per-LANGUAGE bigram-LM perplexity (the q89 scoring
+    // algebra partitioned by lang, micro-nat integerization before the
+    // exact per-doc sum), bucketed head/middle/tail at each language's
+    // terciles. The 100 TB shape IS the row: cutoffs come from a fixed-
+    // width HISTOGRAM (one map-side-combined (lang,bin) count — the only
+    // corpus-keyed exchange past the LM build), the cumulative walk runs
+    // over the answer-sized bin table, and the two cut bins per language
+    // BROADCAST back onto the doc stream — never an ntile/rank window
+    // funneling a language's whole corpus into one sort task (PlanCheck
+    // pins the broadcast + the absence of any Window in the plan).
+    // The corpus's natural source/lang mix keeps every language's three
+    // buckets populated at every sf; the oracle recomputes the identical
+    // model, histogram, and cuts.
+    QueryDef("q207_ccnet_bucket", (s, dir) => {
+      import s.implicits._
+      graft.text.CcNetBucket.buckets(
+        Tables.load(s, dir, "documents"), "text", "doc_id", "lang")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, lang,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM documents),
+      b AS (SELECT doc_id, lang, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+            FROM w WHERE len(w) >= 2),
+      c12 AS (SELECT lang, bg, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+      c1 AS (SELECT lang, string_split(bg, ' ')[1] AS w1, SUM(c12) AS c1 FROM c12 GROUP BY 1, 2),
+      doc AS (SELECT b.doc_id, b.lang,
+                     CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+                     CAST(SUM(CAST(floor(ln(CAST(c12.c12 AS DOUBLE) / c1.c1) * 1e6) AS BIGINT)) AS BIGINT) AS ll_u
+              FROM b JOIN c12 ON b.lang = c12.lang AND b.bg = c12.bg
+                     JOIN c1 ON b.lang = c1.lang AND string_split(b.bg, ' ')[1] = c1.w1
+              GROUP BY 1, 2),
+      ppl AS (SELECT doc_id, lang, n_bigrams,
+                     CAST((-ll_u) // n_bigrams AS BIGINT) AS ppl_u FROM doc),
+      bins AS (SELECT lang, ppl_u // 1000 AS bin, COUNT(*) AS c
+               FROM ppl GROUP BY 1, 2),
+      cum AS (SELECT lang, bin,
+                     SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                     SUM(c) OVER (PARTITION BY lang) AS tot
+              FROM bins),
+      cuts AS (SELECT lang,
+                      MIN(CASE WHEN cum * 3 >= tot THEN bin END) AS cut1,
+                      MIN(CASE WHEN cum * 3 >= tot * 2 THEN bin END) AS cut2
+               FROM cum GROUP BY 1)
+      SELECT p.doc_id, p.lang, p.n_bigrams, p.ppl_u,
+             CASE WHEN p.ppl_u // 1000 <= c.cut1 THEN 'head'
+                  WHEN p.ppl_u // 1000 <= c.cut2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ppl p JOIN cuts c ON p.lang = c.lang
+      ORDER BY p.doc_id""")),
+
+    // --- q208: anchor-text harvest (text/AnchorText) — the TEXT half
+    // of the link boundary q194 opened (q194 counts the hrefs; this
+    // collects what linking pages SAY about each target — the classic
+    // link-context signal, public since Brin & Page 1998 §2.2 and
+    // shipped as training corpora, e.g. the MS MARCO anchor sets).
+    // Fixture: each doc links its group variant with an anchor carrying
+    // INNER MARKUP (<b>w1</b> w2 link — the strip is load-bearing) and
+    // the hub with a mixed anchor (two corpus-constant terms + the
+    // doc's own first word), so every target has a real term
+    // distribution: the hub's top terms are corpus-count constants, a
+    // group's are its 'link' constant plus its members' words. Scale
+    // shape (PlanCheck-pinned): one bounded generator fan-out, ONE
+    // map-side-combined (target, term) count, per-target top-k through
+    // the scored_top_k BOUNDED HEAP (never a rank window — a hub with a
+    // million-term anchor vocabulary reduces to K entries per map task),
+    // winners join back on the key the counts table is already hashed
+    // by. The oracle threads the url vocabulary through the shared q145
+    // canonicalization chain keyed by the url itself.
+    QueryDef("q208_anchor_text", (s, dir) => {
+      import s.implicits._
+      val u0 = Tables.load(s, dir, "documents").select($"doc_id", $"text",
+        expr("CAST(doc_id DIV 4 AS STRING)").as("g"),
+        pmod($"doc_id", lit(4)).as("v"),
+        split($"text", " ", -1).as("ws"))
+      val html = concat(
+        lit("<html><body><a href=\""), urlVariant($"g", $"v"),
+        lit("\" class=\"x\"><b>"), element_at($"ws", 1), lit("</b> "),
+        element_at($"ws", 2), lit(" link</a><p>"), $"text",
+        lit("</p><a href=\"HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f\">hub home "),
+        element_at($"ws", 1), lit("</a></body></html>"))
+      graft.text.AnchorText.topTerms(
+          u0.select($"doc_id", html.as("h")), "h", k = 3)
+        .orderBy($"canonical_url", $"rk")
+    }, Some("""
+      WITH u0 AS (
+        SELECT doc_id, text, CAST(doc_id // 4 AS VARCHAR) AS g, doc_id % 4 AS v,
+               string_split(text, ' ') AS ws
+        FROM documents),
+      hh AS (
+        SELECT doc_id,
+          '<html><body><a href="' ||
+          """ + urlVariantSqlCase("g", "v") + """ ||
+          '" class="x"><b>' || ws[1] || '</b> ' || ws[2] || ' link</a><p>' ||
+          text ||
+          '</p><a href="HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f">hub home ' ||
+          ws[1] || '</a></body></html>' AS h
+        FROM u0),
+      snips AS (
+        SELECT doc_id, unnest(regexp_extract_all(h, '(?s)<a [^>]*>.*?</a>', 0)) AS a
+        FROM hh),
+      pairs AS (
+        SELECT regexp_extract(a, 'href="([^"]*)"', 1) AS url,
+               trim(regexp_replace(lower(regexp_replace(
+                 regexp_extract(a, '(?s)^<a [^>]*>(.*)</a>$', 1),
+                 '<[^>]*>', ' ', 'g')), '\s+', ' ', 'g')) AS anchor
+        FROM snips),
+      uv AS (SELECT DISTINCT url AS doc_id, url FROM pairs),
+      """ + urlCanonSqlFrom("uv") + """,
+      terms AS (
+        SELECT c.canonical_url, unnest(string_split(p.anchor, ' ')) AS term
+        FROM pairs p JOIN canon c ON p.url = c.doc_id),
+      counts AS (
+        SELECT canonical_url, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM terms WHERE length(term) > 0 GROUP BY 1, 2),
+      tids AS (
+        SELECT *, ('0x' || substr(md5('anc:' || term), 1, 15))::BIGINT
+                  % 1152921504606846976 AS tid
+        FROM counts),
+      nt AS (SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_terms
+             FROM counts GROUP BY 1),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_url
+               ORDER BY cnt DESC, tid ASC) AS rk
+             FROM tids)
+      SELECT r.canonical_url, CAST(r.rk AS BIGINT) AS rk, r.term, r.cnt,
+             n.n_terms
+      FROM rk r JOIN nt n ON r.canonical_url = n.canonical_url
+      WHERE r.rk <= 3
+      ORDER BY r.canonical_url, r.rk""")),
+
+    // --- q209: DSIR importance weights (TrainingPrep.dsirWeights —
+    // Xie et al., NeurIPS 2023): data selection by hashed-bigram
+    // importance resampling, the published alternative to classifier
+    // quality filters. Target slice = the English documents (the
+    // paper's "formal text" target re-expressed on this corpus's lang
+    // column — content-correlated, so weights genuinely separate:
+    // English docs score positive, others negative, and the `keep`
+    // verdict is the paper's acceptance direction). Per-bucket
+    // log-ratios integerize to micro-nats before the exact per-doc sum
+    // (the q89 rule). Scale shape (PlanCheck-pinned): both bucket
+    // histograms build in ONE map-side-combined pass over the feature
+    // stream (the table is 1024 rows by construction — the point of
+    // hashed features at 100 TB), the ratio table BROADCASTS back, and
+    // the per-doc weight is the operator's only corpus-keyed exchange.
+    QueryDef("q209_dsir_weights", (s, dir) => {
+      import s.implicits._
+      TrainingPrep.dsirWeights(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        isTarget = col("lang") === "en")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w0 AS (SELECT doc_id, lang = 'en' AS is_tgt,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                  FROM documents),
+      b AS (SELECT doc_id, is_tgt,
+                   unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+            FROM w0 WHERE len(w) >= 2),
+      f AS (SELECT doc_id, is_tgt,
+                   ('0x' || substr(md5('dsir:' || bg), 1, 15))::BIGINT % 1024 AS f
+            FROM b),
+      hist AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS c_raw,
+                      CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+               FROM f GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS rtot,
+                     CAST(SUM(c_tgt) AS BIGINT) AS ttot FROM hist),
+      dist AS (SELECT f,
+                 CAST(floor((ln((c_tgt + 1.0) / (ttot + 1024.0))
+                           - ln((c_raw + 1.0) / (rtot + 1024.0))) * 1e6) AS BIGINT) AS lr_u
+               FROM hist CROSS JOIN tot)
+      SELECT f.doc_id, CAST(COUNT(*) AS INTEGER) AS n_feats,
+             CAST(SUM(lr_u) AS BIGINT) AS w_u,
+             CAST(SUM(lr_u) AS BIGINT) > 0 AS keep
+      FROM f JOIN dist USING (f) GROUP BY 1 ORDER BY doc_id"""))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build

@@ -239,6 +239,63 @@ object TrainingPrep {
     * are linear shuffle equi-joins on the bigram/prefix key; everything
     * else is projections. Returns (id, n_bigrams, ll_u); docs with fewer
     * than two tokens drop out. */
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw doc by how target-like its hashed n-gram feature
+    * distribution is. Features are word bigrams hashed into `buckets`
+    * slots (the paper's hashed n-gram model; the md5-prefix hash is the
+    * house-portable one); the raw and target corpora each induce a
+    * bucket distribution (+1 smoothed), and a doc's log importance
+    * weight is the exact sum of its occurrences' per-bucket log-ratios:
+    * w = Σ_f c_f(doc) · (ln p̂_target[f] − ln p̂_raw[f]). Resampling
+    * keeps docs ∝ exp(w); the deterministic surface is the weight
+    * itself plus the sign verdict (w > 0 ⇔ the doc looks more target
+    * than raw — the paper's acceptance direction).
+    *
+    * Per-bucket log-ratios integerize to micro-nats BEFORE the per-doc
+    * sum (the [[bigramLmScore]] rule — exact long addition commutes).
+    *
+    * Scale shape: feature extraction is map-side (generator fan-out +
+    * hash); BOTH distributions are map-side-combined histograms over a
+    * FIXED bucket vocabulary (the table is `buckets` rows — answer-
+    * sized by construction, the whole point of hashed features at
+    * 100 TB); the ratio table BROADCASTS onto the feature stream; the
+    * per-doc weight is one map-side-combined sum — the only corpus-
+    * keyed exchange in the operator. The target membership predicate
+    * evaluates on the raw stream (no join against a target table; DSIR
+    * with a separate target corpus unions it in upstream). */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val toks = docs
+      .select(col(idCol), isTarget.as("is_tgt"),
+        split(TextAnalysis.normalize(col(textCol)), " ", -1).as("t"))
+      .filter(size(col("t")) >= 2)
+    val feat = toks.select(col(idCol), col("is_tgt"),
+      explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .select(col(idCol), col("is_tgt"),
+        pmod(conv(substring(md5(concat(lit("dsir:"), col("bg"))), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("f"))
+    // both histograms in ONE pass over the feature stream; `buckets`
+    // rows out of the combine
+    val hist = feat.groupBy(col("f")).agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    val tot = hist.agg(sum(col("c_raw")).as("rtot"), sum(col("c_tgt")).as("ttot"))
+    val dist = hist.crossJoin(broadcast(tot)) // 1-row scalar join
+      .select(col("f"),
+        floor((log((col("c_tgt") + lit(1.0)) / (col("ttot") + lit(buckets.toDouble)))
+          - log((col("c_raw") + lit(1.0)) / (col("rtot") + lit(buckets.toDouble))))
+          * 1e6).cast("long").as("lr_u"))
+    feat.join(broadcast(dist), Seq("f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_feats"),
+        sum(col("lr_u")).as("w_u"))
+      .withColumn("keep", col("w_u") > 0)
+  }
+
   def bigramLmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol), split(TextAnalysis.normalize(col(textCol)), " ", -1).as("t"))
