@@ -804,6 +804,29 @@ object PlanCheck {
         "no corpus-keyed sort-merge join" -> "SortMergeJoin",
         "no window" -> "Window",
         "no cartesian" -> "CartesianProduct")),
+    // CDX random-access gate: the final plan rides the wire boundary
+    // only — an RDD scan of the range-fetched records plus the
+    // per-archive repartition; no parquet read (the corpus reaches the
+    // row through the memoized warc shards), no join, no window —
+    // extraction and digest are map-side projections
+    Want("q210_cdx_fetch", Seq(
+      "range-fetched records enter as an RDD scan" -> "Scan ExistingRDD"),
+      mustNotContain = Seq(
+        "no parquet re-read past the archive" -> "Scan parquet",
+        "no join" -> "Join",
+        "no window" -> "Window")),
+    // WARC revisit resolution: responses pass through one side of a
+    // union; revisits equi-join the digest→payload vocabulary (the
+    // dedup mass) — never all-pairs, never a parquet re-read (the
+    // corpus reaches the row through the memoized revisit shards)
+    Want("q211_warc_revisit", Seq(
+      "responses pass through, revisits resolve" -> "Union",
+      "wire records enter as an RDD scan" -> "Scan ExistingRDD"),
+      mustNotContain = Seq(
+        "no parquet re-read past the archive" -> "Scan parquet",
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin",
+        "no window" -> "Window")),
     // robots.txt gate: host-dimension rule arrays BROADCAST onto the URL
     // stream and the match/argmax is a per-row fold — the URL corpus is
     // never shuffled against rules (no sort-merge join, no cartesian,

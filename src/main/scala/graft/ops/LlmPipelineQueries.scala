@@ -4127,7 +4127,99 @@ object LlmPipelineQueries {
       SELECT f.doc_id, CAST(COUNT(*) AS INTEGER) AS n_feats,
              CAST(SUM(lr_u) AS BIGINT) AS w_u,
              CAST(SUM(lr_u) AS BIGINT) > 0 AS keep
-      FROM f JOIN dist USING (f) GROUP BY 1 ORDER BY doc_id"""))
+      FROM f JOIN dist USING (f) GROUP BY 1 ORDER BY doc_id""")),
+
+    // --- q210: CDX index + random-access re-read (sources/Warc.cdx /
+    // fetchRecords) — the THIRD standard crawl artifact (q196 proved
+    // WARC read, q205 WET write; CDX is the index that makes a petabyte
+    // archive random-accessible, the CommonCrawl cdx convention). The
+    // indexer walks each archive's gzip MEMBERS from the RFC 1952
+    // framing itself (fixed header, flag-announced optional fields,
+    // deflate extent measured by the inflater, CRC32+ISIZE trailer) —
+    // offsets nothing but the spec can produce. The GATE is the read
+    // pattern a CDX exists for: every record re-fetched by (offset,
+    // length) range — seek, read exactly length bytes, gunzip ONE
+    // member, parse — then the q193 chain over the fetched body, PLUS
+    // the payload digest recomputed from the FETCHED bytes: the fourth
+    // gate on one extraction oracle, extended by a digest column the
+    // oracle derives from the same ONE shell definition — one wrong
+    // member boundary, header skip, or range read moves a hash or
+    // fails the gunzip loudly. Scale shape: index build one task per
+    // archive; fetches repartitioned per archive and offset-sorted —
+    // one handle per archive run, sequential forward reads.
+    QueryDef("q210_cdx_fetch", (s, dir) => {
+      import s.implicits._
+      val warcDir = warcShardsFor(s, dir)
+      val cdx = graft.sources.Warc.cdx(s, warcDir)
+      val recs = graft.sources.Warc.fetchRecords(
+        cdx.filter($"warc_type" === "response"))
+      // the Warc.responses body split, over the range-fetched payloads
+      val txt = $"payload".cast("string")
+      val bpos = instr(txt, "\r\n\r\n")
+      recs.select(
+          regexp_extract($"target_uri", "/([0-9]+)$", 1).cast("long").as("doc_id"),
+          when(bpos > 0, substr(txt, bpos + 4)).otherwise(lit("")).as("body"),
+          md5($"payload").as("digest"))
+        .select($"doc_id", TextExtract.title($"body").as("title"),
+          TextExtract.extractText($"body").as("clean"), $"digest")
+        .select($"doc_id", $"title",
+          length($"clean").cast("long").as("n_chars_clean"),
+          md5($"clean").as("fp"), $"digest")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH ex AS (""" + HTML_EXTRACT_ORACLE_SQL + """),
+      dg AS (
+        SELECT doc_id,
+               md5('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                   'Content-Type: text/html' || chr(13) || chr(10) ||
+                   chr(13) || chr(10) || """ + HTML_SHELL_SQL + """) AS digest
+        FROM documents)
+      SELECT e.doc_id, e.title, e.n_chars_clean, e.fp, d.digest
+      FROM ex e JOIN dg d ON e.doc_id = d.doc_id
+      ORDER BY e.doc_id""")),
+
+    // --- q211: WARC revisit resolution (sources/Warc.resolveRevisits)
+    // — wire-level dedup, the convention real crawlers ship (Heritrix /
+    // the IIPC identical-payload-digest profile): a fetch whose payload
+    // digest matches something already archived lands as a PAYLOAD-LESS
+    // revisit record, and a reader materializes the bytes by digest
+    // lookup. Fixture: groups of three docs share one payload (the
+    // group rep's shell) — the rep archives as a response with its
+    // digest header, the other two as revisits carrying the same
+    // digest + Refers-To — so 2/3 of the archive is revisit mass the
+    // resolver must re-materialize. Gate: the q193 chain over EVERY
+    // record's resolved body, against an oracle that derives each doc's
+    // expected prose from its REP's text through the one shared
+    // extraction definition (fifth gate on one chain) — a wrong digest
+    // join, a dropped revisit, or a mis-framed empty payload moves a
+    // hash or a row. Scale shape: the digest→payload table is the
+    // DISTINCT payload vocabulary (the dedup mass), equi-joined on the
+    // digest; responses pass through untouched; never all-pairs.
+    QueryDef("q211_warc_revisit", (s, dir) => {
+      import s.implicits._
+      val revDir = revisitShardsFor(s, dir)
+      val recs = graft.sources.Warc.resolveRevisits(
+        graft.sources.Warc.read(s, revDir))
+      val txt = $"payload".cast("string")
+      val bpos = instr(txt, "\r\n\r\n")
+      recs.select(
+          regexp_extract($"target_uri", "/([0-9]+)$", 1).cast("long").as("doc_id"),
+          $"warc_type".as("src_type"),
+          when(bpos > 0, substr(txt, bpos + 4)).otherwise(lit("")).as("body"))
+        .select($"doc_id", $"src_type", TextExtract.title($"body").as("title"),
+          TextExtract.extractText($"body").as("clean"))
+        .select($"doc_id", $"src_type", $"title",
+          length($"clean").cast("long").as("n_chars_clean"),
+          md5($"clean").as("fp"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH ex AS (""" + htmlExtractOracleSql(
+        """SELECT d.doc_id, """ + htmlShellSql("r.doc_id", "r.text") + """ AS h
+        FROM documents d JOIN documents r ON r.doc_id = d.doc_id - d.doc_id % 3""") + """)
+      SELECT e.doc_id,
+             CASE WHEN e.doc_id % 3 = 0 THEN 'response' ELSE 'revisit' END AS src_type,
+             e.title, e.n_chars_clean, e.fp
+      FROM ex e ORDER BY e.doc_id"""))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build
@@ -4144,14 +4236,30 @@ object LlmPipelineQueries {
     * path): the full extraction chain re-run in DuckDB over the same
     * constructed shell. Plain (non-interpolated) string: '\s+' and
     * '\b' stay single-backslash regexes. */
-  private lazy val HTML_EXTRACT_ORACLE_SQL: String = """
-      WITH html AS (
-        SELECT doc_id,
-          '<html><head><script>var x=' || CAST(doc_id AS VARCHAR) ||
+  /** [[htmlShell]]'s DuckDB spelling — ONE definition feeding the
+    * extraction oracle AND q210's payload-digest CTE. A `def`: the
+    * eager `defs` val forces the oracle strings during object init,
+    * before any forward-declared plain val would be assigned. */
+  private def HTML_SHELL_SQL: String = htmlShellSql()
+
+  /** The same shell over arbitrary id/text columns — q211 builds it
+    * from the duplicate group's REPRESENTATIVE row. */
+  private def htmlShellSql(id: String = "doc_id", text: String = "text"): String =
+    s"""'<html><head><script>var x=' || CAST($id AS VARCHAR) ||
           ';</script><style>p {color:red}</style></head><body><h1>Doc ' ||
-          CAST(doc_id AS VARCHAR) || '</h1><!-- meta --><p id="t">' || text ||
-          ' &lt;tag&gt; &amp; fin</p></body></html>' AS h
-        FROM documents),
+          CAST($id AS VARCHAR) || '</h1><!-- meta --><p id="t">' || $text ||
+          ' &lt;tag&gt; &amp; fin</p></body></html>'"""
+
+  private lazy val HTML_EXTRACT_ORACLE_SQL: String =
+    htmlExtractOracleSql(
+      "SELECT doc_id, " + HTML_SHELL_SQL + " AS h FROM documents")
+
+  /** The full extraction chain over any `html(doc_id, h)` CTE body —
+    * one definition of the rules behind the q193/q196/q205/q210/q211
+    * gates. */
+  private def htmlExtractOracleSql(htmlCte: String): String = """
+      WITH html AS (
+        """ + htmlCte + """),
       stripped AS (
         SELECT doc_id,
           regexp_extract(h, '<h1>(.*?)</h1>', 1) AS title,
@@ -4205,6 +4313,62 @@ object LlmPipelineQueries {
                   s"<urn:uuid:doc-$id>", "application/http;msgtype=response",
                   payload)))
             } finally f.close()
+          }
+        out
+      })
+
+  /** q211's wire fixture: a crawl where every duplicate-group member
+    * past the first is archived as a payload-less REVISIT record (the
+    * identical-payload-digest profile) — groups of three share one
+    * payload (the group representative's shell), so 2/3 of the archive
+    * is revisit mass. Each revisit's digest is recomputed from the rep
+    * shell carried on its own row — the writer needs no cross-row
+    * lookup, exactly like a fetcher that hashes what it just fetched.
+    * Memoized per corpus content (the [[warcShardsFor]] discipline). */
+  private val revisitShards = new scala.collection.concurrent.TrieMap[String, String]()
+  private def revisitShardsFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    revisitShards.getOrElseUpdate(
+      dir + "@" + graft.sources.Layout.dirFingerprint(
+        s, Tables.path(dir, "documents")), {
+        val out = graft.Scratch.dir("graft_warc_rev").toString
+        val shards = math.max(1, math.min(8,
+          s.sparkContext.defaultParallelism / 4))
+        val docs = Tables.load(s, dir, "documents")
+        val reps = docs.select(col("doc_id").as("rep_id"), col("text").as("rtext"))
+        docs.select(col("doc_id"),
+            (col("doc_id") - pmod(col("doc_id"), lit(3))).as("rep_id"))
+          .join(reps, "rep_id")
+          .select(col("doc_id"), col("rep_id"),
+            htmlShell(col("rep_id"), col("rtext")).as("h"))
+          .repartition(shards, col("doc_id"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            if (it.hasNext) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val f = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(s"$out/part-$pid.warc.gz"), 1 << 16)
+              val md = java.security.MessageDigest.getInstance("MD5")
+              try it.foreach { r =>
+                val (id, rep, h) = (r.getLong(0), r.getLong(1), r.getString(2))
+                val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + h)
+                  .getBytes("UTF-8")
+                val dg = "md5:" + md.digest(payload).map(x => f"$x%02x").mkString
+                val rec =
+                  if (id == rep) graft.sources.Warc.recordBytes("response",
+                    s"http://docs.example/$id", "2026-08-16T00:00:00Z",
+                    s"<urn:uuid:doc-$id>", "application/http;msgtype=response",
+                    payload, Seq("WARC-Payload-Digest" -> dg))
+                  else graft.sources.Warc.recordBytes("revisit",
+                    s"http://docs.example/$id", "2026-08-16T00:00:00Z",
+                    s"<urn:uuid:rev-$id>", "application/http;msgtype=response",
+                    Array.emptyByteArray, Seq(
+                      "WARC-Payload-Digest" -> dg,
+                      "WARC-Refers-To-Target-URI" -> s"http://docs.example/$rep",
+                      "WARC-Profile" ->
+                        "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"))
+                f.write(graft.sources.Warc.gzipMember(rec))
+              } finally f.close()
+            }
           }
         out
       })

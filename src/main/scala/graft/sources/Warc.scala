@@ -42,7 +42,8 @@ object Warc {
     StructField("warc_date", StringType, nullable = true),
     StructField("content_type", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
-    StructField("payload", BinaryType, nullable = false)))
+    StructField("payload", BinaryType, nullable = false),
+    StructField("payload_digest", StringType, nullable = true)))
 
   /** Every WARC record under `path` (a file, glob, or directory of
     * `.warc` / `.warc.gz`), one row per record, one task per archive. */
@@ -121,7 +122,8 @@ object Warc {
           headers.get("warc-target-uri").orNull,
           headers.get("warc-date").orNull,
           headers.get("content-type").orNull,
-          len, payload)
+          len, payload,
+          headers.get("warc-payload-digest").orNull)
       }
 
       override def hasNext: Boolean = { advance(); nextRow != null }
@@ -178,7 +180,8 @@ object Warc {
   /** Serialize one WARC record (version line, headers, payload, the
     * spec's two trailing CRLFs) — UTF-8 headers, raw payload octets. */
   def recordBytes(warcType: String, targetUri: String, date: String,
-      recordId: String, contentType: String, payload: Array[Byte]): Array[Byte] = {
+      recordId: String, contentType: String, payload: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
@@ -186,6 +189,8 @@ object Warc {
     sb.append("WARC-Date: ").append(date).append("\r\n")
     if (targetUri != null)
       sb.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
+    extraHeaders.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append("\r\n") }
     sb.append("Content-Type: ").append(contentType).append("\r\n")
     sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
     val head = sb.result().getBytes("UTF-8")
@@ -194,6 +199,173 @@ object Warc {
     out.write('\r'); out.write('\n'); out.write('\r'); out.write('\n')
     out.toByteArray
   }
+
+  // ------------------------------------------------------------------ cdx
+
+  /** CDX index schema — the third standard crawl artifact (WARC carries
+    * the records, WET the derived text, CDX the random-access index):
+    * one row per WARC record with its gzip MEMBER's byte range in the
+    * archive, so a reader can seek straight to any record without
+    * scanning the archive — the contract CommonCrawl's cdx files
+    * publish (offset/length/filename columns of the public CDXJ
+    * convention; the md5 payload digest is the house-portable stand-in
+    * for its sha1). */
+  val cdxSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("digest", StringType, nullable = false)))
+
+  /** Build the CDX index over every `.warc.gz` under `path`: walk each
+    * archive's gzip members ([[memberOffsets]] — RFC 1952 framing from
+    * the spec), parse the one record inside each member, and emit its
+    * (offset, length) range plus identity headers and payload digest.
+    * One task per archive (the read()/WET convention); the indexer
+    * holds one archive in task memory — real crawl shards are ~1 GB,
+    * the size a fetcher fleet rotates at, which fits task memory by
+    * design. */
+  def cdx(spark: SparkSession, path: String): DataFrame = {
+    val rows = spark.sparkContext.binaryFiles(path).flatMap {
+      case (file, pds) =>
+        val bytes = pds.toArray()
+        memberOffsets(bytes, file).iterator.map { case (off, len) =>
+          val member = java.util.Arrays.copyOfRange(
+            bytes, off.toInt, (off + len).toInt)
+          val rec = records(file, new java.io.ByteArrayInputStream(member)).next()
+          Row(file, off, len, rec.getString(1), rec.getString(3),
+            rec.getLong(6), md5hex(rec.getAs[Array[Byte]](7)))
+        }
+    }
+    spark.createDataFrame(rows, cdxSchema)
+  }
+
+  /** (offset, length) of every gzip MEMBER in a `.warc.gz` archive —
+    * RFC 1952 framing walked from the spec: the 10-byte fixed header
+    * (1f 8b magic, CM=8 deflate, FLG, MTIME, XFL, OS), the optional
+    * FEXTRA / FNAME / FCOMMENT / FHCRC fields the flags announce, the
+    * deflate stream (its compressed extent measured by the inflater —
+    * the only way to find a member's end without a length field), and
+    * the 8-byte CRC32 + ISIZE trailer. Malformed framing fails loudly
+    * with file context (the truncated-archive quarantine contract). */
+  def memberOffsets(bytes: Array[Byte], file: String = "<archive>"): Vector[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    var pos = 0
+    while (pos < bytes.length) {
+      val start = pos
+      require(pos + 10 <= bytes.length &&
+        (bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b,
+        s"$file: no gzip member magic at offset $pos")
+      require(bytes(pos + 2) == 8, s"$file: unsupported CM at offset $pos")
+      val flg = bytes(pos + 3) & 0xff
+      pos += 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length + data
+        val xlen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
+        pos += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (bytes(pos) != 0) pos += 1; pos += 1 } // FNAME
+      if ((flg & 16) != 0) { while (bytes(pos) != 0) pos += 1; pos += 1 } // FCOMMENT
+      if ((flg & 2) != 0) pos += 2 // FHCRC
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, pos, bytes.length - pos)
+        val sink = new Array[Byte](1 << 16)
+        while (!inf.finished()) {
+          if (inf.inflate(sink) == 0 && inf.needsInput())
+            throw new EOFException(s"$file: truncated deflate stream at member $start")
+        }
+        pos += inf.getBytesRead.toInt + 8 // deflate extent + CRC32 + ISIZE
+      } finally inf.end()
+      require(pos <= bytes.length,
+        s"$file: gzip member at $start runs past end of archive")
+      out += ((start.toLong, (pos - start).toLong))
+    }
+    out.result()
+  }
+
+  /** Range-fetch the WARC record behind every (file, offset, length)
+    * row of a CDX index — the read pattern a CDX exists for: seek, read
+    * exactly `length` bytes, gunzip the single member, parse. The index
+    * is repartitioned by archive and sorted by offset first, so each
+    * task opens ONE file handle per archive run and reads forward —
+    * sequential range reads, never one open per record. Returns
+    * [[schema]] rows. */
+  def fetchRecords(index: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = index.sparkSession
+    val rows = index.select(col("file"), col("offset"), col("length"))
+      .repartition(col("file"))
+      .sortWithinPartitions(col("file"), col("offset"))
+      .rdd.mapPartitions { it =>
+        var raf: java.io.RandomAccessFile = null
+        var cur: String = null
+        val base = it.map { r =>
+          val (f, off, len) = (r.getString(0), r.getLong(1), r.getLong(2))
+          if (f != cur) {
+            if (raf != null) raf.close()
+            raf = new java.io.RandomAccessFile(
+              new java.io.File(java.net.URI.create(f)), "r")
+            cur = f
+          }
+          raf.seek(off)
+          val buf = new Array[Byte](len.toInt)
+          raf.readFully(buf)
+          records(f, new java.io.ByteArrayInputStream(buf)).next()
+        }
+        new Iterator[Row] { // close the last handle when the task drains
+          override def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h && raf != null) { raf.close(); raf = null }
+            h
+          }
+          override def next(): Row = base.next()
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Resolve `revisit` records against the archive's `response`
+    * records — the wire-level dedup convention real crawlers ship
+    * (Heritrix / the IIPC identical-payload-digest profile): a fetch
+    * whose payload digest matches something already archived is written
+    * as a payload-less revisit record carrying `WARC-Payload-Digest`,
+    * and a reader materializes the bytes by digest lookup. Returns
+    * [[schema]]-shaped rows: responses pass through; each revisit gets
+    * the payload of the response sharing its digest (content_length
+    * updated to the resolved octets; `warc_type` stays `revisit` so
+    * provenance survives).
+    *
+    * Scale shape: the digest→payload table is the DISTINCT payload
+    * vocabulary — the dedup mass, sublinear in archive size — keyed and
+    * equi-joined on the digest; the revisit stream is never compared
+    * all-pairs and the response stream passes through untouched. Ties
+    * (several responses, one digest) resolve to the smallest record id
+    * — identical bytes by the profile's own premise, pinned
+    * deterministic anyway. */
+  def resolveRevisits(recs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val resp = recs.filter(col("warc_type") === "response")
+    val byDigest = resp
+      .select(coalesce(col("payload_digest"),
+          concat(lit("md5:"), md5(col("payload")))).as("pd"),
+        col("record_id").as("rid"), col("payload").as("orig"))
+      .groupBy(col("pd"))
+      .agg(min_by(col("orig"), col("rid")).as("orig"))
+    val resolved = recs.filter(col("warc_type") === "revisit")
+      .drop("payload", "content_length")
+      .join(byDigest, col("payload_digest") === col("pd"))
+      .select(col("file"), col("warc_type"), col("record_id"),
+        col("target_uri"), col("warc_date"), col("content_type"),
+        length(col("orig")).cast("long").as("content_length"),
+        col("orig").as("payload"), col("payload_digest"))
+    resp.unionByName(resolved)
+  }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"$x%02x").mkString
 
   /** One record as its own gzip member (the spec's `.warc.gz` shape). */
   def gzipMember(record: Array[Byte]): Array[Byte] = {

@@ -68,6 +68,85 @@ class WarcSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("Warc: memberOffsets walks RFC 1952 framing incl. optional fields") {
+    // GZIPOutputStream never writes FEXTRA/FNAME/FCOMMENT/FHCRC, so the
+    // skip logic gets a HAND-FRAMED member: deflate(nowrap) + a header
+    // carrying FEXTRA (4 bytes) + FNAME + FCOMMENT, per the spec.
+    val rec = record("response", "http://d.example/1", "<p>delta</p>")
+    def handMember(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(data); d.finish()
+      val buf = new Array[Byte](data.length + 64)
+      val n = d.deflate(buf); d.end()
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      val bos = new java.io.ByteArrayOutputStream()
+      // FLG = FEXTRA | FNAME | FCOMMENT = 4 + 8 + 16
+      bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 28, 0, 0, 0, 0, 0, 3))
+      bos.write(Array[Byte](4, 0, 1, 2, 3, 4)) // XLEN=4 LE + 4 extra bytes
+      bos.write("name.warc".getBytes("UTF-8")); bos.write(0) // FNAME, NUL
+      bos.write("a comment".getBytes("UTF-8")); bos.write(0) // FCOMMENT, NUL
+      bos.write(buf, 0, n)
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      bos.write(le32(crc.getValue)); bos.write(le32(data.length.toLong))
+      bos.toByteArray
+    }
+    val plain = Warc.gzipMember(rec)
+    val archive = handMember(rec) ++ plain ++ handMember(rec)
+    val offs = Warc.memberOffsets(archive, "hand.warc.gz")
+    assert(offs.length == 3)
+    assert(offs.head._1 == 0)
+    // members tile the archive exactly: each starts where the previous
+    // ended, and the last ends at the file boundary
+    assert(offs.sliding(2).forall { case Vector((o1, l1), (o2, _)) => o1 + l1 == o2 })
+    assert(offs.last._1 + offs.last._2 == archive.length)
+    assert(offs(1) == (handMember(rec).length.toLong, plain.length.toLong))
+    // each range gunzips to the same single record
+    offs.foreach { case (o, l) =>
+      val m = java.util.Arrays.copyOfRange(archive, o.toInt, (o + l).toInt)
+      val rows = Warc.records("m",
+        new java.io.ByteArrayInputStream(m)).toList
+      assert(rows.length == 1 &&
+        rows.head.getString(3) == "http://d.example/1")
+    }
+    // truncated deflate stream fails loudly
+    intercept[Exception] {
+      Warc.memberOffsets(archive.take(archive.length - 30), "trunc")
+    }
+  }
+
+  test("Warc: cdx + fetchRecords random-access the archive by range") {
+    val dir = graft.Scratch.dir("warcspec")
+    val f = dir.resolve("three.warc.gz")
+    Files.write(f,
+      Warc.gzipMember(record("response", "http://e.example/1", "<p>one</p>")) ++
+        Warc.gzipMember(record("response", "http://e.example/2", "<p>two</p>")) ++
+        Warc.gzipMember(record("response", "http://e.example/3", "<p>three</p>")))
+    val cdx = Warc.cdx(spark, f.toString).orderBy("offset").collect()
+    assert(cdx.length == 3)
+    assert(cdx.head.getAs[Long]("offset") == 0L)
+    // cdx digest == md5 of the payload the plain reader sees
+    val byUri = Warc.read(spark, f.toString).collect()
+      .map(r => r.getString(3) -> r.getAs[Array[Byte]](7)).toMap
+    cdx.foreach { r =>
+      val expect = java.security.MessageDigest.getInstance("MD5")
+        .digest(byUri(r.getAs[String]("target_uri")))
+        .map(x => f"$x%02x").mkString
+      assert(r.getAs[String]("digest") == expect)
+    }
+    // range fetch returns the identical records
+    val fetched = Warc.fetchRecords(Warc.cdx(spark, f.toString))
+      .orderBy("target_uri").collect()
+    assert(fetched.length == 3)
+    assert(fetched.map(_.getAs[String]("target_uri")).toSeq ==
+      Seq("http://e.example/1", "http://e.example/2", "http://e.example/3"))
+    assert(new String(Warc.httpBody(fetched(1).getAs[Array[Byte]]("payload")),
+      "UTF-8") == "<p>two</p>")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("Warc: malformed framing fails loudly, truncation detected") {
     val dir = graft.Scratch.dir("warcspec")
     val bad = dir.resolve("bad.warc")
