@@ -827,6 +827,37 @@ object PlanCheck {
         "no cartesian" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin",
         "no window" -> "Window")),
+    // URL blocklist gate: depth-bounded suffix COLUMNS broadcast-joined
+    // against the dimension-sized blocklist — the URL corpus is
+    // adjudicated entirely map-side: zero shuffles, no sort-merge join,
+    // no rank window (the only Generate is the fixture's URL fan-out)
+    Want("q212_url_blocklist", Seq(
+      "blocklist broadcasts onto the URL stream" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "URL corpus never shuffles" -> "Exchange hashpartitioning",
+        "no sort-merge join" -> "SortMergeJoin",
+        "no window" -> "Window")),
+    // streaming anchor maintenance: the final plan reads the LANDED
+    // term-count partials only (no page is ever re-read), sum-merges
+    // them, and runs the batch operator's own bounded heap
+    Want("q213_stream_anchor", Seq(
+      "result reads the landed partials" -> "Scan parquet",
+      "per-target top-k via the bounded heap" -> "scored_top_k"),
+      mustNotContain = Seq(
+        "no rank window" -> "Window",
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // HITS: the iterative half-rounds run behind eager checkpoints
+    // (their two-shuffle shape is unit-pinned); the FINAL plan is two
+    // bounded top-k selections over the checkpointed score table —
+    // TakeOrdered, never a full sort or a rank window
+    Want("q214_hits", Seq(
+      "bounded top-k per side" -> "TakeOrderedAndProject",
+      "scores enter from the checkpointed rounds" -> "Scan ExistingRDD"),
+      mustNotContain = Seq(
+        "no rank window" -> "Window",
+        "no cartesian" -> "CartesianProduct",
+        "no parquet re-read past the rounds" -> "Scan parquet")),
     // robots.txt gate: host-dimension rule arrays BROADCAST onto the URL
     // stream and the match/argmax is a per-row fold — the URL corpus is
     // never shuffled against rules (no sort-merge join, no cartesian,

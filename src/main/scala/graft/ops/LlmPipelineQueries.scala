@@ -4026,65 +4026,30 @@ object LlmPipelineQueries {
     // canonicalization chain keyed by the url itself.
     QueryDef("q208_anchor_text", (s, dir) => {
       import s.implicits._
-      val u0 = Tables.load(s, dir, "documents").select($"doc_id", $"text",
-        expr("CAST(doc_id DIV 4 AS STRING)").as("g"),
-        pmod($"doc_id", lit(4)).as("v"),
-        split($"text", " ", -1).as("ws"))
-      val html = concat(
-        lit("<html><body><a href=\""), urlVariant($"g", $"v"),
-        lit("\" class=\"x\"><b>"), element_at($"ws", 1), lit("</b> "),
-        element_at($"ws", 2), lit(" link</a><p>"), $"text",
-        lit("</p><a href=\"HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f\">hub home "),
-        element_at($"ws", 1), lit("</a></body></html>"))
-      graft.text.AnchorText.topTerms(
-          u0.select($"doc_id", html.as("h")), "h", k = 3)
+      graft.text.AnchorText.topTerms(anchorPages(s, dir), "h", k = 3)
         .orderBy($"canonical_url", $"rk")
-    }, Some("""
-      WITH u0 AS (
-        SELECT doc_id, text, CAST(doc_id // 4 AS VARCHAR) AS g, doc_id % 4 AS v,
-               string_split(text, ' ') AS ws
-        FROM documents),
-      hh AS (
-        SELECT doc_id,
-          '<html><body><a href="' ||
-          """ + urlVariantSqlCase("g", "v") + """ ||
-          '" class="x"><b>' || ws[1] || '</b> ' || ws[2] || ' link</a><p>' ||
-          text ||
-          '</p><a href="HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f">hub home ' ||
-          ws[1] || '</a></body></html>' AS h
-        FROM u0),
-      snips AS (
-        SELECT doc_id, unnest(regexp_extract_all(h, '(?s)<a [^>]*>.*?</a>', 0)) AS a
-        FROM hh),
-      pairs AS (
-        SELECT regexp_extract(a, 'href="([^"]*)"', 1) AS url,
-               trim(regexp_replace(lower(regexp_replace(
-                 regexp_extract(a, '(?s)^<a [^>]*>(.*)</a>$', 1),
-                 '<[^>]*>', ' ', 'g')), '\s+', ' ', 'g')) AS anchor
-        FROM snips),
-      uv AS (SELECT DISTINCT url AS doc_id, url FROM pairs),
-      """ + urlCanonSqlFrom("uv") + """,
-      terms AS (
-        SELECT c.canonical_url, unnest(string_split(p.anchor, ' ')) AS term
-        FROM pairs p JOIN canon c ON p.url = c.doc_id),
-      counts AS (
-        SELECT canonical_url, term, CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM terms WHERE length(term) > 0 GROUP BY 1, 2),
-      tids AS (
-        SELECT *, ('0x' || substr(md5('anc:' || term), 1, 15))::BIGINT
-                  % 1152921504606846976 AS tid
-        FROM counts),
-      nt AS (SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_terms
-             FROM counts GROUP BY 1),
-      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_url
-               ORDER BY cnt DESC, tid ASC) AS rk
-             FROM tids)
-      SELECT r.canonical_url, CAST(r.rk AS BIGINT) AS rk, r.term, r.cnt,
-             n.n_terms
-      FROM rk r JOIN nt n ON r.canonical_url = n.canonical_url
-      WHERE r.rk <= 3
-      ORDER BY r.canonical_url, r.rk""")),
+    }, Some(ANCHOR_TEXT_ORACLE_SQL)),
 
+    // --- q213: STREAMING anchor-text maintenance (streaming/
+    // StreamingAnchor) — the q191/q201 landed-artifact treatment
+    // applied to q208: each micro-batch of crawled pages lands its own
+    // (target, term, cnt) partial (shard = batch id, idempotent
+    // overwrite under at-least-once foreachBatch), and the corpus
+    // top-K is computed over the SUM-merge of the landed shards alone
+    // — no old batch's pages are ever re-read, nothing lives in
+    // streaming state. Term counts merge by addition (order-free), so
+    // ARBITRARY shuffled replay must reproduce the batch answer —
+    // the gate is q208's oracle VERBATIM, the second query on one
+    // definition (streamed == batch).
+    QueryDef("q213_stream_anchor", (s, dir) => {
+      import s.implicits._
+      val stream = graft.streaming.EventsStream.replayShuffled(
+        anchorPages(s, dir), nFiles = 4)
+      val out = graft.Scratch.dir("graft_q213").toString
+      graft.streaming.StreamingAnchor.landPartials(s, stream, "h", out)
+      graft.streaming.StreamingAnchor.merged(s, out, k = 3)
+        .orderBy($"canonical_url", $"rk")
+    }, Some(ANCHOR_TEXT_ORACLE_SQL)),
     // --- q209: DSIR importance weights (TrainingPrep.dsirWeights —
     // Xie et al., NeurIPS 2023): data selection by hashed-bigram
     // importance resampling, the published alternative to classifier
@@ -4219,12 +4184,142 @@ object LlmPipelineQueries {
       SELECT e.doc_id,
              CASE WHEN e.doc_id % 3 = 0 THEN 'response' ELSE 'revisit' END AS src_type,
              e.title, e.n_chars_clean, e.fp
-      FROM ex e ORDER BY e.doc_id"""))
+      FROM ex e ORDER BY e.doc_id""")),
+
+    // --- q212: URL blocklist gate (text/UrlBlocklist) — the domain-ban
+    // step of the public cleaning recipes (C4 / RefinedWeb filter
+    // against UT1-style domain blocklists, with SUBDOMAIN inheritance:
+    // bad.example bans ads.bad.example but NOT notbad.example — the
+    // label boundary is the load-bearing semantic, planted in the
+    // fixture as a 'notbadsite3' host that must survive). Fixture per
+    // doc: a subdomain-inherited ban (ads.badsiteK — for K=0 ALSO a
+    // more specific entry, proving most-specific-wins attribution), an
+    // exact-domain ban, the boundary decoy, and a clean host. Scale
+    // shape (PlanCheck-pinned): suffix matching is depth-bounded
+    // COLUMNS (never an explode), each LEFT-joined against the
+    // BROADCAST blocklist — zero shuffles, the URL corpus adjudicated
+    // entirely map-side (the q200 cost class).
+    QueryDef("q212_url_blocklist", (s, dir) => {
+      import s.implicits._
+      val urls = Tables.load(s, dir, "documents").select($"doc_id",
+        explode(array(
+          concat(lit("https://ads.badsite"), pmod($"doc_id", lit(10)),
+            lit(".example/x"), $"doc_id"),
+          concat(lit("https://badsite"), pmod($"doc_id" + 1, lit(10)),
+            lit(".example/y")),
+          concat(lit("https://notbadsite3.example/w"), $"doc_id"),
+          concat(lit("https://goodsite"), pmod($"doc_id", lit(7)),
+            lit(".com/z")))).as("url"))
+      val blocklist = s.range(10)
+        .select(concat(lit("badsite"), $"id", lit(".example")).as("domain"))
+        .unionByName(Seq("ads.badsite0.example", "tracker.com")
+          .toDF("domain"))
+      graft.text.UrlBlocklist.adjudicate(urls, blocklist)
+        .orderBy($"doc_id", $"url")
+    }, Some("""
+      WITH urls AS (
+        SELECT doc_id, unnest([
+          'https://ads.badsite' || CAST(doc_id % 10 AS VARCHAR) || '.example/x' || CAST(doc_id AS VARCHAR),
+          'https://badsite' || CAST((doc_id + 1) % 10 AS VARCHAR) || '.example/y',
+          'https://notbadsite3.example/w' || CAST(doc_id AS VARCHAR),
+          'https://goodsite' || CAST(doc_id % 7 AS VARCHAR) || '.com/z']) AS url
+        FROM documents),
+      bl AS (
+        SELECT 'badsite' || CAST(i AS VARCHAR) || '.example' AS domain FROM range(10) t(i)
+        UNION ALL SELECT 'ads.badsite0.example'
+        UNION ALL SELECT 'tracker.com'),
+      h AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host
+        FROM urls),
+      sx AS (
+        SELECT doc_id, url, host, string_split(host, '.') AS ls
+        FROM h),
+      sfx AS (
+        SELECT doc_id, url, host,
+               CASE WHEN len(ls) >= 2
+                    THEN array_to_string(list_slice(ls, len(ls) - 1, len(ls)), '.') END AS s2,
+               CASE WHEN len(ls) >= 3
+                    THEN array_to_string(list_slice(ls, len(ls) - 2, len(ls)), '.') END AS s3
+        FROM sx)
+      SELECT f.doc_id, f.url, f.host,
+             (b2.domain IS NOT NULL OR b3.domain IS NOT NULL) AS blocked,
+             COALESCE(b3.domain, b2.domain) AS matched
+      FROM sfx f
+      LEFT JOIN bl b2 ON f.s2 = b2.domain
+      LEFT JOIN bl b3 ON f.s3 = b3.domain
+      ORDER BY f.doc_id, f.url"""))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build
     * around each doc's text — q193 runs the extractor on it directly,
     * q196 first roundtrips it through WARC framing. */
+  /** q208/q213's shared page fixture: per doc, the group's url variant
+    * linked with an anchor carrying INNER MARKUP, plus the hub with a
+    * mixed anchor (two corpus constants + the doc's first word). */
+  private def anchorPages(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val u0 = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"),
+      expr("CAST(doc_id DIV 4 AS STRING)").as("g"),
+      pmod(col("doc_id"), lit(4)).as("v"),
+      split(col("text"), " ", -1).as("ws"))
+    val html = concat(
+      lit("<html><body><a href=\""), urlVariant(col("g"), col("v")),
+      lit("\" class=\"x\"><b>"), element_at(col("ws"), 1), lit("</b> "),
+      element_at(col("ws"), 2), lit(" link</a><p>"), col("text"),
+      lit("</p><a href=\"HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f\">hub home "),
+      element_at(col("ws"), 1), lit("</a></body></html>"))
+    u0.select(col("doc_id"), html.as("h"))
+  }
+
+  /** q208's oracle — and VERBATIM q213's (streamed partials
+    * merged must equal the batch answer). */
+  private def ANCHOR_TEXT_ORACLE_SQL: String = """
+      WITH u0 AS (
+        SELECT doc_id, text, CAST(doc_id // 4 AS VARCHAR) AS g, doc_id % 4 AS v,
+               string_split(text, ' ') AS ws
+        FROM documents),
+      hh AS (
+        SELECT doc_id,
+          '<html><body><a href="' ||
+          """ + urlVariantSqlCase("g", "v") + """ ||
+          '" class="x"><b>' || ws[1] || '</b> ' || ws[2] || ' link</a><p>' ||
+          text ||
+          '</p><a href="HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f">hub home ' ||
+          ws[1] || '</a></body></html>' AS h
+        FROM u0),
+      snips AS (
+        SELECT doc_id, unnest(regexp_extract_all(h, '(?s)<a [^>]*>.*?</a>', 0)) AS a
+        FROM hh),
+      pairs AS (
+        SELECT regexp_extract(a, 'href="([^"]*)"', 1) AS url,
+               trim(regexp_replace(lower(regexp_replace(
+                 regexp_extract(a, '(?s)^<a [^>]*>(.*)</a>$', 1),
+                 '<[^>]*>', ' ', 'g')), '\s+', ' ', 'g')) AS anchor
+        FROM snips),
+      uv AS (SELECT DISTINCT url AS doc_id, url FROM pairs),
+      """ + urlCanonSqlFrom("uv") + """,
+      terms AS (
+        SELECT c.canonical_url, unnest(string_split(p.anchor, ' ')) AS term
+        FROM pairs p JOIN canon c ON p.url = c.doc_id),
+      counts AS (
+        SELECT canonical_url, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM terms WHERE length(term) > 0 GROUP BY 1, 2),
+      tids AS (
+        SELECT *, ('0x' || substr(md5('anc:' || term), 1, 15))::BIGINT
+                  % 1152921504606846976 AS tid
+        FROM counts),
+      nt AS (SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_terms
+             FROM counts GROUP BY 1),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_url
+               ORDER BY cnt DESC, tid ASC) AS rk
+             FROM tids)
+      SELECT r.canonical_url, CAST(r.rk AS BIGINT) AS rk, r.term, r.cnt,
+             n.n_terms
+      FROM rk r JOIN nt n ON r.canonical_url = n.canonical_url
+      WHERE r.rk <= 3
+      ORDER BY r.canonical_url, r.rk"""
+
   private def htmlShell(docId: org.apache.spark.sql.Column,
       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(lit("<html><head><script>var x="), docId,

@@ -827,6 +827,66 @@ object RelationalQueries {
       SELECT node, r AS rank_mu FROM r3
       ORDER BY rank_mu DESC, node LIMIT 20""")),
 
+    // HITS hubs & authorities (ops/Hits.scala — Kleinberg, JACM 1999)
+    // over the DIRECTED trade graph, where the two-sidedness is
+    // literal: suppliers (only out-edges) can only be hubs, customers
+    // (only in-edges) only authorities — so the row surfaces the top
+    // 10 of EACH side with a side tag. All-integer max-normalization
+    // (scores in micro-units of the round's best; ranking order equals
+    // the classic L2 variant's — both divide by one positive round
+    // constant), truncating div, NO float anywhere. Two shuffles per
+    // half-round (edges⋈scores + map-side-combined receive), the round
+    // max a 1-row broadcast — never a window; the oracle unrolls the
+    // same two full rounds as chained CTEs.
+    QueryDef("q214_hits", (s, dir) => {
+      import s.implicits._
+      val edges = tradePairs(s, dir)
+        .select($"a".as("src"), $"b".as("dst"))
+      val scores = Hits.run(edges, nIters = 2)
+      scores.orderBy(desc("auth_u"), $"node").limit(10)
+        .select(lit("authority").as("side"), $"node", $"auth_u".as("score_u"))
+        .unionByName(
+          scores.orderBy(desc("hub_u"), $"node").limit(10)
+            .select(lit("hub").as("side"), $"node", $"hub_u".as("score_u")))
+        .orderBy($"side", desc("score_u"), $"node")
+    }, Some("""
+      WITH pairs AS (
+        SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT a AS src, b AS dst FROM pairs),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+      a1r AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS ar
+              FROM edges e JOIN h0 h ON h.node = e.src GROUP BY 1),
+      a1m AS (SELECT MAX(ar) AS m FROM a1r),
+      a1 AS (SELECT n.node, CAST(COALESCE(r.ar, 0) * 1000000 // m.m AS BIGINT) AS a
+             FROM nodes n LEFT JOIN a1r r ON r.node = n.node CROSS JOIN a1m m),
+      h1r AS (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS hr
+              FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+      h1m AS (SELECT MAX(hr) AS m FROM h1r),
+      h1 AS (SELECT n.node, CAST(COALESCE(r.hr, 0) * 1000000 // m.m AS BIGINT) AS h
+             FROM nodes n LEFT JOIN h1r r ON r.node = n.node CROSS JOIN h1m m),
+      a2r AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS ar
+              FROM edges e JOIN h1 h ON h.node = e.src GROUP BY 1),
+      a2m AS (SELECT MAX(ar) AS m FROM a2r),
+      a2 AS (SELECT n.node, CAST(COALESCE(r.ar, 0) * 1000000 // m.m AS BIGINT) AS a
+             FROM nodes n LEFT JOIN a2r r ON r.node = n.node CROSS JOIN a2m m),
+      h2r AS (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS hr
+              FROM edges e JOIN a2 a ON a.node = e.dst GROUP BY 1),
+      h2m AS (SELECT MAX(hr) AS m FROM h2r),
+      h2 AS (SELECT n.node, CAST(COALESCE(r.hr, 0) * 1000000 // m.m AS BIGINT) AS h
+             FROM nodes n LEFT JOIN h2r r ON r.node = n.node CROSS JOIN h2m m),
+      sc AS (SELECT a2.node, a2.a AS auth_u, h2.h AS hub_u
+             FROM a2 JOIN h2 ON a2.node = h2.node)
+      SELECT * FROM (
+        SELECT 'authority' AS side, node, auth_u AS score_u FROM sc
+        ORDER BY auth_u DESC, node LIMIT 10)
+      UNION ALL
+      SELECT * FROM (
+        SELECT 'hub' AS side, node, hub_u AS score_u FROM sc
+        ORDER BY hub_u DESC, node LIMIT 10)
+      ORDER BY side, score_u DESC, node""")),
+
     // Multi-source BFS (ops/Bfs.scala) over the q100 trade graph:
     // exact minimum hop distance from nation 0's suppliers, bounded at
     // 3 hops — the reachability class of graph analytics (blast radius

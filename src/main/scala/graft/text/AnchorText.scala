@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object AnchorText {
 
-  /** (canonical_url, rk, term, cnt, n_terms): the top-`k` anchor terms
-    * per canonical target plus the target's distinct-term count.
-    * Empty anchors contribute no terms. */
-  def topTerms(docs: DataFrame, htmlCol: String, k: Int): DataFrame = {
+  /** (canonical_url, term, cnt): the harvested, canonicalized,
+    * SUM-mergeable term-count table — the map-side half, and the
+    * partial a streaming ingest lands per batch (counts over a union
+    * of batches merge by addition, order-free). */
+  def termCounts(docs: DataFrame, htmlCol: String): DataFrame = {
     val snips = docs.select(
       explode(regexp_extract_all(col(htmlCol),
         lit("(?s)<a [^>]*>.*?</a>"), lit(0))).as("a"))
@@ -40,14 +41,19 @@ object AnchorText {
       TextAnalysis.normalize(regexp_replace(
         regexp_extract(col("a"), "(?s)^<a [^>]*>(.*)</a>$", 1),
         "<[^>]*>", " ")).as("anchor"))
-    val counts = pairs
+    pairs
       .select(col("canonical_url"), explode(split(col("anchor"), " ", -1)).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("canonical_url"), col("term"))
       .agg(count(lit(1)).cast("long").as("cnt"))
-      .withColumn("tid", pmod(
-        conv(substring(md5(concat(lit("anc:"), col("term"))), 1, 15), 16, 10)
-          .cast("long"), lit(1152921504606846976L)))
+  }
+
+  /** The per-target top-`k` over any (canonical_url, term, cnt) table
+    * — heap-bounded, never a rank window. */
+  def topK(counts0: DataFrame, k: Int): DataFrame = {
+    val counts = counts0.withColumn("tid", pmod(
+      conv(substring(md5(concat(lit("anc:"), col("term"))), 1, 15), 16, 10)
+        .cast("long"), lit(1152921504606846976L)))
     val topk = counts.groupBy(col("canonical_url"))
       .agg(graft.functions.AggFunctions
           .scoredTopK(col("cnt").cast("double"), col("tid"), k).as("top"),
@@ -62,4 +68,10 @@ object AnchorText {
       .select(col("canonical_url"), col("rk"), col("term"), col("cnt"),
         col("n_terms"))
   }
+
+  /** (canonical_url, rk, term, cnt, n_terms): the top-`k` anchor terms
+    * per canonical target plus the target's distinct-term count.
+    * Empty anchors contribute no terms. */
+  def topTerms(docs: DataFrame, htmlCol: String, k: Int): DataFrame =
+    topK(termCounts(docs, htmlCol), k)
 }

@@ -331,6 +331,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Hits: integer max-normalized rounds match a driver-side reference") {
+    import spark.implicits._
+    // hand graph first (exact expectations): A→C, B→C, B→D — C out-
+    // authorities D (two hubs vs one), B out-hubs A (links both auths)
+    val hand = Seq(("A", "C"), ("B", "C"), ("B", "D")).toDF("src", "dst")
+    val got1 = graft.ops.Hits.run(hand, nIters = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got1("C") == (1000000L, 0L))
+    assert(got1("D") == (500000L, 0L))
+    assert(got1("B") == (0L, 1000000L)) // 1.5e6 raw, max-normalized
+    assert(got1("A") == (0L, 666666L))  // 1e6 * 1e6 div 1.5e6, truncated
+    // random directed graph vs the same all-integer recurrence run on
+    // the driver
+    val rnd = new scala.util.Random(11)
+    val edgeList = Seq.tabulate(120)(_ =>
+      (s"v${rnd.nextInt(30)}", s"v${rnd.nextInt(30)}")).distinct
+    def reference(iters: Int): Map[String, (Long, Long)] = {
+      val nodes = (edgeList.map(_._1) ++ edgeList.map(_._2)).distinct
+      var h = nodes.map(_ -> 1000000L).toMap
+      var a = Map.empty[String, Long]
+      for (_ <- 1 to iters) {
+        val ar = edgeList.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+        val am = ar.values.max
+        a = nodes.map(v => v -> ar.getOrElse(v, 0L) * 1000000L / am).toMap
+        val hr = edgeList.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+        val hm = hr.values.max
+        h = nodes.map(v => v -> hr.getOrElse(v, 0L) * 1000000L / hm).toMap
+      }
+      nodes.map(v => v -> (a(v), h(v))).toMap
+    }
+    val got = graft.ops.Hits.run(edgeList.toDF("src", "dst").repartition(4), nIters = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == reference(3))
+  }
+
   test("PageRank.runPersonalized: seed-restricted teleport matches a driver reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
