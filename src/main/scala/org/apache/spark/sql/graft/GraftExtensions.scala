@@ -1069,6 +1069,68 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_ccnet_bucket"),
+      info("graft_ccnet_bucket",
+        "graft_ccnet_bucket(table, textCol, idCol, langCol) - CCNet perplexity bucketing (Wenzek et al. 2020): per-language bigram-LM perplexity in integer micro-nats, bucketed head/middle/tail at each language's terciles computed from a fixed-width histogram (cut bins broadcast back - never an ntile over the corpus): (id, lang, n_bigrams, ppl_u, bucket)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_ccnet_bucket(table, textCol, idCol, langCol) takes 4 arguments")
+        graft.text.CcNetBucket.buckets(tableArg(args(0)),
+          strArg(args(1), "textCol"), strArg(args(2), "idCol"),
+          strArg(args(3), "langCol"))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_dsir_weights"),
+      info("graft_dsir_weights",
+        "graft_dsir_weights(table, textCol, idCol, targetPredicate) - DSIR importance weights (Xie et al. 2023): hashed-bigram bucket distributions (raw vs the rows matching targetPredicate, a SQL boolean expression string), per-doc weight = exact sum of integerized per-bucket log-ratios: (id, n_feats, w_u, keep) with keep = w_u > 0."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_dsir_weights(table, textCol, idCol, targetPredicate) takes 4 arguments")
+        graft.ops.TrainingPrep.dsirWeights(tableArg(args(0)),
+          strArg(args(1), "textCol"), strArg(args(2), "idCol"),
+          org.apache.spark.sql.functions.expr(strArg(args(3), "targetPredicate")))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_url_blocklist"),
+      info("graft_url_blocklist",
+        "graft_url_blocklist(urlsTable, blocklistTable) - UT1-style domain blocklist gate with subdomain inheritance (bad.example bans ads.bad.example, never notbad.example): urls columns + (host, blocked, matched). Depth-bounded suffix columns broadcast-joined against blocklistTable(domain) - zero shuffles."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_url_blocklist(urlsTable, blocklistTable) takes 2 arguments")
+        graft.text.UrlBlocklist.adjudicate(tableArg(args(0)), tableArg(args(1)))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_anchor_terms"),
+      info("graft_anchor_terms",
+        "graft_anchor_terms(pagesTable, htmlCol, k) - anchor-text harvest: top-k anchor terms per canonical link target from <a> elements (inner markup stripped, targets canonicalized), counts map-side combined, top-k through the scored_top_k bounded heap: (canonical_url, rk, term, cnt, n_terms)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_anchor_terms(pagesTable, htmlCol, k) takes 3 arguments")
+        graft.text.AnchorText.topTerms(tableArg(args(0)),
+          strArg(args(1), "htmlCol"),
+          args(2).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_hits"),
+      info("graft_hits",
+        "graft_hits(edgesTable, nIters) - HITS hubs & authorities (Kleinberg 1999) over directed (src, dst) edges: all-integer max-normalized rounds (ranking order equals the L2 variant), scores in micro-units of each round's best: (node, auth_u, hub_u)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_hits(edgesTable, nIters) takes 2 arguments")
+        graft.ops.Hits.run(tableArg(args(0)),
+          args(1).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

@@ -370,9 +370,55 @@ class ExtensionsSpec extends AnyFunSuite {
       // can never drift from the registry again (a standing verdict nit:
       // r12 prose said 62, the judge counted 63 — the truth was 62 table
       // functions + 3 scalar kernels; r13 adds the two card faces -> 64;
-      // r14 adds gopher_repetition, robots_gate, sitemap_seeds -> 67)
+      // r14 adds gopher_repetition, robots_gate, sitemap_seeds -> 67;
+      // late r14 adds ccnet_bucket, dsir_weights, url_blocklist,
+      // anchor_terms, hits -> 72)
       val nFaces = spark.sql("SHOW FUNCTIONS LIKE 'graft_*'").count()
-      assert(nFaces == 67L, s"graft_* registry count drifted: $nFaces")
+      assert(nFaces == 72L, s"graft_* registry count drifted: $nFaces")
+
+      // late-r14 faces, each smoke-pinned on a hand row. CCNet fixture:
+      // the model gives P(bb|aa)=5/9, P(cc|aa)=4/9, P(aa|bb)=P(aa|cc)=1
+      // -> per-bigram ppl_u 352745 (doc 2) < 397... (doc 1) < 486...
+      // (doc 3): head / middle / tail in that order
+      Seq((1L, "en", "aa bb aa bb aa cc"), (2L, "en", "aa bb aa bb aa bb"),
+        (3L, "en", "aa cc aa cc aa cc"))
+        .toDF("doc_id", "lang", "text").createOrReplaceTempView("tf_ccnet")
+      val cb = spark.sql(
+        """SELECT doc_id, bucket FROM graft_ccnet_bucket('tf_ccnet', 'text', 'doc_id', 'lang')
+           ORDER BY doc_id""").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(cb == Seq((1L, "middle"), (2L, "head"), (3L, "tail")), cb.toString)
+      // DSIR: docs 1-2 ARE the target distribution; doc 3's bigrams are
+      // absent from it, so its weight goes negative
+      Seq((1L, "aa bb aa bb"), (2L, "aa bb aa bb"), (3L, "zz yy zz yy"))
+        .toDF("doc_id", "text").createOrReplaceTempView("tf_dsir")
+      val dw = spark.sql(
+        """SELECT doc_id, keep FROM graft_dsir_weights('tf_dsir', 'text', 'doc_id', 'doc_id <= 2')
+           ORDER BY doc_id""").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      assert(dw == Seq((1L, true), (2L, true), (3L, false)), dw.toString)
+      Seq(("https://ads.bad.example/x"), ("https://notbad.example/y"))
+        .toDF("url").createOrReplaceTempView("tf_burl")
+      Seq(("bad.example")).toDF("domain").createOrReplaceTempView("tf_bl")
+      val ub = spark.sql(
+        """SELECT url, blocked FROM graft_url_blocklist('tf_burl', 'tf_bl') ORDER BY url""")
+        .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+      assert(ub == Seq(("https://ads.bad.example/x", true),
+        ("https://notbad.example/y", false)), ub.toString)
+      Seq(("<a href=\"https://t.example/p\">great spark guide</a>"))
+        .toDF("h").createOrReplaceTempView("tf_anchor")
+      val at = spark.sql(
+        """SELECT term, cnt FROM graft_anchor_terms('tf_anchor', 'h', 2) ORDER BY term""")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(at.length == 2 && at.forall(_._2 == 1L), at.toString)
+      Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+        .createOrReplaceTempView("tf_hits")
+      val ht = spark.sql(
+        """SELECT node, auth_u, hub_u FROM graft_hits('tf_hits', 1) ORDER BY node""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // node 3: two hubs -> authority 1e6; node 2 links both auths -> hub 1e6
+      assert(ht.contains((3L, 1000000L, 0L)) && ht.contains((2L, 0L, 1000000L)),
+        ht.toString)
 
       // r14 crawl faces: gopher keep flag, robots adjudication, sitemap
       // seeds — each one smoke-pinned on a hand row
