@@ -858,6 +858,26 @@ object PlanCheck {
         "no rank window" -> "Window",
         "no cartesian" -> "CartesianProduct",
         "no parquet re-read past the rounds" -> "Scan parquet")),
+    // streaming LM maintenance: the release scoring pass reads the
+    // landed count partials (the model) + the corpus, equi-joins on
+    // the bigram key with map-side-combined aggregations — the q89
+    // shape with the model externalized; no cartesian/nested loop
+    Want("q215_stream_lm", Seq(
+      "model merged from landed partials" -> "Scan parquet",
+      "map-side per-doc combine" -> "partial_count"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin",
+        "no rank window" -> "Window")),
+    // crawl-delay ETA: the q202 heap schedule joined with the
+    // host-dimension delay table — both broadcast; the only window is
+    // the robots-sized group parse, never one over the frontier
+    Want("q216_crawl_delay", Seq(
+      "per-host budget via the bounded heap" -> "scored_top_k",
+      "schedule and delays broadcast back" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
     // robots.txt gate: host-dimension rule arrays BROADCAST onto the URL
     // stream and the match/argmax is a per-row fold — the URL corpus is
     // never shuffled against rules (no sort-merge join, no cartesian,

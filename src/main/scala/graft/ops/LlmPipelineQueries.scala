@@ -1211,21 +1211,7 @@ object LlmPipelineQueries {
       TrainingPrep.bigramLmScore(
         Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy($"doc_id")
-    }, Some("""
-      WITH w AS (SELECT doc_id,
-                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-                 FROM documents),
-      b AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
-            FROM w WHERE len(w) >= 2),
-      c12 AS (SELECT bg, COUNT(*) AS c FROM b GROUP BY 1),
-      c1 AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c) AS c FROM c12 GROUP BY 1),
-      lp AS (SELECT b.doc_id,
-                    CAST(floor(ln(CAST(c12.c AS DOUBLE) / c1.c) * 1e6) AS BIGINT) AS lp_u
-             FROM b JOIN c12 USING (bg)
-                    JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w1)
-      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
-             CAST(SUM(lp_u) AS BIGINT) AS ll_u
-      FROM lp GROUP BY 1 ORDER BY doc_id""")),
+    }, Some(BIGRAM_LM_ORACLE_SQL)),
 
     // Sparse tf-idf cosine "more like this" (SparseCosine): lexical top-k
     // similarity through the inverted index with the MAXDF vocabulary cap
@@ -4248,7 +4234,116 @@ object LlmPipelineQueries {
       FROM sfx f
       LEFT JOIN bl b2 ON f.s2 = b2.domain
       LEFT JOIN bl b3 ON f.s3 = b3.domain
-      ORDER BY f.doc_id, f.url"""))
+      ORDER BY f.doc_id, f.url""")),
+
+    // --- q215: STREAMING language-model maintenance (streaming/
+    // StreamingLm) — the landed-artifact treatment applied to the MODEL
+    // itself: the MLE bigram model's sufficient statistic is a
+    // (bg, c12) count table, counts over a union of batches merge by
+    // ADDITION, so the ingest stream lands one vocabulary-sized count
+    // partial per micro-batch (shard = batch id, idempotent overwrite)
+    // and the release model is the SUM-merge of the landed shards — no
+    // batch's documents are ever re-read to refresh the model. The
+    // release pass scores the corpus against the streamed model
+    // (TrainingPrep.bigramLmScoreAgainst — the c1 marginals derive
+    // from the model table itself), and the gate is q89's oracle
+    // VERBATIM: model-from-partials == model-from-corpus, to the bit,
+    // on every doc's (n_bigrams, ll_u).
+    QueryDef("q215_stream_lm", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text")
+      val stream = graft.streaming.EventsStream.replayShuffled(docs, nFiles = 4)
+      val out = graft.Scratch.dir("graft_q215").toString
+      graft.streaming.StreamingLm.landCounts(s, stream, "text", "doc_id", out)
+      TrainingPrep.bigramLmScoreAgainst(docs, "text", "doc_id",
+          graft.streaming.StreamingLm.mergedModel(s, out))
+        .orderBy($"doc_id")
+    }, Some(BIGRAM_LM_ORACLE_SQL)),
+
+    // --- q216: Crawl-delay politeness ETA (RobotsTxt.crawlDelays ∘
+    // the q202 scheduler) — the directive RFC 9309 doesn't define but
+    // every major non-Google engine honors (stated; §2.2.4's
+    // extensibility clause covers unknown directives): per-host
+    // Crawl-delay resolved with the SAME winning-group rule as paths —
+    // a host with named groups takes ONLY their delays (a named group
+    // publishing none ⇒ the default, never the `*` group's — planted
+    // on h%6==0), several delays take the MAX, non-numeric ignored.
+    // Composition: q202's wave schedule gains eta_s = (wave−1)·delay_s
+    // — the serial-fetch completion estimate per target, the makespan
+    // number a crawl planner actually reads. The delay oracle is
+    // ANALYTIC from the host modulus (the q204 transparency style —
+    // the parse machinery itself is q200-gated); waves mirror q202's
+    // rank CTE. Scale: delays are HOST-dimension-sized and broadcast;
+    // everything else is the q202 shape (bounded heap, no window over
+    // the frontier).
+    QueryDef("q216_crawl_delay", (s, dir) => {
+      import s.implicits._
+      def h60(c: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(lit("sch:"), c)), 1, 15), 16, 10)
+          .cast("long"), lit(1152921504606846976L))
+      val links = Tables.load(s, dir, "documents")
+        .select($"doc_id", ($"doc_id" % 7).as("hh"))
+        .select($"doc_id", $"hh",
+          concat(lit("site"), $"hh", lit(".example")).as("host"),
+          concat(lit("https://site"), $"hh", lit(".example/p"),
+            pmod($"doc_id", lit(23))).as("url"))
+      val counts = links.groupBy($"host", $"url")
+        .agg(count(lit(1)).cast("long").as("n_links"), min($"doc_id").as("min_doc"))
+        .withColumn("uid", h60($"url"))
+      val topk = counts.groupBy($"host")
+        .agg(graft.functions.AggFunctions
+            .scoredTopK($"n_links".cast("double"), $"uid", 4).as("top"))
+        .select($"host", posexplode($"top").as(Seq("pos", "e")))
+        .select($"host", ($"pos" + 1).cast("long").as("wave"),
+          $"e.id".as("uid"))
+      val robots = links.select($"hh").distinct()
+        .select(concat(lit("site"), $"hh", lit(".example")).as("host"),
+          concat_ws("\n",
+            lit("User-agent: otherbot"),
+            lit("Crawl-delay: 99"),
+            when($"hh" % 2 === 0, lit("User-agent: GraftBot")),
+            when($"hh" % 2 === 0 && $"hh" % 3 =!= 0,
+              concat(lit("Crawl-delay: "), ($"hh" % 3) + 2)),
+            when($"hh" % 2 === 0, lit("Disallow: /tmp/")),
+            when($"hh" % 2 === 0, lit("Crawl-delay: oops")),
+            lit("User-agent: *"),
+            lit("Crawl-delay: 7")).as("txt"))
+      val delays = graft.text.RobotsTxt.crawlDelays(
+        robots, "host", "txt", "graftbot")
+      counts.join(broadcast(topk), Seq("host", "uid"))
+        .join(broadcast(delays), Seq("host"))
+        .select($"host", $"wave", $"url", $"n_links", $"delay_s",
+          (($"wave" - 1) * $"delay_s").as("eta_s"))
+        .orderBy($"host", $"wave")
+    }, Some("""
+      WITH l AS (SELECT doc_id, doc_id % 7 AS hh FROM documents),
+      links AS (SELECT doc_id, hh,
+          'site' || CAST(hh AS VARCHAR) || '.example' AS host,
+          'https://site' || CAST(hh AS VARCHAR) || '.example/p' ||
+            CAST(doc_id % 23 AS VARCHAR) AS url
+        FROM l),
+      counts AS (SELECT host, url, CAST(COUNT(*) AS BIGINT) AS n_links,
+          MIN(doc_id) AS min_doc
+        FROM links GROUP BY 1, 2),
+      u AS (SELECT *, ('0x' || substr(md5('sch:' || url), 1, 15))::BIGINT
+              % 1152921504606846976 AS uid
+        FROM counts),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+          ORDER BY n_links DESC, uid ASC) AS wave
+        FROM u),
+      hosts AS (SELECT DISTINCT hh,
+          'site' || CAST(hh AS VARCHAR) || '.example' AS host FROM l),
+      delays AS (SELECT host,
+          CAST(CASE WHEN hh % 2 = 0 AND hh % 3 <> 0 THEN hh % 3 + 2
+                    WHEN hh % 2 = 0 THEN 1
+                    ELSE 7 END AS BIGINT) AS delay_s
+        FROM hosts)
+      SELECT r.host, CAST(r.wave AS BIGINT) AS wave, r.url, r.n_links,
+          d.delay_s, CAST((r.wave - 1) * d.delay_s AS BIGINT) AS eta_s
+      FROM rk r JOIN delays d ON r.host = d.host
+      WHERE r.wave <= 4
+      ORDER BY r.host, wave"""))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build
@@ -4271,6 +4366,25 @@ object LlmPipelineQueries {
       element_at(col("ws"), 1), lit("</a></body></html>"))
     u0.select(col("doc_id"), html.as("h"))
   }
+
+  /** q89's oracle — and VERBATIM q215's (the model merged from
+    * streamed count partials must score every doc identically to the
+    * inline corpus-built model). */
+  private def BIGRAM_LM_ORACLE_SQL: String = """
+      WITH w AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM documents),
+      b AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+            FROM w WHERE len(w) >= 2),
+      c12 AS (SELECT bg, COUNT(*) AS c FROM b GROUP BY 1),
+      c1 AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c) AS c FROM c12 GROUP BY 1),
+      lp AS (SELECT b.doc_id,
+                    CAST(floor(ln(CAST(c12.c AS DOUBLE) / c1.c) * 1e6) AS BIGINT) AS lp_u
+             FROM b JOIN c12 USING (bg)
+                    JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w1)
+      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+             CAST(SUM(lp_u) AS BIGINT) AS ll_u
+      FROM lp GROUP BY 1 ORDER BY doc_id"""
 
   /** q208's oracle — and VERBATIM q213's (streamed partials
     * merged must equal the batch answer). */

@@ -296,19 +296,39 @@ object TrainingPrep {
       .withColumn("keep", col("w_u") > 0)
   }
 
-  def bigramLmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** The per-doc bigram stream (id, bg) — shared by the model build
+    * and the scoring pass. */
+  private def docBigramStream(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol), split(TextAnalysis.normalize(col(textCol)), " ", -1).as("t"))
       .filter(size(col("t")) >= 2)
-    val bi = toks.select(col(idCol),
+    toks.select(col(idCol),
       explode(zip_with(
         slice(col("t"), lit(1), size(col("t")) - 1),
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => concat(a, lit(" "), b))).as("bg"))
-    val c12 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
-    val c1 = c12.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+  }
+
+  /** The MLE bigram model's sufficient statistic: (bg, c12) counts —
+    * SUM-mergeable (counts over a union of shards add), which is what
+    * makes the model a maintainable ARTIFACT: a streaming ingest lands
+    * per-batch count partials and the release model is their merge,
+    * never a corpus recount ([[graft.streaming.StreamingLm]]). */
+  def bigramCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docBigramStream(docs, textCol, idCol)
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+
+  /** Score `docs` against a prebuilt (bg, c12) model table — the
+    * release-time pass: the c1 prefix marginals derive from the model
+    * itself (vocabulary-sized), and the doc stream equi-joins the model
+    * on the bigram key exactly like [[bigramLmScore]]'s inline build. */
+  def bigramLmScoreAgainst(docs: DataFrame, textCol: String, idCol: String,
+      model: DataFrame): DataFrame = {
+    val bi = docBigramStream(docs, textCol, idCol)
+    val c1 = model.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
       .agg(sum(col("c12")).as("c1"))
-    bi.join(c12, "bg")
+    bi.join(model, "bg")
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(c1, "w1")
       .select(col(idCol),
@@ -316,6 +336,10 @@ object TrainingPrep {
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_bigrams"), sum(col("lp_u")).as("ll_u"))
   }
+
+  def bigramLmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    bigramLmScoreAgainst(docs, textCol, idCol,
+      bigramCounts(docs, textCol, idCol))
 
   /** Cross-crawl NOVELTY scoring — "how much of this candidate doc is
     * text the reference corpus has never seen?": per candidate doc, the

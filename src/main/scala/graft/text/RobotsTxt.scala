@@ -53,11 +53,12 @@ object RobotsTxt {
   private def replaceLit(c: Column, find: String, repl: String): Column =
     call_function("replace", c, lit(find), lit(repl))
 
-  /** Parse per-host robots.txt bodies into the MERGED rule set that
-    * applies to `agent`. Input: (hostCol, textCol) — one row per host.
-    * Output: (host, is_allow, rule, spec). */
-  def agentRules(robots: DataFrame, hostCol: String, textCol: String,
-      agent: String): DataFrame = {
+  /** The non-UA directive lines of `agent`'s WINNING groups (named
+    * groups when the host has any, else the `*` groups) — the shared
+    * group-resolution machinery behind [[agentRules]] and
+    * [[crawlDelays]]. Output: (host, field, value). */
+  private def winningDirectives(robots: DataFrame, hostCol: String,
+      textCol: String, agent: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host")).orderBy(col("line_no"))
     val lines = robots
@@ -69,7 +70,7 @@ object RobotsTxt {
       .select(col("host"), col("line_no"),
         lower(trim(regexp_extract(col("ln"), "^([^:]+):", 1))).as("field"),
         trim(regexp_extract(col("ln"), "^[^:]+:(.*)$", 1)).as("value"))
-      .filter(col("field").isin("user-agent", "allow", "disallow"))
+      .filter(col("field").isin("user-agent", "allow", "disallow", "crawl-delay"))
     val grouped = lines
       .withColumn("is_ua", col("field") === "user-agent")
       // a group starts at the first UA line of a contiguous UA run
@@ -87,12 +88,42 @@ object RobotsTxt {
     grouped.filter(!col("is_ua") && length(col("value")) > 0)
       .join(groupAgents, Seq("host", "grp"))
       .join(hostHasNamed, Seq("host"))
-      // the most specific agent's MERGED rule set: the named groups when
-      // any exist for the host, else the * groups
+      // the most specific agent's MERGED directive set: the named
+      // groups when any exist for the host, else the * groups
       .filter(when(col("has_named") === 1, col("named") === 1)
         .otherwise(col("star") === 1))
+      .select(col("host"), col("field"), col("value"))
+  }
+
+  /** Parse per-host robots.txt bodies into the MERGED rule set that
+    * applies to `agent`. Input: (hostCol, textCol) — one row per host.
+    * Output: (host, is_allow, rule, spec). */
+  def agentRules(robots: DataFrame, hostCol: String, textCol: String,
+      agent: String): DataFrame =
+    winningDirectives(robots, hostCol, textCol, agent)
+      .filter(col("field").isin("allow", "disallow"))
       .select(col("host"), (col("field") === "allow").as("is_allow"),
         col("value").as("rule"), length(col("value")).cast("long").as("spec"))
+
+  /** Per-host `Crawl-delay` (seconds) for `agent` — NOT in RFC 9309 but
+    * ubiquitously published and honored by the major non-Google engines
+    * (stated; the spec's extensibility clause §2.2.4 covers unknown
+    * directives). Resolution is the same winning-group rule as paths: a
+    * host whose named groups exist takes ONLY their delays — if they
+    * publish none, the default applies, never the `*` group's. Several
+    * delays in the winning groups take the MAX (conservative
+    * politeness, deterministic); non-numeric values are ignored.
+    * Output: one row per robots host, (host, delay_s). */
+  def crawlDelays(robots: DataFrame, hostCol: String, textCol: String,
+      agent: String, defaultDelay: Long = 1L): DataFrame = {
+    val d = winningDirectives(robots, hostCol, textCol, agent)
+      .filter(col("field") === "crawl-delay")
+      .select(col("host"), expr("try_cast(value AS BIGINT)").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("host")).agg(max(col("v")).as("d"))
+    robots.select(col(hostCol).as("host")).distinct()
+      .join(d, Seq("host"), "left")
+      .select(col("host"), coalesce(col("d"), lit(defaultDelay)).as("delay_s"))
   }
 
   /** Adjudicate (host, path) URLs against the rule table: collapse rules

@@ -1747,6 +1747,28 @@ class OperatorsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("RobotsTxt.crawlDelays: winning-group resolution, max, default, non-numeric") {
+    import graft.text.RobotsTxt
+    val robots = Seq(
+      // named groups exist and publish delays → MAX of the named ones,
+      // the * group's 9 ignored
+      ("h1", "User-agent: GraftBot\nCrawl-delay: 3\nUser-agent: graftbot\nCrawl-delay: 5\nUser-agent: *\nCrawl-delay: 9"),
+      // named group exists but publishes NO delay → default, never *'s
+      ("h2", "User-agent: graftbot\nDisallow: /x/\nUser-agent: *\nCrawl-delay: 9"),
+      // no named group → the * group's delay
+      ("h3", "User-agent: *\nCrawl-delay: 4"),
+      // non-numeric ignored → default
+      ("h4", "User-agent: *\nCrawl-delay: soon"),
+      // no delay anywhere → default
+      ("h5", "User-agent: *\nDisallow: /y/"))
+      .toDF("host", "txt")
+    val got = RobotsTxt.crawlDelays(robots, "host", "txt", "graftbot",
+        defaultDelay = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("h1" -> 5L, "h2" -> 1L, "h3" -> 4L, "h4" -> 1L,
+      "h5" -> 1L), got.toString)
+  }
+
   test("Sitemap: named-field extraction skips unknown fields; seeds drop visited") {
     import graft.text.Sitemap
     def canon(u: String): String = Seq(u).toDF("u")
