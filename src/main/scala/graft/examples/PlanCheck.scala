@@ -878,6 +878,29 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // character entropy: a per-row fold over the sorted char array in
+    // the scan projection — zero shuffle, zero fan-out (the oracle pays
+    // the unnest-groupBy; the engine never does), the q199 cost class
+    Want("q217_char_entropy", Seq(
+      "per-row sorted-run fold in the projection" -> "array_sort"),
+      mustNotContain = Seq(
+        "no hash shuffle" -> "Exchange hashpartitioning",
+        "no char explode" -> "Generate",
+        "no join" -> "Join",
+        "no window" -> "Window")),
+    // crawl-plan composition: every stage keeps its audited shape in
+    // ONE plan — the frontier's bloom prune in the scan stage, the
+    // blocklist/rules/schedule/delays all broadcast, the per-host
+    // budget through the bounded heap; no sort-merge join or cartesian
+    // anywhere from page links to fetch waves
+    Want("q218_crawl_plan", Seq(
+      "frontier bloom prune in the scan stage" -> "might_contain",
+      "per-host budget via the bounded heap" -> "scored_top_k",
+      "gates and schedule broadcast" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no corpus sort-merge join" -> "SortMergeJoin",
+        "no cartesian" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
     // robots.txt gate: host-dimension rule arrays BROADCAST onto the URL
     // stream and the match/argmax is a per-row fold — the URL corpus is
     // never shuffled against rules (no sort-merge join, no cartesian,

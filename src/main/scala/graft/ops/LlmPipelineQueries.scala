@@ -4343,7 +4343,168 @@ object LlmPipelineQueries {
           d.delay_s, CAST((r.wave - 1) * d.delay_s AS BIGINT) AS eta_s
       FROM rk r JOIN delays d ON r.host = d.host
       WHERE r.wave <= 4
-      ORDER BY r.host, wave"""))
+      ORDER BY r.host, wave""")),
+
+    // --- q217: character-entropy quality signal (TextAnalysis
+    // .charEntropy) — the classic cheap noise detector the heuristic
+    // stacks run beside the Gopher battery: near-zero for `aaaa…` spam,
+    // prose sits around 2.7–3.0 nats, base64-ish blobs above. Integer
+    // protocol (the q89 rule): per-distinct-char terms integerized to
+    // micro-nats BEFORE the exact long sum, per-char entropy by
+    // truncating integral division. A planted 40-char `a` run on
+    // doc_id%9==4 drags those docs' entropy measurably below their
+    // unpolluted siblings at every sf (the non-degeneracy plant).
+    // Shape (PlanCheck-pinned): a pure per-row fold over the sorted
+    // char array — zero shuffle, zero fan-out, the q199 cost class;
+    // the oracle pays the unnest-groupBy the engine never does.
+    QueryDef("q217_char_entropy", (s, dir) => {
+      import s.implicits._
+      val page = concat($"text",
+        when($"doc_id" % 9 === 4, concat(lit(" "),
+          lpad(lit(""), 40, "a"))).otherwise(lit("")))
+      graft.text.TextAnalysis.charEntropy(
+          Tables.load(s, dir, "documents").select($"doc_id", page.as("page")),
+          "page", "doc_id")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH pg AS (
+        SELECT doc_id, text || CASE WHEN doc_id % 9 = 4
+            THEN ' ' || repeat('a', 40) ELSE '' END AS page
+        FROM documents),
+      t AS (SELECT doc_id,
+                   trim(regexp_replace(lower(page), '\s+', ' ', 'g')) AS s
+            FROM pg),
+      ch AS (SELECT doc_id,
+                    unnest([substr(s, i, 1) FOR i IN range(1, length(s) + 1)]) AS c
+             FROM t),
+      cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM ch GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS nd,
+                     CAST(SUM(CAST(floor(cnt * ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS s1
+              FROM cc GROUP BY 1)
+      SELECT doc_id, n AS n_chars, nd AS n_distinct_chars,
+             CAST((CAST(floor(n * ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - s1) // n AS BIGINT) AS ent_u
+      FROM agg ORDER BY doc_id""")),
+
+    // --- q218: the crawl-ring END-TO-END composition (the q125/q189
+    // treatment for the crawl family): harvest → canonicalize →
+    // frontier delta vs the visited index (q197's bloom + broadcast
+    // discipline) → URL blocklist gate (q212) → robots path gate
+    // (q200's parser) → politeness schedule with Crawl-delays (q216)
+    // — ONE plan from page links to fetch waves, each stage killing
+    // its own planted victim class: the hub and K%3==0 targets die at
+    // the frontier (visited), ads.badsiteN hosts at the blocklist,
+    // /private/ paths at robots, and the survivors schedule into
+    // per-host waves with eta_s = (wave−1)·delay_s (even hosts publish
+    // named delays, odd hosts prove named-group-without-delay ⇒
+    // default). The oracle recomputes the full chain: the shared q145
+    // canonicalization CTEs, an analytic robots/blocklist/delay mirror
+    // (the parsers themselves are q200/q212-gated), and q202's rank
+    // CTE for the waves. Scale: every stage keeps its own audited
+    // shape — the corpus-keyed exchanges are the frontier count and
+    // the per-host heap, everything else broadcasts.
+    QueryDef("q218_crawl_plan", (s, dir) => {
+      import s.implicits._
+      def h60(c: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(lit("sch:"), c)), 1, 15), 16, 10)
+          .cast("long"), lit(1152921504606846976L))
+      val d = Tables.load(s, dir, "documents").select($"doc_id",
+        ($"doc_id" % 7).as("hh"), ($"doc_id" % 23).as("kk"))
+      val hub = lit("HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f")
+      val links = d.select($"doc_id", explode(array(
+        concat(lit("HTTPS://site"), $"hh", lit(".example:443/p"), $"kk",
+          lit("?utm_source=x")),
+        hub,
+        concat(lit("https://ads.badsite"), pmod($"hh", lit(3)),
+          lit(".example/x"), $"kk"),
+        concat(lit("https://site"), $"hh", lit(".example/private/s"), $"kk")))
+        .as("url"))
+      val visited = d.filter($"kk" % 3 === 0)
+        .select(concat(lit("https://site"), $"hh", lit(".example/p"), $"kk")
+          .as("canonical_url"))
+        .unionByName(s.range(1).select(
+          graft.text.UrlNormalize.canonicalUrl(hub).as("canonical_url")))
+        .distinct().localCheckpoint(true)
+      val additions = Frontier.additions(visited, links)
+      val blocklist = s.range(3)
+        .select(concat(lit("badsite"), $"id", lit(".example")).as("domain"))
+      val unblocked = graft.text.UrlBlocklist
+        .adjudicate(additions, blocklist, "canonical_url")
+        .filter(!$"blocked")
+        .select($"canonical_url", $"n_links", $"min_doc",
+          regexp_extract($"canonical_url", "^[a-z]+://([^/]*)", 1).as("host"),
+          regexp_extract($"canonical_url", "^[a-z]+://[^/]*(/.*)$", 1).as("path"))
+      val robots = unblocked.select($"host").distinct()
+        .select($"host",
+          regexp_extract($"host", "^site([0-9]+)\\.", 1).cast("int").as("h"))
+        .select($"host", concat_ws("\n",
+          lit("User-agent: GraftBot"),
+          lit("Disallow: /private/"),
+          when($"h" % 2 === 0, concat(lit("Crawl-delay: "), ($"h" % 3) + 2)),
+          lit("User-agent: *"),
+          lit("Crawl-delay: 7")).as("txt"))
+      val rules = graft.text.RobotsTxt.agentRules(robots, "host", "txt", "graftbot")
+      val allowed = graft.text.RobotsTxt.adjudicate(unblocked, rules)
+        .filter($"allowed")
+      val delays = graft.text.RobotsTxt.crawlDelays(robots, "host", "txt", "graftbot")
+      val withUid = allowed.withColumn("uid", h60($"canonical_url"))
+      val topk = withUid.groupBy($"host")
+        .agg(graft.functions.AggFunctions
+            .scoredTopK($"n_links".cast("double"), $"uid", 4).as("top"))
+        .select($"host", posexplode($"top").as(Seq("pos", "e")))
+        .select($"host", ($"pos" + 1).cast("long").as("wave"), $"e.id".as("uid"))
+      withUid.join(broadcast(topk), Seq("host", "uid"))
+        .join(broadcast(delays), Seq("host"))
+        .select($"host", $"wave", $"canonical_url", $"n_links", $"delay_s",
+          (($"wave" - 1) * $"delay_s").as("eta_s"))
+        .orderBy($"host", $"wave")
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id % 7 AS hh, doc_id % 23 AS kk FROM documents),
+      l0 AS (SELECT doc_id, unnest([
+          'HTTPS://site' || CAST(hh AS VARCHAR) || '.example:443/p' || CAST(kk AS VARCHAR) || '?utm_source=x',
+          'HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f',
+          'https://ads.badsite' || CAST(hh % 3 AS VARCHAR) || '.example/x' || CAST(kk AS VARCHAR),
+          'https://site' || CAST(hh AS VARCHAR) || '.example/private/s' || CAST(kk AS VARCHAR)]) AS url
+        FROM d),
+      """ + urlCanonSqlFrom("l0") + """,
+      visited AS (
+        SELECT DISTINCT 'https://site' || CAST(hh AS VARCHAR) || '.example/p' || CAST(kk AS VARCHAR) AS cu
+        FROM d WHERE kk % 3 = 0
+        UNION
+        SELECT 'https://hub.com/home?s=1'),
+      frontier AS (
+        SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_links,
+               MIN(doc_id) AS min_doc
+        FROM canon WHERE canonical_url NOT IN (SELECT cu FROM visited)
+        GROUP BY 1),
+      hp AS (SELECT *,
+               regexp_extract(canonical_url, '^[a-z]+://([^/]*)', 1) AS host,
+               regexp_extract(canonical_url, '^[a-z]+://[^/]*(/.*)$', 1) AS path
+             FROM frontier),
+      sfx AS (SELECT *, string_split(host, '.') AS ls FROM hp),
+      unblocked AS (
+        SELECT canonical_url, n_links, min_doc, host, path FROM sfx
+        WHERE array_to_string(list_slice(ls, len(ls) - 1, len(ls)), '.')
+              NOT IN ('badsite0.example', 'badsite1.example', 'badsite2.example')),
+      allowed AS (SELECT * FROM unblocked WHERE path NOT LIKE '/private/%'),
+      uids AS (SELECT *, ('0x' || substr(md5('sch:' || canonical_url), 1, 15))::BIGINT
+                 % 1152921504606846976 AS uid
+               FROM allowed),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+               ORDER BY n_links DESC, uid ASC) AS wave
+             FROM uids),
+      delays AS (SELECT DISTINCT host,
+          CAST(CASE WHEN CAST(regexp_extract(host, '^site([0-9]+)', 1) AS INTEGER) % 2 = 0
+                    THEN CAST(regexp_extract(host, '^site([0-9]+)', 1) AS INTEGER) % 3 + 2
+                    ELSE 1 END AS BIGINT) AS delay_s
+        FROM allowed)
+      SELECT r.host, CAST(r.wave AS BIGINT) AS wave, r.canonical_url,
+             r.n_links, dl.delay_s,
+             CAST((r.wave - 1) * dl.delay_s AS BIGINT) AS eta_s
+      FROM rk r JOIN delays dl ON r.host = dl.host
+      WHERE r.wave <= 4
+      ORDER BY r.host, r.wave"""))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build

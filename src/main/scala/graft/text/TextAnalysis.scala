@@ -21,6 +21,60 @@ object TextAnalysis {
   /** Content fingerprint of the normalized text (exact-dedup key). */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** Shannon CHARACTER entropy of the normalized text — the classic
+    * cheap noise/repetition signal (near-zero for `aaaa…` spam and
+    * base64-ish blobs sit far above prose; used alongside the Gopher
+    * battery in public cleaning stacks). Integer protocol (the q89
+    * rule) via the identity n·H = n·ln n − Σ_c cnt_c·ln cnt_c: each
+    * run's term floor(cnt·ln cnt·10⁶) integerizes BEFORE the exact
+    * long sum (commutes), and ent_u = (floor(n·ln n·10⁶) − Σ) div n —
+    * micro-nats per character, truncating integral division.
+    *
+    * Shape: ONE pass — a single aggregate over the sorted character
+    * array whose lambda touches only the element and the accumulator
+    * (the GopherRepetition fold discipline: higher-order lambdas are
+    * interpreted, so a lambda referencing an expensive OUTER expression
+    * re-evaluates it per element — the n·ln n identity exists precisely
+    * to keep n out of the fold). Zero shuffle, zero fan-out. ASCII
+    * contract stated: Spark walks UTF-16 units, DuckDB UTF-8
+    * characters — identical on the ASCII range the corpus occupies.
+    *
+    * Returns (idCol, n_chars, n_distinct_chars, ent_u). */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val s = normalize(col(textCol))
+    def runTerm(run: Column): Column =
+      when(run > 0,
+        floor(run.cast("double") * log(run.cast("double")) * lit(1e6))
+          .cast("long")).otherwise(lit(0L))
+    // state: (prev char, current run length, Σ closed-run terms, runs);
+    // the sentinel prev is a char normalize() can never emit — the
+    // sorted array BEGINS with spaces, so " " would merge the space run
+    // into the initial empty one
+    val init = struct(lit(0.toChar.toString).as("prev"), lit(0L).as("run"),
+      lit(0L).as("s1"), lit(0L).as("nd"))
+    val folded = aggregate(array_sort(split(s, "", -1)), init,
+      (st, x) => {
+        val same = st.getField("prev") === x
+        struct(x.as("prev"),
+          when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          (st.getField("s1") +
+            when(same, lit(0L)).otherwise(runTerm(st.getField("run")))).as("s1"),
+          (st.getField("nd") + when(same, lit(0L)).otherwise(lit(1L))).as("nd"))
+      },
+      st => struct(
+        (st.getField("s1") + runTerm(st.getField("run"))).as("s1"),
+        st.getField("nd").as("nd")))
+    df.select(col(idCol), length(s).cast("long").as("n_chars"),
+        folded.as("_f"))
+      .select(col(idCol), col("n_chars"),
+        col("_f.nd").as("n_distinct_chars"),
+        (floor(col("n_chars").cast("double") * log(col("n_chars").cast("double"))
+          * lit(1e6)).cast("long") - col("_f.s1")).as("_ent_tot"))
+      .withColumn("ent_u", expr("_ent_tot DIV n_chars"))
+      .drop("_ent_tot")
+  }
+
   /** Naive whitespace token count (split on single space). */
   def wsTokenCount(c: Column): Column = size(split(c, " ", -1))
 
