@@ -210,12 +210,22 @@ object Bench {
     def line(enc: String, csv: String): String =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu":${r2(totalCpu)},"sf":"$sfShort","enc":"$enc","queries":"$csv","stalled":$stalledJson}"""
     val LINE_BUDGET = 1950 // driver tail window 2000 − margin
-    val resultLine = {
+    // When the registry outgrows the two-field form (happened at 218
+    // queries — csvA ≈ 2400 chars), cpu must NOT silently vanish from
+    // the record again (the r13 failure): degrade the FINAL line to
+    // min-wall-only, and emit cpu on its own self-describing
+    // PENULTIMATE line — the committed tail keeps both, and the
+    // driver's single-line parse still gets a complete final JSON.
+    val (resultLine, cpuLine) = {
       val a = line("csv id:minds:cpuds", csvA)
-      if (a.length <= LINE_BUDGET) a
+      if (a.length <= LINE_BUDGET) (a, None)
       else {
+        val cpuCsv = results
+          .map(r => shortName(r._1) + ":" + ds(r._4)).mkString(",")
+        val cpu = Some(
+          s"""{"metric":"cpu_detail","unit":"ds","enc":"csv id:cpuds","queries":"$cpuCsv"}""")
         val b = line("csv id:mincs", csvB)
-        if (b.length <= LINE_BUDGET) b
+        if (b.length <= LINE_BUDGET) (b, cpu)
         else {
           val parts = csvB.split(',')
           val overhead = line(s"csv id:mincs trunc ${parts.length}/${parts.length}", "").length
@@ -223,8 +233,8 @@ object Bench {
           while (kept < parts.length && len + parts(kept).length + 1 <= LINE_BUDGET - overhead) {
             len += parts(kept).length + 1; kept += 1
           }
-          line(s"csv id:mincs trunc $kept/${parts.length}",
-            parts.take(kept).mkString(","))
+          (line(s"csv id:mincs trunc $kept/${parts.length}",
+            parts.take(kept).mkString(",")), cpu)
         }
       }
     }
@@ -256,6 +266,7 @@ object Bench {
     rmTree(java.nio.file.Paths.get(
       s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}"))
     System.err.flush()
+    cpuLine.foreach(println) // penultimate: cpu detail survives in the tail
     println(resultLine)
     System.out.flush()
     Runtime.getRuntime.halt(0)

@@ -901,6 +901,17 @@ object PlanCheck {
         "no corpus sort-merge join" -> "SortMergeJoin",
         "no cartesian" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // α-power language sampling: one map-side-combined language count,
+    // weights/rates on the answer-sized language table (the 1-row
+    // total is the only nested-loop), rates broadcast back, keep is a
+    // map-side hash compare — never a per-language rank window
+    Want("q219_alpha_sample", Seq(
+      "map-side language count" -> "partial_count",
+      "rates broadcast onto the doc stream" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no per-language rank window" -> "Window",
+        "no corpus sort-merge join" -> "SortMergeJoin",
+        "no cartesian" -> "CartesianProduct")),
     // robots.txt gate: host-dimension rule arrays BROADCAST onto the URL
     // stream and the match/argmax is a per-row fold — the URL corpus is
     // never shuffled against rules (no sort-merge join, no cartesian,

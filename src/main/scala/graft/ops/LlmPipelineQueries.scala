@@ -4504,7 +4504,46 @@ object LlmPipelineQueries {
              CAST((r.wave - 1) * dl.delay_s AS BIGINT) AS eta_s
       FROM rk r JOIN delays dl ON r.host = dl.host
       WHERE r.wave <= 4
-      ORDER BY r.host, r.wave"""))
+      ORDER BY r.host, r.wave""")),
+
+    // --- q219: α-power language sampling (TrainingPrep
+    // .alphaSampleSummary — the mC4/mT5 recipe, Xue et al. NAACL'21
+    // §3.1): uniform sampling buries low-resource languages, so lang l
+    // is sampled ∝ n_l^0.3 — the published exponent, flattening
+    // without inverting. q61 applies HAND-SET per-source rates; this
+    // row DERIVES them from observed counts with the published power
+    // law. Integer protocol: per-language w_u = floor(exp(α·ln n)·10⁶)
+    // integerizes before the weight sum (a float Σ over languages
+    // would be engine-order-dependent), rates all-integer from there
+    // (two-step division, truncation points mirrored), keep =
+    // deterministic hash threshold — never a per-language rank window.
+    // The per-language summary surfaces the recipe's signature: small
+    // languages' rates cap at 10⁶ (kept whole), big ones sample down.
+    QueryDef("q219_alpha_sample", (s, dir) => {
+      import s.implicits._
+      TrainingPrep.alphaSampleSummary(
+        Tables.load(s, dir, "documents"), "lang", "doc_id")
+        .orderBy($"lang")
+    }, Some("""
+      WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY 1),
+      w AS (SELECT lang, n_docs,
+                   CAST(floor(exp(0.3 * ln(CAST(n_docs AS DOUBLE))) * 1e6) AS BIGINT) AS w_u
+            FROM c),
+      t AS (SELECT CAST(SUM(w_u) AS BIGINT) AS wtot,
+                   CAST(SUM(n_docs) AS BIGINT) AS ntot FROM w),
+      r AS (SELECT lang, n_docs, w_u,
+                   least(1000000, CAST(((((ntot * 500) // 1000) * w_u) // wtot * 1000000) // n_docs AS BIGINT)) AS rate_u
+            FROM w CROSS JOIN t),
+      k AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE ('0x' || substr(md5('alpha:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 < r.rate_u
+            GROUP BY 1)
+      SELECT r.lang, r.n_docs, r.w_u, CAST(r.rate_u AS BIGINT) AS rate_u,
+             COALESCE(k.n_kept, 0) AS n_kept
+      FROM r LEFT JOIN k ON r.lang = k.lang
+      ORDER BY r.lang"""))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build

@@ -296,6 +296,52 @@ object TrainingPrep {
       .withColumn("keep", col("w_u") > 0)
   }
 
+  /** α-power language sampling (the mC4/mT5 recipe — Xue et al.
+    * NAACL'21 §3.1, after Devlin's mBERT exponent trick): a
+    * multilingual corpus sampled uniformly buries low-resource
+    * languages, so language l is sampled with probability ∝ n_l^α
+    * (α ≈ 0.3 published) — flattening the size distribution without
+    * inverting it. Given a doc budget `budgetPermille`·N/1000, the
+    * per-doc keep rate for language l is r_l = B·p_l/n_l (capped at 1),
+    * applied by DETERMINISTIC hash thresholding — no per-language rank
+    * window, no shuffled sampling state.
+    *
+    * Integer protocol: w_u(l) = floor(exp(α·ln n_l)·10⁶) integerizes
+    * per language BEFORE the weight-sum (exact long addition — a float
+    * Σ over languages would be engine-order-dependent), and the rate is
+    * all-integer from there: rate_u = min(10⁶, (B·w_u·10⁶) div
+    * (W_u·n_l)).
+    *
+    * Scale shape: ONE map-side-combined language count; weights and
+    * rates live on the answer-sized language table (the 1-row total is
+    * the only nested-loop join); rates BROADCAST back onto the doc
+    * stream and the keep verdict is a map-side hash compare. Returns
+    * the per-language summary (lang, n_docs, w_u, rate_u, n_kept). */
+  def alphaSampleSummary(docs: DataFrame, langCol: String, idCol: String,
+      alpha: Double = 0.3, budgetPermille: Int = 500): DataFrame = {
+    val counts = docs.groupBy(col(langCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_u",
+        floor(exp(lit(alpha) * log(col("n_docs").cast("double"))) * 1e6)
+          .cast("long"))
+    val tot = counts.agg(sum(col("w_u")).as("wtot"), sum(col("n_docs")).as("ntot"))
+    val rates = counts.crossJoin(broadcast(tot)) // 1-row scalar join
+      // two-step division for overflow headroom: share = the language's
+      // doc budget (≤ B), then the per-doc rate — B·w_u stays < 2⁶³ up
+      // to ~10⁹ docs × w_u 5·10⁸ (stated); the oracle mirrors both
+      // truncation points
+      .withColumn("rate_u", least(lit(1000000L), expr(
+        s"((((ntot * $budgetPermille) DIV 1000) * w_u) DIV wtot * 1000000L) DIV n_docs")))
+      .select(col(langCol), col("n_docs"), col("w_u"), col("rate_u"))
+    val kept = docs.join(broadcast(rates), Seq(langCol))
+      .filter(pmod(conv(substring(md5(concat(lit("alpha:"),
+          col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(1000000L)) < col("rate_u"))
+      .groupBy(col(langCol)).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq(langCol), "left")
+      .select(col(langCol), col("n_docs"), col("w_u"), col("rate_u"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** The per-doc bigram stream (id, bg) — shared by the model build
     * and the scoring pass. */
   private def docBigramStream(docs: DataFrame, textCol: String,
