@@ -912,6 +912,18 @@ object PlanCheck {
         "no per-language rank window" -> "Window",
         "no corpus sort-merge join" -> "SortMergeJoin",
         "no cartesian" -> "CartesianProduct")),
+    // NB quality classifier: the fit is one map-side-combined seed
+    // histogram (≤1024 rows by construction), the weight table
+    // broadcasts onto the corpus feature stream, and the per-doc score
+    // sum is the only corpus-keyed exchange — no corpus-sized join, no
+    // window, nothing per-class beyond the answer-sized weight table
+    Want("q220_quality_classifier", Seq(
+      "seed histogram map-side combine" -> "partial_sum",
+      "weights broadcast onto the feature stream" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no corpus sort-merge join" -> "SortMergeJoin",
+        "no window" -> "Window",
+        "no cartesian" -> "CartesianProduct")),
     // robots.txt gate: host-dimension rule arrays BROADCAST onto the URL
     // stream and the match/argmax is a per-row fold — the URL corpus is
     // never shuffled against rules (no sort-merge join, no cartesian,

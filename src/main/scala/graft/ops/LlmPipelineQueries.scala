@@ -4543,7 +4543,79 @@ object LlmPipelineQueries {
       SELECT r.lang, r.n_docs, r.w_u, CAST(r.rate_u AS BIGINT) AS rate_u,
              COALESCE(k.n_kept, 0) AS n_kept
       FROM r LEFT JOIN k ON r.lang = k.lang
-      ORDER BY r.lang"""))
+      ORDER BY r.lang""")),
+
+    // --- q220: seed-trained Naive-Bayes quality classifier
+    // (TrainingPrep.nbClassifierScore — Brown et al. NeurIPS'20 App. A:
+    // the GPT-3/PaLM "quality classifier" recipe, a linear model fit on
+    // curated-positive vs random-crawl-negative SEED docs and applied to
+    // the whole corpus; hashed features per Joulin et al. '16). The
+    // third selection family beside the heuristic batteries and the
+    // q207/q209 distribution ratios: the fit sees only the labeled seed
+    // (curated = the en slice at doc%4=1; crawl-negative = the random
+    // doc%4=3 slice, ANY language — noisy negatives exactly like the
+    // real recipe's random Common Crawl draw), and every OTHER doc is
+    // scored by a model that never saw it. Multinomial NB's fit is pure
+    // counting, so train = ONE map-side-combined histogram (≤1024 rows);
+    // per-bucket log-odds integerize to micro-nats before the exact
+    // per-doc sum (q89 rule); seed-unseen buckets fall back to the
+    // smoothing-only default via coalesce, never a dropped occurrence.
+    // Scale shape (PlanCheck-pinned): weights/totals/prior broadcast;
+    // the per-doc sum is the only corpus-keyed exchange.
+    QueryDef("q220_quality_classifier", (s, dir) => {
+      import s.implicits._
+      // the q217 plant construction, shared by both engines: docs at
+      // %9==4 carry a spam appendix — the low-quality class the recipe
+      // exists to remove. Curated positive seed = the %4==1 slice WITH
+      // the spam docs filtered out (curation IS that filter); negative
+      // seed = the %4==3 slice UNFILTERED (the random crawl draw, noisy
+      // exactly like the real recipe's). Held-out spam docs (%9==4
+      // outside both seeds) are killed by a model that never saw them;
+      // the near-balanced seeds keep clean docs straddling the MAP
+      // boundary, so `keep` is non-degenerate in both directions.
+      val page = concat($"text", when($"doc_id" % 9 === 4,
+        repeat(lit(" buy cheap click"), 8)).otherwise(lit("")))
+      TrainingPrep.nbClassifierScore(
+        Tables.load(s, dir, "documents").select($"doc_id", page.as("page")),
+        "page", "doc_id",
+        isPos = pmod(col("doc_id"), lit(4)) === 1 &&
+          pmod(col("doc_id"), lit(9)) =!= 4,
+        isNeg = pmod(col("doc_id"), lit(4)) === 3)
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH pg AS (SELECT doc_id,
+              text || CASE WHEN doc_id % 9 = 4
+                THEN repeat(' buy cheap click', 8) ELSE '' END AS page
+            FROM documents),
+      lbl AS (SELECT doc_id,
+              (doc_id % 4 = 1 AND doc_id % 9 <> 4) AS is_pos,
+              (doc_id % 4 = 3) AS is_neg,
+              string_split(trim(regexp_replace(lower(page), '\s+', ' ', 'g')), ' ') AS w
+            FROM pg),
+      f AS (SELECT doc_id, is_pos, is_neg,
+              ('0x' || substr(md5('nbq:' || unnest(w)), 1, 15))::BIGINT % 1024 AS f
+            FROM lbl),
+      hist AS (SELECT f,
+              CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+              CAST(SUM(CASE WHEN is_neg THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+            FROM f WHERE is_pos OR is_neg GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c_pos) AS BIGINT) AS tpos,
+                     CAST(SUM(c_neg) AS BIGINT) AS tneg FROM hist),
+      pri AS (SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                     CAST(SUM(CASE WHEN is_neg THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+              FROM lbl),
+      wts AS (SELECT f,
+              CAST(floor(ln(((c_pos + 1.0) * (tneg + 1024)) /
+                            ((c_neg + 1.0) * (tpos + 1024))) * 1e6) AS BIGINT) AS w_u
+              FROM hist CROSS JOIN tot),
+      cst AS (SELECT CAST(floor(ln((tneg + 1024.0) / (tpos + 1024.0)) * 1e6) AS BIGINT) AS w0_u,
+                     CAST(floor(ln(CAST(n_pos AS DOUBLE) / n_neg) * 1e6) AS BIGINT) AS prior_u
+              FROM tot CROSS JOIN pri)
+      SELECT f.doc_id, CAST(COUNT(*) AS INTEGER) AS n_toks,
+             CAST(prior_u + SUM(COALESCE(w_u, w0_u)) AS BIGINT) AS score_u,
+             (prior_u + SUM(COALESCE(w_u, w0_u))) > 0 AS keep
+      FROM f LEFT JOIN wts USING (f) CROSS JOIN cst
+      GROUP BY f.doc_id, prior_u ORDER BY doc_id"""))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build

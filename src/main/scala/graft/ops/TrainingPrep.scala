@@ -440,4 +440,74 @@ object TrainingPrep {
       .join(hits, Seq(idCol))
       .withColumn("score", col("n_hit").cast("double") / col("n_grams"))
   }
+
+  /** Seed-trained Naive-Bayes quality classifier (the GPT-3/PaLM-class
+    * "quality classifier" selection method — Brown et al. NeurIPS'20
+    * Appendix A trains a linear classifier on curated-positive vs
+    * crawl-negative seed documents, then scores the WHOLE corpus and
+    * keeps by its verdict; fastText-class hashed features per Joulin
+    * et al. '16). The third published selection family beside the
+    * heuristic batteries (q48/q199/q206) and the distribution ratios
+    * (q207 perplexity buckets, q209 DSIR): a model FIT to a labeled
+    * SEED, applied to documents the fit never saw. Multinomial NB over
+    * hashed word unigrams is the linear classifier whose entire fit is
+    * COUNTING — per-bucket class occurrence counts — so training is one
+    * aggregation, no gradient loop, no driver-side state.
+    *
+    * Integer protocol (the q89/q209 rule — integerize per term, exact
+    * long sums only): the per-bucket log-odds w_u(f) =
+    * floor(ln((c_pos+1)·(T_neg+B) / ((c_neg+1)·(T_pos+B)))·1e6) is ONE
+    * ln of ONE IEEE division whose operands are exact integer products
+    * (exact in a double while seed-token-count · (T+B) < 2^53 — seeds
+    * are curated subsets orders smaller than the corpus; beyond ~10^8
+    * seed tokens per class split the ratio into two lns, stated). The
+    * class prior integerizes the same way, and the doc score
+    * s_u = prior_u + Σ_occurrences w_u is an exact long sum —
+    * order-free, engine-portable. keep ⇔ s_u > 0 (the MAP boundary).
+    *
+    * Scale shape: the fit is ONE map-side-combined histogram over the
+    * SEED's feature stream (≤ `buckets` rows out — answer-sized by
+    * construction, the point of hashed features); weights, totals and
+    * prior BROADCAST; the corpus feature stream LEFT-joins the weight
+    * table — a bucket no seed token ever hit falls back to the
+    * smoothing-only default weight w0_u = floor(ln((T_neg+B)/(T_pos+B))
+    * ·1e6) via coalesce, never a dropped occurrence — and the per-doc
+    * sum is the operator's only corpus-keyed exchange. */
+  def nbClassifierScore(docs: DataFrame, textCol: String, idCol: String,
+      isPos: Column, isNeg: Column, buckets: Int = 1024): DataFrame = {
+    val feat = docs
+      .select(col(idCol), isPos.as("is_pos"), isNeg.as("is_neg"),
+        explode(split(TextAnalysis.normalize(col(textCol)), " ", -1)).as("w"))
+      .select(col(idCol), col("is_pos"), col("is_neg"),
+        pmod(conv(substring(md5(concat(lit("nbq:"), col("w"))), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("f"))
+    val hist = feat.filter(col("is_pos") || col("is_neg"))
+      .groupBy(col("f")).agg(
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("is_neg"), 1L).otherwise(0L)).as("c_neg"))
+    val tot = hist.agg(sum(col("c_pos")).as("tpos"), sum(col("c_neg")).as("tneg"))
+    val prior = docs.agg(
+      sum(when(isPos, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(isNeg, 1L).otherwise(0L)).as("n_neg"))
+    val b = lit(buckets.toLong)
+    val weights = hist.crossJoin(broadcast(tot)) // 1-row scalar join
+      .select(col("f"),
+        floor(log(((col("c_pos") + lit(1.0)) * (col("tneg") + b))
+          / ((col("c_neg") + lit(1.0)) * (col("tpos") + b))) * 1e6)
+          .cast("long").as("w_u"))
+    val consts = tot.crossJoin(prior) // 1 row × 1 row
+      .select(
+        floor(log((col("tneg") + lit(buckets.toDouble))
+            / (col("tpos") + lit(buckets.toDouble)))
+          * 1e6).cast("long").as("w0_u"),
+        floor(log(col("n_pos").cast("double") / col("n_neg")) * 1e6)
+          .cast("long").as("prior_u"))
+    feat.join(broadcast(weights), Seq("f"), "left")
+      .crossJoin(broadcast(consts)) // 1-row scalar join
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_toks"),
+        (max(col("prior_u")) + sum(coalesce(col("w_u"), col("w0_u"))))
+          .as("score_u"))
+      .withColumn("keep", col("score_u") > 0)
+  }
 }

@@ -555,6 +555,34 @@ class PipelineSpec extends SparkSpec {
     assert(sc(0) < sc(1), s"salad ${sc(0)} should score below typical ${sc(1)}")
   }
 
+  test("TrainingPrep.nbClassifierScore: seed-fit NB kills held-out spam; unseen buckets take the default weight") {
+    import graft.ops.TrainingPrep
+    // seed: two curated docs (+), two crawl docs (− — one carrying the spam
+    // token); held-out: a spam doc the fit never saw, a clean doc, and a doc
+    // of ONLY unseen tokens (the coalesce default-weight path).
+    val docs = Seq(
+      (1L, "good clean prose words here", true, false),
+      (2L, "more good clean words here", true, false),
+      (3L, "spam spam spam spam buy", false, true),
+      (4L, "some clean words here too now", false, true), // 6 tokens: T_neg=11
+      (10L, "spam spam spam buy spam", false, false), // held-out spam
+      (11L, "good clean prose words here", false, false), // held-out clean
+      (12L, "unseenalpha unseenbeta", false, false)) // default-path only
+      .toDF("doc_id", "text", "pos", "neg")
+    val r = TrainingPrep.nbClassifierScore(docs, "text", "doc_id", $"pos", $"neg")
+      .orderBy($"doc_id").as[(Long, Int, Long, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    // the held-out spam doc is killed by a model that never saw it, and
+    // scores far below the held-out clean doc
+    assert(!r(10L)._4, r(10L).toString)
+    assert(r(10L)._3 < r(11L)._3 - 1000000L, s"${r(10L)} vs ${r(11L)}")
+    // default path exact: T_pos=10, T_neg=11 seed tokens, n_pos=n_neg=2 docs
+    // -> prior_u = floor(ln(1)*1e6) = 0, w0_u = floor(ln(1035/1034)*1e6);
+    // doc 12 is two occurrences of tokens NO seed bucket holds
+    val w0u = math.floor(math.log((11 + 1024.0) / (10 + 1024.0)) * 1e6).toLong
+    assert(r(12L)._2 == 2 && r(12L)._3 == 2 * w0u, s"${r(12L)} vs w0=$w0u")
+  }
+
   test("SparseCosine: group-local neighbors, parallel vectors rank first, maxDf audit") {
     import graft.similarity.SparseCosine
     // two disjoint term groups + a stop word in every doc (df 5 > maxDf 4)
