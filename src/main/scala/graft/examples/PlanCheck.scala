@@ -257,6 +257,18 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian" -> "CartesianProduct",
         "no nested-loop join" -> "BroadcastNestedLoopJoin")),
+    // incremental triangles: every wedge-GENERATING join is delta-
+    // anchored with the delta side broadcast (the standing edge table is
+    // only scanned by the closing equi-joins); per-node attribution and
+    // map-side count as in q107; never a cartesian/nested-loop fallback
+    Want("q221_delta_triangles", Seq(
+      "delta side broadcasts into the wedge joins" -> "BroadcastHashJoin",
+      "per-node attribution via explode" -> "Generate",
+      "map-side partial count" -> "partial_count"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin",
+        "no window" -> "Window")),
     // k-means final plan: assignment is a PROJECTION over the quantized
     // corpus (centroids are literals inside the argmin expression — no
     // join touches the corpus), contingency is a map-side-combined

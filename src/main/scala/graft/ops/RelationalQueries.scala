@@ -971,6 +971,84 @@ object RelationalQueries {
         UNION ALL SELECT w FROM tri)
       GROUP BY node ORDER BY node""")),
 
+    // Incremental triangle counting (Triangles.deltaPerNode) — the
+    // q147/q192/q197 delta discipline applied to the GRAPH family: a
+    // new order batch's co-purchase edges are adjudicated against the
+    // standing graph by enumerating only the triangles that contain a
+    // delta edge (case-split on the first delta edge's position in the
+    // oriented triple — disjoint, exhaustive, every wedge-generating
+    // join delta-anchored with the delta broadcast; the standing table
+    // is only scanned). The oracle checks the defining identity the
+    // operator never computes: per-node counts of the full UNION
+    // recount minus the full STANDING recount (both via q107's
+    // orientation CTEs) — one missed case, double-counted clique, or
+    // stale-edge leak breaks the diff.
+    QueryDef("q221_delta_triangles", (s, dir) => {
+      import s.implicits._
+      def copurchase(pred: org.apache.spark.sql.Column) = {
+        val li = t(s, dir, "lineitem").filter(pred)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        li.select($"ok", $"pk".as("a"))
+          .join(li.select($"ok", $"pk".as("b")), "ok")
+          .filter($"a" =!= $"b").select("a", "b")
+      }
+      Triangles.deltaPerNode(
+        standing = copurchase($"l_orderkey" % 10 === 0),
+        delta = copurchase($"l_orderkey" % 100 === 15))
+        .orderBy($"node")
+    }, Some("""
+      WITH lis AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_orderkey % 10 = 0),
+      lid AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_orderkey % 100 = 15),
+      cans AS (
+        SELECT DISTINCT LEAST(x.pk, y.pk) AS a, GREATEST(x.pk, y.pk) AS b
+        FROM lis x JOIN lis y ON x.ok = y.ok AND x.pk <> y.pk),
+      cana AS (
+        SELECT a, b FROM cans
+        UNION
+        SELECT DISTINCT LEAST(x.pk, y.pk), GREATEST(x.pk, y.pk)
+        FROM lid x JOIN lid y ON x.ok = y.ok AND x.pk <> y.pk),
+      degs AS (SELECT n, COUNT(*) AS d FROM (
+          SELECT a AS n FROM cans UNION ALL SELECT b FROM cans) GROUP BY n),
+      os AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+                    THEN c.a ELSE c.b END AS src,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+                    THEN c.b ELSE c.a END AS dst
+        FROM cans c JOIN degs da ON da.n = c.a JOIN degs db ON db.n = c.b),
+      tris AS (
+        SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        FROM os e1 JOIN os e2 ON e1.dst = e2.src
+                   JOIN os e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      ns AS (SELECT node, COUNT(*) AS n FROM (
+          SELECT u AS node FROM tris
+          UNION ALL SELECT v FROM tris
+          UNION ALL SELECT w FROM tris) GROUP BY node),
+      dega AS (SELECT n, COUNT(*) AS d FROM (
+          SELECT a AS n FROM cana UNION ALL SELECT b FROM cana) GROUP BY n),
+      oa AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+                    THEN c.a ELSE c.b END AS src,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+                    THEN c.b ELSE c.a END AS dst
+        FROM cana c JOIN dega da ON da.n = c.a JOIN dega db ON db.n = c.b),
+      tria AS (
+        SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        FROM oa e1 JOIN oa e2 ON e1.dst = e2.src
+                   JOIN oa e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      na AS (SELECT node, COUNT(*) AS n FROM (
+          SELECT u AS node FROM tria
+          UNION ALL SELECT v FROM tria
+          UNION ALL SELECT w FROM tria) GROUP BY node)
+      SELECT a.node, CAST(a.n - COALESCE(s.n, 0) AS BIGINT) AS n_new
+      FROM na a LEFT JOIN ns s ON a.node = s.node
+      WHERE a.n - COALESCE(s.n, 0) > 0
+      ORDER BY a.node""")),
+
     // Exact group-wise IQR outlier screen (ops/Outliers.scala): Tukey
     // fences from ORDER-STATISTIC quartiles — rank ⌊(n−1)q⌋ picks an
     // actual data value by integer arithmetic (interpolated percentiles

@@ -85,4 +85,86 @@ object Triangles {
     val e3 = oriented.select(col("src").as("u"), col("dst").as("w"))
     e1.join(e2, "v").join(e3, Seq("u", "w")).select("u", "v", "w")
   }
+
+  /** INCREMENTAL triangle counting — the delta-dedup discipline (q147/
+    * q192/q197) applied to the graph family: a NEW edge batch is
+    * adjudicated against a standing edge set by enumerating ONLY the
+    * triangles containing at least one delta edge, never re-running the
+    * standing graph's wedge join — the Σ outdeg² ≈ O(m^1.5) term that
+    * dominates a full recount and the whole reason an incremental path
+    * exists at 100 TB.
+    *
+    * Every new triangle has ≥1 delta edge, and under the degree-ordered
+    * orientation of the UNION graph it appears exactly once as
+    * (e1: u→v, e2: v→w, e3: u→w). Splitting by the POSITION of the
+    * FIRST delta edge in that triple makes the cases disjoint and
+    * exhaustive:
+    *   case 1: e1 ∈ D                 (e2, e3 anything)
+    *   case 2: e1 ∈ E, e2 ∈ D         (e3 anything)
+    *   case 3: e1 ∈ E, e2 ∈ E, e3 ∈ D (anchored on the closing edge:
+    *           middle v with (u,v) ∈ E and (v,w) ∈ E)
+    * so every wedge-GENERATING join is delta-anchored (the delta side
+    * broadcasts) and the standing table is only SCANNED — once for
+    * degrees, once per closing equi-join. Work follows the delta plus a
+    * linear standing term; the recount's superlinear wedge term is gone
+    * (measured: the §6 two-axis probe holds probe cpu near-flat at a
+    * fixed delta across a growing corpus while the full recount climbs).
+    *
+    * Degrees — and with them the orientation — are those of the UNION
+    * graph, recomputed in one linear pass; a production index would keep
+    * the degree table incrementally (counts merge by addition), stated.
+    * The triangle SET is orientation-independent, so the result equals
+    * countPerNode(union) − countPerNode(standing) exactly — the identity
+    * the oracle checks.
+    *
+    * Returns (node, n_new) for nodes in ≥1 new triangle — the increment
+    * to ADD to a standing per-node count table (q107's output is such a
+    * table; counts merge by addition). Delta edges already standing are
+    * dropped (they close nothing new); duplicates, self-loops, and
+    * either orientation tolerated on both inputs. */
+  def deltaPerNode(standing: DataFrame, delta: DataFrame): DataFrame = {
+    def canon(df: DataFrame) = df
+      .select(col("a"), col("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val cs = canon(standing).localCheckpoint(true)
+    val cd = canon(delta).join(cs, Seq("a", "b"), "left_anti")
+      .localCheckpoint(true)
+    val all = cs.withColumn("is_d", lit(false))
+      .unionByName(cd.withColumn("is_d", lit(true)))
+    val deg = all.select(col("a").as("n"))
+      .unionByName(all.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = all
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"),
+        col("is_d"))
+      .localCheckpoint(true)
+    val dOr = broadcast(oriented.filter(col("is_d")))
+    val eOr = oriented.filter(!col("is_d"))
+    // cases 1+2 share the (u,w) closure — union the delta-anchored
+    // wedges first so the closing join scans the edge table ONCE
+    val w1 = dOr.select(col("src").as("u"), col("dst").as("v"))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), "v")
+      .select("u", "v", "w")
+    val w2 = dOr.select(col("src").as("v"), col("dst").as("w"))
+      .join(eOr.select(col("src").as("u"), col("dst").as("v")), "v")
+      .select("u", "v", "w")
+    val t12 = w1.unionByName(w2)
+      .join(oriented.select(col("src").as("u"), col("dst").as("w")), Seq("u", "w"))
+    // case 3: only the closing edge is delta — anchor on it
+    val t3 = dOr.select(col("src").as("u"), col("dst").as("w"))
+      .join(eOr.select(col("src").as("u"), col("dst").as("v")), "u")
+      .join(eOr.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    t12.select("u", "v", "w").unionByName(t3.select("u", "v", "w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_new"))
+  }
 }

@@ -980,6 +980,42 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.ops.Triangles.countPerNode(star.toDF("a", "b")).isEmpty)
   }
 
+  test("Triangles.deltaPerNode: delta-anchored enumeration == recount diff, every case") {
+    import spark.implicits._
+    // standing: square 1-2-3-4 with diagonal 1-3 (2 triangles) + wedge
+    // 10-11, 11-12 (open) + edge pair 20-21, 20-22 (open)
+    val standing = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L,
+      10L -> 11L, 11L -> 12L, 20L -> 21L, 20L -> 22L)
+    // delta: 10-12 closes the standing wedge (case 3); 21-22 closes the
+    // pair through a delta middle/closing edge; 30-31/31-32/30-32 an
+    // all-delta clique (counted once per triangle, not once per case);
+    // 2-3 a STALE edge already standing (must close nothing new);
+    // reversed/duplicated arrivals and a self-loop for canonicalization
+    val delta = Seq(10L -> 12L, 21L -> 22L, 30L -> 31L, 31L -> 32L,
+      30L -> 32L, 2L -> 3L, 3L -> 2L, 12L -> 10L, 33L -> 33L)
+    val got = graft.ops.Triangles
+      .deltaPerNode(standing.toDF("a", "b").repartition(3),
+        delta.toDF("a", "b").repartition(2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L, 12L -> 1L,
+      20L -> 1L, 21L -> 1L, 22L -> 1L, 30L -> 1L, 31L -> 1L, 32L -> 1L), got)
+    // the defining identity on a denser mixed graph: delta counts ==
+    // countPerNode(union) − countPerNode(standing), node for node
+    val s2 = (0L to 20L).flatMap(i => Seq(i -> (i + 1), i -> (i + 3)))
+    val d2 = Seq(0L -> 2L, 5L -> 9L, 7L -> 8L, 14L -> 20L, 2L -> 5L)
+    val inc = graft.ops.Triangles
+      .deltaPerNode(s2.toDF("a", "b"), d2.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = graft.ops.Triangles.countPerNode(s2.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = graft.ops.Triangles
+      .countPerNode((s2 ++ d2).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val diff = after.map { case (n, c) => n -> (c - before.getOrElse(n, 0L)) }
+      .filter(_._2 > 0)
+    assert(inc == diff, s"inc=$inc diff=$diff")
+  }
+
   test("Merge.snapshotDiff: exact I/U/D delta, NULL transitions, roundtrip") {
     import spark.implicits._
     val v0 = Seq(
