@@ -881,6 +881,18 @@ object PlanCheck {
         "no cartesian" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin",
         "no rank window" -> "Window")),
+    // streaming DSIR: distributions merged from the landed histogram
+    // partials (parquet scan + map-side SUM over ≤1024 keys), ratio
+    // table broadcast onto the scoring feature stream — q209's shape
+    // with the model side landed instead of inline
+    Want("q222_stream_dsir", Seq(
+      "distributions merged from landed partials" -> "Scan parquet",
+      "ratio table broadcasts onto the feature stream" -> "BroadcastHashJoin",
+      "map-side per-doc combine" -> "partial_count"),
+      mustNotContain = Seq(
+        "no corpus sort-merge join" -> "SortMergeJoin",
+        "no window" -> "Window",
+        "no cartesian" -> "CartesianProduct")),
     // crawl-delay ETA: the q202 heap schedule joined with the
     // host-dimension delay table — both broadcast; the only window is
     // the robots-sized group parse, never one over the frontier

@@ -4056,29 +4056,7 @@ object LlmPipelineQueries {
         Tables.load(s, dir, "documents"), "text", "doc_id",
         isTarget = col("lang") === "en")
         .orderBy($"doc_id")
-    }, Some("""
-      WITH w0 AS (SELECT doc_id, lang = 'en' AS is_tgt,
-                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-                  FROM documents),
-      b AS (SELECT doc_id, is_tgt,
-                   unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
-            FROM w0 WHERE len(w) >= 2),
-      f AS (SELECT doc_id, is_tgt,
-                   ('0x' || substr(md5('dsir:' || bg), 1, 15))::BIGINT % 1024 AS f
-            FROM b),
-      hist AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS c_raw,
-                      CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
-               FROM f GROUP BY 1),
-      tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS rtot,
-                     CAST(SUM(c_tgt) AS BIGINT) AS ttot FROM hist),
-      dist AS (SELECT f,
-                 CAST(floor((ln((c_tgt + 1.0) / (ttot + 1024.0))
-                           - ln((c_raw + 1.0) / (rtot + 1024.0))) * 1e6) AS BIGINT) AS lr_u
-               FROM hist CROSS JOIN tot)
-      SELECT f.doc_id, CAST(COUNT(*) AS INTEGER) AS n_feats,
-             CAST(SUM(lr_u) AS BIGINT) AS w_u,
-             CAST(SUM(lr_u) AS BIGINT) > 0 AS keep
-      FROM f JOIN dist USING (f) GROUP BY 1 ORDER BY doc_id""")),
+    }, Some(DSIR_ORACLE_SQL)),
 
     // --- q210: CDX index + random-access re-read (sources/Warc.cdx /
     // fetchRecords) — the THIRD standard crawl artifact (q196 proved
@@ -4615,7 +4593,33 @@ object LlmPipelineQueries {
              CAST(prior_u + SUM(COALESCE(w_u, w0_u)) AS BIGINT) AS score_u,
              (prior_u + SUM(COALESCE(w_u, w0_u))) > 0 AS keep
       FROM f LEFT JOIN wts USING (f) CROSS JOIN cst
-      GROUP BY f.doc_id, prior_u ORDER BY doc_id"""))
+      GROUP BY f.doc_id, prior_u ORDER BY doc_id""")),
+
+    // --- q222: STREAMING DSIR maintenance (streaming/StreamingDsir —
+    // the q215 landed-artifact treatment for q209's importance model):
+    // DSIR's sufficient statistic is the per-bucket (c_raw, c_tgt)
+    // histogram over a FIXED 1024-slot hashed vocabulary, and counts
+    // merge by ADDITION — so the ingest stream lands one ≤1024-row
+    // partial per micro-batch (shard = batch id, idempotent overwrite
+    // under at-least-once foreachBatch; an arbitrary 4-file shuffled
+    // replay is the stream) and the release distributions are the
+    // SUM-merge of the shards, CONSTANT-bounded state (stronger than
+    // q215's Heaps-sublinear partial). Gate: q209's oracle VERBATIM —
+    // the merged-histogram weights must equal the inline corpus-built
+    // weights on every doc's (n_feats, w_u, keep), to the bit.
+    QueryDef("q222_stream_dsir", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text", $"lang")
+      val stream = graft.streaming.EventsStream.replayShuffled(docs, nFiles = 4)
+      val out = graft.Scratch.dir("graft_q222").toString
+      graft.streaming.StreamingDsir.landCounts(s, stream, "text", "doc_id",
+        isTarget = col("lang") === "en", out)
+      TrainingPrep.dsirWeightsAgainst(docs, "text", "doc_id",
+          isTarget = col("lang") === "en",
+          graft.streaming.StreamingDsir.mergedCounts(s, out))
+        .orderBy($"doc_id")
+    }, Some(DSIR_ORACLE_SQL))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build
@@ -4638,6 +4642,33 @@ object LlmPipelineQueries {
       element_at(col("ws"), 1), lit("</a></body></html>"))
     u0.select(col("doc_id"), html.as("h"))
   }
+
+  /** q209's oracle — and VERBATIM q222's (the distributions merged
+    * from streamed histogram partials must weight every doc identically
+    * to the inline corpus-built distributions). */
+  private def DSIR_ORACLE_SQL: String = """
+      WITH w0 AS (SELECT doc_id, lang = 'en' AS is_tgt,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                  FROM documents),
+      b AS (SELECT doc_id, is_tgt,
+                   unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+            FROM w0 WHERE len(w) >= 2),
+      f AS (SELECT doc_id, is_tgt,
+                   ('0x' || substr(md5('dsir:' || bg), 1, 15))::BIGINT % 1024 AS f
+            FROM b),
+      hist AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS c_raw,
+                      CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+               FROM f GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS rtot,
+                     CAST(SUM(c_tgt) AS BIGINT) AS ttot FROM hist),
+      dist AS (SELECT f,
+                 CAST(floor((ln((c_tgt + 1.0) / (ttot + 1024.0))
+                           - ln((c_raw + 1.0) / (rtot + 1024.0))) * 1e6) AS BIGINT) AS lr_u
+               FROM hist CROSS JOIN tot)
+      SELECT f.doc_id, CAST(COUNT(*) AS INTEGER) AS n_feats,
+             CAST(SUM(lr_u) AS BIGINT) AS w_u,
+             CAST(SUM(lr_u) AS BIGINT) > 0 AS keep
+      FROM f JOIN dist USING (f) GROUP BY 1 ORDER BY doc_id"""
 
   /** q89's oracle — and VERBATIM q215's (the model merged from
     * streamed count partials must score every doc identically to the

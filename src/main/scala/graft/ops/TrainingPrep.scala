@@ -265,12 +265,19 @@ object TrainingPrep {
     * evaluates on the raw stream (no join against a target table; DSIR
     * with a separate target corpus unions it in upstream). */
   def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
-      isTarget: Column, buckets: Int = 1024): DataFrame = {
+      isTarget: Column, buckets: Int = 1024): DataFrame =
+    dsirWeightsAgainst(docs, textCol, idCol, isTarget,
+      dsirCounts(docs, textCol, idCol, isTarget, buckets), buckets)
+
+  /** The hashed-bigram feature stream (id, is_tgt, f) both DSIR passes
+    * ride — the count build and the scoring pass. */
+  private def dsirFeatureStream(docs: DataFrame, textCol: String,
+      idCol: String, isTarget: Column, buckets: Int): DataFrame = {
     val toks = docs
       .select(col(idCol), isTarget.as("is_tgt"),
         split(TextAnalysis.normalize(col(textCol)), " ", -1).as("t"))
       .filter(size(col("t")) >= 2)
-    val feat = toks.select(col(idCol), col("is_tgt"),
+    toks.select(col(idCol), col("is_tgt"),
       explode(zip_with(
         slice(col("t"), lit(1), size(col("t")) - 1),
         slice(col("t"), lit(2), size(col("t")) - 1),
@@ -278,11 +285,27 @@ object TrainingPrep {
       .select(col(idCol), col("is_tgt"),
         pmod(conv(substring(md5(concat(lit("dsir:"), col("bg"))), 1, 15), 16, 10)
           .cast("long"), lit(buckets.toLong)).as("f"))
-    // both histograms in ONE pass over the feature stream; `buckets`
-    // rows out of the combine
-    val hist = feat.groupBy(col("f")).agg(
-      count(lit(1)).as("c_raw"),
-      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+  }
+
+  /** DSIR's sufficient statistic: the per-bucket (c_raw, c_tgt)
+    * histogram pair, built in ONE map-side-combined pass — ≤ `buckets`
+    * rows, and counts over a union of shards merge by ADDITION, which
+    * is what makes the distributions a maintainable streaming artifact
+    * ([[graft.streaming.StreamingDsir]], the StreamingLm discipline). */
+  def dsirCounts(docs: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int = 1024): DataFrame =
+    dsirFeatureStream(docs, textCol, idCol, isTarget, buckets)
+      .groupBy(col("f")).agg(
+        count(lit(1)).as("c_raw"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+
+  /** Score `docs` against a prebuilt (f, c_raw, c_tgt) histogram table —
+    * the release-time pass: totals and the log-ratio table derive from
+    * the histogram itself (answer-sized), broadcast onto the corpus
+    * feature stream exactly like [[dsirWeights]]'s inline build. */
+  def dsirWeightsAgainst(docs: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, hist: DataFrame, buckets: Int = 1024): DataFrame = {
+    val feat = dsirFeatureStream(docs, textCol, idCol, isTarget, buckets)
     val tot = hist.agg(sum(col("c_raw")).as("rtot"), sum(col("c_tgt")).as("ttot"))
     val dist = hist.crossJoin(broadcast(tot)) // 1-row scalar join
       .select(col("f"),
