@@ -881,6 +881,19 @@ object PlanCheck {
         "no cartesian" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin",
         "no rank window" -> "Window")),
+    // hard-negative mining: corpus streams through the cosine stage
+    // into the bounded heap — no per-anchor rank window ever sorts the
+    // scored rows, no corpus-keyed sort-merge join. (A BNLJ against the
+    // BROADCAST anchor batch is the intended scoring plan — the label
+    // exclusion is a non-equi predicate over the always-tiny side, the
+    // q80 1-row-BNLJ precedent scaled to an anchor batch.)
+    Want("q223_hard_negatives", Seq(
+      "bounded-heap mining aggregate" -> "scored_top_k",
+      "anchor batch broadcast" -> "BroadcastNestedLoopJoin"),
+      mustNotContain = Seq(
+        "no per-anchor rank window" -> "Window",
+        "no corpus sort-merge join" -> "SortMergeJoin",
+        "no cartesian" -> "CartesianProduct")),
     // streaming DSIR: distributions merged from the landed histogram
     // partials (parquet scan + map-side SUM over ≤1024 keys), ratio
     // table broadcast onto the scoring feature stream — q209's shape

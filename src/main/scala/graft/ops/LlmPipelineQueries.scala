@@ -4619,7 +4619,37 @@ object LlmPipelineQueries {
           isTarget = col("lang") === "en",
           graft.streaming.StreamingDsir.mergedCounts(s, out))
         .orderBy($"doc_id")
-    }, Some(DSIR_ORACLE_SQL))
+    }, Some(DSIR_ORACLE_SQL)),
+
+    // --- q223: hard-negative mining (similarity/Ann.hardNegatives —
+    // Karpukhin et al. EMNLP'20 §4.2, the DPR recipe): per anchor, the
+    // k most-cosine-similar corpus vectors with a DIFFERENT label — the
+    // semantically-close-but-not-positive examples that keep a
+    // contrastive gradient informative once q114's random cross-source
+    // draw goes trivial. The label column is the positive-equivalence
+    // key (here the embedding table's cluster label — anchors must not
+    // mine their own clustermates as negatives). Scale shape
+    // (PlanCheck-pinned): anchors broadcast, corpus streams through one
+    // codegen cosine stage into the bounded scored_top_k heap — the
+    // exchange carries tasks×anchors×k entries, never scored rows, and
+    // no per-anchor rank window sorts the corpus (q32's window shape
+    // retired for the mining variant; ties prefer the smaller id, the
+    // BRUTE_TOPK convention, so the rank surface stays hash-exact).
+    QueryDef("q223_hard_negatives", (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.similarity.Ann.hardNegatives(
+        emb, emb.filter($"vec_id" < 8), "embedding", "vec_id", "label", k = 5)
+        .orderBy($"q_id", $"rk")
+    }, Some("""
+      SELECT q_id, rk, n_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id)
+                 AS INTEGER) AS rk
+        FROM embeddings q JOIN embeddings e ON q.label <> e.label
+        WHERE q.vec_id < 8)
+      WHERE rk <= 5 ORDER BY q_id, rk"""))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build

@@ -38,6 +38,42 @@ object Ann {
       .select(col("q_id"), col("rk"), col("n_id"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR recipe —
+    * Karpukhin et al. EMNLP'20 §4.2: negatives that are semantically
+    * CLOSE to the anchor but not positives are what keep the
+    * contrastive gradient informative once random negatives go trivial):
+    * for each anchor, the k most-cosine-similar corpus vectors whose
+    * LABEL differs from the anchor's (label = the positive-equivalence
+    * key — a class, a near-dup cluster id, a query-group). The
+    * similarity-RANKED complement of TrainingPrep.negativeSample's
+    * random draw.
+    *
+    * Scale shape: anchors broadcast (an epoch mines per anchor batch —
+    * always the small side); the corpus streams through ONE codegen
+    * scoring stage into the bounded scored_top_k heap — map-side
+    * partials ship tasks×anchors×k entries, never the scored rows, and
+    * no per-anchor rank window ever sorts the corpus (ties prefer the
+    * smaller neighbor id, the bruteTopK convention). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    val q = broadcast(anchors.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_lbl"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("q_nrm")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(labelCol).as("n_lbl"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("n_nrm"))
+    val scored = c.join(q, col("q_lbl") =!= col("n_lbl"))
+      .select(col("q_id"), col("n_id"),
+        (dotF(col("q_vec"), col("n_vec")) / col("q_nrm") / col("n_nrm")).as("cos"))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.AggFunctions
+        .scoredTopK(col("cos"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("e.id").as("n_id"))
+  }
+
   /** Exact top-k via the custom physical operator (CosineTopKExec): bounded
     * per-partition heaps, no shuffle/sort of scored rows — the whole-operator
     * form of [[bruteTopK]] for corpora where the scored-row shuffle is the

@@ -66,6 +66,23 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq == Seq(1L, 2L))
   }
 
+  test("hardNegatives excludes the anchor's label class and ranks by cosine") {
+    // anchor (label 1) has an identical-direction clustermate (label 1,
+    // cosine 1.0 — MUST be excluded) and three cross-label candidates;
+    // ids 3 and 4 are byte-identical vectors pinning the smaller-id tie
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(2.0f, 0.0f, 0.0f), 1), // same label: never a negative
+      (2L, Array(0.9f, 0.1f, 0.0f), 2),
+      (4L, Array(0.5f, 0.5f, 0.0f), 2), // tie pair, larger id second
+      (3L, Array(0.5f, 0.5f, 0.0f), 3),
+      (5L, Array(0.0f, 0.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val got = Ann.hardNegatives(df, df.filter($"vec_id" === 0),
+      "embedding", "vec_id", "label", k = 4)
+      .orderBy("rk").select("n_id").as[Long].collect()
+    assert(got.toSeq == Seq(2L, 3L, 4L, 5L), got.toSeq.toString)
+  }
+
   test("lshTopK returns a subset ranked by exact cosine") {
     val emb = sources.Tables.load(spark, sfDir, "embeddings")
     val out = Ann.lshTopK(emb, emb.filter($"vec_id" < 3), "embedding", "vec_id", 5, 64)
