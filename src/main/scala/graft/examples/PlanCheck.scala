@@ -726,6 +726,14 @@ object PlanCheck {
         "no hash shuffle" -> "Exchange hashpartitioning",
         "no join" -> "Join",
         "no window" -> "Window")),
+    // mojibake repair: the q204 cost class — a per-row repair kernel
+    // over the corrupted page column, nothing corpus-keyed anywhere
+    Want("q224_mojibake_repair", Seq(
+      "per-row repair kernel" -> "MapPartitions"),
+      mustNotContain = Seq(
+        "no hash shuffle" -> "Exchange hashpartitioning",
+        "no join" -> "Join",
+        "no window" -> "Window")),
     // sitemap seed discovery: <url> blocks fan out through a generator,
     // loc/lastmod extraction is map-side regex, and the visited check is
     // the q197 shape — bloom prune in the scan stage, exact FP kill via

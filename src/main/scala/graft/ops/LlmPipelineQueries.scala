@@ -4649,7 +4649,60 @@ object LlmPipelineQueries {
                  AS INTEGER) AS rk
         FROM embeddings q JOIN embeddings e ON q.label <> e.label
         WHERE q.vec_id < 8)
-      WHERE rk <= 5 ORDER BY q_id, rk"""))
+      WHERE rk <= 5 ORDER BY q_id, rk""")),
+
+    // --- q224: mojibake repair (text/Mojibake — the ftfy-class fixer
+    // C4/CCNet-era pipelines run after charset decode; core heuristic
+    // from first principles: chars → Latin-1 bytes → accept iff valid
+    // RFC 3629 UTF-8 via the q204 validator, re-decode). The q217 plant
+    // construction in BOTH engines: %6==1 docs carry the planted
+    // non-ASCII suffix put through ONE mis-decode layer (é→Ã©, €→â··¬,
+    // ï→Ã¯ — the exact char expansion a Latin-1 mis-read produces);
+    // %6==3 docs carry a LONE high char before a space (C3 20 — invalid
+    // UTF-8, pinning the validator's refusal: genuine Latin-1 stays);
+    // everyone else carries the clean suffix (non-repairable: € is not
+    // Latin-1-encodable). The oracle predicts n_fixes, both char
+    // counts, and the md5 of the REPAIRED text analytically — repair
+    // must invert the corruption to the byte. Per-row kernel, zero
+    // shuffle (PlanCheck: no exchange/join/window).
+    QueryDef("q224_mojibake_repair", (s, dir) => {
+      import s.implicits._
+      val orig = concat($"text", lit(" café € naïve"))
+      val corrupted = regexp_replace(regexp_replace(regexp_replace(orig,
+        "é", "Ã©"),
+        "€", "â¬"),
+        "ï", "Ã¯")
+      val page = when($"doc_id" % 6 === 1, corrupted)
+        .when($"doc_id" % 6 === 3, concat($"text", lit(" Ã")))
+        .otherwise(orig)
+      graft.text.Mojibake.repair(s,
+        Tables.load(s, dir, "documents").select($"doc_id", page.as("page")),
+        "page", "doc_id")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, text, text || ' caf' || chr(233) || ' ' || chr(8364)
+               || ' na' || chr(239) || 've' AS orig
+        FROM documents),
+      pg AS (SELECT doc_id, orig,
+        CASE WHEN doc_id % 6 = 1 THEN
+          replace(replace(replace(orig,
+            chr(233), chr(195) || chr(169)),
+            chr(8364), chr(226) || chr(130) || chr(172)),
+            chr(239), chr(195) || chr(175))
+        WHEN doc_id % 6 = 3 THEN text || ' ' || chr(195)
+        ELSE orig END AS page
+      FROM base),
+      rep AS (SELECT doc_id,
+        CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END AS n_fixes,
+        length(page) AS n_chars_in,
+        CASE WHEN doc_id % 6 = 1 THEN orig ELSE page END AS fixed
+      FROM pg)
+      SELECT doc_id, CAST(n_fixes AS INTEGER) AS n_fixes,
+             CAST(n_chars_in AS BIGINT) AS n_chars_in,
+             CAST(length(fixed) AS BIGINT) AS n_chars_out,
+             md5(fixed) AS fp
+      FROM rep ORDER BY doc_id"""))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build

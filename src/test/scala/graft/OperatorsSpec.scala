@@ -1848,6 +1848,25 @@ class OperatorsSpec extends SparkSpec {
       r.toString)
   }
 
+  test("Mojibake.fix: single and double mis-decodes invert exactly; refusal edges hold") {
+    import graft.text.Mojibake
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    val orig = "café € naïve"
+    def misdecode(s: String) = new String(s.getBytes(UTF_8), ISO_8859_1)
+    // one layer peels in one step, two layers in two; both land on orig
+    assert(Mojibake.fix(misdecode(orig)) == (orig, 1))
+    assert(Mojibake.fix(misdecode(misdecode(orig))) == (orig, 2))
+    // refusals: pure ASCII untouched; non-Latin-1 chars untouched (the
+    // already-clean € blocks the <0x100 gate); a lone high char whose
+    // byte image is invalid UTF-8 (C3 20) is genuine Latin-1 and stays
+    assert(Mojibake.fix("plain ascii") == ("plain ascii", 0))
+    assert(Mojibake.fix(orig) == (orig, 0))
+    assert(Mojibake.fix("cafÃ x") == ("cafÃ x", 0))
+    // the bound is a guard, not a truncation: a triple mis-decode peels
+    // three layers and stops AT the original
+    assert(Mojibake.fix(misdecode(misdecode(misdecode(orig)))) == (orig, 3))
+  }
+
   test("CharsetSniff.validUtf8 pins the RFC 3629 edges; decode dispatches BOMs") {
     import graft.text.CharsetSniff.{validUtf8, decode}
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
