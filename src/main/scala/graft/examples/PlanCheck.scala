@@ -902,6 +902,17 @@ object PlanCheck {
         "no per-anchor rank window" -> "Window",
         "no corpus sort-merge join" -> "SortMergeJoin",
         "no cartesian" -> "CartesianProduct")),
+    // streaming classifier: the fit merged from landed histogram/prior
+    // partials (parquet scans + map-side SUMs over answer-sized keys),
+    // weight table broadcast onto the scoring feature stream — q220's
+    // shape with the model side landed instead of inline
+    Want("q225_stream_classifier", Seq(
+      "fit merged from landed partials" -> "Scan parquet",
+      "weights broadcast onto the feature stream" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no corpus sort-merge join" -> "SortMergeJoin",
+        "no window" -> "Window",
+        "no cartesian" -> "CartesianProduct")),
     // streaming DSIR: distributions merged from the landed histogram
     // partials (parquet scan + map-side SUM over ≤1024 keys), ratio
     // table broadcast onto the scoring feature stream — q209's shape

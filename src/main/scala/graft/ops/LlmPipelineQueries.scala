@@ -4551,49 +4551,37 @@ object LlmPipelineQueries {
       // outside both seeds) are killed by a model that never saw them;
       // the near-balanced seeds keep clean docs straddling the MAP
       // boundary, so `keep` is non-degenerate in both directions.
-      val page = concat($"text", when($"doc_id" % 9 === 4,
-        repeat(lit(" buy cheap click"), 8)).otherwise(lit("")))
       TrainingPrep.nbClassifierScore(
-        Tables.load(s, dir, "documents").select($"doc_id", page.as("page")),
-        "page", "doc_id",
-        isPos = pmod(col("doc_id"), lit(4)) === 1 &&
-          pmod(col("doc_id"), lit(9)) =!= 4,
-        isNeg = pmod(col("doc_id"), lit(4)) === 3)
+        nbPageFixture(s, dir), "page", "doc_id",
+        isPos = NB_IS_POS, isNeg = NB_IS_NEG)
         .orderBy($"doc_id")
-    }, Some("""
-      WITH pg AS (SELECT doc_id,
-              text || CASE WHEN doc_id % 9 = 4
-                THEN repeat(' buy cheap click', 8) ELSE '' END AS page
-            FROM documents),
-      lbl AS (SELECT doc_id,
-              (doc_id % 4 = 1 AND doc_id % 9 <> 4) AS is_pos,
-              (doc_id % 4 = 3) AS is_neg,
-              string_split(trim(regexp_replace(lower(page), '\s+', ' ', 'g')), ' ') AS w
-            FROM pg),
-      f AS (SELECT doc_id, is_pos, is_neg,
-              ('0x' || substr(md5('nbq:' || unnest(w)), 1, 15))::BIGINT % 1024 AS f
-            FROM lbl),
-      hist AS (SELECT f,
-              CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
-              CAST(SUM(CASE WHEN is_neg THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
-            FROM f WHERE is_pos OR is_neg GROUP BY 1),
-      tot AS (SELECT CAST(SUM(c_pos) AS BIGINT) AS tpos,
-                     CAST(SUM(c_neg) AS BIGINT) AS tneg FROM hist),
-      pri AS (SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-                     CAST(SUM(CASE WHEN is_neg THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
-              FROM lbl),
-      wts AS (SELECT f,
-              CAST(floor(ln(((c_pos + 1.0) * (tneg + 1024)) /
-                            ((c_neg + 1.0) * (tpos + 1024))) * 1e6) AS BIGINT) AS w_u
-              FROM hist CROSS JOIN tot),
-      cst AS (SELECT CAST(floor(ln((tneg + 1024.0) / (tpos + 1024.0)) * 1e6) AS BIGINT) AS w0_u,
-                     CAST(floor(ln(CAST(n_pos AS DOUBLE) / n_neg) * 1e6) AS BIGINT) AS prior_u
-              FROM tot CROSS JOIN pri)
-      SELECT f.doc_id, CAST(COUNT(*) AS INTEGER) AS n_toks,
-             CAST(prior_u + SUM(COALESCE(w_u, w0_u)) AS BIGINT) AS score_u,
-             (prior_u + SUM(COALESCE(w_u, w0_u))) > 0 AS keep
-      FROM f LEFT JOIN wts USING (f) CROSS JOIN cst
-      GROUP BY f.doc_id, prior_u ORDER BY doc_id""")),
+    }, Some(NB_CLASSIFIER_ORACLE_SQL)),
+
+    // --- q225: STREAMING classifier maintenance (streaming/StreamingNb
+    // — the q215/q222 landed-artifact treatment for q220's fit): the NB
+    // fit's sufficient statistics — the ≤1024-row (c_pos, c_neg) seed
+    // histogram AND the one-row (n_pos, n_neg) prior — both merge by
+    // ADDITION, so the labeled-seed ingest lands one histogram partial
+    // + one prior partial per micro-batch (idempotent shard overwrite;
+    // arbitrary 4-file shuffled replay) and the release model is the
+    // shard SUM-merge; scoring = nbScoreAgainst over the merged tables.
+    // Gate: q220's oracle VERBATIM — the streamed fit must score every
+    // doc identically to the inline corpus fit, to the bit. The row
+    // completes the maintainable-model family: LM (q215), DSIR (q222),
+    // classifier (here) — every model artifact this engine fits is now
+    // stream-maintained with constant-or-sublinear state.
+    QueryDef("q225_stream_classifier", (s, dir) => {
+      import s.implicits._
+      val docs = nbPageFixture(s, dir)
+      val stream = graft.streaming.EventsStream.replayShuffled(docs, nFiles = 4)
+      val out = graft.Scratch.dir("graft_q225").toString
+      graft.streaming.StreamingNb.landCounts(s, stream, "page", "doc_id",
+        isPos = NB_IS_POS, isNeg = NB_IS_NEG, out)
+      TrainingPrep.nbScoreAgainst(docs, "page", "doc_id",
+          graft.streaming.StreamingNb.mergedCounts(s, out),
+          graft.streaming.StreamingNb.mergedPrior(s, out))
+        .orderBy($"doc_id")
+    }, Some(NB_CLASSIFIER_ORACLE_SQL)),
 
     // --- q222: STREAMING DSIR maintenance (streaming/StreamingDsir —
     // the q215 landed-artifact treatment for q209's importance model):
@@ -4725,6 +4713,63 @@ object LlmPipelineQueries {
       element_at(col("ws"), 1), lit("</a></body></html>"))
     u0.select(col("doc_id"), html.as("h"))
   }
+
+  /** q220/q225's shared fixture: the corpus with the q217-style spam
+    * plant appended on %9==4 (constructed identically in the oracle). */
+  private def nbPageFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val page = concat($"text", when($"doc_id" % 9 === 4,
+      repeat(lit(" buy cheap click"), 8)).otherwise(lit("")))
+    Tables.load(s, dir, "documents").select($"doc_id", page.as("page"))
+  }
+
+  /** Curated positive seed: the %4==1 slice WITH the spam docs filtered
+    * out (curation IS that filter). */
+  private def NB_IS_POS: org.apache.spark.sql.Column =
+    pmod(col("doc_id"), lit(4)) === 1 && pmod(col("doc_id"), lit(9)) =!= 4
+  /** Negative seed: the %4==3 slice UNFILTERED — the noisy random
+    * crawl draw of the published recipe. */
+  private def NB_IS_NEG: org.apache.spark.sql.Column =
+    pmod(col("doc_id"), lit(4)) === 3
+
+  /** q220's oracle — and VERBATIM q225's (the fit merged from streamed
+    * count partials must score every doc identically to the inline
+    * corpus fit). */
+  private def NB_CLASSIFIER_ORACLE_SQL: String = """
+      WITH pg AS (SELECT doc_id,
+              text || CASE WHEN doc_id % 9 = 4
+                THEN repeat(' buy cheap click', 8) ELSE '' END AS page
+            FROM documents),
+      lbl AS (SELECT doc_id,
+              (doc_id % 4 = 1 AND doc_id % 9 <> 4) AS is_pos,
+              (doc_id % 4 = 3) AS is_neg,
+              string_split(trim(regexp_replace(lower(page), '\s+', ' ', 'g')), ' ') AS w
+            FROM pg),
+      f AS (SELECT doc_id, is_pos, is_neg,
+              ('0x' || substr(md5('nbq:' || unnest(w)), 1, 15))::BIGINT % 1024 AS f
+            FROM lbl),
+      hist AS (SELECT f,
+              CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+              CAST(SUM(CASE WHEN is_neg THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+            FROM f WHERE is_pos OR is_neg GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c_pos) AS BIGINT) AS tpos,
+                     CAST(SUM(c_neg) AS BIGINT) AS tneg FROM hist),
+      pri AS (SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                     CAST(SUM(CASE WHEN is_neg THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+              FROM lbl),
+      wts AS (SELECT f,
+              CAST(floor(ln(((c_pos + 1.0) * (tneg + 1024)) /
+                            ((c_neg + 1.0) * (tpos + 1024))) * 1e6) AS BIGINT) AS w_u
+              FROM hist CROSS JOIN tot),
+      cst AS (SELECT CAST(floor(ln((tneg + 1024.0) / (tpos + 1024.0)) * 1e6) AS BIGINT) AS w0_u,
+                     CAST(floor(ln(CAST(n_pos AS DOUBLE) / n_neg) * 1e6) AS BIGINT) AS prior_u
+              FROM tot CROSS JOIN pri)
+      SELECT f.doc_id, CAST(COUNT(*) AS INTEGER) AS n_toks,
+             CAST(prior_u + SUM(COALESCE(w_u, w0_u)) AS BIGINT) AS score_u,
+             (prior_u + SUM(COALESCE(w_u, w0_u))) > 0 AS keep
+      FROM f LEFT JOIN wts USING (f) CROSS JOIN cst
+      GROUP BY f.doc_id, prior_u ORDER BY doc_id"""
 
   /** q209's oracle — and VERBATIM q222's (the distributions merged
     * from streamed histogram partials must weight every doc identically

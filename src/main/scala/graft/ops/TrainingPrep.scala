@@ -497,21 +497,50 @@ object TrainingPrep {
     * ·1e6) via coalesce, never a dropped occurrence — and the per-doc
     * sum is the operator's only corpus-keyed exchange. */
   def nbClassifierScore(docs: DataFrame, textCol: String, idCol: String,
-      isPos: Column, isNeg: Column, buckets: Int = 1024): DataFrame = {
-    val feat = docs
+      isPos: Column, isNeg: Column, buckets: Int = 1024): DataFrame =
+    nbScoreAgainst(docs, textCol, idCol,
+      nbSeedCounts(docs, textCol, idCol, isPos, isNeg, buckets),
+      nbPriorCounts(docs, isPos, isNeg), buckets)
+
+  /** The classifier's hashed-unigram feature stream (id, is_pos,
+    * is_neg, f) — shared by the fit and the scoring pass. */
+  private def nbFeatureStream(docs: DataFrame, textCol: String,
+      idCol: String, isPos: Column, isNeg: Column, buckets: Int): DataFrame =
+    docs
       .select(col(idCol), isPos.as("is_pos"), isNeg.as("is_neg"),
         explode(split(TextAnalysis.normalize(col(textCol)), " ", -1)).as("w"))
       .select(col(idCol), col("is_pos"), col("is_neg"),
         pmod(conv(substring(md5(concat(lit("nbq:"), col("w"))), 1, 15), 16, 10)
           .cast("long"), lit(buckets.toLong)).as("f"))
-    val hist = feat.filter(col("is_pos") || col("is_neg"))
+
+  /** The NB fit's sufficient statistic: per-bucket (c_pos, c_neg) seed
+    * occurrence counts — ≤ `buckets` rows, SUM-mergeable over batch
+    * shards, which makes the fit a maintainable streaming artifact
+    * ([[graft.streaming.StreamingNb]], the StreamingLm/Dsir discipline). */
+  def nbSeedCounts(docs: DataFrame, textCol: String, idCol: String,
+      isPos: Column, isNeg: Column, buckets: Int = 1024): DataFrame =
+    nbFeatureStream(docs, textCol, idCol, isPos, isNeg, buckets)
+      .filter(col("is_pos") || col("is_neg"))
       .groupBy(col("f")).agg(
         sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(col("is_neg"), 1L).otherwise(0L)).as("c_neg"))
-    val tot = hist.agg(sum(col("c_pos")).as("tpos"), sum(col("c_neg")).as("tneg"))
-    val prior = docs.agg(
+
+  /** The prior's sufficient statistic: one (n_pos, n_neg) seed-doc
+    * count row — SUM-mergeable like the histogram. */
+  def nbPriorCounts(docs: DataFrame, isPos: Column, isNeg: Column): DataFrame =
+    docs.agg(
       sum(when(isPos, 1L).otherwise(0L)).as("n_pos"),
       sum(when(isNeg, 1L).otherwise(0L)).as("n_neg"))
+
+  /** Score `docs` against a prebuilt seed histogram + prior table — the
+    * release-time pass: totals, weights and the default all derive from
+    * the tables themselves (answer-sized, broadcast), exactly like
+    * [[nbClassifierScore]]'s inline fit. */
+  def nbScoreAgainst(docs: DataFrame, textCol: String, idCol: String,
+      hist: DataFrame, prior: DataFrame, buckets: Int = 1024): DataFrame = {
+    val feat = nbFeatureStream(docs, textCol, idCol, lit(false), lit(false),
+      buckets)
+    val tot = hist.agg(sum(col("c_pos")).as("tpos"), sum(col("c_neg")).as("tneg"))
     val b = lit(buckets.toLong)
     val weights = hist.crossJoin(broadcast(tot)) // 1-row scalar join
       .select(col("f"),
