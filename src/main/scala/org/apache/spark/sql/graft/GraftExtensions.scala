@@ -1131,6 +1131,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_nb_classifier"),
+      info("graft_nb_classifier",
+        "graft_nb_classifier(table, textCol, idCol, posPredicate, negPredicate) - seed-trained Naive-Bayes quality classifier (the GPT-3-recipe selection family): fit = one map-side-combined histogram over the labeled seed's hashed unigrams (predicates are SQL boolean expression strings), log-odds in integer micro-nats, score = prior + exact per-doc sum, keep = score > 0 (the MAP boundary): (id, n_toks, score_u, keep)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_nb_classifier(table, textCol, idCol, posPredicate, negPredicate) takes 5 arguments")
+        graft.ops.TrainingPrep.nbClassifierScore(tableArg(args(0)),
+          strArg(args(1), "textCol"), strArg(args(2), "idCol"),
+          org.apache.spark.sql.functions.expr(strArg(args(3), "posPredicate")),
+          org.apache.spark.sql.functions.expr(strArg(args(4), "negPredicate")))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_delta_triangles"),
+      info("graft_delta_triangles",
+        "graft_delta_triangles(standingTable, deltaTable) - incremental triangle counting over undirected (a, b) edges: per-node counts of triangles the delta batch CREATES (== recount(union) - recount(standing), node for node), enumerated delta-anchored so the standing wedge join never re-runs: (node, n_new). Counts merge by addition into a standing per-node table."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_delta_triangles(standingTable, deltaTable) takes 2 arguments")
+        graft.ops.Triangles.deltaPerNode(tableArg(args(0)), tableArg(args(1)))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_hard_negatives"),
+      info("graft_hard_negatives",
+        "graft_hard_negatives(corpusTable, anchorsTable, vecCol, idCol, labelCol, k) - hard-negative mining (the DPR recipe): per anchor, the k most-cosine-similar corpus vectors with a DIFFERENT label (label = the positive-equivalence key), anchors broadcast, corpus streamed through the bounded scored_top_k heap: (q_id, rk, n_id)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "graft_hard_negatives(corpusTable, anchorsTable, vecCol, idCol, labelCol, k) takes 6 arguments")
+        graft.similarity.Ann.hardNegatives(tableArg(args(0)), tableArg(args(1)),
+          strArg(args(2), "vecCol"), strArg(args(3), "idCol"),
+          strArg(args(4), "labelCol"),
+          args(5).eval().asInstanceOf[Number].intValue())
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_mojibake_repair"),
+      info("graft_mojibake_repair",
+        "graft_mojibake_repair(table, textCol, idCol) - ftfy-class encoding repair: chars re-encoded as Latin-1 bytes, re-decoded as UTF-8 iff the byte image is valid RFC 3629 UTF-8 (nested mis-decodes peel one layer per step; genuine Latin-1 refused by the validator): (id, n_fixes, n_chars_in, n_chars_out, fp) with fp = md5 of the repaired text."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_mojibake_repair(table, textCol, idCol) takes 3 arguments")
+        val t = tableArg(args(0))
+        graft.text.Mojibake.repair(t.sparkSession, t,
+          strArg(args(1), "textCol"), strArg(args(2), "idCol"))
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

@@ -372,9 +372,10 @@ class ExtensionsSpec extends AnyFunSuite {
       // functions + 3 scalar kernels; r13 adds the two card faces -> 64;
       // r14 adds gopher_repetition, robots_gate, sitemap_seeds -> 67;
       // late r14 adds ccnet_bucket, dsir_weights, url_blocklist,
-      // anchor_terms, hits -> 72)
+      // anchor_terms, hits -> 72; r14 final adds nb_classifier,
+      // delta_triangles, hard_negatives, mojibake_repair -> 76)
       val nFaces = spark.sql("SHOW FUNCTIONS LIKE 'graft_*'").count()
-      assert(nFaces == 72L, s"graft_* registry count drifted: $nFaces")
+      assert(nFaces == 76L, s"graft_* registry count drifted: $nFaces")
 
       // late-r14 faces, each smoke-pinned on a hand row. CCNet fixture:
       // the model gives P(bb|aa)=5/9, P(cc|aa)=4/9, P(aa|bb)=P(aa|cc)=1
@@ -498,6 +499,40 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT event_id, kept FROM graft_debounce('tf_deb', 60) ORDER BY event_id""")
         .collect().map(r => (r.getLong(0), r.getBoolean(1)))
       assert(db.toSeq == Seq((1L, true), (2L, false), (3L, true)), db.mkString(";"))
+
+      // r14-final faces, each smoke-pinned on a hand row.
+      // NB classifier: the spam token appears only in the negative seed,
+      // so the held-out spam doc 10 is killed by a fit that never saw it
+      Seq((1L, "good clean words here"), (2L, "more clean words here"),
+          (3L, "spam spam spam spam x"), (4L, "fine clean words too"),
+          (10L, "spam spam spam spam spam"))
+        .toDF("doc_id", "text").createOrReplaceTempView("tf_nbq")
+      val nb = spark.sql(
+        """SELECT doc_id, keep FROM graft_nb_classifier('tf_nbq', 'text', 'doc_id',
+             'doc_id <= 2', 'doc_id IN (3, 4)') WHERE doc_id = 10""").head()
+      assert(!nb.getBoolean(1), nb.toString)
+      // delta triangles: 1-3 closes the standing wedge — one new triangle
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b").createOrReplaceTempView("tf_dts")
+      Seq((1L, 3L)).toDF("a", "b").createOrReplaceTempView("tf_dtd")
+      val dt = spark.sql(
+        """SELECT node, n_new FROM graft_delta_triangles('tf_dts', 'tf_dtd') ORDER BY node""")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(dt.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)), dt.mkString(";"))
+      // hard negatives: the same-label clustermate never surfaces
+      Seq((0L, Array(1.0f, 0.0f), 1), (1L, Array(0.9f, 0.0f), 1),
+          (2L, Array(0.8f, 0.1f), 2)).toDF("vec_id", "embedding", "label")
+        .createOrReplaceTempView("tf_hneg")
+      val hn = spark.sql(
+        """SELECT n_id FROM graft_hard_negatives('tf_hneg', 'tf_hneg', 'embedding',
+             'vec_id', 'label', 3) WHERE q_id = 0""").collect().map(_.getLong(0))
+      assert(hn.toSeq == Seq(2L), hn.mkString(";"))
+      // mojibake: the mis-decoded page repairs in one step
+      Seq((1L, new String("café".getBytes("UTF-8"), "ISO-8859-1")))
+        .toDF("doc_id", "page").createOrReplaceTempView("tf_moji")
+      val mj = spark.sql(
+        """SELECT n_fixes, n_chars_out FROM graft_mojibake_repair('tf_moji', 'page', 'doc_id')""")
+        .head()
+      assert((mj.getInt(0), mj.getLong(1)) == (1, 4L), mj.toString)
 
       // mmr: near-dup of the top pick defers to the diverse candidate
       Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)),
