@@ -105,10 +105,16 @@ object Triangles {
     *           middle v with (u,v) ∈ E and (v,w) ∈ E)
     * so every wedge-GENERATING join is delta-anchored (the delta side
     * broadcasts) and the standing table is only SCANNED — once for
-    * degrees, once per closing equi-join. Work follows the delta plus a
-    * linear standing term; the recount's superlinear wedge term is gone
-    * (measured: the §6 two-axis probe holds probe cpu near-flat at a
-    * fixed delta across a growing corpus while the full recount climbs).
+    * degrees, once per closing equi-join. What the probe saves is the
+    * recount's SUPERLINEAR wedge term; the linear standing terms (the
+    * degree pass, the orientation joins, the closing scans) remain, so
+    * probe cost grows with the corpus but the saving factor WIDENS
+    * (measured, §6 two-axis probe at a fixed 18k-edge delta: 2.0×
+    * cheaper than the recount at 180k standing edges, 2.9× at 5.4M).
+    * A production deployment holds the degree table and oriented edge
+    * layout as maintained artifacts (degrees merge by addition), which
+    * removes the orientation term too; recomputing them here keeps the
+    * operator self-contained, stated.
     *
     * Degrees — and with them the orientation — are those of the UNION
     * graph, recomputed in one linear pass; a production index would keep
