@@ -889,6 +889,16 @@ object PlanCheck {
         "no cartesian" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin",
         "no rank window" -> "Window")),
+    // incremental components: the standing map is scanned (checkpoint
+    // RDD scans), endpoints/merge tables broadcast into every join, the
+    // fixpoint ran over the delta-sized rep graph before this plan — no
+    // corpus-keyed sort-merge join, no cartesian, no window
+    Want("q226_delta_components", Seq(
+      "map probe and relabel via broadcast" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no corpus sort-merge join" -> "SortMergeJoin",
+        "no cartesian" -> "CartesianProduct",
+        "no window" -> "Window")),
     // hard-negative mining: corpus streams through the cosine stage
     // into the bounded heap — no per-anchor rank window ever sorts the
     // scored rows, no corpus-keyed sort-merge join. (A BNLJ against the

@@ -57,9 +57,14 @@ object IvfIndexCache {
     * shingle sets), built from `corpus` on first access. Keyed on the
     * DOCUMENTS table's content fingerprint — same staleness rule as the
     * ANN indexes. */
-  def getOrBuildLsh(spark: SparkSession, dir: String)(corpus: => DataFrame): String =
+  /** `variant` distinguishes indexes over DIFFERENT corpus derivations
+    * of the same dir (q147 indexes the plain documents; q226 indexes the
+    * planted near-dup corpus) — without it the second caller would
+    * silently probe the first caller's index. */
+  def getOrBuildLsh(spark: SparkSession, dir: String, variant: String = "")(
+      corpus: => DataFrame): String =
     builtLsh.getOrElseUpdate(
-      dir + "@" + graft.sources.Layout.dirFingerprint(
+      dir + "#" + variant + "@" + graft.sources.Layout.dirFingerprint(
         spark, graft.sources.Tables.path(dir, "documents")), {
         val path = graft.Scratch.dir("graft_lsh").toString
         graft.dedup.DeltaDedup.buildIndex(corpus, "text", "doc_id", path)

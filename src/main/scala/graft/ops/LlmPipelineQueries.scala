@@ -4690,7 +4690,118 @@ object LlmPipelineQueries {
              CAST(n_chars_in AS BIGINT) AS n_chars_in,
              CAST(length(fixed) AS BIGINT) AS n_chars_out,
              md5(fixed) AS fp
-      FROM rep ORDER BY doc_id"""))
+      FROM rep ORDER BY doc_id""")),
+
+    // --- q226: incremental connected components (Dedup.deltaComponents
+    // — the delta discipline applied to cluster MAINTENANCE, closing the
+    // loop q147 opened: q147 produces the delta's near-dup PAIRS without
+    // touching corpus×corpus; this row folds those pairs into the
+    // STANDING component map without re-running the corpus fixpoint).
+    // Endpoints map to standing reps via the q197 broadcast-semi probe
+    // (the map is scanned, never shuffled), the fixpoint runs over the
+    // DELTA-SIZED rep graph, and the relabel is one map scan against the
+    // broadcast answer-sized merge table. Exact by the rep-minimum
+    // argument (a standing rep IS its component's min node id), and the
+    // oracle checks exactly that identity: full union closure vs full
+    // standing closure (q69's recursive CTEs, twice), emitting every
+    // node whose label changes. Fixture plants all three event classes
+    // at every sf: fresh attachments (q147's revision/whitespace
+    // deltas), a delta-delta clique, and — the event the operator
+    // exists for — a STANDING MERGE: two standing docs sliced from a
+    // base's REVERSED words (60% overlap → J ≈ 0.57–0.61, separate
+    // components) bridged by the full reversed text arriving in the
+    // delta (J ≈ 0.78–0.8 to BOTH), so B's whole component relabels to
+    // A's rep — the fromStanding branch fires live, not just in units.
+    QueryDef("q226_delta_components", (s, dir) => {
+      import s.implicits._
+      val standing = bridgeCorpus(s, dir)
+      val fp = graft.sources.Layout.dirFingerprint(
+        s, Tables.path(dir, "documents"))
+      val standingPairs = DedupCache.memoVersioned(
+        s"$dir#jaccard3@0.7+bridge", fp) {
+        Dedup.jaccardJoinOrdered(
+          Dedup.shingleProjection(standing, "text", "doc_id"), threshold = 0.7)
+      }
+      val standingMap = Dedup.connectedComponents(standingPairs, "id_a", "id_b")
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
+      val delta = docs
+        .filter($"doc_id" % 13 === 0 && size(split(norm, " ")) >= 20)
+        .select(($"doc_id" + 3000000).as("doc_id"),
+          concat($"text", lit(" fresh crawl revision tag")).as("text"))
+        .unionByName(docs.filter($"doc_id" % 19 === 0)
+          .select(($"doc_id" + 4000000).as("doc_id"),
+            concat($"text", lit("  ")).as("text")))
+        .unionByName(bridgeBases(s, dir)
+          .select(($"doc_id" + 3500000).as("doc_id"),
+            array_join($"w", " ").as("text")))
+      val idx = IvfIndexCache.getOrBuildLsh(s, dir, "bridge")(bridgeCorpus(s, dir))
+      val dp = graft.dedup.DeltaDedup.deltaPairs(s, idx, delta,
+        "text", "doc_id", threshold = 0.7)
+      Dedup.deltaComponents(standingMap, dp.select($"id_a", $"id_b"))
+        .orderBy($"node")
+    }, Some(s"""
+      WITH RECURSIVE docs AS ($NEAR_DUP_DOCS_SQL),
+      br AS (
+        SELECT doc_id, list_reverse(
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+        WHERE doc_id % 37 = 11
+          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 30),
+      standing AS (
+        SELECT doc_id, text FROM docs
+        UNION ALL
+        SELECT doc_id + 2000000, array_to_string(list_slice(w, 1, (4 * len(w)) // 5), ' ')
+        FROM br
+        UNION ALL
+        SELECT doc_id + 2200000, array_to_string(list_slice(w, len(w) // 5 + 1, len(w)), ' ')
+        FROM br),
+      delta AS (
+        SELECT doc_id + 3000000 AS doc_id, text || ' fresh crawl revision tag' AS text
+        FROM documents
+        WHERE doc_id % 13 = 0
+          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 20
+        UNION ALL
+        SELECT doc_id + 4000000, text || '  ' FROM documents WHERE doc_id % 19 = 0
+        UNION ALL
+        SELECT doc_id + 3500000, array_to_string(w, ' ') FROM br),
+      cd AS (SELECT doc_id, text FROM standing
+             UNION ALL SELECT doc_id, text FROM delta),
+      shs AS (${shingleSetsSqlFrom("standing")}),
+      shu AS (${shingleSetsSqlFrom("cd")}),
+      pairss AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+         AND len(a.s) * 0.7 <= len(b.s) AND len(b.s) * 0.7 <= len(a.s)
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)) >= 0.7),
+      pairsu AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shu a JOIN shu b ON a.doc_id < b.doc_id
+         AND len(a.s) * 0.7 <= len(b.s) AND len(b.s) * 0.7 <= len(a.s)
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)) >= 0.7),
+      edgess AS (SELECT id_a AS u, id_b AS v FROM pairss
+                 UNION SELECT id_b, id_a FROM pairss),
+      reachs(u, r) AS (
+        SELECT u, u FROM edgess
+        UNION
+        SELECT e.u, rr.r FROM edgess e JOIN reachs rr ON e.v = rr.u),
+      reps AS (SELECT u AS doc_id, MIN(r) AS rep FROM reachs GROUP BY u),
+      edgesu AS (SELECT id_a AS u, id_b AS v FROM pairsu
+                 UNION SELECT id_b, id_a FROM pairsu),
+      reachu(u, r) AS (
+        SELECT u, u FROM edgesu
+        UNION
+        SELECT e.u, rr.r FROM edgesu e JOIN reachu rr ON e.v = rr.u),
+      repu AS (SELECT u AS doc_id, MIN(r) AS rep FROM reachu GROUP BY u)
+      SELECT n.doc_id AS node,
+             COALESCE(s.rep, n.doc_id) AS old_rep,
+             COALESCE(u.rep, n.doc_id) AS new_rep
+      FROM cd n LEFT JOIN reps s ON n.doc_id = s.doc_id
+                LEFT JOIN repu u ON n.doc_id = u.doc_id
+      WHERE COALESCE(s.rep, n.doc_id) <> COALESCE(u.rep, n.doc_id)
+      ORDER BY node"""))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build
@@ -4712,6 +4823,39 @@ object LlmPipelineQueries {
       lit("</p><a href=\"HTTPS://WWW.Hub.com:443/home/?utm_source=x&s=1#f\">hub home "),
       element_at(col("ws"), 1), lit("</a></body></html>"))
     u0.select(col("doc_id"), html.as("h"))
+  }
+
+  /** q226's standing corpus: the q30/q69 near-dup corpus PLUS the
+    * bridge-pair plant — for base docs (%37==11, ≥30 words) two
+    * standing docs sliced from the REVERSED word sequence (reversal
+    * makes their 3-shingles disjoint from the original's): A = the
+    * first 80% of reversed words, B = the last 80%. They overlap 60% →
+    * J(A,B) ≈ 0.57–0.61 < 0.7 (separate standing components), while
+    * the FULL reversed text (planted in the delta) hits both at
+    * J ≈ 0.78–0.8 ≥ 0.7 — a delta doc that MERGES two standing
+    * components, the event incremental cluster maintenance exists for. */
+  private def bridgeCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val br = bridgeBases(s, dir)
+    val a = br.select(($"doc_id" + 2000000).as("doc_id"),
+      array_join(expr("slice(w, 1, CAST(4 * size(w) DIV 5 AS INT))"), " ")
+        .as("text"))
+    val b = br.select(($"doc_id" + 2200000).as("doc_id"),
+      array_join(expr(
+          "slice(w, CAST(size(w) DIV 5 + 1 AS INT), CAST(size(w) - size(w) DIV 5 AS INT))"),
+        " ").as("text"))
+    nearDupDocs(s, dir).unionByName(a).unionByName(b)
+  }
+
+  /** The reversed-word bases for the q226 bridge plant. */
+  private def bridgeBases(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        reverse(split(graft.text.TextAnalysis.normalize($"text"), " ", -1)).as("w"))
+      .filter($"doc_id" % 37 === 11 && size($"w") >= 30)
   }
 
   /** q220/q225's shared fixture: the corpus with the q217-style spam

@@ -1183,6 +1183,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_delta_components"),
+      info("graft_delta_components",
+        "graft_delta_components(standingMapTable, deltaPairsTable) - incremental connected components: fold a delta batch's (id_a, id_b) pairs into a standing (id, cluster_id) component map without re-running the corpus fixpoint (endpoints probe the map by broadcast semi-join, the fixpoint runs over the delta-sized rep graph): (node, old_rep, new_rep) for every node whose label changes - apply as a keyed upsert."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_delta_components(standingMapTable, deltaPairsTable) takes 2 arguments")
+        graft.dedup.Dedup.deltaComponents(tableArg(args(0)), tableArg(args(1)))
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

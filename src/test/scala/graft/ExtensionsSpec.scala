@@ -373,9 +373,10 @@ class ExtensionsSpec extends AnyFunSuite {
       // r14 adds gopher_repetition, robots_gate, sitemap_seeds -> 67;
       // late r14 adds ccnet_bucket, dsir_weights, url_blocklist,
       // anchor_terms, hits -> 72; r14 final adds nb_classifier,
-      // delta_triangles, hard_negatives, mojibake_repair -> 76)
+      // delta_triangles, hard_negatives, mojibake_repair,
+      // delta_components -> 77)
       val nFaces = spark.sql("SHOW FUNCTIONS LIKE 'graft_*'").count()
-      assert(nFaces == 76L, s"graft_* registry count drifted: $nFaces")
+      assert(nFaces == 77L, s"graft_* registry count drifted: $nFaces")
 
       // late-r14 faces, each smoke-pinned on a hand row. CCNet fixture:
       // the model gives P(bb|aa)=5/9, P(cc|aa)=4/9, P(aa|bb)=P(aa|cc)=1
@@ -526,6 +527,14 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT n_id FROM graft_hard_negatives('tf_hneg', 'tf_hneg', 'embedding',
              'vec_id', 'label', 3) WHERE q_id = 0""").collect().map(_.getLong(0))
       assert(hn.toSeq == Seq(2L), hn.mkString(";"))
+      // delta components: the 3-10 bridge merges two standing clusters
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+        .toDF("id", "cluster_id").createOrReplaceTempView("tf_dcm")
+      Seq((3L, 10L)).toDF("id_a", "id_b").createOrReplaceTempView("tf_dcp")
+      val dc = spark.sql(
+        """SELECT node, new_rep FROM graft_delta_components('tf_dcm', 'tf_dcp') ORDER BY node""")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(dc.toSeq == Seq((10L, 1L), (11L, 1L)), dc.mkString(";"))
       // mojibake: the mis-decoded page repairs in one step
       Seq((1L, new String("café".getBytes("UTF-8"), "ISO-8859-1")))
         .toDF("doc_id", "page").createOrReplaceTempView("tf_moji")

@@ -66,6 +66,34 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq == Seq(1L, 2L))
   }
 
+  test("Dedup.deltaComponents: standing merges, fresh chains, stale pairs == recount diff") {
+    import graft.dedup.Dedup
+    // standing: {1,2,3} rep 1, {10,11} rep 10, {20,21} rep 20
+    val sm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)).toDF("id", "cluster_id")
+    // delta: a standing MERGE (3-10), a chain through a fresh node into a
+    // fresh node (21-100, 100-40), a fresh-only clique (200-201-202), a
+    // stale intra-component pair (1-2), and a self-loop (7-7)
+    val dp = Seq((3L, 10L), (21L, 100L), (100L, 40L), (200L, 201L),
+      (201L, 202L), (1L, 2L), (7L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.deltaComponents(sm, dp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 10L, 1L), (11L, 10L, 1L), (100L, 100L, 20L),
+      (40L, 40L, 20L), (201L, 201L, 200L), (202L, 202L, 200L)), got.toString)
+    // recount identity: the standing map's star edges + the delta pairs,
+    // through the full fixpoint, must agree with old-map + increments
+    val star = sm.select($"cluster_id".as("id_a"), $"id".as("id_b"))
+    val full = Dedup.connectedComponents(
+        star.unionByName(dp.filter($"id_a" =!= $"id_b")), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val before = sm.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val applied = before ++ got.map(t => t._1 -> t._3)
+    // full covers exactly the nodes in any pair; applied must agree there
+    full.foreach { case (n, rep) =>
+      assert(applied.getOrElse(n, n) == rep, s"node $n: ${applied.get(n)} vs $rep")
+    }
+  }
+
   test("hardNegatives excludes the anchor's label class and ranks by cosine") {
     // anchor (label 1) has an identical-direction clustermate (label 1,
     // cosine 1.0 — MUST be excluded) and three cross-label candidates;
