@@ -889,6 +889,13 @@ object PlanCheck {
         "no cartesian" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin",
         "no rank window" -> "Window")),
+    // card PII: extraction + per-candidate Luhn folds are one codegen
+    // projection — nothing corpus-keyed anywhere (the q70 cost class)
+    Want("q227_card_pii", Seq.empty,
+      mustNotContain = Seq(
+        "no hash shuffle" -> "Exchange hashpartitioning",
+        "no join" -> "Join",
+        "no window" -> "Window")),
     // incremental components: the standing map is scanned (checkpoint
     // RDD scans), endpoints/merge tables broadcast into every join, the
     // fixpoint ran over the delta-sized rep graph before this plan — no

@@ -4801,7 +4801,82 @@ object LlmPipelineQueries {
       FROM cd n LEFT JOIN reps s ON n.doc_id = s.doc_id
                 LEFT JOIN repu u ON n.doc_id = u.doc_id
       WHERE COALESCE(s.rep, n.doc_id) <> COALESCE(u.rep, n.doc_id)
-      ORDER BY node"""))
+      ORDER BY node""")),
+
+    // --- q227: checksum-validated card PII (text/Pii — Luhn mod-10,
+    // ISO/IEC 7812-1): the PRECISION step q70's regex classes lack — a
+    // 13–19 digit run is only a card number if its check digit holds,
+    // which is how production scrubbers cut the order-id/timestamp
+    // false-positive flood. Fixture: per-doc 15-digit bases whose check
+    // digit is COMPUTED BY THE SAME LUHN FOLD in both engines (no
+    // hand-baked constants — a wrong fold breaks its own fixture):
+    // %8==1 docs carry the valid card, %8==5 the same base with the
+    // check digit shifted +5 (never valid — the precision event: a
+    // candidate that must NOT validate). The oracle runs the generic
+    // detector too: extract + per-candidate Luhn fold, md5 of the
+    // validated list. Pure codegen projection, zero shuffle (the
+    // q70/q199 cost class, PlanCheck-pinned).
+    QueryDef("q227_card_pii", (s, dir) => {
+      import s.implicits._
+      val base = lpad((($"doc_id" * 7919 + 123457) % 1000000000000000L)
+        .cast("string"), 15, "0")
+      // Luhn sum of the base as it sits in the 16-digit card: base digit
+      // j (1-based) lands at position-from-right 17-j, doubled when j is
+      // odd (transform's i is 0-based, so: i even)
+      val digits = filter(split(base, ""), d => d =!= "")
+      val terms = transform(digits, (d, i) => {
+        val v = d.cast("int")
+        val dbl = v * 2
+        when(pmod(i, lit(2)) === 0,
+          dbl - when(dbl > 9, 9).otherwise(0)).otherwise(v)
+      })
+      val s15 = aggregate(terms, lit(0), (a, t) => a + t)
+      val cd = pmod(lit(10) - pmod(s15, lit(10)), lit(10))
+      val page = concat($"text",
+        when($"doc_id" % 8 === 1,
+          concat(lit(" card "), base, cd.cast("string")))
+        .when($"doc_id" % 8 === 5,
+          concat(lit(" ref "), base, pmod(cd + 5, lit(10)).cast("string")))
+        .otherwise(lit("")))
+      val (nCand, nValid, validFp) = graft.text.Pii.cardSummary($"page")
+      Tables.load(s, dir, "documents").select($"doc_id", page.as("page"))
+        .select($"doc_id", nCand.as("n_cand"), nValid.as("n_valid"),
+          validFp.as("valid_fp"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH b AS (SELECT doc_id, text,
+          lpad(CAST((doc_id * 7919 + 123457) % 1000000000000000 AS VARCHAR), 15, '0') AS base
+        FROM documents),
+      t AS (SELECT doc_id, text, base,
+          list_sum([CASE WHEN i % 2 = 1 THEN
+              CASE WHEN 2 * CAST(base[i] AS INT) > 9
+                   THEN 2 * CAST(base[i] AS INT) - 9
+                   ELSE 2 * CAST(base[i] AS INT) END
+            ELSE CAST(base[i] AS INT) END FOR i IN range(1, 16)]) AS s15
+        FROM b),
+      pg AS (SELECT doc_id,
+          text || CASE WHEN doc_id % 8 = 1
+              THEN ' card ' || base || CAST((10 - s15 % 10) % 10 AS VARCHAR)
+            WHEN doc_id % 8 = 5
+              THEN ' ref ' || base || CAST(((10 - s15 % 10) % 10 + 5) % 10 AS VARCHAR)
+            ELSE '' END AS page
+        FROM t),
+      cand AS (SELECT doc_id,
+          regexp_extract_all(page, '\b[0-9]{13,19}\b') AS cands
+        FROM pg),
+      v AS (SELECT doc_id, cands,
+          list_filter(cands, c ->
+            list_sum([CASE WHEN (len(c) - i) % 2 = 1 THEN
+                CASE WHEN 2 * CAST(c[i] AS INT) > 9
+                     THEN 2 * CAST(c[i] AS INT) - 9
+                     ELSE 2 * CAST(c[i] AS INT) END
+              ELSE CAST(c[i] AS INT) END FOR i IN range(1, len(c) + 1)]) % 10 = 0)
+            AS valids
+        FROM cand)
+      SELECT doc_id, CAST(len(cands) AS INTEGER) AS n_cand,
+             CAST(len(valids) AS INTEGER) AS n_valid,
+             md5(COALESCE(array_to_string(valids, ','), '')) AS valid_fp
+      FROM v ORDER BY doc_id"""))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build

@@ -66,6 +66,29 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq == Seq(1L, 2L))
   }
 
+  test("Pii.luhnValid/cardSummary: known cards validate, off-by-one fails, boundaries hold") {
+    import graft.text.Pii
+    val df = Seq(
+      // 4539578763621486 is Luhn-valid (hand-checked sum 80); the +1
+      // variant is not; 12 digits is below the candidate floor; a
+      // 20-digit run must not match the bounded pattern
+      (1L, "pay 4539578763621486 now"),
+      (2L, "pay 4539578763621487 now"),
+      (3L, "ref 123456789012 short"),
+      (4L, "id 12345678901234567890 too long"),
+      (5L, "both 4539578763621486 and 4539578763621487"))
+      .toDF("doc_id", "text")
+    val r = df.select($"doc_id", Pii.cardSummary($"text")._1.as("c"),
+        Pii.cardSummary($"text")._2.as("v"))
+      .orderBy($"doc_id").as[(Long, Int, Int)].collect().toSeq
+    assert(r == Seq((1L, 1, 1), (2L, 1, 0), (3L, 0, 0), (4L, 0, 0), (5L, 2, 1)), r)
+    // amex-length (15 digits) validates too: 371449635398431 is the
+    // classic test number
+    val a = df.sparkSession.range(1).select(
+      Pii.luhnValid(lit("371449635398431"))).head().getBoolean(0)
+    assert(a)
+  }
+
   test("Dedup.deltaComponents: standing merges, fresh chains, stale pairs == recount diff") {
     import graft.dedup.Dedup
     // standing: {1,2,3} rep 1, {10,11} rep 10, {20,21} rep 20
