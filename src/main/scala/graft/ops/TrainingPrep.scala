@@ -360,7 +360,11 @@ object TrainingPrep {
           col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
         lit(1000000L)) < col("rate_u"))
       .groupBy(col(langCol)).agg(count(lit(1)).as("n_kept"))
-    rates.join(kept, Seq(langCol), "left")
+    // both sides are language-table-sized; hint the kept side so the
+    // answer assembly can never degrade to a sort-merge join (the
+    // unhinted join was planner-flaky — an SMJ appeared in one
+    // PlanCheck pass)
+    rates.join(broadcast(kept), Seq(langCol), "left")
       .select(col(langCol), col("n_docs"), col("w_u"), col("rate_u"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
