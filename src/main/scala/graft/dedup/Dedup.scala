@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis
 
@@ -36,11 +35,22 @@ object Dedup {
 
   /** (id, rep) mapping that collapses byte-identical *normalized* texts to
     * their min-id representative — the pre-banding hot-bucket guard shared
-    * by the MinHash and SimHash pipelines. One shuffle on the fingerprint. */
-  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .withColumn("rep", min("id").over(Window.partitionBy("fp")))
+    * by the MinHash and SimHash pipelines.
+    *
+    * The representative is a map-side-combinable `groupBy(fp).agg(min(id))`
+    * joined back onto the (id, fp) projection — NEVER `min over a window
+    * partitioned by fp`: a window cannot be skew-split, so a boilerplate
+    * cluster of 10⁸ identical pages (exactly the mass this collapse exists
+    * to absorb at 100 TB) would land on ONE task's sort. The groupBy
+    * combines the hot key on the map side and the join-back is
+    * AQE-skew-splittable (the q158/q202 keep-first discipline applied to
+    * the flagship dedup path itself). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withFp = df.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    withFp.join(withFp.groupBy("fp").agg(min("id").as("rep")), "fp")
       .select("id", "rep")
+  }
 
   /** Expand representative-level pairs back to member-level pairs: cross
     * pairs inherit the representatives' score (identical normalized text ⇒
@@ -63,12 +73,19 @@ object Dedup {
   /** Keep only bucket rows whose bucket holds ≤ maxBucket members. The cap
     * bounds the within-bucket join at maxBucket² per bucket; anything larger
     * is near-certainly a boilerplate cluster that exact-collapse should have
-    * caught — audit the drops with [[droppedBuckets]]. */
-  private[dedup] def capBuckets(buckets: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
-    buckets
-      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    * caught — audit the drops with [[droppedBuckets]].
+    *
+    * Sizes come from a map-side-combined `groupBy(keys).count` semi-joined
+    * back, not a count-over-window: a window partitioned by the bucket key
+    * is exactly the hot-key single-task sort this cap exists to prevent
+    * (see [[exactGroups]]); the semi-join is AQE-skew-splittable. */
+  private[dedup] def capBuckets(buckets: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val ok = buckets.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") <= maxBucket)
-      .drop("_bsz")
+      .select(keys.map(col): _*)
+    buckets.join(ok, keys, "left_semi")
+  }
 
   // ---------------- MinHash + LSH ----------------
 
@@ -390,11 +407,14 @@ object Dedup {
 
   /** (id, rep) mapping collapsing byte-identical vectors to their min-id
     * representative — the embedding-side analog of [[exactGroups]] (arrays
-    * are first-class grouping keys in Spark; one shuffle on the vector). */
-  def exactVectorGroups(df: DataFrame, vecCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("rep", min("id").over(Window.partitionBy("v")))
+    * are first-class grouping keys in Spark), with the same
+    * map-side-combinable groupBy + join-back shape: a window partitioned
+    * by the vector would put a hot padded/zero vector on one task. */
+  def exactVectorGroups(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val withV = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    withV.join(withV.groupBy("v").agg(min("id").as("rep")), "v")
       .select("id", "rep")
+  }
 
   /** Embedding near-duplicate pairs above a cosine threshold — the DEFAULT,
     * scale-safe path: random-hyperplane LSH buckets generate candidates

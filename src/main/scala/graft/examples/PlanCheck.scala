@@ -466,6 +466,26 @@ object PlanCheck {
       "band summary broadcast back" -> "BroadcastHashJoin"),
       mustNotContain = Seq(
         "no cartesian dominance check" -> "CartesianProduct")),
+    // MinHash / SimHash pre-collapse discipline (r15): the exact-collapse
+    // and bucket-cap stages are map-side-combined groupBys + joins — NO
+    // window anywhere in the pipeline. A min-over-window partitioned by
+    // the fingerprint puts a 10⁸-member boilerplate cluster on ONE task's
+    // sort; the groupBy combines it map-side and the join-back is
+    // AQE-skew-splittable (the q158/q202 keep-first rule applied to the
+    // flagship dedup path).
+    Want("q28_dedup_minhash", Seq(
+      "native signature kernel" -> "minhash_sig",
+      "exact-Jaccard verify kernel" -> "array_intersect"),
+      mustNotContain = Seq(
+        "no hot-fingerprint window in the exact collapse" -> "Window",
+        "no cartesian candidate generation" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    Want("q29_dedup_simhash", Seq(
+      "native simhash kernel" -> "simhash64"),
+      mustNotContain = Seq(
+        "no hot-fingerprint window in the exact collapse" -> "Window",
+        "no cartesian candidate generation" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
     // delta dedup: bucket pruning, banding, and candidate generation run
     // inside the eager delta-sized checkpoints, so the FINAL plan is the
     // verify join + group expansion — pin the exact-Jaccard verify kernel

@@ -989,6 +989,27 @@ class PipelineSpec extends SparkSpec {
     assert(dropped.agg(org.apache.spark.sql.functions.max($"size")).head().getLong(0) == 2L)
   }
 
+  test("exactGroups: 10^5-doc identical mega-cluster collapses with no window straggler") {
+    // the 100 TB boilerplate shape the pre-banding collapse exists to
+    // absorb: 10^5 byte-identical pages. The collapse must be a map-side
+    // combinable groupBy + join-back — a min-over-window partitioned by
+    // the fingerprint would put the whole cluster on ONE task's sort.
+    val mega = spark.range(100000).select($"id",
+      lit("identical boilerplate page body served on every mirror").as("t"))
+    val rest = spark.range(100).select(($"id" + 1000000L).as("id"),
+      concat(lit("distinct page number "), $"id").as("t"))
+    val df = mega.unionByName(rest)
+    val groups = Dedup.exactGroups(df, "t", "id")
+    assert(!groups.queryExecution.executedPlan.toString.contains("Window"),
+      "exactGroups must not compute representatives through a window")
+    val clusters = groups.groupBy($"rep").count()
+    assert(clusters.filter($"rep" === 0L).head().getLong(1) == 100000L)
+    assert(groups.filter($"id" === $"rep").count() == 101L)
+    // banding sees ONE row for the cluster: no bucket ever exceeds the
+    // default cap, so candidate generation never touches the hot mass
+    assert(Dedup.droppedBuckets(df, "t", "id").count() == 0L)
+  }
+
   test("connectedComponents matches union-find on random graphs, chains and hubs") {
     def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val parent = scala.collection.mutable.Map[Long, Long]()
