@@ -4655,23 +4655,32 @@ object LlmPipelineQueries {
     // shuffle (PlanCheck: no exchange/join/window).
     QueryDef("q224_mojibake_repair", (s, dir) => {
       import s.implicits._
-      val orig = concat($"text", lit(" café € naïve"))
+      // self-insulating plant (r15): the base text is sanitized to ASCII
+      // in BOTH engines before the substitutions, so the analytic
+      // n_fixes prediction cannot break if the corpus fixture ever gains
+      // a non-ASCII char the é/€/ï replaces leave unsubstituted (any CJK
+      // char makes fixOnce refuse; a stray Latin-1 char shifts n_chars)
+      val base = regexp_replace($"text", "[^ -~]", "")
+      val orig = concat(base, lit(" café € naïve"))
       val corrupted = regexp_replace(regexp_replace(regexp_replace(orig,
         "é", "Ã©"),
         "€", "â¬"),
         "ï", "Ã¯")
       val page = when($"doc_id" % 6 === 1, corrupted)
-        .when($"doc_id" % 6 === 3, concat($"text", lit(" Ã")))
+        .when($"doc_id" % 6 === 3, concat(base, lit(" Ã")))
         .otherwise(orig)
       graft.text.Mojibake.repair(s,
         Tables.load(s, dir, "documents").select($"doc_id", page.as("page")),
         "page", "doc_id")
         .orderBy($"doc_id")
     }, Some("""
-      WITH base AS (
+      WITH san AS (
+        SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+        FROM documents),
+      base AS (
         SELECT doc_id, text, text || ' caf' || chr(233) || ' ' || chr(8364)
                || ' na' || chr(239) || 've' AS orig
-        FROM documents),
+        FROM san),
       pg AS (SELECT doc_id, orig,
         CASE WHEN doc_id % 6 = 1 THEN
           replace(replace(replace(orig,

@@ -302,7 +302,14 @@ object TrainingPrep {
   /** Score `docs` against a prebuilt (f, c_raw, c_tgt) histogram table —
     * the release-time pass: totals and the log-ratio table derive from
     * the histogram itself (answer-sized), broadcast onto the corpus
-    * feature stream exactly like [[dsirWeights]]'s inline build. */
+    * feature stream exactly like [[dsirWeights]]'s inline build.
+    *
+    * The feature stream LEFT-joins the ratio table: a doc feature
+    * hashing to a bucket the supplied histogram never saw (possible
+    * whenever the histogram was fit on a different/earlier corpus — the
+    * advertised release-time use) falls back to the smoothing-only
+    * log-ratio lr0_u (both counts 0 under the same +1 smoothing), never
+    * a silently dropped occurrence — the [[nbScoreAgainst]] w0_u rule. */
   def dsirWeightsAgainst(docs: DataFrame, textCol: String, idCol: String,
       isTarget: Column, hist: DataFrame, buckets: Int = 1024): DataFrame = {
     val feat = dsirFeatureStream(docs, textCol, idCol, isTarget, buckets)
@@ -312,10 +319,18 @@ object TrainingPrep {
         floor((log((col("c_tgt") + lit(1.0)) / (col("ttot") + lit(buckets.toDouble)))
           - log((col("c_raw") + lit(1.0)) / (col("rtot") + lit(buckets.toDouble))))
           * 1e6).cast("long").as("lr_u"))
-    feat.join(broadcast(dist), Seq("f"))
+    // the unseen-bucket default: dist's formula at c_tgt = c_raw = 0,
+    // spelled with the same log shapes so a seen-once bucket and the
+    // fallback can never disagree on rounding conventions
+    val consts = tot.select(
+      floor((log(lit(1.0) / (col("ttot") + lit(buckets.toDouble)))
+        - log(lit(1.0) / (col("rtot") + lit(buckets.toDouble))))
+        * 1e6).cast("long").as("lr0_u"))
+    feat.join(broadcast(dist), Seq("f"), "left")
+      .crossJoin(broadcast(consts)) // 1-row scalar join
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_feats"),
-        sum(col("lr_u")).as("w_u"))
+        sum(coalesce(col("lr_u"), col("lr0_u"))).as("w_u"))
       .withColumn("keep", col("w_u") > 0)
   }
 

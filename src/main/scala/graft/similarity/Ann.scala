@@ -57,12 +57,19 @@ object Ann {
   def hardNegatives(corpus: DataFrame, anchors: DataFrame, vecCol: String,
       idCol: String, labelCol: String, k: Int): DataFrame = {
     import graft.functions.VectorFunctions.dotF
+    // zero-norm guard: arbitrary labeled training corpora carry padded /
+    // zero vectors, whose cosine is NaN — and NaN sorts ABOVE every real
+    // number in Spark, so one degenerate corpus row would surface as the
+    // top hard negative for every anchor. Degenerate rows are excluded
+    // on both sides (a zero vector has no direction to be "close" to).
     val q = broadcast(anchors.select(col(idCol).as("q_id"),
       col(vecCol).as("q_vec"), col(labelCol).as("q_lbl"),
-      sqrt(dotF(col(vecCol), col(vecCol))).as("q_nrm")))
+      sqrt(dotF(col(vecCol), col(vecCol))).as("q_nrm"))
+      .filter(col("q_nrm") > 0))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       col(labelCol).as("n_lbl"),
       sqrt(dotF(col(vecCol), col(vecCol))).as("n_nrm"))
+      .filter(col("n_nrm") > 0)
     val scored = c.join(q, col("q_lbl") =!= col("n_lbl"))
       .select(col("q_id"), col("n_id"),
         (dotF(col("q_vec"), col("n_vec")) / col("q_nrm") / col("n_nrm")).as("cos"))

@@ -1856,15 +1856,36 @@ class OperatorsSpec extends SparkSpec {
     // one layer peels in one step, two layers in two; both land on orig
     assert(Mojibake.fix(misdecode(orig)) == (orig, 1))
     assert(Mojibake.fix(misdecode(misdecode(orig))) == (orig, 2))
-    // refusals: pure ASCII untouched; non-Latin-1 chars untouched (the
-    // already-clean € blocks the <0x100 gate); a lone high char whose
-    // byte image is invalid UTF-8 (C3 20) is genuine Latin-1 and stays
+    // refusals: pure ASCII untouched; already-clean text untouched (é's
+    // byte E9 followed by a space is invalid UTF-8, so the validator
+    // refuses even though € now re-encodes via the cp1252 block); a lone
+    // high char whose byte image is invalid UTF-8 (C3 20) is genuine
+    // Latin-1 and stays; CJK text has no byte image at all and refuses
     assert(Mojibake.fix("plain ascii") == ("plain ascii", 0))
     assert(Mojibake.fix(orig) == (orig, 0))
     assert(Mojibake.fix("cafÃ x") == ("cafÃ x", 0))
+    assert(Mojibake.fix("中文 text") == ("中文 text", 0))
     // the bound is a guard, not a truncation: a triple mis-decode peels
     // three layers and stops AT the original
     assert(Mojibake.fix(misdecode(misdecode(misdecode(orig)))) == (orig, 3))
+    // the cp1252 block: bytes 0x80–0x9F decode to codepoints ABOVE
+    // U+00FF ("â€™" for ’ — the single most common real-world mojibake),
+    // which the pure Latin-1 inverse could never re-encode
+    def misdecode1252(s: String) =
+      new String(s.getBytes(UTF_8), java.nio.charset.Charset.forName("windows-1252"))
+    // every byte of BOTH mis-decode layers lands on a cp1252-defined
+    // byte (an em-dash would pass layer 1 but its image "”" hits the
+    // undefined 0x9D in layer 2 — the WHATWG asserts below cover that)
+    val curly = "it’s “fine café™"
+    assert(misdecode1252(curly).contains("â€™")) // the signature artifact
+    assert(Mojibake.fix(misdecode1252(curly)) == (curly, 1))
+    assert(Mojibake.fix(misdecode1252(misdecode1252(curly))) == (curly, 2))
+    // WHATWG decoders pass cp1252's five UNDEFINED bytes through as C1
+    // controls (Java's strict decoder destroys them to U+FFFD instead) —
+    // ” is E2 80 9D, so its web mojibake is "â€" + U+009D, which the
+    // identity (<0x100) branch re-encodes; a destroyed U+FFFD refuses
+    assert(Mojibake.fix("\u00e2\u20ac\u009d") == ("”", 1))
+    assert(Mojibake.fix("\u00e2\u20ac\ufffd") == ("\u00e2\u20ac\ufffd", 0))
   }
 
   test("CharsetSniff.validUtf8 pins the RFC 3629 edges; decode dispatches BOMs") {
@@ -2015,6 +2036,29 @@ class OperatorsSpec extends SparkSpec {
     assert(byCluster(3L) == 1L && byCluster(11L) == 10L && byCluster(42L) == 42L)
     // every split label valid
     assert(got.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("dsirWeightsAgainst: unseen buckets fall back to the smoothing-only ratio, never drop") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // histogram fit on a DIFFERENT corpus (the advertised release-time
+    // use): a doc whose every bigram hashes to a bucket the histogram
+    // never saw must still score — n_feats intact, each occurrence at
+    // the smoothing-only default lr0 (both counts 0 under +1 smoothing)
+    val seed = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val hist = graft.ops.TrainingPrep.dsirCounts(
+      seed, "text", "doc_id", isTarget = col("doc_id") === 1L)
+    val (rtot, ttot) = (4.0, 2.0) // 2 bigrams/doc; doc 1 is the target
+    val fresh = Seq((9L, "wholly novel vocabulary appears here"))
+      .toDF("doc_id", "text") // 4 bigrams, none in the seed
+    val got = graft.ops.TrainingPrep.dsirWeightsAgainst(
+      fresh, "text", "doc_id", isTarget = lit(false), hist)
+      .collect()
+    assert(got.length == 1, "the all-unseen doc must not vanish")
+    val lr0 = math.floor((math.log(1.0 / (ttot + 1024.0))
+      - math.log(1.0 / (rtot + 1024.0))) * 1e6).toLong
+    assert(got(0).getInt(1) == 4 && got(0).getLong(2) == 4 * lr0,
+      s"got n_feats=${got(0).getInt(1)} w_u=${got(0).getLong(2)} want 4×$lr0")
   }
 
   test("Profile.drift: added/removed columns, null-ppm drift, range flags") {

@@ -132,6 +132,14 @@ class PipelineSpec extends SparkSpec {
       "embedding", "vec_id", "label", k = 4)
       .orderBy("rk").select("n_id").as[Long].collect()
     assert(got.toSeq == Seq(2L, 3L, 4L, 5L), got.toSeq.toString)
+    // zero-norm guard: a padded/zero corpus vector has cosine NaN, and
+    // NaN sorts above every real — it must never rank, let alone first
+    val withZero = df.unionByName(
+      Seq((9L, Array(0.0f, 0.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label"))
+    val guarded = Ann.hardNegatives(withZero, withZero.filter($"vec_id" === 0),
+      "embedding", "vec_id", "label", k = 4)
+      .orderBy("rk").select("n_id").as[Long].collect()
+    assert(guarded.toSeq == Seq(2L, 3L, 4L, 5L), guarded.toSeq.toString)
   }
 
   test("lshTopK returns a subset ranked by exact cosine") {
