@@ -216,26 +216,43 @@ object Bench {
     // min-wall-only, and emit cpu on its own self-describing
     // PENULTIMATE line — the committed tail keeps both, and the
     // driver's single-line parse still gets a complete final JSON.
+    // Truncate a csv of entries to the LEADING ones that fit `budget`
+    // chars after `mk(enc, csv)`'s overhead, marking the cut with an
+    // explicit `trunc K/N` in enc — NEVER a silent tail cut, on ANY
+    // emitted line (r13 lost the final line's tail; r14 lost 180/227
+    // cpu entries when the penultimate line itself outgrew the window).
+    def fitLine(parts: Array[String], encBase: String, budget: Int,
+        mk: (String, String) => String): String = {
+      val whole = mk(encBase, parts.mkString(","))
+      if (whole.length <= budget) whole
+      else {
+        val overhead =
+          mk(s"$encBase trunc ${parts.length}/${parts.length}", "").length
+        var kept = 0; var len = 0
+        while (kept < parts.length &&
+            len + parts(kept).length + 1 <= budget - overhead) {
+          len += parts(kept).length + 1; kept += 1
+        }
+        mk(s"$encBase trunc $kept/${parts.length}",
+          parts.take(kept).mkString(","))
+      }
+    }
     val (resultLine, cpuLine) = {
       val a = line("csv id:minds:cpuds", csvA)
       if (a.length <= LINE_BUDGET) (a, None)
       else {
-        val cpuCsv = results
-          .map(r => shortName(r._1) + ":" + ds(r._4)).mkString(",")
-        val cpu = Some(
-          s"""{"metric":"cpu_detail","unit":"ds","enc":"csv id:cpuds","queries":"$cpuCsv"}""")
-        val b = line("csv id:mincs", csvB)
-        if (b.length <= LINE_BUDGET) (b, cpu)
-        else {
-          val parts = csvB.split(',')
-          val overhead = line(s"csv id:mincs trunc ${parts.length}/${parts.length}", "").length
-          var kept = 0; var len = 0
-          while (kept < parts.length && len + parts(kept).length + 1 <= LINE_BUDGET - overhead) {
-            len += parts(kept).length + 1; kept += 1
-          }
-          (line(s"csv id:mincs trunc $kept/${parts.length}",
-            parts.take(kept).mkString(",")), cpu)
-        }
+        val b = fitLine(csvB.split(','), "csv id:mincs", LINE_BUDGET, line)
+        // the cpu line shares the driver's ONE tail window with the
+        // final line — its budget is what the final line leaves over,
+        // so the committed tail parses BOTH lines, complete or with an
+        // explicit truncation marker (full detail: tools/bench_full_rN
+        // .json via SPARK_GRAFT_BENCH_OUT, the per-round protocol)
+        val cpuParts = results.map(r => shortName(r._1) + ":" + ds(r._4))
+        val cpu = fitLine(cpuParts.toArray, "csv id:cpuds",
+          LINE_BUDGET - b.length,
+          (enc, csv) =>
+            s"""{"metric":"cpu_detail","unit":"ds","enc":"$enc","queries":"$csv"}""")
+        (b, Some(cpu))
       }
     }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>

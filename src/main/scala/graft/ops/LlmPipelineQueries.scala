@@ -5162,25 +5162,32 @@ object LlmPipelineQueries {
       dir + "@" + graft.sources.Layout.dirFingerprint(
         s, Tables.path(dir, "documents")), {
         val out = graft.Scratch.dir("graft_warc").toString
-        val shards = math.max(1, math.min(8,
-          s.sparkContext.defaultParallelism / 4))
+        // archive parallelism ≥ cores: every archive read path (q196/
+        // q205/q210/q218) is one-task-per-archive by the per-record-gzip
+        // contract, so fewer shards than cores makes the archive rows'
+        // wall time noise-by-construction (r14's stalled-flag shape); a
+        // real crawl has millions of shards — the fixture should too,
+        // proportionally (empty partitions write nothing)
+        val shards = math.max(1, s.sparkContext.defaultParallelism)
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), htmlShell(col("doc_id"), col("text")).as("h"))
           .repartition(shards, col("doc_id"))
           .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val f = new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(s"$out/part-$pid.warc.gz"), 1 << 16)
-            try it.foreach { r =>
-              val id = r.getLong(0)
-              val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
-                r.getString(1)).getBytes("UTF-8")
-              f.write(graft.sources.Warc.gzipMember(
-                graft.sources.Warc.recordBytes("response",
-                  s"http://docs.example/$id", "2026-08-15T00:00:00Z",
-                  s"<urn:uuid:doc-$id>", "application/http;msgtype=response",
-                  payload)))
-            } finally f.close()
+            if (it.hasNext) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val f = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(s"$out/part-$pid.warc.gz"), 1 << 16)
+              try it.foreach { r =>
+                val id = r.getLong(0)
+                val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+                  r.getString(1)).getBytes("UTF-8")
+                f.write(graft.sources.Warc.gzipMember(
+                  graft.sources.Warc.recordBytes("response",
+                    s"http://docs.example/$id", "2026-08-15T00:00:00Z",
+                    s"<urn:uuid:doc-$id>", "application/http;msgtype=response",
+                    payload)))
+              } finally f.close()
+            }
           }
         out
       })
@@ -5200,8 +5207,7 @@ object LlmPipelineQueries {
       dir + "@" + graft.sources.Layout.dirFingerprint(
         s, Tables.path(dir, "documents")), {
         val out = graft.Scratch.dir("graft_warc_rev").toString
-        val shards = math.max(1, math.min(8,
-          s.sparkContext.defaultParallelism / 4))
+        val shards = math.max(1, s.sparkContext.defaultParallelism) // see warcShardsFor
         val docs = Tables.load(s, dir, "documents")
         val reps = docs.select(col("doc_id").as("rep_id"), col("text").as("rtext"))
         docs.select(col("doc_id"),
