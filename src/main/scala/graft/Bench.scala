@@ -241,15 +241,20 @@ object Bench {
       val a = line("csv id:minds:cpuds", csvA)
       if (a.length <= LINE_BUDGET) (a, None)
       else {
-        val b = fitLine(csvB.split(','), "csv id:mincs", LINE_BUDGET, line)
-        // the cpu line shares the driver's ONE tail window with the
-        // final line — its budget is what the final line leaves over,
-        // so the committed tail parses BOTH lines, complete or with an
-        // explicit truncation marker (full detail: tools/bench_full_rN
-        // .json via SPARK_GRAFT_BENCH_OUT, the per-round protocol)
+        // the two lines share the driver's ONE tail window, so they are
+        // budgeted TOGETHER: the cpu line gets a fixed reserve (≈55
+        // entries — the throttle-invariant statistic must survive in
+        // the tail), the final line the rest, and each carries its own
+        // trunc K/N marker when cut — the committed tail always parses
+        // both, never a beheaded line (r14 lost 180/227 cpu entries to
+        // exactly that). Complete detail: tools/bench_full_rN.json via
+        // SPARK_GRAFT_BENCH_OUT — the per-round protocol, spec-pinned.
+        val cpuReserve = 500
+        val b = fitLine(csvB.split(','), "csv id:mincs",
+          LINE_BUDGET - cpuReserve - 1, line)
         val cpuParts = results.map(r => shortName(r._1) + ":" + ds(r._4))
         val cpu = fitLine(cpuParts.toArray, "csv id:cpuds",
-          LINE_BUDGET - b.length,
+          LINE_BUDGET - b.length - 1,
           (enc, csv) =>
             s"""{"metric":"cpu_detail","unit":"ds","enc":"$enc","queries":"$csv"}""")
         (b, Some(cpu))

@@ -1017,6 +1017,26 @@ object PlanCheck {
         "no corpus sort-merge join" -> "SortMergeJoin",
         "no window" -> "Window",
         "no cartesian" -> "CartesianProduct")),
+    // cross-modal pair QC: a per-row integer kernel over the pair table
+    // — the only join builds the pairs; no window, no cartesian, no
+    // nested-loop (the pair build is an equi-join on the partner id)
+    Want("q230_crossmodal_qc", Seq(
+      "codegen dot kernel" -> "float_vec_dot"),
+      mustNotContain = Seq(
+        "no window" -> "Window",
+        "no cartesian" -> "CartesianProduct",
+        "no nested-loop pair build" -> "BroadcastNestedLoopJoin")),
+    // supervised langid: the fit is q220's shape per language — ONE
+    // map-side-combined histogram; weights/priors broadcast; the ×langs
+    // fan-out is a broadcast nested loop over the handful-row lang
+    // table (expected); the argmax is a min(struct) vote, never a rank
+    // window over the corpus
+    Want("q229_langid", Seq(
+      "seed histogram map-side combine" -> "partial_count",
+      "weights broadcast onto the feature stream" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no per-doc rank window" -> "Window",
+        "no cartesian" -> "CartesianProduct")),
     // robots.txt gate: host-dimension rule arrays BROADCAST onto the URL
     // stream and the match/argmax is a per-row fold — the URL corpus is
     // never shuffled against rules (no sort-merge join, no cartesian,

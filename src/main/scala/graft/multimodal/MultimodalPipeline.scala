@@ -249,4 +249,41 @@ object MultimodalPipeline {
     }
     img.unionByName(aud).unionByName(vid)
   }
+
+  /** Cross-modal PAIR consistency QC — the LAION-class caption↔image
+    * filter (Schuhmann et al., NeurIPS'21 D&B: pairs whose CLIP text
+    * and image embeddings disagree are dropped before training): per
+    * pair, an exact-integer consistency score between the two embedding
+    * columns and a keep verdict at `t2Micro` (micro-units of cosine²).
+    *
+    * Exactness protocol (the q62/q115 rule): both vectors pass through
+    * int8 scalar quantization — codes are bit-reproducible cross-engine
+    * — and everything after is INTEGER arithmetic: dot_q = Σ aᵢ·bᵢ,
+    * norms² na2/nb2, and the signed micro-cosine² cons_u =
+    * sign(dot_q)·((dot_q²·10⁶) DIV (na2·nb2)) — one integer division,
+    * no float ever compared. Ranges are overflow-safe by construction:
+    * |dot_q| ≤ d·127² (≈10⁶ at d=64) so dot_q²·10⁶ ≤ ~10¹⁸ < 2⁶³.
+    * A zero-norm side scores 0 / drop (a zero vector has no direction
+    * — the hardNegatives rule).
+    *
+    * Scale shape: a pure per-row kernel over the pair table — the only
+    * join is whatever built the pairs; nothing here is wider than the
+    * pair table itself. Returns (idCol, dot_q, na2, nb2, cons_u, keep). */
+  def crossModalQc(pairs: DataFrame, aCol: String, bCol: String,
+      idCol: String, t2Micro: Long = 810000L): DataFrame = {
+    import graft.similarity.Quantize
+    import graft.functions.VectorFunctions.dotF
+    def q(c: String) = Quantize.codes(col(c), Quantize.scaleOf(col(c)))
+      .cast("array<float>") // int8 codes are float-exact; dotF sums in double
+    val scored = pairs.select(col(idCol),
+      dotF(q(aCol), q(bCol)).cast("long").as("dot_q"),
+      dotF(q(aCol), q(aCol)).cast("long").as("na2"),
+      dotF(q(bCol), q(bCol)).cast("long").as("nb2"))
+    scored.select(col(idCol), col("dot_q"), col("na2"), col("nb2"),
+        when(col("na2") === 0 || col("nb2") === 0, lit(0L))
+          .otherwise(signum(col("dot_q")).cast("long") *
+            expr("(dot_q * dot_q * 1000000L) DIV (na2 * nb2)"))
+          .as("cons_u"))
+      .withColumn("keep", col("cons_u") >= t2Micro)
+  }
 }

@@ -4723,30 +4723,9 @@ object LlmPipelineQueries {
     // A's rep — the fromStanding branch fires live, not just in units.
     QueryDef("q226_delta_components", (s, dir) => {
       import s.implicits._
-      val standing = bridgeCorpus(s, dir)
-      val fp = graft.sources.Layout.dirFingerprint(
-        s, Tables.path(dir, "documents"))
-      val standingPairs = DedupCache.memoVersioned(
-        s"$dir#jaccard3@0.7+bridge", fp) {
-        Dedup.jaccardJoinOrdered(
-          Dedup.shingleProjection(standing, "text", "doc_id"), threshold = 0.7)
-      }
-      val standingMap = Dedup.connectedComponents(standingPairs, "id_a", "id_b")
-      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
-      val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
-      val delta = docs
-        .filter($"doc_id" % 13 === 0 && size(split(norm, " ")) >= 20)
-        .select(($"doc_id" + 3000000).as("doc_id"),
-          concat($"text", lit(" fresh crawl revision tag")).as("text"))
-        .unionByName(docs.filter($"doc_id" % 19 === 0)
-          .select(($"doc_id" + 4000000).as("doc_id"),
-            concat($"text", lit("  ")).as("text")))
-        .unionByName(bridgeBases(s, dir)
-          .select(($"doc_id" + 3500000).as("doc_id"),
-            array_join($"w", " ").as("text")))
-      val idx = IvfIndexCache.getOrBuildLsh(s, dir, "bridge")(bridgeCorpus(s, dir))
-      val dp = graft.dedup.DeltaDedup.deltaPairs(s, idx, delta,
-        "text", "doc_id", threshold = 0.7)
+      val standingMap = Dedup.connectedComponents(
+        bridgeStandingPairs(s, dir), "id_a", "id_b")
+      val dp = bridgeDeltaPairs(s, dir)
       Dedup.deltaComponents(standingMap, dp.select($"id_a", $"id_b"))
         .orderBy($"node")
     }, Some(s"""
@@ -4885,7 +4864,198 @@ object LlmPipelineQueries {
       SELECT doc_id, CAST(len(cands) AS INTEGER) AS n_cand,
              CAST(len(valids) AS INTEGER) AS n_valid,
              md5(COALESCE(array_to_string(valids, ','), '')) AS valid_fp
-      FROM v ORDER BY doc_id"""))
+      FROM v ORDER BY doc_id""")),
+
+    // --- q228: STREAMING component-map maintenance (streaming/
+    // StreamingComponents — q226's streaming symmetry, completing the
+    // dedup lifecycle the way q198 completed the fingerprint index's):
+    // near-dup PAIRS arrive as micro-batches (the standing pair corpus
+    // + the q147 delta flow, shuffled across 4 replay files), each
+    // batch lands its OWN local closure as an idempotent shard (a pure
+    // function of the batch — the only landing that survives
+    // at-least-once replay; node-bounded star rows, never pair mass),
+    // and the release map is the deltaComponents FOLD of the shards:
+    // per shard the standing side is touched by scans and zero
+    // exchanges, the fixpoint is shard-bounded, the merge table
+    // answer-sized. Labels are component minima, so the fold is
+    // batch-split-invariant: min-merge ≡ batch deltaComponents ≡
+    // from-scratch. Gate: the full union-corpus closure (q69's
+    // recursive CTE over q226's fixture), node for node — one row per
+    // node in any pair, label = the union component's minimum.
+    QueryDef("q228_stream_components", (s, dir) => {
+      import s.implicits._
+      val pairs = bridgeStandingPairs(s, dir).select($"id_a", $"id_b")
+        .unionByName(bridgeDeltaPairs(s, dir).select($"id_a", $"id_b"))
+      val stream = graft.streaming.EventsStream.replayShuffled(pairs, nFiles = 4)
+      val out = graft.Scratch.dir("graft_q228").toString
+      graft.streaming.StreamingComponents.landPartials(s, stream, out)
+      graft.streaming.StreamingComponents.mergedMap(s, out)
+        .select($"id".as("node"), $"cluster_id")
+        .orderBy($"node")
+    }, Some(s"""
+      WITH RECURSIVE docs AS ($NEAR_DUP_DOCS_SQL),
+      br AS (
+        SELECT doc_id, list_reverse(
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+        WHERE doc_id % 37 = 11
+          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 30),
+      standing AS (
+        SELECT doc_id, text FROM docs
+        UNION ALL
+        SELECT doc_id + 2000000, array_to_string(list_slice(w, 1, (4 * len(w)) // 5), ' ')
+        FROM br
+        UNION ALL
+        SELECT doc_id + 2200000, array_to_string(list_slice(w, len(w) // 5 + 1, len(w)), ' ')
+        FROM br),
+      delta AS (
+        SELECT doc_id + 3000000 AS doc_id, text || ' fresh crawl revision tag' AS text
+        FROM documents
+        WHERE doc_id % 13 = 0
+          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 20
+        UNION ALL
+        SELECT doc_id + 4000000, text || '  ' FROM documents WHERE doc_id % 19 = 0
+        UNION ALL
+        SELECT doc_id + 3500000, array_to_string(w, ' ') FROM br),
+      cd AS (SELECT doc_id, text FROM standing
+             UNION ALL SELECT doc_id, text FROM delta),
+      shu AS (${shingleSetsSqlFrom("cd")}),
+      pairsu AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shu a JOIN shu b ON a.doc_id < b.doc_id
+         AND len(a.s) * 0.7 <= len(b.s) AND len(b.s) * 0.7 <= len(a.s)
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)) >= 0.7),
+      edgesu AS (SELECT id_a AS u, id_b AS v FROM pairsu
+                 UNION SELECT id_b, id_a FROM pairsu),
+      reachu(u, r) AS (
+        SELECT u, u FROM edgesu
+        UNION
+        SELECT e.u, rr.r FROM edgesu e JOIN reachu rr ON e.v = rr.u),
+      repu AS (SELECT u AS doc_id, MIN(r) AS rep FROM reachu GROUP BY u)
+      SELECT doc_id AS node, rep AS cluster_id FROM repu ORDER BY node""")),
+
+    // --- q229: supervised language id (TrainingPrep.langid* — the
+    // trained-classifier langid the public CCNet/C4 stacks run, where
+    // q36 is the heuristic approximation): multinomial NB over hashed
+    // char TRIGRAMS (the fastText-langid feature class — 3-grams cross
+    // word boundaries and separate languages sharing an alphabet),
+    // fit on a labeled seed (%3≠0) with q220's kernel — ONE
+    // map-side-combined (lang, bucket) histogram + a one-row-per-lang
+    // prior, both SUM-mergeable — scores in exact integer micro-nats,
+    // argmax as a min(struct) vote (never a rank window over the
+    // corpus). FIXTURE: the synthetic corpus's text is the same tech
+    // vocabulary for every lang label, so each doc carries a doubled
+    // per-language marker phrase constructed identically in both
+    // engines; %12==6 docs (⊂ the held-out third) ALSO carry a French
+    // fragment — the cross-language confusable, which the doubled true
+    // marker must out-vote (it does: held-out AND confusable rows
+    // classify to their label at every sf, and the oracle re-derives
+    // every score to the micro-nat either way). Unseen buckets fall
+    // back per-language to w0_u (the nbScoreAgainst rule).
+    QueryDef("q229_langid", (s, dir) => {
+      import s.implicits._
+      TrainingPrep.langidClassify(langidPageFixture(s, dir),
+          "page", "doc_id", "lang", isSeed = $"doc_id" % 3 =!= 0)
+        .orderBy($"doc_id")
+    }, Some(LANGID_ORACLE_SQL)),
+
+    // --- q230: cross-modal pair QC (MultimodalPipeline.crossModalQc —
+    // the LAION-class caption↔image consistency filter, Schuhmann et
+    // al. NeurIPS'21: pairs whose text and image embeddings disagree
+    // are dropped before training; the multimodal family's first
+    // BETWEEN-modality gate — q111/q156/q157 dedup within one). Exact
+    // protocol: both sides int8-quantize (q62's bit-reproducible
+    // codes), then INTEGER dot/norms and one integer division produce
+    // the signed micro-cosine² — no float is ever compared, so the
+    // verdict is engine-portable at any sf. Fixture: pair i carries its
+    // own embedding on both sides (cons_u = exactly 10⁶) except %5==3
+    // pairs, whose "image" side is row i−1's embedding — the planted
+    // mismatch; the corpus's near-isotropic pair cosines stay under
+    // 0.47 (cons_u < 2.2·10⁵), a 4× margin to the 0.9² = 810000 gate.
+    // Per-row kernel over the pair table; the only join BUILDS the
+    // pairs (no join wider than the pair table itself).
+    QueryDef("q230_crossmodal_qc", (s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val pairs = e.select($"vec_id".as("pair_id"), $"embedding".as("tvec"),
+          when($"vec_id" % 5 === 3, $"vec_id" - 1).otherwise($"vec_id").as("p"))
+        .join(e.select($"vec_id".as("p"), $"embedding".as("ivec")), "p")
+      graft.multimodal.MultimodalPipeline.crossModalQc(
+          pairs, "tvec", "ivec", "pair_id")
+        .orderBy($"pair_id")
+    }, Some("""
+      WITH p AS (
+        SELECT a.vec_id AS pair_id, a.embedding AS tv, b.embedding AS iv
+        FROM embeddings a JOIN embeddings b
+          ON b.vec_id = CASE WHEN a.vec_id % 5 = 3
+                             THEN a.vec_id - 1 ELSE a.vec_id END),
+      qa AS (SELECT pair_id, tv, iv,
+            list_max(list_transform(tv, x -> abs(CAST(x AS DOUBLE)))) AS sa,
+            list_max(list_transform(iv, x -> abs(CAST(x AS DOUBLE)))) AS sb
+          FROM p),
+      c AS (SELECT pair_id,
+            CASE WHEN sa = 0 THEN list_transform(tv, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(tv, x ->
+                   CAST(floor(CAST(x AS DOUBLE) / sa * 127 + 0.5) AS BIGINT)) END AS ca,
+            CASE WHEN sb = 0 THEN list_transform(iv, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(iv, x ->
+                   CAST(floor(CAST(x AS DOUBLE) / sb * 127 + 0.5) AS BIGINT)) END AS cb
+          FROM qa),
+      d AS (SELECT pair_id,
+            CAST(list_sum([ca[i] * cb[i] FOR i IN range(1, len(ca) + 1)]) AS BIGINT) AS dot_q,
+            CAST(list_sum([ca[i] * ca[i] FOR i IN range(1, len(ca) + 1)]) AS BIGINT) AS na2,
+            CAST(list_sum([cb[i] * cb[i] FOR i IN range(1, len(cb) + 1)]) AS BIGINT) AS nb2
+          FROM c),
+      s AS (SELECT pair_id, dot_q, na2, nb2,
+            CASE WHEN na2 = 0 OR nb2 = 0 THEN 0
+                 ELSE CAST(sign(dot_q) AS BIGINT)
+                      * ((dot_q * dot_q * 1000000) // (na2 * nb2)) END AS cons_u
+          FROM d)
+      SELECT pair_id, dot_q, na2, nb2, cons_u, cons_u >= 810000 AS keep
+      FROM s ORDER BY pair_id""")),
+
+    // --- q231: incremental CDX maintenance (sources/Warc.advanceCdx —
+    // the advanceIndex lifecycle q198's fingerprint index and the IVF
+    // index already have, applied to the archive index q210 builds per
+    // run): a standing CDX over the even-numbered archives is advanced
+    // with the whole directory — only the odd archives are walked (the
+    // even ones are pruned from the file manifest before any byte is
+    // read), and the advanced index must be the batch build, row for
+    // row (per-archive independence: cdx(A ∪ B) = cdx(A) ∪ cdx(B)).
+    // Gate: every response record's identity from the ADVANCED index —
+    // doc id from the target URI, the payload digest the oracle derives
+    // from the one shell definition, and n_recs = 1 per doc (a
+    // duplicated or dropped archive moves a count or a hash). Scale
+    // shape: indexing one task per FRESH archive only; the standing
+    // side contributes a manifest-sized distinct + union.
+    QueryDef("q231_cdx_advance", (s, dir) => {
+      import s.implicits._
+      val warcDir = warcShardsFor(s, dir)
+      // the "prior run": a CDX over the even-numbered archives only —
+      // built from an even FILE manifest so this harness, like the
+      // operator, never opens an archive it doesn't need
+      val p = new org.apache.hadoop.fs.Path(warcDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val even = fs.listStatus(p).map(_.getPath)
+        .filter(q => "part-([0-9]+)".r.findFirstMatchIn(q.getName)
+          .exists(_.group(1).toInt % 2 == 0))
+        .map(_.toString).sorted
+      val standing = graft.sources.Warc.cdx(s, even.mkString(","))
+        .localCheckpoint(true) // the prior run's landed index
+      graft.sources.Warc.advanceCdx(standing, warcDir)
+        .filter($"warc_type" === "response")
+        .select(regexp_extract($"target_uri", "/([0-9]+)$", 1)
+          .cast("long").as("doc_id"), $"digest")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("int").as("n_recs"), min($"digest").as("digest"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, CAST(1 AS INTEGER) AS n_recs,
+             md5('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                 'Content-Type: text/html' || chr(13) || chr(10) ||
+                 chr(13) || chr(10) || """ + HTML_SHELL_SQL + """) AS digest
+      FROM documents ORDER BY doc_id"""))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build
@@ -4941,6 +5111,123 @@ object LlmPipelineQueries {
         reverse(split(graft.text.TextAnalysis.normalize($"text"), " ", -1)).as("w"))
       .filter($"doc_id" % 37 === 11 && size($"w") >= 30)
   }
+
+  /** q226/q228's standing pair set: the exact Jaccard join over the
+    * bridge standing corpus, memoized per corpus content. */
+  private def bridgeStandingPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val fp = graft.sources.Layout.dirFingerprint(
+      s, Tables.path(dir, "documents"))
+    DedupCache.memoVersioned(s"$dir#jaccard3@0.7+bridge", fp) {
+      Dedup.jaccardJoinOrdered(
+        Dedup.shingleProjection(bridgeCorpus(s, dir), "text", "doc_id"),
+        threshold = 0.7)
+    }
+  }
+
+  /** q226/q228's fresh-crawl delta: revision-tagged re-crawls
+    * (%13==0), whitespace-only re-fetches (%19==0), and the bridge
+    * docs — each base's FULL reversed text, which hits BOTH of its
+    * standing slices at J ≈ 0.78–0.8 and merges their components. */
+  private def bridgeDelta(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
+    docs
+      .filter($"doc_id" % 13 === 0 && size(split(norm, " ")) >= 20)
+      .select(($"doc_id" + 3000000).as("doc_id"),
+        concat($"text", lit(" fresh crawl revision tag")).as("text"))
+      .unionByName(docs.filter($"doc_id" % 19 === 0)
+        .select(($"doc_id" + 4000000).as("doc_id"),
+          concat($"text", lit("  ")).as("text")))
+      .unionByName(bridgeBases(s, dir)
+        .select(($"doc_id" + 3500000).as("doc_id"),
+          array_join($"w", " ").as("text")))
+  }
+
+  /** The delta's near-dup pairs against standing ∪ delta — the q147
+    * flow q226 adjudicates and q228 streams. */
+  private def bridgeDeltaPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val idx = IvfIndexCache.getOrBuildLsh(s, dir, "bridge")(bridgeCorpus(s, dir))
+    graft.dedup.DeltaDedup.deltaPairs(s, idx, bridgeDelta(s, dir),
+      "text", "doc_id", threshold = 0.7)
+  }
+
+  /** q229's fixture: the corpus with a DOUBLED per-language marker
+    * phrase appended (the synthetic text is the same tech vocabulary
+    * for every lang label, so language-distinct signal must be
+    * planted — identically in the oracle), plus a French fragment on
+    * %12==6 as the cross-language confusable. */
+  private def langidPageFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val m = when($"lang" === "en", lit(" the quick would with many of them"))
+      .when($"lang" === "fr", lit(" le chat serait avec beaucoup de eux"))
+      .when($"lang" === "de", lit(" der hund wuerde mit vielen von ihnen"))
+      .when($"lang" === "es", lit(" el gato seria con muchos de ellos"))
+      .otherwise(lit(" de mao jiang you henduo zhege"))
+    val confus = when($"doc_id" % 12 === 6, lit(" le chat avec"))
+      .otherwise(lit(""))
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang", concat($"text", m, m, confus).as("page"))
+  }
+
+  /** q229's oracle: the NB langid re-derived from the same planted
+    * pages — histogram, totals, prior, per-(doc, lang) fallback sums,
+    * and the argmax (rank window ordered score DESC, lang ASC — the
+    * same tie-break as the min(struct) vote). */
+  private def LANGID_ORACLE_SQL: String = """
+      WITH mk AS (SELECT doc_id, lang,
+            CASE lang WHEN 'en' THEN ' the quick would with many of them'
+                      WHEN 'fr' THEN ' le chat serait avec beaucoup de eux'
+                      WHEN 'de' THEN ' der hund wuerde mit vielen von ihnen'
+                      WHEN 'es' THEN ' el gato seria con muchos de ellos'
+                      ELSE ' de mao jiang you henduo zhege' END AS m
+          FROM documents),
+      pg AS (SELECT d.doc_id, d.lang,
+            d.text || mk.m || mk.m ||
+            CASE WHEN d.doc_id % 12 = 6 THEN ' le chat avec' ELSE '' END AS page
+          FROM documents d JOIN mk ON mk.doc_id = d.doc_id),
+      t AS (SELECT doc_id, lang,
+            trim(regexp_replace(lower(page), '\s+', ' ', 'g')) AS s FROM pg),
+      g AS (SELECT doc_id, lang,
+            unnest([substr(s, i, 3) FOR i IN range(1, greatest(length(s) - 1, 1))]) AS g3
+          FROM t),
+      fe AS (SELECT doc_id, lang,
+            ('0x' || substr(md5('lid:' || g3), 1, 15))::BIGINT % 4096 AS f
+          FROM g),
+      hist AS (SELECT lang, f, CAST(COUNT(*) AS BIGINT) AS c
+            FROM fe WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM hist GROUP BY 1),
+      pri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+      nn AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM pri),
+      langs AS (SELECT p.lang,
+            CAST(floor(ln(CAST(p.n_docs AS DOUBLE) / nn.nn) * 1e6) AS BIGINT) AS prior_u,
+            CAST(floor(ln(1.0 / (COALESCE(t.t, 0) + 4096.0)) * 1e6) AS BIGINT) AS w0_u
+          FROM pri p LEFT JOIN tot t USING (lang) CROSS JOIN nn),
+      wts AS (SELECT h.lang, h.f,
+            CAST(floor(ln((h.c + 1.0) / (t.t + 4096.0)) * 1e6) AS BIGINT) AS w_u
+          FROM hist h JOIN tot t USING (lang)),
+      fs AS (SELECT fe.doc_id, l.lang,
+            CAST(SUM(COALESCE(w.w_u, l.w0_u)) AS BIGINT) AS fsum,
+            CAST(COUNT(*) AS BIGINT) AS nf
+          FROM fe CROSS JOIN langs l
+          LEFT JOIN wts w ON w.lang = l.lang AND w.f = fe.f
+          GROUP BY 1, 2),
+      sc AS (SELECT d.doc_id, l.lang,
+            l.prior_u + COALESCE(s.fsum, 0) AS score_u,
+            COALESCE(s.nf, 0) AS nf
+          FROM documents d CROSS JOIN langs l
+          LEFT JOIN fs s ON s.doc_id = d.doc_id AND s.lang = l.lang),
+      rk AS (SELECT doc_id, nf, lang, score_u,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score_u DESC, lang) AS rk
+          FROM sc)
+      SELECT doc_id, CAST(nf AS INTEGER) AS n_grams, lang AS pred_lang, score_u
+      FROM rk WHERE rk = 1 ORDER BY doc_id"""
 
   /** q220/q225's shared fixture: the corpus with the q217-style spam
     * plant appended on %9==4 (constructed identically in the oracle). */

@@ -581,4 +581,102 @@ object TrainingPrep {
           .as("score_u"))
       .withColumn("keep", col("score_u") > 0)
   }
+
+  // ---------------- supervised language id (char-n-gram NB) ----------------
+
+  /** The langid char-TRIGRAM feature stream: one row per trigram
+    * occurrence of the normalized text, hashed into `buckets` slots by
+    * the house-portable md5 hash. Character 3-grams (crossing word
+    * boundaries — normalize()'s single spaces are part of the signal)
+    * are the published fastText-langid feature class: they separate
+    * languages sharing an alphabet where word unigrams need an OOV-free
+    * vocabulary. Map-side generator + hash; no shuffle. */
+  private def lidFeatureStream(docs: DataFrame, textCol: String,
+      keep: Seq[String], buckets: Int): DataFrame = {
+    val t = TextAnalysis.normalize(col(textCol))
+    val n = (length(t) - lit(2)).cast("int")
+    val grams = when(n >= 1,
+      transform(sequence(lit(1), n), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(keep.map(col) :+ explode(grams).as("g"): _*)
+      .select(keep.map(col) :+
+        pmod(conv(substring(md5(concat(lit("lid:"), col("g"))), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("f"): _*)
+  }
+
+  /** The langid fit's sufficient statistics: per-(language, bucket)
+    * seed trigram counts — ≤ |langs|·buckets rows out of ONE
+    * map-side-combined pass (the nbSeedCounts discipline: counts merge
+    * by ADDITION, so this fit is stream-maintainable exactly like the
+    * NB/DSIR/LM artifacts). */
+  def langidSeedCounts(seed: DataFrame, textCol: String, langCol: String,
+      buckets: Int = 4096): DataFrame =
+    lidFeatureStream(seed.select(col(langCol).as("lang"), col(textCol)),
+        textCol, Seq("lang"), buckets)
+      .groupBy(col("lang"), col("f")).agg(count(lit(1)).as("c"))
+
+  /** Per-language seed doc counts — the class prior's sufficient
+    * statistic (one row per language, SUM-mergeable). */
+  def langidPriorCounts(seed: DataFrame, langCol: String): DataFrame =
+    seed.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n_docs"))
+
+  /** Classify every doc against a prebuilt (lang, f, c) trigram
+    * histogram + (lang, n_docs) prior — multinomial NB over hashed
+    * char trigrams: score_u(d, l) = prior_u(l) + Σ_occurrences
+    * floor(ln((c_lf+1)/(T_l+B))·1e6), argmax over languages with ties
+    * to the lexicographically smallest (exact integer micro-nats — the
+    * q89/q209/q220 rule — so the argmax is engine-portable). Buckets a
+    * language's seed never hit fall back to its smoothing-only w0_u
+    * (the nbScoreAgainst rule); docs with NO trigrams still classify
+    * (prior-only).
+    *
+    * Scale shape: the fit tables are answer-sized and BROADCAST; the
+    * corpus feature stream fans out ×|langs| map-side (langs is a
+    * handful), and the per-(doc, lang) sum + per-doc argmax are the
+    * only corpus-keyed exchanges. No rank window over the corpus: the
+    * argmax is a min(struct) vote. */
+  def langidScoreAgainst(docs: DataFrame, textCol: String, idCol: String,
+      hist: DataFrame, prior: DataFrame, buckets: Int = 4096): DataFrame = {
+    val b = lit(buckets.toDouble)
+    val tot = hist.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val nn = prior.agg(sum(col("n_docs")).as("nn"))
+    val langs = prior.join(tot, Seq("lang"), "left")
+      .crossJoin(broadcast(nn)) // 1-row scalar join
+      .select(col("lang"),
+        floor(log(col("n_docs").cast("double") / col("nn")) * 1e6)
+          .cast("long").as("prior_u"),
+        floor(log(lit(1.0) / (coalesce(col("t"), lit(0L)) + b)) * 1e6)
+          .cast("long").as("w0_u"))
+    val weights = hist.join(tot, Seq("lang"))
+      .select(col("lang"), col("f"),
+        floor(log((col("c") + lit(1.0)) / (col("t") + b)) * 1e6)
+          .cast("long").as("w_u"))
+    val feat = lidFeatureStream(docs.select(col(idCol), col(textCol)),
+      textCol, Seq(idCol), buckets)
+    val featSums = feat
+      .crossJoin(broadcast(langs.select(col("lang"), col("w0_u"))))
+      .join(broadcast(weights), Seq("lang", "f"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).as("nf"),
+        sum(coalesce(col("w_u"), col("w0_u"))).as("fs"))
+    docs.select(col(idCol))
+      .crossJoin(broadcast(langs.select(col("lang"), col("prior_u"))))
+      .join(featSums, Seq(idCol, "lang"), "left")
+      .select(col(idCol), col("lang"),
+        (col("prior_u") + coalesce(col("fs"), lit(0L))).as("score_u"),
+        coalesce(col("nf"), lit(0L)).as("nf"))
+      .groupBy(col(idCol))
+      .agg(max(col("nf")).cast("int").as("n_grams"),
+        min(struct((-col("score_u")).as("ns"), col("lang"))).as("m"))
+      .select(col(idCol), col("n_grams"), col("m.lang").as("pred_lang"),
+        (-col("m.ns")).as("score_u"))
+  }
+
+  /** Inline fit + score: seed rows (isSeed) train the model, every doc
+    * is classified — the q220 shape for language id. */
+  def langidClassify(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, isSeed: Column, buckets: Int = 4096): DataFrame =
+    langidScoreAgainst(docs, textCol, idCol,
+      langidSeedCounts(docs.filter(isSeed), textCol, langCol, buckets),
+      langidPriorCounts(docs.filter(isSeed), langCol), buckets)
 }

@@ -242,6 +242,33 @@ object Warc {
     spark.createDataFrame(rows, cdxSchema)
   }
 
+  /** INCREMENTAL CDX maintenance — the advanceIndex lifecycle the
+    * fingerprint and IVF indexes already have, applied to the archive
+    * index: append the CDX rows of archives the standing index has
+    * never seen, WITHOUT re-walking indexed ones (at 100 TB the
+    * standing CDX covers millions of immutable archives; only the
+    * fetcher fleet's newest shards should ever be opened). Exact by
+    * per-archive independence — every CDX row derives from its archive
+    * alone, so cdx(A ∪ B) = cdx(A) ∪ cdx(B) row for row, which is the
+    * oracle identity (chained ingest ≡ one batch build). Idempotent:
+    * a re-offered archive is pruned from the FILE MANIFEST before any
+    * byte is read (driver-side and archive-manifest-sized — the same
+    * contract as the fetch planner's file list). */
+  def advanceCdx(standing: DataFrame, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = standing.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val offered = fs.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+    val seen = standing.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet // archive-manifest-sized
+    val fresh = offered.filterNot(seen).sorted
+    if (fresh.isEmpty) standing
+    else standing.unionByName(cdx(spark, fresh.mkString(",")))
+  }
+
   /** (offset, length) of every gzip MEMBER in a `.warc.gz` archive —
     * RFC 1952 framing walked from the spec: the 10-byte fixed header
     * (1f 8b magic, CM=8 deflate, FLG, MTIME, XFL, OS), the optional

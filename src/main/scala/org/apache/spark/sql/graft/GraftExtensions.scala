@@ -1194,6 +1194,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_langid"),
+      info("graft_langid",
+        "graft_langid(table, textCol, idCol, langCol, seedPredicate) - supervised language id: multinomial NB over hashed char trigrams fit on the rows matching seedPredicate (a SQL boolean expression string), every row classified: (id, n_grams, pred_lang, score_u). Exact integer micro-nats; argmax ties to the smallest language."),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_langid(table, textCol, idCol, langCol, seedPredicate) takes 5 arguments")
+        graft.ops.TrainingPrep.langidClassify(tableArg(args(0)),
+          strArg(args(1), "textCol"), strArg(args(2), "idCol"),
+          strArg(args(3), "langCol"),
+          org.apache.spark.sql.functions.expr(strArg(args(4), "seedPredicate")))
+          .queryExecution.logical
+      }))
+
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_crossmodal_qc"),
+      info("graft_crossmodal_qc",
+        "graft_crossmodal_qc(pairsTable, aCol, bCol, idCol) - cross-modal pair consistency QC (the LAION-class caption<->image filter): both embedding columns int8-quantize, then integer dot/norms and one integer division yield the signed micro-cosine^2: (id, dot_q, na2, nb2, cons_u, keep) with keep at cons_u >= 810000 (cos 0.9)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_crossmodal_qc(pairsTable, aCol, bCol, idCol) takes 4 arguments")
+        graft.multimodal.MultimodalPipeline.crossModalQc(tableArg(args(0)),
+          strArg(args(1), "aCol"), strArg(args(2), "bCol"),
+          strArg(args(3), "idCol"))
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

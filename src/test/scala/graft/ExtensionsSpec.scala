@@ -374,9 +374,9 @@ class ExtensionsSpec extends AnyFunSuite {
       // late r14 adds ccnet_bucket, dsir_weights, url_blocklist,
       // anchor_terms, hits -> 72; r14 final adds nb_classifier,
       // delta_triangles, hard_negatives, mojibake_repair,
-      // delta_components -> 77)
+      // delta_components -> 77; r15 adds langid, crossmodal_qc -> 79)
       val nFaces = spark.sql("SHOW FUNCTIONS LIKE 'graft_*'").count()
-      assert(nFaces == 77L, s"graft_* registry count drifted: $nFaces")
+      assert(nFaces == 79L, s"graft_* registry count drifted: $nFaces")
 
       // late-r14 faces, each smoke-pinned on a hand row. CCNet fixture:
       // the model gives P(bb|aa)=5/9, P(cc|aa)=4/9, P(aa|bb)=P(aa|cc)=1
@@ -542,6 +542,25 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT n_fixes, n_chars_out FROM graft_mojibake_repair('tf_moji', 'page', 'doc_id')""")
         .head()
       assert((mj.getInt(0), mj.getLong(1)) == (1, 4L), mj.toString)
+      // langid (r15): held-out row 3 classifies by its marker text
+      Seq((1L, "en", "aa the quick would"), (2L, "fr", "aa le chat serait"),
+          (3L, "en", "bb the quick would"))
+        .toDF("doc_id", "lang", "text").createOrReplaceTempView("tf_lid")
+      val li = spark.sql(
+        """SELECT doc_id, pred_lang FROM graft_langid('tf_lid', 'text', 'doc_id',
+           'lang', 'doc_id <= 2') ORDER BY doc_id""").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(li.toSeq == Seq((1L, "en"), (2L, "fr"), (3L, "en")), li.mkString(";"))
+      // crossmodal_qc (r15): identical pair keeps at exactly 1e6;
+      // orthogonal pair scores 0 and drops
+      Seq((1L, Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+          (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+        .toDF("pair_id", "tvec", "ivec").createOrReplaceTempView("tf_cmq")
+      val cq = spark.sql(
+        """SELECT pair_id, cons_u, keep FROM graft_crossmodal_qc('tf_cmq', 'tvec',
+           'ivec', 'pair_id') ORDER BY pair_id""").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(cq.toSeq == Seq((1L, 1000000L, true), (2L, 0L, false)), cq.mkString(";"))
 
       // mmr: near-dup of the top pick defers to the diverse candidate
       Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)),

@@ -2061,6 +2061,28 @@ class OperatorsSpec extends SparkSpec {
       s"got n_feats=${got(0).getInt(1)} w_u=${got(0).getLong(2)} want 4×$lr0")
   }
 
+  test("langidClassify: held-out docs classify to their true language; confusables refuse") {
+    import org.apache.spark.sql.functions.col
+    // the q229 fixture shape in miniature: shared filler + a doubled
+    // language marker; %3==0 docs are held out of the fit, and one
+    // held-out doc carries a cross-language fragment (the confusable)
+    val marker = Map("en" -> " the quick would with many",
+      "fr" -> " le chat serait avec beaucoup")
+    val docs = (0L until 40L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val confus = if (i == 6) " le chat" else ""
+      (i, lang, s"shared filler words number $i" + marker(lang) * 2 + confus)
+    }.toDF("doc_id", "lang", "page")
+    val got = graft.ops.TrainingPrep.langidClassify(
+        docs, "page", "doc_id", "lang", isSeed = col("doc_id") % 3 =!= 0)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 40)
+    (0L until 40L).foreach { i =>
+      val want = if (i % 2 == 0) "en" else "fr"
+      assert(got(i) == want, s"doc $i: got ${got(i)}, want $want")
+    }
+  }
+
   test("Profile.drift: added/removed columns, null-ppm drift, range flags") {
     val a = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "s", "v")
     val b = Seq((1L, Some("x"), 1), (2L, None, 2), (3L, Some("z"), 3))

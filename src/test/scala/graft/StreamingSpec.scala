@@ -550,4 +550,48 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(landed1 == recomputed && landed1.nonEmpty, s"$landed1 vs $recomputed")
   }
+
+  test("StreamingComponents: shuffled replays merge to the from-scratch map; re-landing idempotent") {
+    import graft.streaming.{EventsStream, StreamingComponents}
+    import graft.dedup.Dedup
+    import spark.implicits._
+    // topology with every maintenance event: a long chain (spans any
+    // batch split), two components a later pair MERGES, a clique, a
+    // hub, and isolated pairs — 60 edges over ~50 nodes
+    val pairs = (
+      (1L to 15L).map(i => (i, i + 1)) ++            // chain 1..16
+      Seq((20L, 21L), (21L, 22L), (30L, 31L), (31L, 32L), (22L, 30L)) ++ // merge
+      (for (a <- 40L to 44L; b <- a + 1 to 44L) yield (a, b)) ++ // clique
+      (50L to 58L).map(i => (100L, i)) ++            // hub
+      Seq((70L, 71L), (72L, 73L))                    // islands
+    ).toDF("id_a", "id_b")
+    def mapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fromScratch = mapOf(Dedup.connectedComponents(pairs, "id_a", "id_b"))
+    for (nFiles <- Seq(2, 4)) {
+      val out = graft.Scratch.dir(s"graft_scc_test$nFiles").toString
+      StreamingComponents.landPartials(spark,
+        EventsStream.replayShuffled(pairs, nFiles), out)
+      val merged = mapOf(StreamingComponents.mergedMap(spark, out))
+      assert(merged == fromScratch, s"nFiles=$nFiles drifted: $merged")
+      // at-least-once: re-draining the same pairs into the same dir
+      // overwrites shards with batch-pure content — the map is unchanged
+      StreamingComponents.landPartials(spark,
+        EventsStream.replayShuffled(pairs, nFiles), out)
+      assert(mapOf(StreamingComponents.mergedMap(spark, out)) == fromScratch,
+        s"nFiles=$nFiles re-landing drifted")
+    }
+    // chained advance() == batch: fold three arbitrary slices by hand
+    val slices = Seq(pairs.filter($"id_a" % 3 === 0), pairs.filter($"id_a" % 3 === 1),
+      pairs.filter($"id_a" % 3 === 2))
+    var standing = spark.emptyDataFrame
+      .withColumn("id", org.apache.spark.sql.functions.lit(0L))
+      .withColumn("cluster_id", org.apache.spark.sql.functions.lit(0L))
+      .limit(0)
+    slices.foreach { sl =>
+      standing = StreamingComponents.advance(standing,
+        Dedup.connectedComponents(sl, "id_a", "id_b"))
+    }
+    assert(mapOf(standing) == fromScratch, "chained advance drifted from batch")
+  }
 }

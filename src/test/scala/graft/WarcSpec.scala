@@ -147,6 +147,31 @@ class WarcSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("Warc: advanceCdx appends only unseen archives; chained ingest == batch; idempotent") {
+    val dir = graft.Scratch.dir("warcspec_adv")
+    def writeArchive(name: String, uris: Seq[String]): Unit =
+      Files.write(dir.resolve(name),
+        uris.map(u => Warc.gzipMember(record("response", u, s"<p>$u</p>")))
+          .reduce(_ ++ _))
+    writeArchive("a0.warc.gz", Seq("http://e.example/1", "http://e.example/2"))
+    val standing0 = Warc.cdx(spark, dir.resolve("a0.warc.gz").toString)
+      .localCheckpoint(true)
+    // two more archives land; advance must index ONLY those
+    writeArchive("a1.warc.gz", Seq("http://e.example/3"))
+    writeArchive("a2.warc.gz", Seq("http://e.example/4", "http://e.example/5"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("file", "offset", "length", "target_uri", "digest").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4))).toSet
+    val advanced = Warc.advanceCdx(standing0, dir.toString).localCheckpoint(true)
+    val batch = Warc.cdx(spark, dir.toString)
+    assert(asSet(advanced) == asSet(batch), "chained ingest drifted from batch build")
+    assert(asSet(advanced).size == 5)
+    // idempotent: re-offering the same directory appends nothing
+    assert(asSet(Warc.advanceCdx(advanced, dir.toString)) == asSet(advanced))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("Warc: malformed framing fails loudly, truncation detected") {
     val dir = graft.Scratch.dir("warcspec")
     val bad = dir.resolve("bad.warc")
