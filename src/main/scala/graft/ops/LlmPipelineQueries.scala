@@ -5055,7 +5055,31 @@ object LlmPipelineQueries {
              md5('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
                  'Content-Type: text/html' || chr(13) || chr(10) ||
                  chr(13) || chr(10) || """ + HTML_SHELL_SQL + """) AS digest
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // --- q232: STREAMING langid maintenance (streaming/StreamingLangid
+    // — the q225 landed-artifact treatment for q229's fit, keeping the
+    // invariant that EVERY fitted model this engine produces is
+    // stream-maintained): the (lang, bucket) trigram histogram and the
+    // per-lang prior both merge by ADDITION, so the labeled-seed ingest
+    // lands one partial of each per micro-batch (idempotent shard
+    // overwrite; arbitrary 4-file shuffled replay) and the release
+    // model is the shard SUM-merge; scoring = langidScoreAgainst over
+    // the merged tables. Gate: q229's oracle VERBATIM — the streamed
+    // fit must classify every doc identically to the inline fit, to
+    // the micro-nat.
+    QueryDef("q232_stream_langid", (s, dir) => {
+      import s.implicits._
+      val docs = langidPageFixture(s, dir)
+      val stream = graft.streaming.EventsStream.replayShuffled(
+        docs.filter($"doc_id" % 3 =!= 0), nFiles = 4)
+      val out = graft.Scratch.dir("graft_q232").toString
+      graft.streaming.StreamingLangid.landCounts(s, stream, "page", "lang", out)
+      TrainingPrep.langidScoreAgainst(docs, "page", "doc_id",
+          graft.streaming.StreamingLangid.mergedCounts(s, out),
+          graft.streaming.StreamingLangid.mergedPrior(s, out))
+        .orderBy($"doc_id")
+    }, Some(LANGID_ORACLE_SQL))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build
