@@ -56,35 +56,48 @@ object Dedup {
     * pairs inherit the representatives' score (identical normalized text ⇒
     * identical shingle set / signature), intra-group pairs get the perfect
     * score. Output size is the true answer's size — the only place any
-    * quadratic term survives, and it is the result itself. */
-  private[dedup] def expandPairs(repPairs: DataFrame, groups: DataFrame,
+    * quadratic term survives, and it is the result itself.
+    *
+    * `dupGroups` holds ONLY multi-member groups' (id, rep) rows — the
+    * duplicate MASS, not a corpus-sized identity map: singleton reps
+    * expand to themselves through the left-join coalesce, so the join is
+    * answer-proportional (and broadcastable whenever the dup mass is). */
+  private[dedup] def expandPairs(repPairs: DataFrame, dupGroups: DataFrame,
       scoreCol: String, perfectScore: Column): DataFrame = {
-    val ga = groups.select(col("rep").as("id_a"), col("id").as("m_a"))
-    val gb = groups.select(col("rep").as("id_b"), col("id").as("m_b"))
-    val cross = repPairs.join(ga, "id_a").join(gb, "id_b")
-      .select(least(col("m_a"), col("m_b")).as("id_a"),
-        greatest(col("m_a"), col("m_b")).as("id_b"), col(scoreCol))
-    val intra = groups.alias("x")
-      .join(groups.alias("y"), col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+    val ga = dupGroups.select(col("rep").as("id_a"), col("id").as("m_a"))
+    val gb = dupGroups.select(col("rep").as("id_b"), col("id").as("m_b"))
+    val cross = repPairs
+      .join(ga, Seq("id_a"), "left")
+      .join(gb, Seq("id_b"), "left")
+      .select(
+        least(coalesce(col("m_a"), col("id_a")),
+          coalesce(col("m_b"), col("id_b"))).as("id_a"),
+        greatest(coalesce(col("m_a"), col("id_a")),
+          coalesce(col("m_b"), col("id_b"))).as("id_b"), col(scoreCol))
+    val intra = dupGroups.alias("x")
+      .join(dupGroups.alias("y"), col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), perfectScore.as(scoreCol))
     cross.unionByName(intra)
   }
+
 
   /** Keep only bucket rows whose bucket holds ≤ maxBucket members. The cap
     * bounds the within-bucket join at maxBucket² per bucket; anything larger
     * is near-certainly a boilerplate cluster that exact-collapse should have
     * caught — audit the drops with [[droppedBuckets]].
     *
-    * Sizes come from a map-side-combined `groupBy(keys).count` semi-joined
-    * back, not a count-over-window: a window partitioned by the bucket key
-    * is exactly the hot-key single-task sort this cap exists to prevent
-    * (see [[exactGroups]]); the semi-join is AQE-skew-splittable. */
+    * The HOT list (buckets above the cap) is answer-tiny by construction
+    * — at most totalBucketRows/maxBucket entries, usually zero — so the
+    * cap is one map-side-combined count plus a BROADCAST anti-join: the
+    * bucket table itself never shuffles (a count-over-window partitioned
+    * by the bucket key would put the hot bucket on one task's sort —
+    * exactly the shape this cap exists to prevent). */
   private[dedup] def capBuckets(buckets: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
-    val ok = buckets.groupBy(keys.map(col): _*)
+    val hot = buckets.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))
-      .filter(col("_bsz") <= maxBucket)
+      .filter(col("_bsz") > maxBucket)
       .select(keys.map(col): _*)
-    buckets.join(ok, keys, "left_semi")
+    buckets.join(broadcast(hot), keys, "left_anti")
   }
 
   // ---------------- MinHash + LSH ----------------
@@ -147,9 +160,17 @@ object Dedup {
     // no self-join on the heavy path). first(t) is non-deterministic but
     // safe: every member of a fingerprint group normalizes identically, so
     // signature and shingle set are the same whichever raw text wins.
-    val reps = df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("t"))
-      .select("id", "t")
+    // The same aggregate carries the group count, so the dup-group table
+    // expandPairs needs costs no second aggregation.
+    val collapsed = df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("t"),
+        count(lit(1)).as("n"))
+    val reps = collapsed.select("id", "t")
+    val dups = df
+      .select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .join(collapsed.filter(col("n") > 1)
+        .select(col("fp"), col("id").as("rep")), "fp")
+      .select("id", "rep")
     // Fully native pipeline: hashed shingle sets in one codegen pass (no
     // string shingles materialized), native signature kernel, slim
     // (id, band, bkey) band rows so the shuffle never moves arrays.
@@ -174,7 +195,7 @@ object Dedup {
     val verifySets = hashedShingleSets(reps, "t", "id", k, BigPrime)
     val repPairs = verifyPairsJaccard(candidates, verifySets, threshold)
       .dropDuplicates("id_a", "id_b")
-    expandPairs(repPairs, exactGroups(df, textCol, idCol), "jaccard", lit(1.0))
+    expandPairs(repPairs, dups, "jaccard", lit(1.0))
       .orderBy("id_a", "id_b")
   }
 
@@ -264,10 +285,17 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming=$maxHamming outside [0, 63]: a 64-bit SimHash cannot band for it")
     val nBands = maxHamming + 1
-    // collapse via one aggregation — see minHashPairs for why first(t) is safe
-    val reps = df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("t"))
-      .select("id", "t")
+    // collapse via one aggregation — see minHashPairs for why first(t) is
+    // safe and why the same aggregate carries the dup-group count
+    val collapsed = df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("t"),
+        count(lit(1)).as("n"))
+    val reps = collapsed.select("id", "t")
+    val dups = df
+      .select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .join(collapsed.filter(col("n") > 1)
+        .select(col("fp"), col("id").as("rep")), "fp")
+      .select("id", "rep")
     val withSim = reps.select(col("id"), simHash64(col("t"), tokenHash).as("sim"))
     val chunked = withSim
       .select(col("id"), col("sim"), explode(simHashChunks(col("sim"), nBands)).as("c"))
@@ -284,7 +312,7 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
-    expandPairs(repPairs, exactGroups(df, textCol, idCol), "hamming", lit(0))
+    expandPairs(repPairs, dups, "hamming", lit(0))
       .orderBy("id_a", "id_b")
   }
 
@@ -416,6 +444,7 @@ object Dedup {
       .select("id", "rep")
   }
 
+
   /** Embedding near-duplicate pairs above a cosine threshold — the DEFAULT,
     * scale-safe path: random-hyperplane LSH buckets generate candidates
     * (equi-join on (band, chunk) — no cartesian, no
@@ -472,8 +501,15 @@ object Dedup {
     val planes = Ann.hyperplanes(dim, nPlanes, seed)
     // collapse byte-identical vectors in ONE aggregation (arrays are
     // first-class grouping keys) — reps carry the vector, so the heavy
-    // branches below need no window or self-join to reach them
-    val reps = df.groupBy(col(vecCol).as("v")).agg(min(col(idCol)).as("id"))
+    // branches below need no window or self-join to reach them; the same
+    // aggregate carries the group count for the dup-mass expansion
+    val collapsed = df.groupBy(col(vecCol).as("v"))
+      .agg(min(col(idCol)).as("id"), count(lit(1)).as("n"))
+    val reps = collapsed.select("v", "id")
+    val dups = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(collapsed.filter(col("n") > 1)
+        .select(col("v"), col("id").as("rep")), "v")
+      .select("id", "rep")
     val base = reps.select(col("id"), col("v"),
       sqrt(dotF(col("v"), col("v"))).as("nrm"),
       Ann.signature(col("v"), planes).as("sig"))
@@ -500,7 +536,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("s", lit(1.0))
-    expandPairs(repPairs, exactVectorGroups(df, vecCol, idCol), "s", lit(1.0))
+    expandPairs(repPairs, dups, "s", lit(1.0))
       .select("id_a", "id_b")
   }
 
