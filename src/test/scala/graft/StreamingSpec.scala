@@ -580,6 +580,11 @@ class StreamingSpec extends SparkSpec {
         EventsStream.replayShuffled(pairs, nFiles), out)
       assert(mapOf(StreamingComponents.mergedMap(spark, out)) == fromScratch,
         s"nFiles=$nFiles re-landing drifted")
+      // LSM compaction is semantically free: fold shards ≤ 1 into one
+      // partial, the merged map is unchanged node for node
+      StreamingComponents.compact(spark, out, upTo = 1L)
+      assert(mapOf(StreamingComponents.mergedMap(spark, out)) == fromScratch,
+        s"nFiles=$nFiles compacted chain drifted")
     }
     // chained advance() == batch: fold three arbitrary slices by hand
     val slices = Seq(pairs.filter($"id_a" % 3 === 0), pairs.filter($"id_a" % 3 === 1),
@@ -593,5 +598,92 @@ class StreamingSpec extends SparkSpec {
         Dedup.connectedComponents(sl, "id_a", "id_b"))
     }
     assert(mapOf(standing) == fromScratch, "chained advance drifted from batch")
+  }
+
+  test("StreamingCdx: shard union == batch build under re-offers; re-draining idempotent") {
+    import graft.streaming.{EventsStream, StreamingCdx}
+    import graft.sources.Warc
+    val dir = graft.Scratch.dir("scdx_archives")
+    def record(uri: String, body: String): Array[Byte] = Warc.recordBytes(
+      "response", uri, "2026-08-16T00:00:00Z", s"<urn:uuid:$uri>",
+      "application/http;msgtype=response",
+      s"HTTP/1.1 200 OK\r\n\r\n$body".getBytes("UTF-8"))
+    (0 until 5).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(s"part-$i.warc.gz"),
+        (0 until 2).map(j => Warc.gzipMember(
+          record(s"http://e.example/${i * 2 + j}", s"<p>doc ${i * 2 + j}</p>")))
+          .reduce(_ ++ _))
+    }
+    val files = (0 until 5).map(i => dir.resolve(s"part-$i.warc.gz").toString)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("file", "offset", "length", "target_uri", "digest").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4))).toSet
+    val fromScratch = asSet(Warc.cdx(spark, files.mkString(",")))
+    val standing = Warc.cdx(spark,
+      Seq(files(0), files(2), files(4)).mkString(",")).localCheckpoint(true)
+    for (nFiles <- Seq(2, 4)) {
+      val out = graft.Scratch.dir(s"scdx_test$nFiles").toString
+      // announce EVERY archive — the standing evens are re-offers the
+      // prune must drop before any byte is read
+      StreamingCdx.landPartials(spark, standing,
+        EventsStream.replayShuffled(files.toDF("file"), nFiles), out)
+      assert(asSet(StreamingCdx.merged(spark, out)) == fromScratch,
+        s"nFiles=$nFiles drifted from batch build")
+      // at-least-once: re-draining the same announcements into the same
+      // chain rewrites shards whose union is unchanged
+      StreamingCdx.landPartials(spark, standing,
+        EventsStream.replayShuffled(files.toDF("file"), nFiles), out)
+      assert(asSet(StreamingCdx.merged(spark, out)) == fromScratch,
+        s"nFiles=$nFiles re-draining drifted")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("StreamingIvf: streamed chain == buildIndex + appendToIndex; probes agree") {
+    import graft.streaming.{EventsStream, StreamingIvf}
+    import graft.similarity.Ivf
+    // two well-separated directions so cells are meaningful at dim 4;
+    // ids 0-9 standing, 10-17 stream in — 16 is a ×4-scaled copy of
+    // query 0 (direction-identical: same cell under any centroids)
+    def vec(dir: Int, eps: Float): Array[Float] =
+      if (dir == 0) Array(1f, eps, 0f, 0f) else Array(0f, eps, 1f, 0f)
+    // eps period 9 is odd, so the only even id < 18 with eps 0 is the
+    // query itself — no natural row repeats query 0's exact direction,
+    // only the planted copy does
+    val rows = (0 until 18).map { i =>
+      val v = if (i == 16) Array(4f, 0f, 0f, 0f)
+        else vec(i % 2, 0.01f * (i % 9))
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val standing = df.filter($"vec_id" < 10)
+    val delta = df.filter($"vec_id" >= 10)
+    val sDir = graft.Scratch.dir("sivf_stream").toString
+    StreamingIvf.drain(spark, standing,
+      EventsStream.replayShuffled(delta, nFiles = 3),
+      "embedding", "vec_id", dim = 4, nCells = 2, sDir)
+    val bDir = graft.Scratch.dir("sivf_batch").toString
+    Ivf.buildIndex(standing, "embedding", "vec_id", dim = 4, nCells = 2,
+      path = bDir)
+    Ivf.appendToIndex(delta, "embedding", "vec_id", bDir)
+    def idxSet(path: String) = spark.read.parquet(s"$path/data")
+      .select("n_id", "cell", "n_nrm").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(idxSet(sDir) == idxSet(bDir),
+      "streamed index rows drifted from the batch lifecycle")
+    val queries = df.filter($"vec_id" === 0L)
+    def topOf(path: String) = Ivf.probeTopK(spark, path, queries,
+      "embedding", "vec_id", k = 3, nProbe = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val streamedTop = topOf(sDir)
+    assert(streamedTop == topOf(bDir), "probe answers drifted")
+    // the streamed-in direction-identical copy is rank 1 at nProbe 1
+    assert(streamedTop.head == ((0L, 1, 16L)), streamedTop.toString)
+    // at-least-once: re-draining overwrites shards with pure content
+    StreamingIvf.drain(spark, standing,
+      EventsStream.replayShuffled(delta, nFiles = 3),
+      "embedding", "vec_id", dim = 4, nCells = 2, sDir)
+    assert(idxSet(sDir) == idxSet(bDir), "re-draining drifted")
   }
 }
