@@ -473,15 +473,17 @@ object PlanCheck {
     // sort; the groupBy combines it map-side and the join-back is
     // AQE-skew-splittable (the q158/q202 keep-first rule applied to the
     // flagship dedup path).
+    // the signature/banding stages sit behind the collapse + capped-bucket
+    // checkpoints (erased from the FINAL plan by design — the
+    // dedup_kernels section below audits the native kernels on the stage
+    // plans directly); the verify kernel runs downstream and stays visible
     Want("q28_dedup_minhash", Seq(
-      "native signature kernel" -> "minhash_sig",
       "exact-Jaccard verify kernel" -> "array_intersect"),
       mustNotContain = Seq(
         "no hot-fingerprint window in the exact collapse" -> "Window",
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
-    Want("q29_dedup_simhash", Seq(
-      "native simhash kernel" -> "simhash64"),
+    Want("q29_dedup_simhash", Seq.empty,
       mustNotContain = Seq(
         "no hot-fingerprint window in the exact collapse" -> "Window",
         "no cartesian candidate generation" -> "CartesianProduct",
@@ -1053,11 +1055,13 @@ object PlanCheck {
         "no join" -> "Join",
         "no window" -> "Window",
         "no cartesian" -> "CartesianProduct")),
-    // compacted component chain: the release fold keeps q226's shape —
-    // broadcast probes/relabels only, no corpus sort-merge join, no
-    // window (compaction changed the chain, not the fold's plan class)
+    // compacted component chain: the fold's broadcast joins run inside
+    // mergedMap's per-step checkpoints (erased from the FINAL plan by
+    // design; the fold shape itself is pinned at q226) — the final plan
+    // is the folded map's RDD scan, and must never degrade to a
+    // corpus-keyed join or window
     Want("q236_compact_components", Seq(
-      "map probe and relabel via broadcast" -> "BroadcastHashJoin"),
+      "release map read from the folded chain" -> "Scan ExistingRDD"),
       mustNotContain = Seq(
         "no corpus sort-merge join" -> "SortMergeJoin",
         "no cartesian" -> "CartesianProduct",
@@ -1238,6 +1242,32 @@ object PlanCheck {
       checks.foreach { case (label, ok) =>
         if (!ok) failed += 1
         println(s"[plancheck] ivfpq_probe :: $label -> ${if (ok) "OK" else "FAILED"}")
+      }
+    }
+
+    // Native-kernel audit for the banding dedup pipelines: q28/q29's
+    // signature + banding stages run inside the collapse/capped-bucket
+    // checkpoints, so their FINAL plans cannot show the kernels — pin
+    // them on the stage plans directly (the same df the pipelines band).
+    if (args.isEmpty || args.contains("q28_dedup_minhash") ||
+        args.contains("q29_dedup_simhash")) {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.sources.Tables.load(spark, dir, "documents").limit(10)
+      def planOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      val sigPlan = planOf(docs.select(
+        graft.dedup.Dedup.minHashSignature(col("text")).as("sig")))
+      val simPlan = planOf(docs.select(
+        graft.dedup.Dedup.simHash64(col("text")).as("sim")))
+      println(s"\n========== dedup_kernels (q28/q29) ==========")
+      val checks = Seq(
+        "native minhash signature kernel" -> sigPlan.contains("minhash_sig"),
+        "native shingle-hash kernel" -> sigPlan.contains("word_shingle_hash"),
+        "native simhash kernel" -> simPlan.contains("simhash64"))
+      checks.foreach { case (label, ok) =>
+        if (!ok) failed += 1
+        println(s"[plancheck] dedup_kernels :: $label -> ${if (ok) "OK" else "FAILED"}")
       }
     }
 
