@@ -1221,6 +1221,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
 
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_host_rollup"),
+      info("graft_host_rollup",
+        "graft_host_rollup(table, urlCol, flagCol, textCol, banAbove) - host-level adjudication (the RefinedWeb-class per-domain rollup that discovers what graft_url_blocklist enforces): per host (lowercased, www/default-port stripped; subdomains stay distinct) the doc count, flagged count, total chars, flagged fraction, and the ban verdict at banAbove."),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_host_rollup(table, urlCol, flagCol, textCol, banAbove) takes 5 arguments")
+        graft.ops.HostStats.rollup(tableArg(args(0)), strArg(args(1), "urlCol"),
+          strArg(args(2), "flagCol"), strArg(args(3), "textCol"),
+          dblArg(args(4), "banAbove"))
+          .queryExecution.logical
+      }))
+
     // whole-operator path: plans CosineTopKPlan nodes
     ext.injectPlannerStrategy(_ => CosineTopKStrategy)
 

@@ -374,9 +374,10 @@ class ExtensionsSpec extends AnyFunSuite {
       // late r14 adds ccnet_bucket, dsir_weights, url_blocklist,
       // anchor_terms, hits -> 72; r14 final adds nb_classifier,
       // delta_triangles, hard_negatives, mojibake_repair,
-      // delta_components -> 77; r15 adds langid, crossmodal_qc -> 79)
+      // delta_components -> 77; r15 adds langid, crossmodal_qc -> 79,
+      // then host_rollup -> 80)
       val nFaces = spark.sql("SHOW FUNCTIONS LIKE 'graft_*'").count()
-      assert(nFaces == 79L, s"graft_* registry count drifted: $nFaces")
+      assert(nFaces == 80L, s"graft_* registry count drifted: $nFaces")
 
       // late-r14 faces, each smoke-pinned on a hand row. CCNet fixture:
       // the model gives P(bb|aa)=5/9, P(cc|aa)=4/9, P(aa|bb)=P(aa|cc)=1
@@ -561,6 +562,21 @@ class ExtensionsSpec extends AnyFunSuite {
            'ivec', 'pair_id') ORDER BY pair_id""").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
       assert(cq.toSeq == Seq((1L, 1000000L, true), (2L, 0L, false)), cq.mkString(";"))
+      // host_rollup (r15): messy authority normalizes, the all-flagged
+      // host bans, the half-flagged one stays
+      Seq((1L, "HTTP://WWW.Bad.example:80/a", "xx", true),
+          (2L, "http://bad.example/b", "yyy", true),
+          (3L, "https://ok.example:443/c", "zz", true),
+          (4L, "https://ok.example/d", "wwww", false))
+        .toDF("doc_id", "url", "page", "spam").createOrReplaceTempView("tf_hr")
+      val hr = spark.sql(
+        """SELECT host, n_docs, n_flagged, sum_chars, banned
+           FROM graft_host_rollup('tf_hr', 'url', 'spam', 'page', 0.5)
+           ORDER BY host""").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))
+      assert(hr.toSeq == Seq(("bad.example", 2L, 2L, 5L, true),
+        ("ok.example", 2L, 1L, 6L, false)), hr.mkString(";"))
 
       // mmr: near-dup of the top pick defers to the diverse candidate
       Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)),
