@@ -1055,6 +1055,16 @@ object PlanCheck {
         "no join" -> "Join",
         "no window" -> "Window",
         "no cartesian" -> "CartesianProduct")),
+    // streamed host stats: the release read is the landed partial chain
+    // SUM-merged map-side over the host vocabulary — q235's shape with
+    // the counts side landed instead of inline
+    Want("q237_stream_hosts", Seq(
+      "counts merged from landed partials" -> "Scan parquet",
+      "host-vocabulary map-side combine" -> "partial_sum"),
+      mustNotContain = Seq(
+        "no join" -> "Join",
+        "no window" -> "Window",
+        "no cartesian" -> "CartesianProduct")),
     // compacted component chain: the fold's broadcast joins run inside
     // mergedMap's per-step checkpoints (erased from the FINAL plan by
     // design; the fold shape itself is pinned at q226) — the final plan

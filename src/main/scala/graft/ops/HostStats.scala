@@ -38,12 +38,13 @@ object HostStats {
     regexp_replace(noPort, "^www\\.", "")
   }
 
-  /** Per-host rollup of per-document verdicts: n_docs, n_flagged (sum of
-    * `flagCol`, a 0/1 per-doc junk verdict from any upstream filter),
-    * total chars, flagged fraction, and the ban verdict at `banAbove`.
-    * One aggregate, answer-sized output. */
-  def rollup(docs: DataFrame, urlCol: String, flagCol: String,
-      textCol: String, banAbove: Double = 0.5): DataFrame =
+  /** The rollup's SUM-mergeable sufficient statistic: per host the doc
+    * count, flagged count, and total chars — counts over a union of
+    * corpora merge by addition, which is what makes the rollup
+    * stream-maintainable ([[graft.streaming.StreamingHostStats]]) and
+    * shard-parallel (per-crawl-shard partials sum into the fleet view). */
+  def hostCounts(docs: DataFrame, urlCol: String, flagCol: String,
+      textCol: String): DataFrame =
     docs
       .select(hostOf(col(urlCol)).as("host"),
         col(flagCol).cast("long").as("flagged"),
@@ -52,7 +53,20 @@ object HostStats {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("flagged")).as("n_flagged"),
         sum(col("n_chars")).as("sum_chars"))
+
+  /** Verdicts from a (possibly merged) counts table: flagged fraction
+    * (one IEEE division of two exact longs) and the ban verdict. */
+  def verdictsFrom(counts: DataFrame, banAbove: Double = 0.5): DataFrame =
+    counts
       .withColumn("flag_frac",
         col("n_flagged").cast("double") / col("n_docs").cast("double"))
       .withColumn("banned", col("flag_frac") > banAbove)
+
+  /** Per-host rollup of per-document verdicts: n_docs, n_flagged (sum of
+    * `flagCol`, a 0/1 per-doc junk verdict from any upstream filter),
+    * total chars, flagged fraction, and the ban verdict at `banAbove`.
+    * One aggregate, answer-sized output. */
+  def rollup(docs: DataFrame, urlCol: String, flagCol: String,
+      textCol: String, banAbove: Double = 0.5): DataFrame =
+    verdictsFrom(hostCounts(docs, urlCol, flagCol, textCol), banAbove)
 }

@@ -5118,34 +5118,33 @@ object LlmPipelineQueries {
     // docs; output answer-sized.
     QueryDef("q235_host_adjudicate", (s, dir) => {
       import s.implicits._
-      val marker = " click here buy now winner"
-      val docs = Tables.load(s, dir, "documents").select($"doc_id",
-        concat(lit("HTTP://WWW.D"), $"doc_id" % 41,
-          lit(".Example:80/p/"), $"doc_id").as("url"),
-        concat($"text", when($"doc_id" % 41 === 7 || $"doc_id" % 97 === 13,
-          lit(marker)).otherwise(lit(" regular footer"))).as("page"))
-        .withColumn("is_spam", instr($"page", lit(marker)) > 0)
-      HostStats.rollup(docs, "url", "is_spam", "page", banAbove = 0.5)
+      HostStats.rollup(hostFixture(s, dir), "url", "is_spam", "page",
+          banAbove = 0.5)
         .orderBy($"host")
-    }, Some("""
-      WITH d AS (
-        SELECT doc_id,
-               'd' || CAST(doc_id % 41 AS VARCHAR) || '.example' AS host,
-               text || CASE WHEN doc_id % 41 = 7 OR doc_id % 97 = 13
-                 THEN ' click here buy now winner'
-                 ELSE ' regular footer' END AS page,
-               CASE WHEN doc_id % 41 = 7 OR doc_id % 97 = 13
-                 THEN 1 ELSE 0 END AS flagged
-        FROM documents),
-      r AS (
-        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(flagged) AS BIGINT) AS n_flagged,
-               CAST(SUM(length(page)) AS BIGINT) AS sum_chars
-        FROM d GROUP BY host)
-      SELECT host, n_docs, n_flagged, sum_chars,
-             CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE) AS flag_frac,
-             CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.5 AS banned
-      FROM r ORDER BY host""")),
+    }, Some(HOST_ROLLUP_ORACLE_SQL)),
+
+    // --- q237: STREAMING host-stats maintenance (StreamingHostStats —
+    // the q222/q225/q232 landed-artifact treatment for q235's rollup):
+    // the per-host (n_docs, n_flagged, sum_chars) triple merges by
+    // ADDITION, so the crawl ingest lands one host-vocabulary-bounded
+    // partial per micro-batch (idempotent shard overwrite; 4-file
+    // shuffled replay) and the release verdicts derive from the shard
+    // SUM-merge — per-crawl-shard partials summing into the fleet-wide
+    // ban discovery, no batch re-read. Gate: q235's oracle VERBATIM —
+    // the streamed rollup must adjudicate every host identically to the
+    // inline aggregate, count for count.
+    QueryDef("q237_stream_hosts", (s, dir) => {
+      import s.implicits._
+      val stream = graft.streaming.EventsStream.replayShuffled(
+        hostFixture(s, dir), nFiles = 4)
+      val out = graft.Scratch.dir("graft_q237").toString
+      graft.streaming.StreamingHostStats.landCounts(
+        s, stream, "url", "is_spam", "page", out)
+      HostStats.verdictsFrom(
+          graft.streaming.StreamingHostStats.mergedCounts(s, out),
+          banAbove = 0.5)
+        .orderBy($"host")
+    }, Some(HOST_ROLLUP_ORACLE_SQL)),
 
     // --- q236: landed-chain COMPACTION (StreamingComponents.compact —
     // the LSM discipline every landed-artifact scaladoc promises, made
@@ -5585,6 +5584,45 @@ object LlmPipelineQueries {
       SELECT doc_id AS node, rep AS cluster_id FROM repu ORDER BY node"""
 
   private def HTML_SHELL_SQL: String = htmlShellSql()
+
+  /** q235/q237's shared fixture: every doc gets a messy URL
+    * (case/www/default-port noise the generic extractor must normalize
+    * away) and host d7 carries the spam appendix on every doc, with a
+    * %97 background scatter across clean hosts. */
+  private def hostFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val marker = " click here buy now winner"
+    Tables.load(s, dir, "documents").select($"doc_id",
+      concat(lit("HTTP://WWW.D"), $"doc_id" % 41,
+        lit(".Example:80/p/"), $"doc_id").as("url"),
+      concat($"text", when($"doc_id" % 41 === 7 || $"doc_id" % 97 === 13,
+        lit(marker)).otherwise(lit(" regular footer"))).as("page"))
+      .withColumn("is_spam", instr($"page", lit(marker)) > 0)
+  }
+
+  /** The host-adjudication gate shared by q235 (inline rollup) and q237
+    * (streamed maintenance): per-host counts, exact-ratio fraction, and
+    * the ban verdict over the [[hostFixture]] corpus. */
+  private def HOST_ROLLUP_ORACLE_SQL: String = """
+      WITH d AS (
+        SELECT doc_id,
+               'd' || CAST(doc_id % 41 AS VARCHAR) || '.example' AS host,
+               text || CASE WHEN doc_id % 41 = 7 OR doc_id % 97 = 13
+                 THEN ' click here buy now winner'
+                 ELSE ' regular footer' END AS page,
+               CASE WHEN doc_id % 41 = 7 OR doc_id % 97 = 13
+                 THEN 1 ELSE 0 END AS flagged
+        FROM documents),
+      r AS (
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+               CAST(SUM(length(page)) AS BIGINT) AS sum_chars
+        FROM d GROUP BY host)
+      SELECT host, n_docs, n_flagged, sum_chars,
+             CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE) AS flag_frac,
+             CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.5 AS banned
+      FROM r ORDER BY host"""
 
   /** The archive-index identity gate shared by q231 (batch advance) and
     * q233 (streamed maintenance): every response record's identity from

@@ -640,6 +640,28 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("StreamingHostStats: shuffled replays sum-merge to the inline rollup") {
+    import graft.streaming.{EventsStream, StreamingHostStats}
+    import graft.ops.HostStats
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"http://h${i % 5}.example/p/$i", "x" * (i % 7 + 1), i % 3 == 0)
+    }.toDF("doc_id", "url", "page", "spam")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("host", "n_docs", "n_flagged", "sum_chars", "banned").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val inline = rows(HostStats.rollup(docs, "url", "spam", "page", 0.3))
+    for (nFiles <- Seq(2, 4)) {
+      val out = graft.Scratch.dir(s"shs_test$nFiles").toString
+      StreamingHostStats.landCounts(spark,
+        EventsStream.replayShuffled(docs, nFiles), "url", "spam", "page", out)
+      val streamed = rows(HostStats.verdictsFrom(
+        StreamingHostStats.mergedCounts(spark, out), 0.3))
+      assert(streamed == inline && inline.nonEmpty,
+        s"nFiles=$nFiles drifted: $streamed vs $inline")
+    }
+  }
+
   test("StreamingIvf: streamed chain == buildIndex + appendToIndex; probes agree") {
     import graft.streaming.{EventsStream, StreamingIvf}
     import graft.similarity.Ivf
