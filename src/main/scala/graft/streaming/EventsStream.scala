@@ -251,6 +251,20 @@ object EventsStream {
     }
   }
 
+  /** A micro-batch arrives inside foreachBatch with its FILE
+    * parallelism — often one file, one task — while the fit stages the
+    * landed-artifact streams run on it (one md5 per gram/feature) are
+    * cpu-heavy. Rebalance a batch below executor parallelism across
+    * the cores before the fit: one batch-sized shuffle buys a
+    * cores-wide map stage, and the landed partials are order-free sums
+    * so the artifact is unchanged (measured on the langid fit: 68 s
+    * wall ≈ cpu serial at 150k docs → 21.5 s rebalanced). A batch that
+    * already carries enough partitions passes through untouched. */
+  def rebalanced(batch: DataFrame): DataFrame = {
+    val cores = batch.sparkSession.sparkContext.defaultParallelism
+    if (batch.rdd.getNumPartitions < cores) batch.repartition(cores) else batch
+  }
+
   /** Materialize `df` into a fresh temp dir as `nFiles` round-robin
     * parquet files and replay it as a genuine file-source stream, ONE
     * FILE PER MICRO-BATCH — the oracle-protocol bridge for operators

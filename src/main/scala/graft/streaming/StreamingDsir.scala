@@ -31,8 +31,11 @@ object StreamingDsir {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // hashed-bigram counting is md5-per-feature — rebalance an
+        // under-parallel batch before the fit (EventsStream.rebalanced)
         graft.ops.TrainingPrep
-          .dsirCounts(batch.toDF(), textCol, idCol, isTarget, buckets)
+          .dsirCounts(EventsStream.rebalanced(batch.toDF()), textCol,
+            idCol, isTarget, buckets)
           .write.mode("overwrite").parquet(s"$dir/shard=$batchId")
         ()
       }

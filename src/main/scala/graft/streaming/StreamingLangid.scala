@@ -30,17 +30,10 @@ object StreamingLangid {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        // the trigram fit is the cpu-heavy stage (one md5 per gram), and
-        // a micro-batch arrives with its FILE parallelism — often one
-        // file, one task (measured: 78 cpu-s serial at 150k docs, wall ≈
-        // cpu). Rebalance a under-parallel batch across the executor
-        // cores before fanning out grams: one batch-sized shuffle buys a
-        // cores-wide fit, and the landed partial is the same sum (counts
-        // are order-free)
-        val cores = spark.sparkContext.defaultParallelism
-        val b0 = batch.toDF()
-        val b = if (b0.rdd.getNumPartitions < cores) b0.repartition(cores)
-          else b0
+        // the trigram fit is the cpu-heavy stage (one md5 per gram) —
+        // rebalance an under-parallel batch before fanning out grams
+        // (see EventsStream.rebalanced; measured 68 → 21.5 s at 150k)
+        val b = EventsStream.rebalanced(batch.toDF())
         graft.ops.TrainingPrep.langidSeedCounts(b, textCol, langCol, buckets)
           .write.mode("overwrite").parquet(s"$dir/hist/shard=$batchId")
         graft.ops.TrainingPrep.langidPriorCounts(b, langCol)

@@ -29,7 +29,10 @@ object StreamingLm {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        graft.ops.TrainingPrep.bigramCounts(batch.toDF(), textCol, idCol)
+        // bigram counting is md5-per-token — rebalance an under-parallel
+        // batch before the fit (see EventsStream.rebalanced)
+        graft.ops.TrainingPrep.bigramCounts(
+            EventsStream.rebalanced(batch.toDF()), textCol, idCol)
           .write.mode("overwrite").parquet(s"$dir/shard=$batchId")
         ()
       }

@@ -28,7 +28,9 @@ object StreamingNb {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val b = batch.toDF()
+        // hashed-feature counting is md5-per-token — rebalance an
+        // under-parallel batch before the fit (EventsStream.rebalanced)
+        val b = EventsStream.rebalanced(batch.toDF())
         graft.ops.TrainingPrep
           .nbSeedCounts(b, textCol, idCol, isPos, isNeg, buckets)
           .write.mode("overwrite").parquet(s"$dir/hist/shard=$batchId")
