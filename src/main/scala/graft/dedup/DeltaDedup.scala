@@ -55,10 +55,10 @@ object DeltaDedup {
     import spark.implicits._
     val groups = Dedup.exactGroups(corpus, textCol, idCol)
     groups.write.mode("overwrite").parquet(s"$path/groups")
-    val reps = corpus
+    val collapsed = corpus
       .groupBy(graft.text.TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("id"), first(col(textCol)).as("t"))
-      .select("id", "t")
+    val reps = collapsed.select("id", "t")
     reps.select(col("id"), Dedup.minHashSignature(col("t"), numPerm, k).as("sig"))
       .select(col("id"),
         explode(Dedup.lshBands(col("sig"), bands, numPerm / bands)).as("b"))
@@ -66,8 +66,78 @@ object DeltaDedup {
       .write.mode("overwrite").parquet(s"$path/bands")
     Dedup.hashedShingleSets(reps, "t", "id", k, Dedup.BigPrime)
       .write.mode("overwrite").parquet(s"$path/shingles")
-    Seq((numPerm, bands, k)).toDF("num_perm", "bands", "k")
+    // the (fp, rep) lookup [[advanceIndex]] probes to attach later
+    // arrivals to their standing exact group — one slim row per distinct
+    // standing text, the same size class as shingles/
+    collapsed.select(col("fp"), col("id").as("rep"))
+      .write.mode("overwrite").parquet(s"$path/fps")
+    val maxId = corpus.agg(max(col(idCol))).head().getLong(0)
+    Seq((numPerm, bands, k, maxId)).toDF("num_perm", "bands", "k", "max_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append a landed crawl increment to the standing index WITHOUT
+    * rebuilding — the [[graft.similarity.Ivf.appendToIndex]] lifecycle
+    * leg for the LSH index itself (probing the delta is [[deltaPairs]];
+    * this is what makes the delta STANDING for the next increment).
+    * Exact rebuild identity under the stated id contract (fresh crawls
+    * carry ids ABOVE every standing id — enforced against the index's
+    * own recorded max): a delta doc whose normalized fingerprint
+    * already stands attaches to that group (its rep keeps the
+    * min-id = the standing rep, so groups/ gains one row and
+    * bands/shingles/fps gain NOTHING — the rep already bands); a fresh
+    * fingerprint exact-collapses within the delta and its rep's band
+    * keys, verify shingles, and (fp, rep) row append. Advanced index ≡
+    * [[buildIndex]] over corpus ∪ delta, artifact for artifact.
+    *
+    * Scale shape: delta-sized fingerprint/signature work; the standing
+    * side is touched by ONE scan of the slim fps/ table probed with the
+    * BROADCAST delta fingerprint set (the q197 discipline) — corpus
+    * text, bands, and shingles are never read. */
+  def advanceIndex(spark: SparkSession, indexPath: String, delta: DataFrame,
+      textCol: String, idCol: String): Unit = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (numPerm, nBands, k) =
+      (meta.getAs[Int]("num_perm"), meta.getAs[Int]("bands"), meta.getAs[Int]("k"))
+    val maxId = meta.getAs[Long]("max_id")
+    val bounds = delta.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi")).head()
+    require(bounds.getLong(0) > maxId,
+      s"delta ids must exceed the standing max id $maxId (got ${bounds.getLong(0)}) — " +
+        "min-id group reps are only stable under advance when arrivals carry fresh ids")
+    val dFp = delta.select(col(idCol).as("id"),
+      graft.text.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .localCheckpoint(true) // delta-sized, consumed twice
+    val dColl = dFp.groupBy("fp").agg(min(col("id")).as("did"))
+      .localCheckpoint(true)
+    // standing attachment: ONE fps/ scan, delta fingerprints broadcast
+    val hit = spark.read.parquet(s"$indexPath/fps")
+      .join(broadcast(dColl.select("fp")), Seq("fp"), "left_semi")
+      .localCheckpoint(true) // attachment-sized (≤ delta distinct fps)
+    dFp.join(broadcast(hit), Seq("fp"), "left")
+      .join(broadcast(dColl), Seq("fp"))
+      .select(col("id"), coalesce(col("rep"), col("did")).as("rep"))
+      .write.mode("append").parquet(s"$indexPath/groups")
+    val freshReps = dColl.join(broadcast(hit.select("fp")), Seq("fp"), "left_anti")
+      .localCheckpoint(true) // (fp, did) — the delta's new representatives
+    // rep text fetched by id join (the collapseExact discipline — never
+    // first(t) through an aggregation exchange)
+    val repText = delta.select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(broadcast(freshReps.select(col("did").as("id"))), "id")
+      .localCheckpoint(true)
+    repText.select(col("id"),
+        Dedup.minHashSignature(col("t"), numPerm, k).as("sig"))
+      .select(col("id"),
+        explode(Dedup.lshBands(col("sig"), nBands, numPerm / nBands)).as("b"))
+      .select(col("b.band").as("band"), col("b.bkey").as("bkey"), col("id"))
+      .write.mode("append").parquet(s"$indexPath/bands")
+    Dedup.hashedShingleSets(repText, "t", "id", k, Dedup.BigPrime)
+      .write.mode("append").parquet(s"$indexPath/shingles")
+    freshReps.select(col("fp"), col("did").as("rep"))
+      .write.mode("append").parquet(s"$indexPath/fps")
+    Seq((numPerm, nBands, k, math.max(maxId, bounds.getLong(1))))
+      .toDF("num_perm", "bands", "k", "max_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
   }
 
   /** Near-dup pairs (id_a, id_b, jaccard), id_a < id_b, between the

@@ -4,7 +4,16 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.text.TextAnalysis
 
-/** Throwaway stage-cost probe for the q28 collapse/expand rework. */
+/** Stage-cost probe behind the r15 `collapseExact` rework (the q28/q29
+  * pre-banding collapse): times the corpus aggregation, the dup-group
+  * join (shuffled vs broadcast), the signature/verify stages, the full
+  * q28 pipeline, and a "slim" skeleton that fingerprints once and
+  * fetches rep text by id join — the shape the rework adopted after
+  * this probe showed `first(t)` dragging corpus text through the
+  * aggregation exchange and the un-checkpointed multi-consumer
+  * aggregate re-running per branch (q28 2.7 → 1.4 s warm at sf0.1).
+  *
+  * Run: sbt "runMain graft.examples.DedupCostProbe"  (SPARK_GRAFT_SF_DIR) */
 object DedupCostProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession()

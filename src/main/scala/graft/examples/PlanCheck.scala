@@ -492,6 +492,15 @@ object PlanCheck {
     // inside the eager delta-sized checkpoints, so the FINAL plan is the
     // verify join + group expansion — pin the exact-Jaccard verify kernel
     // and that no candidate path degenerated to a cross product
+    // advanced-index probe: the same final-plan class as q147 — the
+    // advance itself runs eagerly (delta-sized checkpoints + appends)
+    // before this plan exists, so what must stay pinned is the probe
+    Want("q238_lsh_advance", Seq(
+      "broadcast group-expansion joins" -> "BroadcastHashJoin",
+      "exact-Jaccard verify kernel" -> "array_intersect"),
+      mustNotContain = Seq(
+        "no cartesian candidate generation" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
     Want("q147_delta_dedup", Seq(
       "broadcast group-expansion joins" -> "BroadcastHashJoin",
       "exact-Jaccard verify kernel" -> "array_intersect"),

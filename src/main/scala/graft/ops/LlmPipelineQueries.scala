@@ -5133,6 +5133,79 @@ object LlmPipelineQueries {
     // ban discovery, no batch re-read. Gate: q235's oracle VERBATIM —
     // the streamed rollup must adjudicate every host identically to the
     // inline aggregate, count for count.
+    // --- q238: LSH index ADVANCE (DeltaDedup.advanceIndex — the
+    // appendToIndex lifecycle leg for the dedup index itself): q147
+    // probes a delta against the standing index; this row makes the
+    // delta STANDING for the next increment without rebuilding —
+    // attached fingerprints join their standing exact group (groups/
+    // gains a row, bands/shingles/fps gain nothing: the rep already
+    // bands), fresh fingerprints append their rep's band keys, verify
+    // shingles, and (fp, rep) row; the standing side is touched by ONE
+    // scan of the slim fps/ table probed with the BROADCAST delta
+    // fingerprint set. Exact rebuild identity under the enforced
+    // fresh-ids-above-standing contract. Gate: the FIRST delta (q147's)
+    // advances a per-run COPY of the standing index, then a SECOND
+    // increment (v2 revisions of the same base docs + new whitespace
+    // variants) probes the ADVANCED index — the answer must equal the
+    // all-pairs oracle over C ∪ D1 ∪ D2 restricted to D2-touching
+    // pairs, which only holds if D1's docs truly became standing (v2
+    // revisions must pair with BOTH their base doc and D1's revision;
+    // whitespace arrivals must expand through D1's appended group rows).
+    QueryDef("q238_lsh_advance", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val idx0 = IvfIndexCache.getOrBuildLsh(s, dir)(docs)
+      // advance mutates the layout — fresh per-run copy (q236 discipline)
+      val out = graft.Scratch.dir("graft_q238").toString
+      val conf = s.sparkContext.hadoopConfiguration
+      val src = new org.apache.hadoop.fs.Path(idx0)
+      val fs = src.getFileSystem(conf)
+      val idx = s"$out/index"
+      org.apache.hadoop.fs.FileUtil.copy(fs, src,
+        fs, new org.apache.hadoop.fs.Path(idx), false, conf)
+      val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
+      val d1 = docs
+        .filter($"doc_id" % 13 === 0 && size(split(norm, " ")) >= 20)
+        .select(($"doc_id" + 3000000).as("doc_id"),
+          concat($"text", lit(" fresh crawl revision tag")).as("text"))
+        .unionByName(docs.filter($"doc_id" % 19 === 0)
+          .select(($"doc_id" + 4000000).as("doc_id"),
+            concat($"text", lit("  ")).as("text")))
+      graft.dedup.DeltaDedup.advanceIndex(s, idx, d1, "text", "doc_id")
+      val d2 = docs
+        .filter($"doc_id" % 13 === 0 && size(split(norm, " ")) >= 20)
+        .select(($"doc_id" + 5000000).as("doc_id"),
+          concat($"text", lit(" fresh crawl revision tag v2")).as("text"))
+        .unionByName(docs.filter($"doc_id" % 23 === 0)
+          .select(($"doc_id" + 6000000).as("doc_id"),
+            concat($"text", lit("   ")).as("text")))
+      graft.dedup.DeltaDedup.deltaPairs(s, idx, d2, "text", "doc_id",
+        threshold = 0.5).orderBy($"id_a", $"id_b")
+    }, Some(s"""
+      WITH cd AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000, text || ' fresh crawl revision tag' FROM documents
+        WHERE doc_id % 13 = 0
+          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 20
+        UNION ALL
+        SELECT doc_id + 4000000, text || '  ' FROM documents WHERE doc_id % 19 = 0
+        UNION ALL
+        SELECT doc_id + 5000000, text || ' fresh crawl revision tag v2' FROM documents
+        WHERE doc_id % 13 = 0
+          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 20
+        UNION ALL
+        SELECT doc_id + 6000000, text || '   ' FROM documents WHERE doc_id % 23 = 0),
+      sh AS (${shingleSetsSqlKFrom(3, "cd")})
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE (a.doc_id >= 5000000 OR b.doc_id >= 5000000)
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= 0.5
+      ORDER BY id_a, id_b""")),
+
     QueryDef("q237_stream_hosts", (s, dir) => {
       import s.implicits._
       val stream = graft.streaming.EventsStream.replayShuffled(

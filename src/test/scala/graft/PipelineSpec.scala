@@ -1137,6 +1137,54 @@ class PipelineSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 103L || p._2 == 103L), "unrelated singleton paired")
   }
 
+  test("DeltaDedup.advanceIndex: advanced index == rebuilt index; chained probes agree") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val corpus = Seq(
+      (1L, base), (2L, base + "  "), (3L, base + " corpus near dup tag"),
+      (4L, other), (5L, "totally unrelated short text here")
+    ).toDF("doc_id", "text")
+    val d1 = Seq(
+      (101L, base + " fresh tag"),   // fresh fingerprint -> new rep
+      (102L, other + " "),           // attaches to 4's standing group
+      (104L, base + " fresh tag ")   // attaches to 101's group (intra-delta)
+    ).toDF("doc_id", "text")
+    val adv = java.nio.file.Files.createTempDirectory("lsh_adv").toString
+    graft.dedup.DeltaDedup.buildIndex(corpus, "text", "doc_id", adv)
+    graft.dedup.DeltaDedup.advanceIndex(spark, adv, d1, "text", "doc_id")
+    val reb = java.nio.file.Files.createTempDirectory("lsh_reb").toString
+    graft.dedup.DeltaDedup.buildIndex(corpus.unionByName(d1), "text", "doc_id", reb)
+    def art(path: String, name: String, cols: String*) =
+      spark.read.parquet(s"$path/$name").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    for ((name, cols) <- Seq(
+        "groups" -> Seq("id", "rep"), "bands" -> Seq("band", "bkey", "id"),
+        "fps" -> Seq("fp", "rep"), "shingles" -> Seq("id"))) {
+      assert(art(adv, name, cols: _*) == art(reb, name, cols: _*),
+        s"$name drifted between advance and rebuild")
+    }
+    assert(spark.read.parquet(s"$adv/meta").head().getAs[Long]("max_id") == 104L)
+    // a second increment probed against the ADVANCED index answers like
+    // the rebuilt one — and pairs with a D1 doc (now standing)
+    val d2 = Seq((201L, base + " fresh tag v2"),
+      (202L, other + "   ")).toDF("doc_id", "text")
+    def probe(path: String) = graft.dedup.DeltaDedup
+      .deltaPairs(spark, path, d2, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = probe(adv)
+    assert(got == probe(reb), "advanced-index probe drifted from rebuilt")
+    assert(got.exists(p => p._1 == 101L && p._2 == 201L), "D1 doc not standing")
+    assert(got.contains((102L, 202L, 1.0)), "cross-exact through the attached group missing")
+    // the id contract is enforced against the index's own recorded max
+    val low = Seq((50L, "late arrival with a stale id")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.dedup.DeltaDedup.advanceIndex(spark, adv, low, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("must exceed the standing max id"))
+  }
+
   test("CdcChunk: rolling bounds == driver reference; edit stability; end-closure") {
     // driver-side reference of RollingChunkBounds' contract
     def refBounds(t: String, w: Int, m: Int): Seq[Int] = {
