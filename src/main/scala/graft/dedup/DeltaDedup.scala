@@ -105,19 +105,39 @@ object DeltaDedup {
     require(bounds.getLong(0) > maxId,
       s"delta ids must exceed the standing max id $maxId (got ${bounds.getLong(0)}) — " +
         "min-id group reps are only stable under advance when arrivals carry fresh ids")
+    val (groupsAdd, bandsAdd, shinglesAdd, fpsAdd) = advanceParts(
+      spark.read.parquet(s"$indexPath/fps").select("fp", "rep"),
+      delta, textCol, idCol, numPerm, nBands, k)
+    groupsAdd.write.mode("append").parquet(s"$indexPath/groups")
+    bandsAdd.write.mode("append").parquet(s"$indexPath/bands")
+    shinglesAdd.write.mode("append").parquet(s"$indexPath/shingles")
+    fpsAdd.write.mode("append").parquet(s"$indexPath/fps")
+    Seq((numPerm, nBands, k, math.max(maxId, bounds.getLong(1))))
+      .toDF("num_perm", "bands", "k", "max_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** The advance DERIVATION shared by [[advanceIndex]] (in-place append)
+    * and the streamed landing ([[graft.streaming.StreamingLsh]]): given
+    * the standing (fp, rep) lookup, a delta's four artifact increments —
+    * (groups, bands, shingles, fps) rows to add. Pure function of
+    * (standingFps, delta); the standing side is touched by ONE scan
+    * probed with the BROADCAST delta fingerprint set. */
+  private[graft] def advanceParts(standingFps: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String, numPerm: Int, nBands: Int, k: Int):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val dFp = delta.select(col(idCol).as("id"),
       graft.text.TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .localCheckpoint(true) // delta-sized, consumed twice
     val dColl = dFp.groupBy("fp").agg(min(col("id")).as("did"))
       .localCheckpoint(true)
-    // standing attachment: ONE fps/ scan, delta fingerprints broadcast
-    val hit = spark.read.parquet(s"$indexPath/fps")
+    // standing attachment: ONE fps scan, delta fingerprints broadcast
+    val hit = standingFps
       .join(broadcast(dColl.select("fp")), Seq("fp"), "left_semi")
       .localCheckpoint(true) // attachment-sized (≤ delta distinct fps)
-    dFp.join(broadcast(hit), Seq("fp"), "left")
+    val groupsAdd = dFp.join(broadcast(hit), Seq("fp"), "left")
       .join(broadcast(dColl), Seq("fp"))
       .select(col("id"), coalesce(col("rep"), col("did")).as("rep"))
-      .write.mode("append").parquet(s"$indexPath/groups")
     val freshReps = dColl.join(broadcast(hit.select("fp")), Seq("fp"), "left_anti")
       .localCheckpoint(true) // (fp, did) — the delta's new representatives
     // rep text fetched by id join (the collapseExact discipline — never
@@ -125,19 +145,14 @@ object DeltaDedup {
     val repText = delta.select(col(idCol).as("id"), col(textCol).as("t"))
       .join(broadcast(freshReps.select(col("did").as("id"))), "id")
       .localCheckpoint(true)
-    repText.select(col("id"),
+    val bandsAdd = repText.select(col("id"),
         Dedup.minHashSignature(col("t"), numPerm, k).as("sig"))
       .select(col("id"),
         explode(Dedup.lshBands(col("sig"), nBands, numPerm / nBands)).as("b"))
       .select(col("b.band").as("band"), col("b.bkey").as("bkey"), col("id"))
-      .write.mode("append").parquet(s"$indexPath/bands")
-    Dedup.hashedShingleSets(repText, "t", "id", k, Dedup.BigPrime)
-      .write.mode("append").parquet(s"$indexPath/shingles")
-    freshReps.select(col("fp"), col("did").as("rep"))
-      .write.mode("append").parquet(s"$indexPath/fps")
-    Seq((numPerm, nBands, k, math.max(maxId, bounds.getLong(1))))
-      .toDF("num_perm", "bands", "k", "max_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    val shinglesAdd = Dedup.hashedShingleSets(repText, "t", "id", k, Dedup.BigPrime)
+    val fpsAdd = freshReps.select(col("fp"), col("did").as("rep"))
+    (groupsAdd, bandsAdd, shinglesAdd, fpsAdd)
   }
 
   /** Near-dup pairs (id_a, id_b, jaccard), id_a < id_b, between the
@@ -146,6 +161,8 @@ object DeltaDedup {
   def deltaPairs(spark: SparkSession, indexPath: String, delta: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.5,
       maxBucket: Int = 100000): DataFrame = {
+    // banding params are identical across a streamed layout's meta
+    // shards (the landing copies them through), so any row serves
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val (numPerm, nBands, k) =
       (meta.getAs[Int]("num_perm"), meta.getAs[Int]("bands"), meta.getAs[Int]("k"))
@@ -167,7 +184,11 @@ object DeltaDedup {
     // prune the index to buckets the delta touches BEFORE any shuffle —
     // the key set is delta-sized, so this semi-join broadcasts
     val touched = deltaBands.select("band", "bkey").distinct()
+    // explicit column selects on every index read: a streamed landing
+    // partitions each artifact by shard, and the discovery column must
+    // not ride into the unions below
     val idxTouched = spark.read.parquet(s"$indexPath/bands")
+      .select("band", "bkey", "id")
       .join(broadcast(touched), Seq("band", "bkey"), "left_semi")
     // combined hot-bucket cap (corpus members + delta members), the q28
     // guard: a boilerplate bucket costs maxBucket² at worst, never more
@@ -193,6 +214,7 @@ object DeltaDedup {
     // candidate-survivor-sized; the verify join consumes it twice (the
     // a-side and b-side of each pair)
     val verifySets = spark.read.parquet(s"$indexPath/shingles")
+      .select("id", "sh")
       .join(candIds, "id", "left_semi")
       .unionByName(Dedup.hashedShingleSets(deltaReps, "t", "id", k, Dedup.BigPrime))
       .localCheckpoint()
@@ -201,7 +223,8 @@ object DeltaDedup {
     // member-level expansion: cross pairs over corpus ∪ delta groups,
     // intra (perfect-score) pairs over DELTA groups only — a corpus
     // exact group's internal pairs were reported when C was deduped
-    val allGroups = spark.read.parquet(s"$indexPath/groups").unionByName(deltaGroups)
+    val allGroups = spark.read.parquet(s"$indexPath/groups")
+      .select("id", "rep").unionByName(deltaGroups)
     val ga = allGroups.select(col("rep").as("id_a"), col("id").as("m_a"))
     val gb = allGroups.select(col("rep").as("id_b"), col("id").as("m_b"))
     val cross = repPairs.join(ga, "id_a").join(gb, "id_b")

@@ -501,6 +501,15 @@ object PlanCheck {
       mustNotContain = Seq(
         "no cartesian candidate generation" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
+    // streamed-chain probe: same final-plan class again — the drain runs
+    // eagerly before this plan exists; what must stay pinned is that the
+    // probe against the shard-partitioned layout keeps q147's shape
+    Want("q239_stream_lsh", Seq(
+      "broadcast group-expansion joins" -> "BroadcastHashJoin",
+      "exact-Jaccard verify kernel" -> "array_intersect"),
+      mustNotContain = Seq(
+        "no cartesian candidate generation" -> "CartesianProduct",
+        "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),
     Want("q147_delta_dedup", Seq(
       "broadcast group-expansion joins" -> "BroadcastHashJoin",
       "exact-Jaccard verify kernel" -> "array_intersect"),

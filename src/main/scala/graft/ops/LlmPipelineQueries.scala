@@ -5151,6 +5151,46 @@ object LlmPipelineQueries {
     // pairs, which only holds if D1's docs truly became standing (v2
     // revisions must pair with BOTH their base doc and D1's revision;
     // whitespace arrivals must expand through D1's appended group rows).
+    // --- q239: STREAMING LSH index maintenance (streaming/StreamingLsh
+    // — the landed-artifact treatment for the dedup index, the last
+    // index with only batch legs after q238): crawl increments arrive
+    // as ORDERED micro-batches (the q192/q198 monotone-id ingest
+    // contract, enforced per batch against the landed metas) and each
+    // lands its own four artifact increments — the advanceParts
+    // derivation against the fps chain as landed by predecessors —
+    // under idempotent shard dirs; per-batch landing ≡ chained
+    // advanceIndex ≡ rebuild, artifact for artifact, and deltaPairs
+    // probes the chain root directly (every index read selects its
+    // columns, so the shard axis adds directories, never rows). Gate:
+    // q238's oracle VERBATIM — D1 streams in over two ordered batches,
+    // D2 probes the streamed chain.
+    QueryDef("q239_stream_lsh", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val idx0 = IvfIndexCache.getOrBuildLsh(s, dir)(docs)
+      val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
+      val d1a = docs
+        .filter($"doc_id" % 13 === 0 && size(split(norm, " ")) >= 20)
+        .select(($"doc_id" + 3000000).as("doc_id"),
+          concat($"text", lit(" fresh crawl revision tag")).as("text"))
+      val d1b = docs.filter($"doc_id" % 19 === 0)
+        .select(($"doc_id" + 4000000).as("doc_id"),
+          concat($"text", lit("  ")).as("text"))
+      val out = graft.Scratch.dir("graft_q239").toString
+      graft.streaming.StreamingLsh.drain(s, idx0,
+        graft.streaming.EventsStream.replayOrdered(Seq(d1a, d1b)),
+        "text", "doc_id", out)
+      val d2 = docs
+        .filter($"doc_id" % 13 === 0 && size(split(norm, " ")) >= 20)
+        .select(($"doc_id" + 5000000).as("doc_id"),
+          concat($"text", lit(" fresh crawl revision tag v2")).as("text"))
+        .unionByName(docs.filter($"doc_id" % 23 === 0)
+          .select(($"doc_id" + 6000000).as("doc_id"),
+            concat($"text", lit("   ")).as("text")))
+      graft.dedup.DeltaDedup.deltaPairs(s, out, d2, "text", "doc_id",
+        threshold = 0.5).orderBy($"id_a", $"id_b")
+    }, Some(LSH_ADVANCE_ORACLE_SQL)),
+
     QueryDef("q238_lsh_advance", (s, dir) => {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
@@ -5181,30 +5221,7 @@ object LlmPipelineQueries {
             concat($"text", lit("   ")).as("text")))
       graft.dedup.DeltaDedup.deltaPairs(s, idx, d2, "text", "doc_id",
         threshold = 0.5).orderBy($"id_a", $"id_b")
-    }, Some(s"""
-      WITH cd AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 3000000, text || ' fresh crawl revision tag' FROM documents
-        WHERE doc_id % 13 = 0
-          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 20
-        UNION ALL
-        SELECT doc_id + 4000000, text || '  ' FROM documents WHERE doc_id % 19 = 0
-        UNION ALL
-        SELECT doc_id + 5000000, text || ' fresh crawl revision tag v2' FROM documents
-        WHERE doc_id % 13 = 0
-          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 20
-        UNION ALL
-        SELECT doc_id + 6000000, text || '   ' FROM documents WHERE doc_id % 23 = 0),
-      sh AS (${shingleSetsSqlKFrom(3, "cd")})
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-               / len(list_distinct(a.s || b.s)) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE (a.doc_id >= 5000000 OR b.doc_id >= 5000000)
-        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / len(list_distinct(a.s || b.s)) >= 0.5
-      ORDER BY id_a, id_b""")),
+    }, Some(LSH_ADVANCE_ORACLE_SQL)),
 
     QueryDef("q237_stream_hosts", (s, dir) => {
       import s.implicits._
@@ -5673,6 +5690,35 @@ object LlmPipelineQueries {
         lit(marker)).otherwise(lit(" regular footer"))).as("page"))
       .withColumn("is_spam", instr($"page", lit(marker)) > 0)
   }
+
+
+  /** The advanced-index gate shared by q238 (in-place advance) and q239
+    * (streamed landing): all-pairs truth over C ∪ D1 ∪ D2 restricted to
+    * D2-touching pairs — only reproducible if D1 truly became standing. */
+  private def LSH_ADVANCE_ORACLE_SQL: String = s"""
+      WITH cd AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000, text || ' fresh crawl revision tag' FROM documents
+        WHERE doc_id % 13 = 0
+          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 20
+        UNION ALL
+        SELECT doc_id + 4000000, text || '  ' FROM documents WHERE doc_id % 19 = 0
+        UNION ALL
+        SELECT doc_id + 5000000, text || ' fresh crawl revision tag v2' FROM documents
+        WHERE doc_id % 13 = 0
+          AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 20
+        UNION ALL
+        SELECT doc_id + 6000000, text || '   ' FROM documents WHERE doc_id % 23 = 0),
+      sh AS (${shingleSetsSqlKFrom(3, "cd")})
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE (a.doc_id >= 5000000 OR b.doc_id >= 5000000)
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= 0.5
+      ORDER BY id_a, id_b"""
 
   /** The host-adjudication gate shared by q235 (inline rollup) and q237
     * (streamed maintenance): per-host counts, exact-ratio fraction, and

@@ -1183,6 +1183,36 @@ class PipelineSpec extends SparkSpec {
       graft.dedup.DeltaDedup.advanceIndex(spark, adv, low, "text", "doc_id")
     }
     assert(e.getMessage.contains("must exceed the standing max id"))
+    // streamed landing: ORDERED batches (104 attaches to batch 0's rep
+    // 101 ACROSS the batch boundary) == the rebuilt index, and the probe
+    // agrees; re-draining overwrites shards with equivalent content
+    val pristine = java.nio.file.Files.createTempDirectory("lsh_base").toString
+    graft.dedup.DeltaDedup.buildIndex(corpus, "text", "doc_id", pristine)
+    val sDir = graft.Scratch.dir("lsh_stream").toString
+    def slices = Seq(d1.filter(col("doc_id") <= 102L), d1.filter(col("doc_id") > 102L))
+    graft.streaming.StreamingLsh.drain(spark, pristine,
+      graft.streaming.EventsStream.replayOrdered(slices), "text", "doc_id", sDir)
+    for ((name, cols) <- Seq(
+        "groups" -> Seq("id", "rep"), "bands" -> Seq("band", "bkey", "id"),
+        "fps" -> Seq("fp", "rep"), "shingles" -> Seq("id"))) {
+      assert(art(sDir, name, cols: _*) == art(reb, name, cols: _*),
+        s"streamed $name drifted from rebuild")
+    }
+    assert(probe(sDir) == probe(reb), "streamed-chain probe drifted")
+    graft.streaming.StreamingLsh.drain(spark, pristine,
+      graft.streaming.EventsStream.replayOrdered(slices), "text", "doc_id", sDir)
+    assert(probe(sDir) == probe(reb), "re-draining drifted")
+    // the ordered-ingest contract is enforced against the landed metas
+    // (a fresh drain re-seeds shard=-1, so the violation must undercut
+    // the SEED's max id — its own batches land from shard 0 up)
+    val stale = Seq((3L, "late arrival below the seed max id")).toDF("doc_id", "text")
+    val se = intercept[Exception] {
+      graft.streaming.StreamingLsh.drain(spark, pristine,
+        graft.streaming.EventsStream.replayOrdered(Seq(stale)), "text", "doc_id", sDir)
+    }
+    assert(se.getMessage.contains("ordered-ingest contract") ||
+      Option(se.getCause).exists(_.getMessage.contains("ordered-ingest contract")),
+      s"unexpected failure: ${se.getMessage}")
   }
 
   test("CdcChunk: rolling bounds == driver reference; edit stability; end-closure") {
