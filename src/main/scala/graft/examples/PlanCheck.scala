@@ -1001,13 +1001,16 @@ object PlanCheck {
         "no char explode" -> "Generate",
         "no join" -> "Join",
         "no window" -> "Window")),
-    // crawl-plan composition: every stage keeps its audited shape in
-    // ONE plan — the frontier's bloom prune in the scan stage, the
+    // crawl-plan composition (r15: the frontier delta LANDS once —
+    // delta-sized by contract — and every gate rides the snapshot
+    // instead of re-running the links → canon → bloom chain per
+    // consumer; the bloom-prune plan shape itself stays pinned on
+    // q197, whose final plan is the un-materialized additions):
     // blocklist/rules/schedule/delays all broadcast, the per-host
     // budget through the bounded heap; no sort-merge join or cartesian
-    // anywhere from page links to fetch waves
+    // anywhere from the landed frontier to fetch waves
     Want("q218_crawl_plan", Seq(
-      "frontier bloom prune in the scan stage" -> "might_contain",
+      "gates ride the landed frontier snapshot" -> "Scan ExistingRDD",
       "per-host budget via the bounded heap" -> "scored_top_k",
       "gates and schedule broadcast" -> "BroadcastHashJoin"),
       mustNotContain = Seq(

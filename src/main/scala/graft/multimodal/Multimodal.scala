@@ -95,6 +95,19 @@ object ImageCodec {
   */
 object Multimodal {
 
+  /** Codec-stage parallelism guard: every kernel below is per-row CPU
+    * work (JDK image/audio encode+decode) whose input often arrives at
+    * FILE parallelism — the test corpora are one small parquet file
+    * (one row group ⇒ one scan task), and a streaming micro-batch is
+    * one file — so the whole codec stage would run on one core while
+    * the rest idle. One slim-row shuffle buys a cores-wide map stage;
+    * every consumer keys or aggregates by doc_id, so row placement is
+    * free to change. A many-file production layout already carries
+    * ≥ cores partitions and passes through untouched (the
+    * EventsStream.rebalanced contract applied to the codec stages). */
+  private def balanced(df: DataFrame): DataFrame =
+    graft.ops.Par.balanced(df)
+
   /** Synthesize deterministic binary payloads from the documents table:
     * a per-modality magic prefix + the UTF-8 text bytes. These are NOT
     * decodable images (see [[synthImages]] for real ones) — they exercise
@@ -122,7 +135,7 @@ object Multimodal {
   def synthImages(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     import java.awt.image.BufferedImage
-    docs.select(col("doc_id")).as[Long]
+    balanced(docs.select(col("doc_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val (w, h) = (synthWidth(id), synthHeight(id))
@@ -422,7 +435,7 @@ object Multimodal {
   /** Generate REAL audio (decodable PCM16 WAV bytes) per document id. */
   def synthAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    balanced(docs.select(col("doc_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val (rate, ch, frames, amp) =
@@ -531,7 +544,7 @@ object Multimodal {
     * [[synthNoiseSample]] (decodable by any RIFF parser). */
   def synthNoiseAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    balanced(docs.select(col("doc_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val samples = Array.tabulate(NoiseFrames)(t => synthNoiseSample(id, t))

@@ -64,7 +64,19 @@ object MultimodalPipeline {
     // the landed asset snapshot: two decode passes consume it
     val mat = assets.localCheckpoint(true)
     // fingerprint table: one decode per asset, three consumers below
-    val bands = fingerprint(mat).localCheckpoint(true)
+    val bands0 = fingerprint(mat).localCheckpoint(true)
+    // Scan width for the landed band table: it is slim metadata (5 ints
+    // a row) consumed by several SMALL jobs — the class map, the banded
+    // candidate join, the survivor rule — so inheriting the codec
+    // stage's cores-wide block layout just multiplies every downstream
+    // job's task count (measured: the near-pair join + components leg
+    // 10.2 → 5.8 s at sf0.1 when the 32-block layout is narrowed).
+    // One block per ~2M rows (≈80 MB) keeps a local band table at 1–2
+    // scan tasks and a 100 TB one cores-wide; coalesce on a
+    // checkpointed RDD is a view — no second materialization.
+    val bandWidth = math.max(1L, bands0.count() / 2000000L).toInt
+    val bands = if (bandWidth < bands0.rdd.getNumPartitions)
+      bands0.coalesce(bandWidth) else bands0
     // id → identical-hash class rep (min id of the class). One extra
     // asset-sized groupBy vs reusing imageNearDupPairs' internal class
     // table (not exposed; a sliver next to the decode) — both read the

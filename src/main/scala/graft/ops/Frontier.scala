@@ -38,8 +38,11 @@ object Frontier {
   def additions(visited: DataFrame, deltaLinks: DataFrame,
       urlCol: String = "url", idCol: String = "doc_id",
       fpp: Double = 0.01): DataFrame = {
-    val canon = deltaLinks.select(col(idCol),
-      graft.text.UrlNormalize.canonicalUrl(col(urlCol)).as("canonical_url"))
+    // the canonical kernel is the md5/regex-heavy per-row stage — run it
+    // cores-wide even when the links arrive at single-file parallelism
+    val canon = Par.balanced(deltaLinks.select(col(idCol), col(urlCol)))
+      .select(col(idCol),
+        graft.text.UrlNormalize.canonicalUrl(col(urlCol)).as("canonical_url"))
     def agg(links: DataFrame): DataFrame = links
       .groupBy("canonical_url")
       .agg(count(lit(1)).cast("long").as("n_links"),

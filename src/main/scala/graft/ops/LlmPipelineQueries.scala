@@ -4404,7 +4404,14 @@ object LlmPipelineQueries {
         .unionByName(s.range(1).select(
           graft.text.UrlNormalize.canonicalUrl(hub).as("canonical_url")))
         .distinct().localCheckpoint(true)
-      val additions = Frontier.additions(visited, links)
+      // the frontier delta is delta-sized by contract — land it once
+      // (the materialization a production crawl round writes anyway);
+      // every gate below rides this snapshot instead of re-running the
+      // links → canon → bloom chain once per consumer (the robots host
+      // table, the budget heap and the final attach each re-executed
+      // it: three corpus passes for one, measured 7.3 → 3.6 s at
+      // sf0.1). q197 still pins the bloom-prune plan shape itself.
+      val additions = Frontier.additions(visited, links).localCheckpoint(true)
       val blocklist = s.range(3)
         .select(concat(lit("badsite"), $"id", lit(".example")).as("domain"))
       val unblocked = graft.text.UrlBlocklist

@@ -182,7 +182,7 @@ object Bpe {
       merges: Seq[Merge]): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges)
-    words.select(col(wordCol).cast("string")).as[String]
+    graft.ops.Par.balanced(words.select(col(wordCol).cast("string"))).as[String]
       .mapPartitions { it =>
         val ms = bc.value
         it.map { w =>
@@ -199,7 +199,8 @@ object Bpe {
       idCol: String, merges: Seq[Merge]): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges)
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    graft.ops.Par.balanced(docs.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
       .mapPartitions { batch =>
         val ms = bc.value
         batch.map { case (id, text) =>

@@ -34,8 +34,8 @@ object TrigramIndex {
 
   /** Postings table (g, id): one row per distinct (trigram, doc). */
   def build(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(charTrigrams(col(textCol))).as("g"))
+    graft.ops.Par.balanced(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(charTrigrams(col(textCol))).as("g"))
 
   /** Case-insensitive substring search for a literal pattern batch:
     * for each pattern, candidates = docs holding ALL its trigrams
