@@ -685,10 +685,21 @@ object Dedup {
         .distinct()
     }
 
+    // Per-round truncation is LAZY (localCheckpoint(false)): the
+    // convergence-signature aggregate that immediately follows is a
+    // full scan, so ONE job materializes the round's blocks AND reads
+    // the signature — the eager form paid a separate materialization
+    // job per round (pure fixed latency on answer-sized graphs, where
+    // scheduling, not data, is the round cost). The reliable-checkpoint
+    // path stays eager (checkpoint(false) would re-execute the round's
+    // plan twice: reliable checkpoints write out by a re-run, they
+    // don't cache).
+    def truncateLazy(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(false)
     var sig: (Long, Long) = null
     var round = 0
     while (round < maxRounds) {
-      val next = truncate(smallStar(largeStar(edges)))
+      val next = truncateLazy(smallStar(largeStar(edges)))
       val row = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       val nextSig = (row.getLong(0), row.getLong(1))
       edges = next
@@ -732,19 +743,24 @@ object Dedup {
   def deltaComponents(standingMap: DataFrame, deltaPairs: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
     val sm = standingMap.select(col("id"), col("cluster_id"))
+    // All four landed intermediates below are LAZY checkpoints: each
+    // one's first consumer is a full scan (a distinct or a broadcast
+    // build), so the materialization rides that job instead of paying a
+    // separate eager job per table — four scheduling round-trips saved
+    // per delta fold, which is the dominant cost at answer-sized deltas.
     val pairs = deltaPairs.select(col("id_a"), col("id_b"))
-      .filter(col("id_a") =!= col("id_b")).localCheckpoint(true)
+      .filter(col("id_a") =!= col("id_b")).localCheckpoint(false)
     val endpoints = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
     // the standing map's reps for delta-touched ids: endpoint keys
     // broadcast over ONE map scan — the map itself never shuffles
     val smTouched = sm
       .join(broadcast(endpoints), Seq("id"), "left_semi")
-      .localCheckpoint(true) // delta-sized
+      .localCheckpoint(false) // delta-sized
     val epReps = endpoints
       .join(broadcast(smTouched), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("rep"))
-      .localCheckpoint(true) // delta-sized
+      .localCheckpoint(false) // delta-sized
     val repGraph = pairs
       .join(broadcast(epReps.select(col("id").as("id_a"), col("rep").as("ra"))), "id_a")
       .join(broadcast(epReps.select(col("id").as("id_b"), col("rep").as("rb"))), "id_b")
@@ -755,7 +771,7 @@ object Dedup {
         checkpointDir = checkpointDir)
       .filter(col("cluster_id") =!= col("id"))
       .select(col("id").as("rep"), col("cluster_id").as("new_rep"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // relabel: one standing-map scan against the broadcast merge table…
     val fromStanding = sm
       .join(broadcast(changed), sm("cluster_id") === changed("rep"))
