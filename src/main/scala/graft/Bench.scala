@@ -239,25 +239,35 @@ object Bench {
     }
     val (resultLine, cpuLine) = {
       val a = line("csv id:minds:cpuds", csvA)
+      val bWhole = line("csv id:mincs", csvB)
+      // the two lines share the driver's ONE tail window, so they are
+      // budgeted TOGETHER: when the centisecond min-wall csv still fits
+      // whole next to a cpu reserve (≈55 entries — the throttle-invariant
+      // statistic must survive in the tail), emit both, each with its own
+      // trunc K/N marker when cut (r14 lost 180/227 cpu entries to a
+      // beheaded line). Complete detail: tools/bench_full_rN.json via
+      // SPARK_GRAFT_BENCH_OUT — the per-round protocol, spec-pinned.
+      val cpuReserve = 500
       if (a.length <= LINE_BUDGET) (a, None)
-      else {
-        // the two lines share the driver's ONE tail window, so they are
-        // budgeted TOGETHER: the cpu line gets a fixed reserve (≈55
-        // entries — the throttle-invariant statistic must survive in
-        // the tail), the final line the rest, and each carries its own
-        // trunc K/N marker when cut — the committed tail always parses
-        // both, never a beheaded line (r14 lost 180/227 cpu entries to
-        // exactly that). Complete detail: tools/bench_full_rN.json via
-        // SPARK_GRAFT_BENCH_OUT — the per-round protocol, spec-pinned.
-        val cpuReserve = 500
-        val b = fitLine(csvB.split(','), "csv id:mincs",
-          LINE_BUDGET - cpuReserve - 1, line)
+      else if (bWhole.length <= LINE_BUDGET - cpuReserve - 1) {
         val cpuParts = results.map(r => shortName(r._1) + ":" + ds(r._4))
         val cpu = fitLine(cpuParts.toArray, "csv id:cpuds",
-          LINE_BUDGET - b.length - 1,
+          LINE_BUDGET - bWhole.length - 1,
           (enc, csv) =>
             s"""{"metric":"cpu_detail","unit":"ds","enc":"$enc","queries":"$csv"}""")
-        (b, Some(cpu))
+        (bWhole, Some(cpu))
+      } else if (bWhole.length <= LINE_BUDGET) (bWhole, None)
+      else {
+        // r15 failure mode: at 239 queries even the min-wall centisecond
+        // csv overflowed the window, and the honest leading-entries trunc
+        // cut exactly the expensive tail — the driver's PERF comparison
+        // lost every per-query row. COMPLETE coverage beats precision:
+        // coarsen min-wall to DECIseconds (one value per query, ~6.5
+        // chars/entry — the sub-0.05 s rows this rounds to 0 are noise-
+        // floor) and drop the cpu_detail line from the tail entirely; cpu
+        // lives in the committed full file (QueriesSpec-pinned protocol).
+        val csvC = results.map(r => shortName(r._1) + ":" + ds(r._3))
+        (fitLine(csvC.toArray, "csv id:minds", LINE_BUDGET, line), None)
       }
     }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>

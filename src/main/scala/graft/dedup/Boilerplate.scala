@@ -67,8 +67,9 @@ object Boilerplate {
     * gates, where a doc reduced to boilerplate-only falls out via the
     * min-length gate. */
   def cleanDocs(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, minDocs: Int = 2): DataFrame =
-    reassemble(docs, textCol, idCol, k, minDocs)
+      k: Int = 8, minDocs: Int = 2,
+      materializeSegments: Boolean = false): DataFrame =
+    reassemble(docs, textCol, idCol, k, minDocs, materializeSegments)
       .select(col(idCol), coalesce(col("__cleaned"), lit("")).as(textCol))
 
   /** Whitespace chunks of the raw text: collapse runs, trim, split on
@@ -81,9 +82,21 @@ object Boilerplate {
   }
 
   /** Shared segmentation → hot-set drop → position-order reassembly:
-    * (idCol, n_seg, n_kept, __cleaned nullable). */
+    * (idCol, n_seg, n_kept, __cleaned nullable).
+    *
+    * `materializeSegments` (r16): three branches consume the segmented
+    * spine — the hot-set build, the anti-join probe, and the doc spine —
+    * so a LAZY checkpoint makes the regexp collapse + window-slice
+    * transform run once instead of per branch. MEASURED both ways at
+    * sf0.1: a win only when the caller's input is itself a landed
+    * intermediate consumed by an expensive composition (q125's pipeline:
+    * cpu 32.0 → 25.7 s with it), a 3–7× REGRESSION on the standalone
+    * operator over a raw scan (q101: 0.35 → 1.23 s — the fully-pipelined
+    * codegen plan beats caching the segment arrays). So it is opt-in:
+    * CorpusPipeline passes materializeClean (the pipeline lands
+    * intermediates anyway); the standalone surface keeps the lazy form. */
   private def reassemble(docs: DataFrame, textCol: String, idCol: String,
-      k: Int, minDocs: Int): DataFrame = {
+      k: Int, minDocs: Int, materializeSegments: Boolean = false): DataFrame = {
     require(k >= 1, "passage width k must be >= 1")
     require(minDocs >= 2, "minDocs < 2 would drop every passage")
     val toks = wsChunks(col(textCol))
@@ -95,7 +108,9 @@ object Boilerplate {
         i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
-    val spine = docs.select(col(idCol), nSeg.cast("long").as("n_seg"), segs.as("segs"))
+    val spine0 = docs.select(col(idCol), nSeg.cast("long").as("n_seg"), segs.as("segs"))
+    val spine =
+      if (materializeSegments) spine0.localCheckpoint(false) else spine0
     val seg = spine.select(col(idCol), posexplode(col("segs")).as(Seq("seg_i", "seg")))
 
     val hot = seg.select(md5(lower(col("seg"))).as("h"), col(idCol))

@@ -623,6 +623,16 @@ object Dedup {
     * (HDFS/object store) to use `checkpoint()` instead; the dir is set on
     * the SparkContext if none is configured yet.
     *
+    * Answer-sized inputs (at most `graft.cc.driverEdgeCap` distinct
+    * canonical edges, default 100k ≈ 1.6 MB — well inside the broadcast
+    * build-side contract) skip the fixpoint: the edge set is collected,
+    * solved with a min-rooted union-find, and returned as a local
+    * relation. Identical labels by construction (both paths converge to
+    * component minima; the random-graph spec pins the identity), and the
+    * per-round scheduling floor — the whole cost at delta/rep-graph
+    * sizes — vanishes. The gate is a measured row count, so a 100 TB
+    * corpus-wide pair graph takes the distributed fixpoint unchanged.
+    *
     * Returns (id, cluster_id) — one row per node appearing in `pairs`,
     * cluster_id = the minimum id of the node's component. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
@@ -651,7 +661,47 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct())
-    if (edges.isEmpty) return empty
+    val nEdges = edges.count() // one cheap job over the eager checkpoint
+    if (nEdges == 0) return empty
+
+    // ANSWER-SIZED PATH (guide §2.4/§3.1): at or below the cap the edge
+    // set is collected and solved with a min-rooted union-find — exactly
+    // the size contract of a broadcast hash join's build side (the
+    // deltaComponents fold already broadcasts these same tables), and the
+    // result re-enters the plan as a local relation downstream joins
+    // broadcast. The distributed fixpoint below is unchanged and remains
+    // the over-cap path (a corpus-wide pair graph at 100 TB); delta/rep
+    // graphs are answer-sized BY CONTRACT at any scale, and for them the
+    // fixpoint's per-round cost is pure scheduling (~5 exchanges + an AQE
+    // re-plan per round — StreamCcProbe), not data. Gated on a MEASURED
+    // count, never on local mode; reliable-checkpoint callers always run
+    // distributed (they asked for durable per-round artifacts).
+    val driverCap = pairs.sparkSession.conf
+      .get("graft.cc.driverEdgeCap", "100000").toLong
+    if (checkpointDir.isEmpty && nEdges <= driverCap) {
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent.update(c, r); c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        if (!parent.contains(u)) parent.update(u, u)
+        if (!parent.contains(v)) parent.update(v, v)
+        val ru = find(u); val rv = find(v)
+        // the smaller root wins every union, so by induction each tree's
+        // root IS the minimum id of its members — cluster_id = find(id)
+        if (ru < rv) parent.update(rv, ru)
+        else if (rv < ru) parent.update(ru, rv)
+      }
+      val s = pairs.sparkSession
+      import s.implicits._
+      return parent.keys.toArray.sorted.toSeq
+        .map(id => (id, find(id))).toDF("id", "cluster_id")
+    }
 
     def bothDirs(e: DataFrame) =
       e.unionByName(e.select(col("v").as("u"), col("u").as("v")))

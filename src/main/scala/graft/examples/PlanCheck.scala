@@ -1014,6 +1014,10 @@ object PlanCheck {
       "per-host budget via the bounded heap" -> "scored_top_k",
       "gates and schedule broadcast" -> "BroadcastHashJoin"),
       mustNotContain = Seq(
+        // the specific regression the landing prevents: if any gate
+        // stopped riding the snapshot, the links → canon → bloom chain
+        // would re-enter the final plan as its might_contain probe
+        "frontier chain never re-runs past the landing" -> "might_contain",
         "no corpus sort-merge join" -> "SortMergeJoin",
         "no cartesian" -> "CartesianProduct",
         "no all-pairs nested loop" -> "BroadcastNestedLoopJoin")),

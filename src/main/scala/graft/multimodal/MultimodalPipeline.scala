@@ -133,10 +133,16 @@ object MultimodalPipeline {
     val bk = Seq("b0", "b1", "b2", "b3")
     // one fingerprint decode of the delta: the band table is consumed by
     // the class build AND the final verdict join
-    val deltaBands = deltaBands0.localCheckpoint(true)
+    // r16: every landed intermediate below is a LAZY checkpoint — each
+    // one's first consumer is a full scan (an aggregate or a broadcast
+    // build), so materialization rides that job instead of paying a
+    // separate eager job per table. q198 pays this chain once per
+    // micro-batch; the eager form was 4 scheduling round-trips per batch
+    // (the r15 deltaComponents lesson, applied here).
+    val deltaBands = deltaBands0.localCheckpoint(false)
     val dClasses = deltaBands.groupBy(bk.map(col): _*)
       .agg(min(col("doc_id")).as("rep"))
-      .localCheckpoint(true) // consumed four times below
+      .localCheckpoint(false) // consumed four times below
     val sc = standingClasses.select(
       (bk.map(col) :+ col("rep")): _*).withColumn("standing", lit(true))
     val union = sc.unionByName(dClasses.withColumn("standing", lit(false)))
@@ -165,13 +171,13 @@ object MultimodalPipeline {
         bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int"))
       .filter(col("hamming") <= 3)
       .select(col("ra"), col("rb"), col("sb"))
-      .localCheckpoint(true) // consumed twice (attachment + delta pairs)
+      .localCheckpoint(false) // consumed twice (attachment + delta pairs)
     val nearToStanding = near.filter(col("sb")).select(col("ra").as("rep"))
     val deltaPairs = near.filter(!col("sb") && col("ra") < col("rb"))
       .select(col("ra").as("id_a"), col("rb").as("id_b"))
     val comps = graft.dedup.Dedup.connectedComponents(deltaPairs, "id_a", "id_b")
     val attachedReps = exactAttached.unionByName(nearToStanding).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val attachedClusters = comps
       .join(attachedReps.withColumnRenamed("rep", "id"), Seq("id"))
       .select(col("cluster_id")).distinct()

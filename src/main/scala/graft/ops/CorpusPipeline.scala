@@ -51,8 +51,16 @@ object CorpusPipeline {
     // The rep snapshot materializes when materializeClean (the same
     // durable-intermediate argument as the cleaned-corpus checkpoint
     // below: a production pipeline lands the deduplicated crawl).
-    val withFp = docs.select(col(idCol),
-      TextAnalysis.fingerprint(col(textCol)).as("fp")).localCheckpoint(true)
+    // PRECONDITION: idCol is unique across docs (every corpus source in
+    // this library is id-keyed) — the rep-text fetch below is an id
+    // equi-join, and a duplicated id would fan out where the pre-r15
+    // min_by aggregate collapsed. The fingerprint snapshot is gated on
+    // materializeClean like every other landed intermediate here, so the
+    // documented fully-lazy form stays job-free at construction.
+    val withFp0 = docs.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val withFp =
+      if (materializeClean) withFp0.localCheckpoint(true) else withFp0
     val repIds = withFp.groupBy("fp").agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val deduped0 = docs.join(repIds, Seq(idCol))
@@ -72,7 +80,8 @@ object CorpusPipeline {
     // and the packed shards measure real prose, not an alnum token
     // stream.)
     val depassaged0 = graft.dedup.Boilerplate.cleanDocs(
-      deduped, textCol, idCol, k = 8, minDocs = passageMinDocs)
+      deduped, textCol, idCol, k = 8, minDocs = passageMinDocs,
+      materializeSegments = materializeClean)
     // first truncation point: decontaminate consumes its input TWICE
     // (the gram explode and the keep-side of the anti-join), and
     // cleanDocs itself double-references the exact-dedup aggregate

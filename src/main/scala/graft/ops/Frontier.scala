@@ -39,10 +39,21 @@ object Frontier {
       urlCol: String = "url", idCol: String = "doc_id",
       fpp: Double = 0.01): DataFrame = {
     // the canonical kernel is the md5/regex-heavy per-row stage — run it
-    // cores-wide even when the links arrive at single-file parallelism
-    val canon = Par.balanced(deltaLinks.select(col(idCol), col(urlCol)))
+    // cores-wide even when the links arrive at single-file parallelism.
+    // The canonical projection LANDS (lazy checkpoint, r16): both
+    // aggregate branches below consume it, and without truncation each
+    // re-ran the kernel AND the balancing shuffle (the projection is
+    // slim delta-sized rows — id + canonical url — the same size class
+    // as the batch itself; the two-branch SHAPE stays, because merging
+    // the aggregates would shuffle the revisit mass at 100 TB).
+    val canon0 = Par.balanced(deltaLinks.select(col(idCol), col(urlCol)))
       .select(col(idCol),
         graft.text.UrlNormalize.canonicalUrl(col(urlCol)).as("canonical_url"))
+    // (streaming inputs pass through un-landed: checkpoint would throw at
+    // plan time — the Par.balanced guard's contract, kept consistent here;
+    // streaming callers adjudicate per micro-batch inside foreachBatch)
+    val canon =
+      if (deltaLinks.isStreaming) canon0 else canon0.localCheckpoint(false)
     def agg(links: DataFrame): DataFrame = links
       .groupBy("canonical_url")
       .agg(count(lit(1)).cast("long").as("n_links"),

@@ -260,10 +260,7 @@ object EventsStream {
     * so the artifact is unchanged (measured on the langid fit: 68 s
     * wall ≈ cpu serial at 150k docs → 21.5 s rebalanced). A batch that
     * already carries enough partitions passes through untouched. */
-  def rebalanced(batch: DataFrame): DataFrame = {
-    val cores = batch.sparkSession.sparkContext.defaultParallelism
-    if (batch.rdd.getNumPartitions < cores) batch.repartition(cores) else batch
-  }
+  def rebalanced(batch: DataFrame): DataFrame = graft.ops.Par.balanced(batch)
 
   /** Materialize `df` into a fresh temp dir as `nFiles` round-robin
     * parquet files and replay it as a genuine file-source stream, ONE

@@ -81,8 +81,15 @@ object StreamingMmIndex {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         // one fingerprint decode per arriving asset; consumed by the
-        // adjudication AND the landed class partial
-        val bands = fingerprint(batch.toDF()).localCheckpoint(true)
+        // adjudication AND the landed class partial. A micro-batch
+        // arrives at FILE parallelism (one file, one task) while the
+        // codec decode inside `fingerprint` is the batch's whole cost —
+        // rebalance row-count-aware (r16): the ~6.6k-image organic slice
+        // decodes cores-wide, the 8-row twin slices keep their single
+        // task (the count is a column-pruned scan, cheap per batch).
+        val raw = batch.toDF()
+        val bands = fingerprint(
+          graft.ops.Par.balancedRows(raw, raw.count())).localCheckpoint(true)
         val idx = indexAsOf(spark, indexDir, batchId)
         graft.multimodal.MultimodalPipeline.deltaVerdicts(idx, bands)
           .write.mode("overwrite").parquet(s"$verdictsDir/shard=$batchId")

@@ -1054,6 +1054,34 @@ class PipelineSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("id", "cluster_id") && empty.isEmpty)
   }
 
+  test("connectedComponents: answer-sized union-find path ≡ distributed fixpoint") {
+    // r16: inputs at or below graft.cc.driverEdgeCap are solved with a
+    // driver union-find (the broadcast-build-side size contract) instead
+    // of the per-round fixpoint. Force the distributed path with cap=0 on
+    // the same graphs and assert label-for-label identity.
+    val rnd = new scala.util.Random(13)
+    val cases = Seq(
+      (0L until 120L).sliding(2).map(s => (s(0), s(1))).toSeq, // chain
+      Seq.fill(400)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)))
+    for (edges <- cases) {
+      val df = edges.toDF("a", "b")
+      val local = Dedup.connectedComponents(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val cap0 = spark.conf.getOption("graft.cc.driverEdgeCap")
+      spark.conf.set("graft.cc.driverEdgeCap", "0")
+      try {
+        val dist = Dedup.connectedComponents(df, "a", "b")
+          .as[(Long, Long)].collect().toMap
+        assert(local == dist)
+      } finally {
+        cap0 match {
+          case Some(v) => spark.conf.set("graft.cc.driverEdgeCap", v)
+          case None => spark.conf.unset("graft.cc.driverEdgeCap")
+        }
+      }
+    }
+  }
+
   test("connectedComponents reliable-checkpoint path and string-id rejection") {
     // the cluster-safe truncation path: checkpoint() to a durable dir
     // (executor-local blocks die with their executor; see scaladoc)
