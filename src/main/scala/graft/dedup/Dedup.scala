@@ -793,13 +793,84 @@ object Dedup {
   def deltaComponents(standingMap: DataFrame, deltaPairs: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
     val sm = standingMap.select(col("id"), col("cluster_id"))
+    val pairs0 = deltaPairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+
+    // ANSWER-SIZED PATH (r16 — the connectedComponents gate applied to
+    // the whole fold): the delta pairs, the touched-rep table, and the
+    // merge table are all delta-sized BY CONTRACT, and the distributed
+    // shape below already ships every one of them through driver-built
+    // broadcasts — so at or below the cap the ORCHESTRATION runs on the
+    // driver instead of through ~10 answer-sized jobs (per-shard fold
+    // cost is scheduling, not data: StreamCcProbe read the q228 fold at
+    // 7.6 s with a near-free fixpoint). The standing map keeps its scale
+    // contract exactly: ONE distributed broadcast-semi probe scan + ONE
+    // relabel scan, never shuffled, never collected. Over-cap deltas run
+    // the distributed shape below unchanged.
+    val session = deltaPairs.sparkSession
+    val cap = math.min(session.conf.get("graft.cc.driverEdgeCap", "100000").toLong,
+      (Int.MaxValue - 1).toLong)
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (checkpointDir.isEmpty && cap > 0)
+        pairs0.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .limit(cap.toInt + 1).collect()
+      else null
+    if (probe != null && probe.length <= cap) {
+      import session.implicits._
+      val pairsArr = probe.map(r => (r.getLong(0), r.getLong(1)))
+      val endpoints = pairsArr.iterator
+        .flatMap(p => Iterator(p._1, p._2)).toArray.distinct.sorted
+      val rep = new scala.collection.mutable.LongMap[Long]()
+      endpoints.foreach(id => rep.update(id, id))
+      // the ONE standing probe scan: reps for the touched ids
+      val touched: Array[(Long, Long)] =
+        if (endpoints.isEmpty) Array.empty
+        else sm.join(broadcast(endpoints.toSeq.toDF("id")), Seq("id"), "left_semi")
+          .select(col("id").cast("long"), col("cluster_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      touched.foreach { case (id, cl) => rep.update(id, cl) }
+      // min-rooted union-find over the rep graph (roots are component
+      // minima — the same invariant as the answer-sized CC path)
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r0 = x; while (parent(r0) != r0) r0 = parent(r0)
+        var c = x; while (c != r0) { val n = parent(c); parent.update(c, r0); c = n }
+        r0
+      }
+      pairsArr.foreach { case (a, b) =>
+        val (ra, rb) = (rep(a), rep(b))
+        if (ra != rb) {
+          if (!parent.contains(ra)) parent.update(ra, ra)
+          if (!parent.contains(rb)) parent.update(rb, rb)
+          val (fa, fb) = (find(ra), find(rb))
+          if (fa < fb) parent.update(fb, fa)
+          else if (fb < fa) parent.update(fa, fb)
+        }
+      }
+      val changedArr = parent.keys.toArray.sorted
+        .flatMap { r0 => val f = find(r0); if (f != r0) Some((r0, f)) else None }
+      val changedDf = changedArr.toSeq.toDF("rep", "new_rep")
+      val changedMap = changedArr.toMap
+      val touchedIds = touched.map(_._1).toSet
+      // fresh nodes (never in the map) relabel right here on the driver
+      val fromFreshLocal = endpoints.iterator
+        .filter(id => !touchedIds.contains(id))
+        .flatMap(id => changedMap.get(rep(id)).map(nr => (id, id, nr)))
+        .toSeq.toDF("node", "old_rep", "new_rep")
+      // …while the relabel stays ONE distributed standing-map scan
+      val fromStandingD = sm
+        .join(broadcast(changedDf), sm("cluster_id") === changedDf("rep"))
+        .select(sm("id").cast("long").as("node"),
+          sm("cluster_id").cast("long").as("old_rep"), col("new_rep"))
+      return fromStandingD.unionByName(fromFreshLocal)
+    }
+
     // All four landed intermediates below are LAZY checkpoints: each
     // one's first consumer is a full scan (a distinct or a broadcast
     // build), so the materialization rides that job instead of paying a
     // separate eager job per table — four scheduling round-trips saved
     // per delta fold, which is the dominant cost at answer-sized deltas.
-    val pairs = deltaPairs.select(col("id_a"), col("id_b"))
-      .filter(col("id_a") =!= col("id_b")).localCheckpoint(false)
+    val pairs = pairs0.localCheckpoint(false)
     val endpoints = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
     // the standing map's reps for delta-touched ids: endpoint keys

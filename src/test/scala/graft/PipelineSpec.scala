@@ -1054,6 +1054,26 @@ class PipelineSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("id", "cluster_id") && empty.isEmpty)
   }
 
+  test("deltaComponents: answer-sized driver fold ≡ distributed fold") {
+    import graft.dedup.Dedup
+    // the r16 driver-orchestrated fold must agree row-for-row with the
+    // distributed shape (forced via cap=0) on merges, fresh chains, and
+    // stale pairs — same fixture class as the semantics test above
+    val sm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (30L, 30L)).toDF("id", "cluster_id")
+    val rnd = new scala.util.Random(29)
+    val dp = (Seq((3L, 10L), (21L, 100L), (100L, 40L), (200L, 201L),
+      (201L, 202L), (1L, 2L), (7L, 7L)) ++
+      Seq.fill(60)((rnd.nextInt(40).toLong * 7, rnd.nextInt(300).toLong)))
+      .toDF("id_a", "id_b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val local = rows(Dedup.deltaComponents(sm, dp))
+    spark.conf.set("graft.cc.driverEdgeCap", "0")
+    try assert(local == rows(Dedup.deltaComponents(sm, dp)))
+    finally spark.conf.unset("graft.cc.driverEdgeCap")
+  }
+
   test("connectedComponents: answer-sized union-find path ≡ distributed fixpoint") {
     // r16: inputs at or below graft.cc.driverEdgeCap are solved with a
     // driver union-find (the broadcast-build-side size contract) instead
