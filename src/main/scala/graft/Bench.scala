@@ -98,6 +98,18 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9, n)
     }
     val firstPass = defs.map { d =>
+      // Measurement hygiene (r16, guide §1): by the 190th query the 8 GB
+      // JVM is full of DEAD localCheckpoint blocks from predecessors —
+      // Spark's ContextCleaner only reaps them after their RDDs are
+      // garbage-collected, and the JVM under steady allocation has no
+      // reason to run a full GC — so the tail queries (the archive rows
+      // run last) measured predecessors' memory pressure, not their own
+      // cost: q196/q205/q210/q211 read 17–24 s inside a full run vs
+      // 1.6–4.3 s solo, with process-cpu inflated ~4× by GC churn, in
+      // BOTH r16 windows and in r15's driver record (the recurring
+      // stalled flags). One untimed System.gc() before each query's
+      // first run lets the cleaner drain; timing starts after.
+      System.gc()
       val (t1, c1, n1) = once(d)
       val runs =
         if (t1 >= REPEAT_FLOOR && n1 >= 0) {
@@ -146,6 +158,7 @@ object Bench {
     val results = firstPass.map { case r @ (name, med, min, cpu) =>
       refs.get(name) match {
         case Some(ref) if min > STALL_K * ref && min - ref > 0.25 =>
+          System.gc() // same hygiene for the self-heal rerun
           val (t4, c4, n4) = once(defs.find(_.name == name).get)
           val healedMin = math.min(min, t4)
           val healedCpu = math.min(cpu, c4)

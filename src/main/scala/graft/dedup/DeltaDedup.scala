@@ -126,25 +126,30 @@ object DeltaDedup {
   private[graft] def advanceParts(standingFps: DataFrame, delta: DataFrame,
       textCol: String, idCol: String, numPerm: Int, nBands: Int, k: Int):
       (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // r16: the landed intermediates here are LAZY checkpoints — each
+    // one's first consumer is a full scan (an aggregate or a broadcast
+    // build), so materialization rides that job instead of paying one
+    // eager job per table (5 scheduling round-trips per advance; q239
+    // pays the chain once per micro-batch).
     val dFp = delta.select(col(idCol).as("id"),
       graft.text.TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .localCheckpoint(true) // delta-sized, consumed twice
+      .localCheckpoint(false) // delta-sized, consumed twice
     val dColl = dFp.groupBy("fp").agg(min(col("id")).as("did"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // standing attachment: ONE fps scan, delta fingerprints broadcast
     val hit = standingFps
       .join(broadcast(dColl.select("fp")), Seq("fp"), "left_semi")
-      .localCheckpoint(true) // attachment-sized (≤ delta distinct fps)
+      .localCheckpoint(false) // attachment-sized (≤ delta distinct fps)
     val groupsAdd = dFp.join(broadcast(hit), Seq("fp"), "left")
       .join(broadcast(dColl), Seq("fp"))
       .select(col("id"), coalesce(col("rep"), col("did")).as("rep"))
     val freshReps = dColl.join(broadcast(hit.select("fp")), Seq("fp"), "left_anti")
-      .localCheckpoint(true) // (fp, did) — the delta's new representatives
+      .localCheckpoint(false) // (fp, did) — the delta's new representatives
     // rep text fetched by id join (the collapseExact discipline — never
     // first(t) through an aggregation exchange)
     val repText = delta.select(col(idCol).as("id"), col(textCol).as("t"))
       .join(broadcast(freshReps.select(col("did").as("id"))), "id")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val bandsAdd = repText.select(col("id"),
         Dedup.minHashSignature(col("t"), numPerm, k).as("sig"))
       .select(col("id"),
@@ -169,18 +174,21 @@ object DeltaDedup {
     // the two delta-sized tables are each consumed several times inside
     // the one output plan (bands + verify sets from reps; expansion +
     // intra self-join from groups) — materialize once, delta-sized
-    val deltaGroups = Dedup.exactGroups(delta, textCol, idCol).localCheckpoint()
+    // r16: lazy for the same reason as advanceParts — every first
+    // consumer below is a full scan; the eager forms paid 5 separate
+    // materialization jobs before the output plan ever ran
+    val deltaGroups = Dedup.exactGroups(delta, textCol, idCol).localCheckpoint(false)
     val deltaReps = delta
       .groupBy(graft.text.TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("id"), first(col(textCol)).as("t"))
       .select("id", "t")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val deltaBands = deltaReps
       .select(col("id"), Dedup.minHashSignature(col("t"), numPerm, k).as("sig"))
       .select(col("id"),
         explode(Dedup.lshBands(col("sig"), nBands, numPerm / nBands)).as("b"))
       .select(col("b.band").as("band"), col("b.bkey").as("bkey"), col("id"))
-      .localCheckpoint() // consumed by the touched-key set AND the cap/join
+      .localCheckpoint(false) // consumed by the touched-key set AND the cap/join
     // prune the index to buckets the delta touches BEFORE any shuffle —
     // the key set is delta-sized, so this semi-join broadcasts
     val touched = deltaBands.select("band", "bkey").distinct()
@@ -206,7 +214,7 @@ object DeltaDedup {
       .filter(col("x.id") =!= col("y.id"))
       .select(least(col("x.id"), col("y.id")).as("id_a"),
         greatest(col("x.id"), col("y.id")).as("id_b"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // exact-Jaccard verify: corpus sets load from the index only for
     // candidate survivors; delta sets are computed once, delta-sized
     val candIds = candidates.select(col("id_a").as("id"))
@@ -217,7 +225,7 @@ object DeltaDedup {
       .select("id", "sh")
       .join(candIds, "id", "left_semi")
       .unionByName(Dedup.hashedShingleSets(deltaReps, "t", "id", k, Dedup.BigPrime))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val repPairs = Dedup.verifyPairsJaccard(candidates, verifySets, threshold)
       .dropDuplicates("id_a", "id_b")
     // member-level expansion: cross pairs over corpus ∪ delta groups,

@@ -8,9 +8,16 @@ class ExtensionsSpec extends AnyFunSuite {
     // extensions only apply at session creation — stop any shared session
     // first (TestSession rebuilds lazily for later suites)
     SparkSession.getDefaultSession.foreach(_.stop())
+    // r16: this one test is the whole SQL-surface audit (~80 functions /
+    // table functions exercised sequentially) and was the suite's single
+    // slowest item at 300 s — on local[2] with the DEFAULT 200 shuffle
+    // partitions, so every tiny fixture shuffle ran 200 near-empty tasks
+    // on 2 cores. 8 cores + 8 shuffle partitions audit the identical
+    // surface (nothing here asserts partitioning).
     val spark = SparkSession.builder()
-      .master("local[2]")
+      .master("local[8]")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
@@ -835,7 +842,7 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       assert(ts == Seq(("en", 300L, 300L), ("sw", 100L, 100L)), ts.mkString(","))
     } finally {
-      // don't leak this untuned session (200 shuffle partitions) into the
+      // don't leak this session into the
       // suites that follow — TestSession rebuilds the tuned one on demand
       spark.stop()
     }

@@ -359,13 +359,16 @@ class SourcesSpec extends SparkSpec {
     Layout.writeClustered(df, s"$base/lin.parquet", 64, col("x"))
 
     def hitFraction(dir: String, c: String): Double = {
-      val files = spark.read.parquet(dir).inputFiles
+      // per-file min/max in ONE job (r16: the per-file read+agg loop ran
+      // ~130 separate jobs and was most of this test's 86 s)
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .collect()
       // point-ish predicate: a ~1/16-wide band of the value domain
-      val hit = files.count { f =>
-        val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
-        r.getLong(0) <= 1531 && 1468 <= r.getLong(1) // band [1468, 1531]
-      }
-      hit.toDouble / files.length
+      val hit = stats.count(r =>
+        r.getLong(1) <= 1531 && 1468 <= r.getLong(2)) // band [1468, 1531]
+      hit.toDouble / stats.length
     }
     // z-order: a band predicate on EITHER column skips most files. The
     // 0.5 bound is deliberately slack: repartitionByRange SAMPLES its
